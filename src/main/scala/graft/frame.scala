@@ -1,0 +1,316 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed frame over a Spark DataFrame — colnade DataFrame[S]/LazyFrame[S]
+  * (reference src/colnade/dataframe.py:298-1126).
+  *
+  * The reference's eager/lazy split collapses here: Spark DataFrames are
+  * always lazy plans, so `TFrame ≡ LazyFrame` and actions (`collectRows`,
+  * `height`, `item`) play the role of `collect()`. Schema-preserving ops
+  * return `TFrame[S]`; schema-transforming ops (select/agg/groupBy.agg)
+  * return an untyped frame (`schemaOpt = None`) that `castSchema` re-binds,
+  * exactly mirroring the reference's `DataFrame[Any]` + `cast_schema()`
+  * contract.
+  */
+final class TFrame[S <: GSchema](val df: DataFrame, val schemaOpt: Option[S]) extends Serializable {
+
+  private def same(d: DataFrame): TFrame[S] = new TFrame[S](d, schemaOpt)
+  private def erased(d: DataFrame): TFrame[GSchema] = new TFrame[GSchema](d, None)
+
+  def toNative: DataFrame = df
+
+  // --- Introspection (reference dataframe.py:341-384) ---
+  def height: Long = df.count()
+  def width: Int = schemaOpt.map(_.columns.size).getOrElse(df.schema.size)
+  def shape: (Long, Int) = (height, width)
+  def isEmpty: Boolean = df.isEmpty
+
+  /** Scalar extraction from a 1-row frame (reference dataframe.py:428). */
+  def item[T](c: GCol[T]): T = {
+    val rows = df.select(c.column).limit(2).collect()
+    require(rows.length == 1, s"item() requires exactly 1 row, got ${rows.length}")
+    rows(0).getAs[T](0)
+  }
+
+  // --- Schema-preserving ops (reference dataframe.py:448-496) ---
+  def filter(p: TypedCol[Boolean]): TFrame[S] = same(df.filter(p.c))
+
+  def sort(keys: SortKey*): TFrame[S] = same(df.orderBy(keys.map(_.sortCol): _*))
+
+  def limit(n: Int): TFrame[S] = same(df.limit(n))
+  def head(n: Int = 5): TFrame[S] = same(df.limit(n))
+  /** Last n rows in ascending `keys` order. A distributed engine has no
+    * stable "natural order", so tail takes explicit keys: sort descending,
+    * take n (Spark's TakeOrderedAndProject — no full sort at scale). */
+  def tail(n: Int, keys: GCol[_]*): TFrame[S] =
+    same(df.orderBy(keys.map(_.column.desc): _*).limit(n))
+
+  /** Seeded row sample (reference dataframe.py:475 takes n; a fixed
+    * fraction-free n-row sample needs a full count — we expose both). */
+  def sampleFraction(fraction: Double, seed: Long = 42L): TFrame[S] =
+    same(df.sample(withReplacement = false, fraction, seed))
+  def sample(n: Int, seed: Long = 42L): TFrame[S] = {
+    val total = df.count().max(1L)
+    val frac = math.min(1.0, n.toDouble / total * 1.2)
+    same(df.sample(withReplacement = false, frac, seed).limit(n))
+  }
+
+  /** Distinct rows by key columns, keeping one representative row —
+    * colnade unique() (reference dataframe.py:480). Implemented as a
+    * groupBy-first (shuffle on the keys only), not a global distinct of
+    * whole rows — at 100 TB only the keys + one row per group move. */
+  def unique(keys: GCol[_]*): TFrame[S] =
+    if (keys.isEmpty) same(df.distinct())
+    else {
+      val keyNames = keys.map(_.name)
+      val others = df.columns.filterNot(keyNames.contains)
+      if (others.isEmpty) same(df.distinct())
+      else {
+        val aggs = others.map(n => first(col(n)).as(n))
+        same(df.groupBy(keyNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          .select(df.columns.map(col): _*))
+      }
+    }
+
+  def dropNulls(cols: GCol[_]*): TFrame[S] =
+    if (cols.isEmpty) same(df.na.drop()) else same(df.na.drop(cols.map(_.name)))
+
+  /** Add or overwrite columns (reference dataframe.py:492). */
+  def withCols(exprs: Aliased*): TFrame[S] =
+    same(df.withColumns(exprs.map(e => e.name -> e.c).toMap))
+
+  // --- Schema-transforming ops (reference dataframe.py:586-598) ---
+  def select(cols: SelectArg*): TFrame[GSchema] = erased(df.select(cols.map(_.selectCol): _*))
+
+  /** Whole-frame aggregation to a single row (reference dataframe.py:594). */
+  def agg(exprs: Aliased*): TFrame[GSchema] =
+    erased(df.agg(exprs.head.column, exprs.tail.map(_.column): _*))
+
+  def groupBy(keys: GCol[_]*): GroupedFrame[S] = new GroupedFrame[S](df, keys)
+
+  // --- Join (reference dataframe.py:609-622) ---
+  /** Equi-join on a JoinCond. Right-side columns whose names collide with
+    * the left are renamed `name__r` and tracked, so castSchema can apply
+    * colnade's ambiguity rules (reference dataframe.py:1388-1399).
+    * `broadcastRight` plants a broadcast hint for small dims. */
+  def join[S2 <: GSchema](
+      other: TFrame[S2],
+      on: JoinCond,
+      how: String = "inner",
+      broadcastRight: Boolean = false,
+  ): JoinedFrame[S, S2] = {
+    val leftNames = df.columns.toSet
+    val rightDupes = other.df.columns.filter(leftNames.contains)
+    val renames = rightDupes.map(n => n -> s"${n}__r").toMap
+    val rdf0 = renames.foldLeft(other.df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+    val rdf = if (broadcastRight) broadcast(rdf0) else rdf0
+    val cond = on.pairs
+      .map { case (l, r) => df(l) === rdf(renames.getOrElse(r, r)) }
+      .reduce(_ && _)
+    new JoinedFrame[S, S2](df.join(rdf, cond, how), schemaOpt, other.schemaOpt, renames)
+  }
+
+  /** Semi/anti joins (Spark superset — EXISTS / NOT EXISTS pushups). */
+  def semiJoin[S2 <: GSchema](other: TFrame[S2], on: JoinCond): TFrame[S] =
+    same(df.join(other.df, on.pairs.map { case (l, r) => df(l) === other.df(r) }.reduce(_ && _), "left_semi"))
+  def antiJoin[S2 <: GSchema](other: TFrame[S2], on: JoinCond): TFrame[S] =
+    same(df.join(other.df, on.pairs.map { case (l, r) => df(l) === other.df(r) }.reduce(_ && _), "left_anti"))
+
+  // --- Schema transition (reference dataframe.py:626-644) ---
+  /** Bind to a target schema with colnade's 4-step mapping resolution
+    * (reference dataframe.py:234-290): explicit mapping > mappedFrom >
+    * name match > identity fallback when target extends source. */
+  def castSchema[S3 <: GSchema](
+      target: S3,
+      mapping: Map[GCol[_], GCol[_]] = Map.empty,
+      extraForbid: Boolean = false,
+  ): TFrame[S3] = {
+    val sourceNames: Set[String] = schemaOpt.map(_.columnNames.toSet).getOrElse(df.columns.toSet)
+    val nameMap = CastResolve.resolve(target, sourceNames, mapping, extraForbid,
+      ambiguous = Set.empty,
+      inheritanceFallback = schemaOpt.exists(s => s.getClass.isAssignableFrom(target.getClass)))
+    val projected = target.columns.map(tc => col(nameMap(tc.name)).cast(tc.dataType).as(tc.name))
+    new TFrame[S3](df.select(projected: _*), Some(target))
+  }
+
+  // --- Concat (reference dataframe.py:114-164) is in Tio.concat ---
+
+  /** Escape hatch on the raw engine frame — colnade with_raw
+    * (reference dataframe.py:653-673). */
+  def withRaw(fn: DataFrame => DataFrame): TFrame[S] = {
+    val out = same(fn(df))
+    if (GValidation.enabled) schemaOpt.foreach(s => Validator.structural(out.df, s))
+    out
+  }
+
+  // --- Validation (reference dataframe.py:677-687) ---
+  /** Always runs structural + value-level checks, independent of the
+    * global toggle — mirrors reference validate(). */
+  def validate(): TFrame[S] = {
+    schemaOpt.foreach { s =>
+      Validator.structural(df, s)
+      Validator.constraints(df, s)
+    }
+    this
+  }
+
+  // --- Materialization / conversion ---
+  def collectRows(): Array[Row] = df.collect()
+  def toDS[T: Encoder]: Dataset[T] = df.as[T]
+  def cache(): TFrame[S] = same(df.cache())
+  def explainPlan(): String = df.queryExecution.explainString(
+    org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+}
+
+/** select() argument magnet: bare descriptor or aliased expression. */
+sealed trait SelectArg { def selectCol: Column }
+object SelectArg {
+  implicit def fromGCol(g: GCol[_]): SelectArg = new SelectArg { def selectCol: Column = g.column }
+  implicit def fromAliased(a: Aliased): SelectArg = new SelectArg { def selectCol: Column = a.column }
+}
+
+/** sort() argument magnet: bare descriptor (asc) or GSort. */
+sealed trait SortKey { def sortCol: Column }
+object SortKey {
+  implicit def fromGCol(g: GCol[_]): SortKey = new SortKey { def sortCol: Column = g.column }
+  implicit def fromGSort(s: GSort): SortKey = new SortKey { def sortCol: Column = s.c }
+}
+
+/** GroupBy carrier — colnade GroupBy/LazyGroupBy (reference
+  * dataframe.py:1133-1180). Spark performs map-side partial aggregation
+  * automatically, so the shuffle moves pre-combined state, not rows. */
+final class GroupedFrame[S <: GSchema](df: DataFrame, keys: Seq[GCol[_]]) {
+  def agg(exprs: Aliased*): TFrame[GSchema] =
+    new TFrame[GSchema](
+      df.groupBy(keys.map(_.column): _*).agg(exprs.head.column, exprs.tail.map(_.column): _*),
+      None)
+}
+
+/** Transitional two-schema frame after a join — colnade
+  * JoinedDataFrame[S, S2] (reference dataframe.py:1188-1412). */
+final class JoinedFrame[A <: GSchema, B <: GSchema](
+    val df: DataFrame,
+    val leftSchema: Option[A],
+    val rightSchema: Option[B],
+    private[graft] val rightRenames: Map[String, String],
+) extends Serializable {
+
+  private def same(d: DataFrame): JoinedFrame[A, B] =
+    new JoinedFrame[A, B](d, leftSchema, rightSchema, rightRenames)
+
+  /** Remap a user expression so references to renamed right-side columns
+    * resolve against the joined plan. */
+  private[graft] def remap(c: Column): Column =
+    if (rightRenames.isEmpty) c
+    else {
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.column(Bridge.expr(c).transform {
+        case org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(parts)
+            if parts.size == 1 && rightRenames.contains(parts.head) =>
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(rightRenames(parts.head)))
+      })
+    }
+
+  def toNative: DataFrame = df
+
+  def filter(p: TypedCol[Boolean]): JoinedFrame[A, B] = same(df.filter(remap(p.c)))
+  def sort(keys: SortKey*): JoinedFrame[A, B] = same(df.orderBy(keys.map(k => remap(k.sortCol)): _*))
+  def limit(n: Int): JoinedFrame[A, B] = same(df.limit(n))
+  def unique(keys: GCol[_]*): JoinedFrame[A, B] =
+    if (keys.isEmpty) same(df.distinct())
+    else same(df.dropDuplicates(keys.map(k => rightRenames.getOrElse(k.name, k.name))))
+  def dropNulls(cols: GCol[_]*): JoinedFrame[A, B] =
+    if (cols.isEmpty) same(df.na.drop())
+    else same(df.na.drop(cols.map(c => rightRenames.getOrElse(c.name, c.name))))
+  def withCols(exprs: Aliased*): JoinedFrame[A, B] =
+    same(df.withColumns(exprs.map(e => e.name -> remap(e.c)).toMap))
+
+  def select(cols: SelectArg*): TFrame[GSchema] =
+    new TFrame[GSchema](df.select(cols.map(c => remap(c.selectCol)): _*), None)
+
+  def agg(exprs: Aliased*): TFrame[GSchema] =
+    new TFrame[GSchema](df.agg(
+      remap(exprs.head.c).as(exprs.head.name),
+      exprs.tail.map(e => remap(e.c).as(e.name)): _*), None)
+
+  def groupBy(keys: GCol[_]*): JoinedGroupedFrame[A, B] =
+    new JoinedGroupedFrame[A, B](this, keys)
+
+  /** Flatten into a single-schema frame with ambiguity tracking —
+    * duplicate names require explicit mapping or mappedFrom, exactly
+    * like the reference (dataframe.py:1388-1399). */
+  def castSchema[S3 <: GSchema](
+      target: S3,
+      mapping: Map[GCol[_], GCol[_]] = Map.empty,
+      extraForbid: Boolean = false,
+  ): TFrame[S3] = {
+    val leftNames = leftSchema.map(_.columnNames).getOrElse(Nil)
+    val rightNames = rightSchema.map(_.columnNames).getOrElse(Nil)
+    val ambiguous = leftNames.toSet intersect rightNames.toSet
+    val sourceNames = leftNames.toSet ++ rightNames
+    val nameMap = CastResolve.resolve(target, sourceNames, mapping, extraForbid, ambiguous,
+      inheritanceFallback = false, rightOwned = rightSchema.map(s => s.columnNames.toSet).getOrElse(Set.empty),
+      rightRenames = rightRenames, mappingOwners = mapping.map { case (k, v) => k.name -> v })
+    val projected = target.columns.map { tcol =>
+      val src = nameMap(tcol.name)
+      col(src).cast(tcol.dataType).as(tcol.name)
+    }
+    new TFrame[S3](df.select(projected: _*), Some(target))
+  }
+}
+
+final class JoinedGroupedFrame[A <: GSchema, B <: GSchema](
+    jf: JoinedFrame[A, B], keys: Seq[GCol[_]]) {
+  def agg(exprs: Aliased*): TFrame[GSchema] = {
+    val keyCols = keys.map(k => col(jf.rightRenames.getOrElse(k.name, k.name)).as(k.name))
+    new TFrame[GSchema](
+      jf.df.groupBy(keyCols: _*)
+        .agg(exprs.head.column, exprs.tail.map(_.column): _*),
+      None)
+  }
+}
+
+/** cast_schema mapping resolution — colnade _resolve_mapping
+  * (reference src/colnade/dataframe.py:234-290). */
+private[graft] object CastResolve {
+  def resolve(
+      target: GSchema,
+      sourceNames: Set[String],
+      mapping: Map[GCol[_], GCol[_]],
+      extraForbid: Boolean,
+      ambiguous: Set[String],
+      inheritanceFallback: Boolean,
+      rightOwned: Set[String] = Set.empty,
+      rightRenames: Map[String, String] = Map.empty,
+      mappingOwners: Map[String, GCol[_]] = Map.empty,
+  ): Map[String, String] = {
+    // A right-schema source column may have been renamed at join time.
+    def actual(srcCol: GCol[_]): String = {
+      val n = srcCol.name
+      if (rightRenames.contains(n) && rightOwned.contains(n)) rightRenames(n) else n
+    }
+    val explicitByName: Map[String, String] =
+      mapping.map { case (tgt, src) => tgt.name -> actual(src) }
+    val resolved = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    target.columns.foreach { tcol =>
+      val name = tcol.name
+      if (explicitByName.contains(name)) resolved(name) = explicitByName(name)
+      else tcol.mappedFrom match {
+        case Some(src) => resolved(name) = actual(src)
+        case None =>
+          if (sourceNames.contains(name) && !ambiguous.contains(name)) resolved(name) = name
+          else if (inheritanceFallback) resolved(name) = name
+      }
+    }
+    val missing = target.columnNames.filterNot(resolved.contains)
+    if (missing.nonEmpty) throw GSchemaError(missingColumns = missing)
+    if (extraForbid) {
+      val used = resolved.values.toSet
+      val extras = (sourceNames -- used.map(n => rightRenames.find(_._2 == n).map(_._1).getOrElse(n))).toSeq.sorted
+      if (extras.nonEmpty) throw GSchemaError(extraColumns = extras)
+    }
+    resolved.toMap
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Encoder, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Typed IO — colnade read/scan/write + from_rows/from_dict
+  * (reference colnade-polars/src/colnade_polars/io.py:25-105).
+  *
+  * Spark is lazy, so read ≡ scan (the reference's eager/lazy read split
+  * collapses). Every typed read projects exactly the schema's columns so
+  * the parquet scan's ReadSchema is pruned even if the file carries more.
+  */
+object Tio {
+
+  def readParquet[S <: GSchema](spark: SparkSession, path: String, schema: S): TFrame[S] = {
+    val raw = spark.read.parquet(path)
+    if (GValidation.enabled) Validator.structural(raw, schema)
+    val pruned = raw.select(schema.columnNames.map(col): _*)
+    val tf = new TFrame[S](pruned, Some(schema))
+    if (GValidation.full) Validator.constraints(pruned, schema)
+    tf
+  }
+
+  /** Alias for readParquet — Spark frames are already lazy plans. */
+  def scanParquet[S <: GSchema](spark: SparkSession, path: String, schema: S): TFrame[S] =
+    readParquet(spark, path, schema)
+
+  def readCsv[S <: GSchema](spark: SparkSession, path: String, schema: S,
+      header: Boolean = true): TFrame[S] = {
+    val raw = spark.read
+      .option("header", header.toString)
+      .schema(schema.structType)
+      .csv(path)
+    new TFrame[S](raw, Some(schema))
+  }
+
+  def writeParquet[S <: GSchema](tf: TFrame[S], path: String,
+      partitionBy: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+    val w = tf.df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def writeCsv[S <: GSchema](tf: TFrame[S], path: String, mode: String = "overwrite"): Unit =
+    tf.df.write.mode(mode).option("header", "true").csv(path)
+
+  /** Typed construction from case-class rows — colnade from_rows
+    * (reference io.py:79-96); the case class plays Schema.Row and the
+    * Encoder is the compile-time row/schema link. */
+  def fromRows[S <: GSchema, R: Encoder](spark: SparkSession, schema: S, rows: Seq[R]): TFrame[S] = {
+    val df = spark.createDataset(rows).toDF()
+    val aligned = df.select(schema.columns.map(c => col(c.name).cast(c.dataType)): _*)
+    if (GValidation.enabled) Validator.structural(aligned, schema)
+    if (GValidation.full) Validator.constraints(aligned, schema)
+    new TFrame[S](aligned, Some(schema))
+  }
+
+  /** Wrap an existing DataFrame under a schema (validating boundary). */
+  def fromDF[S <: GSchema](df: DataFrame, schema: S): TFrame[S] = {
+    if (GValidation.enabled) Validator.structural(df, schema)
+    new TFrame[S](df.select(schema.columnNames.map(col): _*), Some(schema))
+  }
+
+  /** Vertical concat — colnade concat() (reference dataframe.py:114).
+    * All frames must share the same schema object. */
+  def concat[S <: GSchema](frames: TFrame[S]*): TFrame[S] = {
+    require(frames.size >= 2, s"concat() requires at least 2 frames, got ${frames.size}")
+    val s = frames.head.schemaOpt
+    require(frames.forall(_.schemaOpt == s), "concat(): schema mismatch between frames")
+    new TFrame[S](frames.map(_.df).reduce(_ unionByName _), s)
+  }
+}
