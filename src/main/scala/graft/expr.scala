@@ -91,6 +91,9 @@ final class TypedCol[T](val c: Column) extends Serializable {
   def dtSecond(implicit ev: IsTemporal[T]): TypedCol[Int] = new TypedCol(second(c))
   def dtTruncate(interval: String)(implicit ev: IsTemporal[T]): TypedCol[java.sql.Timestamp] =
     new TypedCol(date_trunc(interval, c))
+  def dtFormat(fmt: String)(implicit ev: IsTemporal[T]): TypedCol[String] =
+    new TypedCol(date_format(c, fmt))
+  def dtEpoch(implicit ev: IsTemporal[T]): TypedCol[Long] = new TypedCol(unix_timestamp(c))
 
   // --- Null handling (reference schema.py:380-406) ---
   def isNull: TypedCol[Boolean]    = new TypedCol(c.isNull)
@@ -148,6 +151,30 @@ final case class Aliased(c: Column, name: String) {
 
 /** Sort-direction wrapper — colnade SortExpr (reference expr.py:254). */
 final case class GSort(c: Column)
+
+/** Typed window spec — colnade `.over(*partition_by)` generalized to
+  * Spark's ordered windows + frames (reference schema.py:440; frames are
+  * a Spark superset, SURVEY §2.2 E13). */
+final case class GWindow(ws: org.apache.spark.sql.expressions.WindowSpec) {
+  def orderBy(keys: SortKey*): GWindow = GWindow(ws.orderBy(keys.map(_.sortCol): _*))
+  def rowsBetween(lo: Long, hi: Long): GWindow = GWindow(ws.rowsBetween(lo, hi))
+}
+object GWindow {
+  def partitionBy(cols: GCol[_]*): GWindow =
+    GWindow(Window.partitionBy(cols.map(_.column): _*))
+}
+
+/** Window functions over a [[GWindow]] — rank/row_number/lag/lead and a
+  * running sum (Spark window frames; superset of reference's over()). */
+object gfn {
+  def rowNumber(w: GWindow): TypedCol[Int] = new TypedCol(row_number().over(w.ws))
+  def rank(w: GWindow): TypedCol[Int] = new TypedCol(F.rank().over(w.ws))
+  def denseRank(w: GWindow): TypedCol[Int] = new TypedCol(dense_rank().over(w.ws))
+  def lag[T](c: TypedCol[T], n: Int, w: GWindow): TypedCol[T] = new TypedCol(F.lag(c.c, n).over(w.ws))
+  def lead[T](c: TypedCol[T], n: Int, w: GWindow): TypedCol[T] = new TypedCol(F.lead(c.c, n).over(w.ws))
+  def runningSum[T: Numeric](c: TypedCol[T], w: GWindow): TypedCol[T] =
+    new TypedCol(F.sum(c.c).over(w.ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+}
 
 /** Conditional builder — colnade when/then/otherwise
   * (reference src/colnade/expr.py:305-380). Compiles to Catalyst

@@ -88,7 +88,13 @@ final class TFrame[S <: GSchema](val df: DataFrame, val schemaOpt: Option[S]) ex
   def agg(exprs: Aliased*): TFrame[GSchema] =
     erased(df.agg(exprs.head.column, exprs.tail.map(_.column): _*))
 
-  def groupBy(keys: GCol[_]*): GroupedFrame[S] = new GroupedFrame[S](df, keys)
+  def groupBy(keys: GCol[_]*): GroupedFrame[S] =
+    new GroupedFrame[S](df, keys.map(_.column))
+
+  /** Group by computed expressions (aliased) — colnade allows grouping by
+    * any expr; descriptor overload above covers the common case. */
+  def groupBySel(keys: SelectArg*): GroupedFrame[S] =
+    new GroupedFrame[S](df, keys.map(_.selectCol))
 
   // --- Join (reference dataframe.py:609-622) ---
   /** Equi-join on a JoinCond. Right-side columns whose names collide with
@@ -181,10 +187,10 @@ object SortKey {
 /** GroupBy carrier — colnade GroupBy/LazyGroupBy (reference
   * dataframe.py:1133-1180). Spark performs map-side partial aggregation
   * automatically, so the shuffle moves pre-combined state, not rows. */
-final class GroupedFrame[S <: GSchema](df: DataFrame, keys: Seq[GCol[_]]) {
+final class GroupedFrame[S <: GSchema](df: DataFrame, keys: Seq[Column]) {
   def agg(exprs: Aliased*): TFrame[GSchema] =
     new TFrame[GSchema](
-      df.groupBy(keys.map(_.column): _*).agg(exprs.head.column, exprs.tail.map(_.column): _*),
+      df.groupBy(keys: _*).agg(exprs.head.column, exprs.tail.map(_.column): _*),
       None)
 }
 

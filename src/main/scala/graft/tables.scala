@@ -104,8 +104,16 @@ object tables {
     Tio.readParquet(s, s"$dir/nation.parquet", Nation)
   def region(s: SparkSession, dir: String): TFrame[Region.type] =
     Tio.readParquet(s, s"$dir/region.parquet", Region)
-  def events(s: SparkSession, dir: String): TFrame[Events.type] =
-    Tio.readParquet(s, s"$dir/events.parquet", Events)
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+    * parquet reader rejects. Read nanos as raw Long (legacy conf) and
+    * truncate to micros — the same truncation DuckDB applies — so the
+    * typed frame still presents `ts: Timestamp`. */
+  def events(s: SparkSession, dir: String): TFrame[Events.type] = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    Tio.fromDF(raw, Events)
+  }
   def documents(s: SparkSession, dir: String): TFrame[Documents.type] =
     Tio.readParquet(s, s"$dir/documents.parquet", Documents)
   def embeddings(s: SparkSession, dir: String): TFrame[Embeddings.type] =
