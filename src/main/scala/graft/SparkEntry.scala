@@ -30,6 +30,17 @@ object derived {
 object SparkEntry {
   import derived._
 
+  /** Order-independent money sum, bit-identical across engines: double
+    * summation is order-dependent (Spark's distributed sum vs DuckDB's
+    * serial sum drift ~1e-6 at 1e9 magnitude), and double→DECIMAL casts
+    * disagree between engines (DuckDB multiplies by 10^scale in double;
+    * the JVM expands exactly). Rounding each value to integer cents is
+    * deterministic — both engines round the SAME IEEE double — and the
+    * BIGINT sum is exact. SQL mirror:
+    * CAST(sum(CAST(round(x * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 */
+  private def centsSum(x: TypedCol[Double]): TypedCol[Double] =
+    (x * glit(100.0)).round(0).cast[Long].sum.cast[Double] / 100.0
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -42,7 +53,8 @@ object SparkEntry {
         .groupBy(Lineitem.l_returnflag, Lineitem.l_linestatus)
         .agg(
           Lineitem.l_quantity.sum.asName("sum_qty"),
-          (Lineitem.l_extendedprice.tc * (glit(1.0) - Lineitem.l_discount.tc)).sum.asName("sum_revenue"),
+          centsSum(Lineitem.l_extendedprice.tc * (glit(1.0) - Lineitem.l_discount.tc))
+            .asName("sum_revenue"),
           Lineitem.l_quantity.mean.asName("avg_qty"),
           Lineitem.l_extendedprice.max.asName("max_price"),
           Lineitem.l_extendedprice.min.asName("min_price"),
@@ -68,7 +80,7 @@ object SparkEntry {
         .join(customer(s, dir), Orders.o_custkey === Customer.c_custkey)
         .groupBy(Customer.c_mktsegment)
         .agg(
-          Orders.o_totalprice.sum.asName("total_price"),
+          centsSum(Orders.o_totalprice).asName("total_price"),
           Orders.o_orderkey.count.asName("n_orders"),
         ).sort(Customer.c_mktsegment).toNative
     },
@@ -80,7 +92,7 @@ object SparkEntry {
         .groupBy(Customer.c_custkey)
         .agg(
           Orders.o_orderkey.count.asName("n_orders"),
-          Orders.o_totalprice.fillNull(0.0).sum.asName("total_spent"),
+          centsSum(Orders.o_totalprice.fillNull(0.0)).asName("total_spent"),
         ).sort(Customer.c_custkey).toNative
     },
 
@@ -95,7 +107,7 @@ object SparkEntry {
       on.join(region(s, dir), OrdersNation.n_regionkey === Region.r_regionkey, broadcastRight = true)
         .groupBy(Region.r_name)
         .agg(
-          OrdersNation.o_totalprice.sum.asName("revenue"),
+          centsSum(OrdersNation.o_totalprice.tc).asName("revenue"),
           OrdersNation.o_orderkey.count.asName("n_orders"),
         ).sort(Region.r_name).toNative
     },
@@ -109,7 +121,7 @@ object SparkEntry {
         .groupBySel(bucket.asName("bucket"))
         .agg(
           Orders.o_orderkey.count.asName("n_orders"),
-          Orders.o_totalprice.sum.asName("total_price"),
+          centsSum(Orders.o_totalprice).asName("total_price"),
         ).sort(gref[String]("bucket").asc).toNative
     },
 
@@ -135,7 +147,7 @@ object SparkEntry {
           Orders.o_orderdate.dtMonth.asName("omonth"))
         .agg(
           Orders.o_orderkey.count.asName("n_orders"),
-          Orders.o_totalprice.sum.asName("total_price"),
+          centsSum(Orders.o_totalprice).asName("total_price"),
         ).sort(gref[Int]("oyear").asc, gref[Int]("omonth").asc).toNative
     },
 
@@ -197,7 +209,8 @@ object SparkEntry {
     "q14_agg_global" -> { (s, dir) =>
       lineitem(s, dir).agg(
         Lineitem.l_quantity.sum.asName("sum_qty"),
-        Lineitem.l_extendedprice.mean.asName("avg_price"),
+        (centsSum(Lineitem.l_extendedprice.tc) / Lineitem.l_orderkey.count.cast[Double])
+          .asName("avg_price"),
         Lineitem.l_orderkey.count.asName("n_rows"),
         Lineitem.l_suppkey.nUnique.asName("n_supps"),
         Lineitem.l_shipdate.min.dtFormat("yyyy-MM-dd HH:mm:ss").asName("min_ship"),
@@ -254,7 +267,7 @@ object SparkEntry {
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_revenue,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_revenue,
         |  avg(l_quantity) AS avg_qty,
         |  max(l_extendedprice) AS max_price,
         |  min(l_extendedprice) AS min_price,
@@ -271,7 +284,7 @@ object SparkEntry {
 
     "q3_join_agg" ->
       """SELECT c_mktsegment,
-        |  sum(o_totalprice) AS total_price,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price,
         |  count(*) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -279,13 +292,13 @@ object SparkEntry {
     "q4_left_join" ->
       """SELECT c_custkey,
         |  count(o_orderkey) AS n_orders,
-        |  sum(coalesce(o_totalprice, 0.0)) AS total_spent
+        |  CAST(sum(CAST(round(coalesce(o_totalprice, 0.0) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spent
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q5_multi_join" ->
       """SELECT r_name,
-        |  sum(o_totalprice) AS revenue,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
         |  count(*) AS n_orders
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
@@ -298,7 +311,7 @@ object SparkEntry {
         |            WHEN o_totalprice > 150000.0 THEN 'mid'
         |            ELSE 'low' END AS bucket,
         |  count(*) AS n_orders,
-        |  sum(o_totalprice) AS total_price
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q7_string_ops" ->
@@ -316,7 +329,7 @@ object SparkEntry {
       """SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS oyear,
         |  CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS omonth,
         |  count(*) AS n_orders,
-        |  sum(o_totalprice) AS total_price
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS total_price
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q9_window" ->
@@ -353,7 +366,8 @@ object SparkEntry {
 
     "q14_agg_global" ->
       """SELECT sum(l_quantity) AS sum_qty,
-        |  avg(l_extendedprice) AS avg_price,
+        |  (CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+        |    / CAST(count(*) AS DOUBLE) AS avg_price,
         |  count(*) AS n_rows,
         |  count(DISTINCT l_suppkey) AS n_supps,
         |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS min_ship,

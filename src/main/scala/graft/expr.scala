@@ -112,6 +112,7 @@ final class TypedCol[T](val c: Column) extends Serializable {
 
   // --- General (reference schema.py:425-456) ---
   def cast[T2](implicit g: GType[T2]): TypedCol[T2] = new TypedCol(c.cast(g.dataType))
+  def round(scale: Int)(implicit n: Numeric[T]): TypedCol[T] = new TypedCol(F.round(c, scale))
   def as_(target: GCol[T]): Aliased = Aliased(c, target.name)
   def asName(name: String): Aliased = Aliased(c, name)
 
