@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import graft.plans.{MinHashSigExpr, SimHash64Expr}
+import org.apache.spark.sql.graftexpr.{MinHashSigExpr, SimHash64Expr}
 
 /** Text-analysis column functions for LLM-data pipelines (SURVEY §2.5
   * L8–L11): language ID, quality metrics, token counting, document
@@ -35,7 +35,7 @@ object TextFns {
     val toks = wsTokens(normText(c))
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, k))))
+        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
       .otherwise(array(concat_ws(" ", toks)))
   }
 
@@ -66,9 +66,10 @@ object TextFns {
     words.map(w => array_contains(tokens, w).cast("int")).reduce(_ + _)
 
   /** CJK codepoint count — the zh signal (stopword probes don't apply).
+    * Strips everything that is NOT CJK and measures what remains.
     * Pattern works verbatim in Java regex and RE2. */
   def cjkChars(c: Column): Column =
-    length(c) - length(regexp_replace(c, "[^\\x{4e00}-\\x{9fff}]", ""))
+    length(regexp_replace(c, "[^\\x{4e00}-\\x{9fff}]", ""))
 
   /** Language prediction: zh if any CJK chars, else argmax of stopword
     * hits with fixed priority en > de > fr > es, 'und' when all zero. */
@@ -87,7 +88,11 @@ object TextFns {
   }
 
   // ---------------------------------------------------------------- L9
-  def wordCount(c: Column): Column = size(wsTokens(c))
+  /** Word count on normalized text; blank input counts 0 (split of ""
+    * on " " yields [""], which would otherwise count as 1 word).
+    * SQL mirror: CASE WHEN trim(c)='' THEN 0 ELSE len(string_split(norm, ' ')) END */
+  def wordCount(c: Column): Column =
+    when(trim(c) === "", 0).otherwise(size(wsTokens(normText(c))))
 
   def stopwordHits(c: Column): Column = {
     val stops = stopwordsEn

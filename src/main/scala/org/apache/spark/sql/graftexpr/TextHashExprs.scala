@@ -1,4 +1,4 @@
-package graft.plans
+package org.apache.spark.sql.graftexpr
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
@@ -10,6 +10,10 @@ import org.apache.spark.sql.types._
   * inside whole-stage codegen (the generated code is a single static
   * call into [[graft.hashing]]), so the surrounding project/filter
   * pipeline keeps one codegen span and no serialization boundary.
+  *
+  * Lives under org.apache.spark.sql because `AbstractDataType` is
+  * `private[sql]` in Spark 4 — same extension pattern as
+  * [[org.apache.spark.sql.graftbridge.Bridge]].
   *
   * This is preference path (b) from the build brief: a scalar op Spark
   * lacks, expressed as a first-class Catalyst expression.
