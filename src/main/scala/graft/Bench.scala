@@ -8,33 +8,49 @@ import org.apache.spark.sql.SparkSession
   * compares steady-state throughput against BASELINE, not JVM warmup.
   * The action is `queryExecution.toRdd.count()` so every output column
   * is materialized (a plain count() lets Catalyst prune the projection
-  * and would under-report the real work). */
+  * and would under-report the real work).
+  *
+  * Failure hygiene: a query that throws is recorded as -1.0 (never a
+  * small elapsed time — a regression must not look like a speedup), the
+  * error goes to stderr, and the process exits nonzero if anything
+  * failed. The JSON line still prints so partial results are usable.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       fn(spark, sfDir).queryExecution.toRdd.count(): Unit
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    qs.foreach { case (_, fn) => try run(fn) catch { case _: Throwable => () } } // warmup
+    qs.foreach { case (name, fn) =>
+      try run(fn)
+      catch { case e: Throwable => System.err.println(s"[bench warmup] $name: ${e.getMessage}") }
+    }
+    var failed = List.empty[String]
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try run(fn) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { run(fn); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed ::= name
+            false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size}}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
   }
 }

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard session factory for graft entry points (Bench/Verify/specs).
+  *
+  * Owns every session-level conf the library depends on, so no reader or
+  * operator ever mutates the running session behind the user's back:
+  *
+  *  - `spark.sql.shuffle.partitions` sized to the core count (local mode;
+  *    on a real cluster set it to ~2-3× total executor cores, or leave
+  *    AQE coalescing to shrink it).
+  *  - `spark.sql.legacy.parquet.nanosAsLong` — the driver-generated
+  *    events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
+  *    reader only admits as a raw Long under this flag; [[tables.events]]
+  *    truncates to micros. Set here, at build time, not inside a reader.
+  *  - AQE on (default in Spark 4) — runtime partition coalescing and
+  *    skew-join splitting are part of the 100 TB design.
+  */
+object GraftSession {
+
+  /** Build a local session with `cpus` threads. */
+  def local(cpus: Int, appName: String = "graft"): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
+      .getOrCreate()
+
+  /** Apply graft's required confs to any builder (cluster deploys too). */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

@@ -105,11 +105,15 @@ object tables {
   def region(s: SparkSession, dir: String): TFrame[Region.type] =
     Tio.readParquet(s, s"$dir/region.parquet", Region)
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as raw Long (legacy conf) and
-    * truncate to micros — the same truncation DuckDB applies — so the
-    * typed frame still presents `ts: Timestamp`. */
+    * parquet reader rejects. Read nanos as raw Long (legacy conf, set at
+    * session build by [[GraftSession]] — a reader must never mutate the
+    * running session) and truncate to micros — the same truncation DuckDB
+    * applies — so the typed frame still presents `ts: Timestamp`. */
   def events(s: SparkSession, dir: String): TFrame[Events.type] = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true at session " +
+        "build — create the session via graft.GraftSession (readers do not mutate conf)")
     val raw = s.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     Tio.fromDF(raw, Events)
