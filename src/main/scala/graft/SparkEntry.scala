@@ -1,6 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, when}
+import graft.functions.TextFns
+import graft.operators.{Ann, Dedup}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -260,6 +263,103 @@ object SparkEntry {
           Events.value.fillNull(0.0).sum.asName("sum_value"),
         ).sort(gref[String]("window_start").asc, Events.event_type.asc).toNative
     },
+
+    // ------------------------------------------------------------ §2.5
+    // L8: language ID — pure-Catalyst stopword/CJK heuristic
+    "text_langid" -> { (s, dir) =>
+      documents(s, dir).toNative
+        .select(col("doc_id"), TextFns.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // L9: quality metrics — word/stopword/punct/uppercase counts + ratio
+    "text_quality" -> { (s, dir) =>
+      val t = col("text")
+      val nWords = TextFns.wordCount(t)
+      documents(s, dir).toNative.select(
+        col("doc_id"),
+        nWords.cast("int").as("n_words"),
+        TextFns.stopwordHits(t).cast("int").as("n_stop"),
+        TextFns.punctCount(t).cast("int").as("n_punct"),
+        TextFns.upperCount(t).cast("int").as("n_upper"),
+        when(nWords === 0, 0.0)
+          .otherwise(TextFns.stopwordHits(t).cast("double") / nWords).as("stop_ratio"),
+      ).orderBy("doc_id")
+    },
+
+    // L10: token counting — whitespace + BPE-ish regex pre-tokenizer
+    "text_tokens" -> { (s, dir) =>
+      documents(s, dir).toNative.select(
+        col("doc_id"),
+        TextFns.tokenCountWs(col("text")).cast("int").as("n_ws"),
+        TextFns.tokenCountBpeish(col("text")).cast("int").as("n_bpeish"),
+      ).orderBy("doc_id")
+    },
+
+    // L11: content fingerprint of normalized text
+    "text_fingerprint" -> { (s, dir) =>
+      documents(s, dir).toNative
+        .select(col("doc_id"), TextFns.fingerprintMd5(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // L1: exact dedup groups — min-id representative per fingerprint
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exactGroups(documents(s, dir).toNative, col("text"), col("doc_id"))
+        .orderBy("fp")
+    },
+
+    // L2+L4: MinHash-LSH near-dedup keep-list (banding join + exact
+    // Jaccard verify, min-id representative). 128 hashes in 64 bands of
+    // 2 ⇒ P(miss | J≥0.5) ≤ (1-0.25)^64 ≈ 1e-8 — oracle-safe.
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashKeep(documents(s, dir).toNative, col("doc_id"), col("text"), 0.5)
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // L4: the verified candidate pairs themselves, with exact Jaccard
+    "dedup_jaccard" -> { (s, dir) =>
+      Dedup.jaccardPairs(documents(s, dir).toNative, col("doc_id"), col("text"), 0.5)
+        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("jaccard"))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // L3: SimHash pairs within hamming 3 via 4x16-bit pigeonhole bands.
+    // No SQL oracle (simhash isn't expressible in ANSI SQL) — rows-only
+    // gate; DedupSpec pins exact pair recovery on planted duplicates.
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashPairs(documents(s, dir).toNative, col("doc_id"), col("text"), 3)
+        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("hamming"))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+
+    // L5: embedding cosine near-dup via sign-LSH buckets. Rows-only gate
+    // (LSH recall is probabilistic); AnnSpec pins recall on planted dups.
+    "dedup_embedding" -> { (s, dir) =>
+      Dedup.embeddingPairs(embeddings(s, dir).toNative,
+          col("vec_id"), col("embedding"), tau = 0.4, dim = 64)
+        .orderBy("id_a", "id_b")
+    },
+
+    // L6: exact ANN top-10 for 5 broadcast probe vectors — one scan,
+    // map-side partial top-k (TopKByScore), O(partitions·probes·k) shuffle
+    "ann_topk" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Ann.topKBrute(e, col("vec_id"), col("embedding"), probes, k = 10)
+        .orderBy("probe_id", "rank")
+    },
+
+    // L7: LSH-bucketed ANN, same shape — rows-only gate; AnnSpec pins
+    // recall@k against ann_topk.
+    "ann_lsh" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Ann.topKLsh(e, col("vec_id"), col("embedding"), probes, k = 10, dim = 64)
+        .orderBy("probe_id", "rank")
+    },
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
@@ -399,5 +499,87 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  sum(coalesce(value, 0.0)) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // §2.5 gates. dedup_simhash / dedup_embedding / ann_lsh are
+    // deliberately absent (not ANSI-SQL-expressible / probabilistic
+    // recall) → driver records rows-only; specs carry their logic gates.
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+        |s AS (SELECT doc_id,
+        |  list_contains(toks,'the')::INT + list_contains(toks,'a')::INT + list_contains(toks,'of')::INT + list_contains(toks,'to')::INT + list_contains(toks,'and')::INT + list_contains(toks,'in')::INT + list_contains(toks,'is')::INT + list_contains(toks,'it')::INT AS en,
+        |  list_contains(toks,'der')::INT + list_contains(toks,'die')::INT + list_contains(toks,'das')::INT + list_contains(toks,'und')::INT + list_contains(toks,'ist')::INT + list_contains(toks,'nicht')::INT + list_contains(toks,'mit')::INT + list_contains(toks,'ein')::INT AS de,
+        |  list_contains(toks,'le')::INT + list_contains(toks,'les')::INT + list_contains(toks,'et')::INT + list_contains(toks,'est')::INT + list_contains(toks,'des')::INT + list_contains(toks,'une')::INT + list_contains(toks,'dans')::INT + list_contains(toks,'que')::INT AS fr,
+        |  list_contains(toks,'el')::INT + list_contains(toks,'los')::INT + list_contains(toks,'las')::INT + list_contains(toks,'es')::INT + list_contains(toks,'una')::INT + list_contains(toks,'por')::INT + list_contains(toks,'con')::INT + list_contains(toks,'para')::INT AS es,
+        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+        |FROM t)
+        |SELECT doc_id, CASE WHEN cjk > 0 THEN 'zh'
+        |  WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |  WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |  WHEN fr >= es AND fr > 0 THEN 'fr'
+        |  WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH q AS (SELECT doc_id,
+        |  CASE WHEN trim(text) = '' THEN 0 ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INTEGER) END AS n_words,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), t -> list_contains(['the','a','of','to','and','in','is','it'], t))) AS INTEGER) AS n_stop,
+        |  CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS INTEGER) AS n_punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS INTEGER) AS n_upper
+        |FROM documents)
+        |SELECT doc_id, n_words, n_stop, n_punct, n_upper,
+        |  CASE WHEN n_words = 0 THEN 0.0 ELSE CAST(n_stop AS DOUBLE) / n_words END AS stop_ratio
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(norm) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |      FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        |  THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |pairs AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id_b FROM pairs WHERE jaccard >= 0.5)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        |  THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w)
+        |SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
+
+    "ann_topk" ->
+      """WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |                FROM embeddings WHERE vec_id < 5),
+        |sims AS (SELECT p.probe_id, e.vec_id AS neighbor_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6) AS sim
+        |  FROM embeddings e, probes p WHERE e.vec_id <> p.probe_id),
+        |ranked AS (SELECT probe_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM sims)
+        |SELECT probe_id, neighbor_id, sim, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
   )
 }

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.graftexpr.TopKByScore
+
+/** Vector column kernels shared by ANN search and embedding dedup
+  * (SURVEY §2.5 L5–L7). Pure `org.apache.spark.sql.functions` — the
+  * folds are codegen'd higher-order functions, no UDFs. */
+object Vec {
+
+  /** Cosine similarity between two float/double array columns, computed
+    * as a deterministic left-to-right double fold — `dot/(‖a‖·‖b‖)` —
+    * so any engine that folds sequentially in double reproduces it
+    * bit-for-bit (round to 6 decimals for a cross-engine gate). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(norm2sq(a)) * sqrt(norm2sq(b)))
+  }
+
+  /** Squared L2 norm as a sequential double fold. */
+  def norm2sq(v: Column): Column =
+    aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+
+  /** Deterministic pseudo-random hyperplanes: `tables·bits` planes of
+    * `dim` coordinates in [-1, 1), from a fixed-seed LCG (java.util
+    * .Random is specified exactly, so every JVM generates the same
+    * planes — results are reproducible across runs and clusters). */
+  def hyperplanes(dim: Int, tables: Int, bits: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val rnd = new java.util.Random(seed)
+    Array.fill(tables, bits, dim)(rnd.nextDouble() * 2.0 - 1.0)
+  }
+
+  /** Sign-LSH bucket id for one table: bit p set iff dot(v, plane_p) ≥ 0. */
+  def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      val dot = aggregate(zip_with(vec, planeCol, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Explode a vector frame into one row per (row, table) with that
+    * table's bucket id: output columns `(<id passthroughs…>, tbl,
+    * bucket)`. Input frame must carry the vector in `vecCol`. */
+  def hyperplaneBuckets(
+      df: DataFrame, vecCol: Column, dim: Int,
+      tables: Int, bits: Int, seed: Long): DataFrame = {
+    val planes = hyperplanes(dim, tables, bits, seed)
+    val tableStructs = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"), signBucket(vecCol, planes(t)).as("bucket"))
+    }
+    df.select(df.columns.map(col) :+ explode(array(tableStructs: _*)).as("_tb"): _*)
+      .select(df.columns.map(col) :+ col("_tb.tbl").as("tbl") :+ col("_tb.bucket").as("bucket"): _*)
+  }
+}
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY §2.5 L6–L7).
+  *
+  * Scale design (§4): the probe set is the SMALL side — it broadcasts;
+  * the vector table streams through once. Per-probe top-k runs through
+  * [[TopKByScore]], a partial-merge aggregate, so each map task emits at
+  * most k rows per probe and the shuffle is O(partitions·probes·k) —
+  * independent of table size. No window function, no global sort.
+  */
+object Ann {
+
+  private def topKPerProbe(sims: DataFrame, k: Int): DataFrame = {
+    val agg = Bridge.column(TopKByScore(
+      Bridge.expr(col("sim")), Bridge.expr(col("neighbor_id")), k).toAggregateExpression())
+    sims.groupBy("probe_id").agg(agg.as("_topk"))
+      .select(col("probe_id"), posexplode(col("_topk")).as(Seq("_pos", "_nb")))
+      .select(col("probe_id"), col("_nb.id").as("neighbor_id"),
+        col("_nb.score").as("sim"), (col("_pos") + 1).cast("int").as("rank"))
+  }
+
+  /** L6 — exact brute-force top-k: one scan of `df`, cosine against every
+    * broadcast probe, map-side top-k. `probes` must have columns
+    * (probe_id, probe_vec). Self-matches (probe_id == id) are excluded. */
+  def topKBrute(df: DataFrame, id: Column, vec: Column, probes: DataFrame, k: Int): DataFrame = {
+    val sims = df.select(id.as("neighbor_id"), vec.as("_v"))
+      .crossJoin(broadcast(probes.select(col("probe_id"), col("probe_vec").as("_pv"))))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), round(Vec.cosine(col("_v"), col("_pv")), 6).as("sim"))
+    topKPerProbe(sims, k)
+  }
+
+  /** L7 — LSH-bucketed ANN: candidates are rows sharing a hyperplane
+    * bucket with the probe in ANY table (equi-join on (tbl, bucket)),
+    * then exact cosine rerank of candidates only. Same output shape as
+    * [[topKBrute]]; recall < 1 by design — AnnSpec pins recall vs brute
+    * force. At 100 TB the candidate join replaces the full scan per
+    * probe-set with a bucket-pruned fraction ~ tables/2^bits. */
+  def topKLsh(
+      df: DataFrame, id: Column, vec: Column, probes: DataFrame, k: Int,
+      dim: Int, tables: Int = 8, bits: Int = 8, seed: Long = 7L): DataFrame = {
+    val data = Vec.hyperplaneBuckets(
+      df.select(id.as("neighbor_id"), vec.as("_v")), col("_v"), dim, tables, bits, seed)
+    val probeBuckets = Vec.hyperplaneBuckets(
+      probes.select(col("probe_id"), col("probe_vec").as("_pv")), col("_pv"), dim, tables, bits, seed)
+    val sims = data.join(broadcast(probeBuckets), Seq("tbl", "bucket"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(Vec.cosine(col("_v"), col("_pv")), 6).as("sim"))
+      .distinct()
+    topKPerProbe(sims, k)
+  }
+}

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFns
+
+/** Deduplication operators for LLM-data pipelines (SURVEY §2.5 L1–L5).
+  *
+  * Every pipeline here is a *join strategy*, not just a hash function:
+  * the 100 TB contract is that no step ever compares all pairs —
+  * candidate generation is always a bucketed equi-join whose shuffle is
+  * O(n·bands), and exact verification runs only inside buckets.
+  *
+  * All hashing is deterministic (fixed seeds), so results are stable
+  * across runs and partitionings.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------------ L1
+  /** Exact-dedup groups: one row per distinct normalized text —
+    * `(fp, keep_id, n_dups)` with the min-id row as representative.
+    * Uses md5 so any engine can oracle it; the shuffle moves only the
+    * fingerprint + id, never the text. */
+  def exactGroups(df: DataFrame, text: Column, id: Column): DataFrame =
+    df.groupBy(TextFns.fingerprintMd5(text).as("fp"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Rows surviving exact dedup. For pure-Spark pipelines the 8-byte
+    * xxhash64 fingerprint is used (4× narrower shuffle than md5-hex).
+    * One shuffle: window-min over the fingerprint, keep the min-id row. */
+  def exactKeep(df: DataFrame, text: Column, id: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(TextFns.fingerprint64(text))
+    df.withColumn("_keep", min(id).over(w))
+      .where(id === col("_keep"))
+      .drop("_keep")
+  }
+
+  // ------------------------------------------------------------------ L2
+  /** LSH band buckets: `(_id, band, bucket)` — one row per (doc, band),
+    * bucket = xxhash64 of that band's signature slice. Equal buckets in
+    * the same band ⇒ candidate pair. Shuffle size O(n·bands). */
+  def minhashBuckets(
+      df: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): DataFrame = {
+    require(numHashes % bands == 0, s"numHashes=$numHashes must divide into bands=$bands")
+    val r = numHashes / bands
+    val sig = TextFns.minhashSig(array_distinct(TextFns.shingles(text, shingleK)), numHashes)
+    df.select(id.as("_id"), sig.as("_sig"))
+      .select(col("_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(b, slice(col("_sig"), b * r + 1, lit(r))))))
+      .toDF("_id", "band", "bucket")
+  }
+
+  /** Candidate pairs `(id_a, id_b)`, id_a < id_b — the bucketed
+    * self-join. NEVER a cartesian: the join keys are (band, bucket). */
+  def minhashCandidates(
+      df: DataFrame, id: Column, text: Column,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): DataFrame = {
+    val bk = minhashBuckets(df, id, text, shingleK, numHashes, bands)
+    val a = bk.toDF("id_a", "band", "bucket")
+    val b = bk.toDF("id_b", "band", "bucket")
+    a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  // ------------------------------------------------------------------ L4
+  /** LSH candidates verified by exact shingle-set Jaccard:
+    * `(id_a, id_b, jaccard)` for pairs ≥ `threshold`. Intersection and
+    * union are integer set sizes, so the double ratio is bit-identical
+    * across engines. The candidate set is typically tiny relative to n;
+    * AQE broadcast-joins it against the shingle sets at runtime. */
+  def jaccardPairs(
+      df: DataFrame, id: Column, text: Column, threshold: Double,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): DataFrame = {
+    val sets = df.select(id.as("_jid"), array_distinct(TextFns.shingles(text, shingleK)).as("_set"))
+    minhashCandidates(df, id, text, shingleK, numHashes, bands)
+      .join(sets.select(col("_jid").as("id_a"), col("_set").as("_set_a")), "id_a")
+      .join(sets.select(col("_jid").as("id_b"), col("_set").as("_set_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_set_a"), col("_set_b"))).cast("double") /
+          size(array_union(col("_set_a"), col("_set_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Near-dedup keep-list: drop every doc that duplicates (Jaccard ≥
+    * threshold) a smaller-id doc — the min-id-representative rule,
+    * applied as an anti-join against the verified pairs. */
+  def minhashKeep(
+      df: DataFrame, id: Column, text: Column, threshold: Double,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): DataFrame = {
+    val dups = jaccardPairs(df, id, text, threshold, shingleK, numHashes, bands)
+      .select(col("id_b").as("_drop_id"))
+    df.join(dups, id === col("_drop_id"), "left_anti")
+  }
+
+  // ------------------------------------------------------------------ L3
+  /** SimHash near-dup pairs `(id_a, id_b, hamming)` with hamming ≤
+    * `maxHamming` (≤ 3 by default). Pigeonhole banding: a 64-bit simhash
+    * split into 4 16-bit chunks — any pair within hamming 3 agrees on at
+    * least one chunk, so the chunk-equality self-join has recall 1 while
+    * random 16-bit collisions keep buckets tiny. */
+  def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only for hamming <= 3")
+    val sig = TextFns.simhash64(TextFns.wsTokens(TextFns.normText(text)))
+    val h = df.select(id.as("_id"), sig.as("_sh"))
+    val chunks = (0 until 4).map { i =>
+      struct(lit(i).as("chunk"), shiftright(col("_sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
+    }
+    val banded = h
+      .select(col("_id"), col("_sh"), explode(array(chunks: _*)).as("c"))
+      .select(col("_id"), col("_sh"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
+    val a = banded.toDF("id_a", "sh_a", "chunk", "ckey")
+    val b = banded.toDF("id_b", "sh_b", "chunk", "ckey")
+    a.join(b, Seq("chunk", "ckey"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------------ L5
+  /** Embedding cosine near-dup pairs `(id_a, id_b, sim)` with rounded
+    * cosine ≥ `tau`, candidates from random-hyperplane (sign) LSH:
+    * `tables` independent bucket tables of `bitsPerTable` hyperplanes
+    * each. The self-join keys are (table, bucket) — never all-pairs.
+    * Recall is probabilistic (raise `tables` to push it up); the
+    * AnnSpec pins it against brute force on planted duplicates. */
+  def embeddingPairs(
+      df: DataFrame, id: Column, vec: Column, tau: Double, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 8, seed: Long = 7L): DataFrame = {
+    val bucketed = Vec.hyperplaneBuckets(df.select(id.as("_id"), vec.as("_v")),
+      col("_v"), dim, tables, bitsPerTable, seed)
+    val a = bucketed.toDF("id_a", "v_a", "tbl", "bucket")
+    val b = bucketed.toDF("id_b", "v_b", "tbl", "bucket")
+    a.join(b, Seq("tbl", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), round(Vec.cosine(col("v_a"), col("v_b")), 6).as("sim"))
+      .distinct()
+      .where(col("sim") >= tau)
+  }
+}
