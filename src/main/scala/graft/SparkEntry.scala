@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, when}
 import graft.functions.TextFns
-import graft.operators.{Ann, Dedup}
+import graft.operators.{Ann, Dedup, Media}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -360,6 +360,14 @@ object SparkEntry {
       Ann.topKLsh(e, col("vec_id"), col("embedding"), probes, k = 10, dim = 64)
         .orderBy("probe_id", "rank")
     },
+
+    // L12: multimodal metadata decode over binary payloads. Text bytes
+    // stand in for media bytes; the deterministic fake codec makes the
+    // gate SQL-oracle-able while the mapPartitions plumbing stays real.
+    "multimodal_meta" -> { (s, dir) =>
+      Media.decodeMeta(documents(s, dir).toNative, col("doc_id"), col("text"))
+        .orderBy("media_id")
+    },
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly). */
@@ -581,5 +589,13 @@ object SparkEntry {
         |  FROM sims)
         |SELECT probe_id, neighbor_id, sim, rank FROM ranked
         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST(16 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
+        |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY 1""".stripMargin,
   )
 }

@@ -47,15 +47,19 @@ final class TFrame[S <: GSchema](val df: DataFrame, val schemaOpt: Option[S]) ex
   def tail(n: Int, keys: GCol[_]*): TFrame[S] =
     same(df.orderBy(keys.map(_.column.desc): _*).limit(n))
 
-  /** Seeded row sample (reference dataframe.py:475 takes n; a fixed
-    * fraction-free n-row sample needs a full count — we expose both). */
+  /** Seeded fraction sample — the preferred scale path (pure map-side,
+    * no count, no shuffle). */
   def sampleFraction(fraction: Double, seed: Long = 42L): TFrame[S] =
     same(df.sample(withReplacement = false, fraction, seed))
-  def sample(n: Int, seed: Long = 42L): TFrame[S] = {
-    val total = df.count().max(1L)
-    val frac = math.min(1.0, n.toDouble / total * 1.2)
-    same(df.sample(withReplacement = false, frac, seed).limit(n))
-  }
+
+  /** Exactly-n seeded sample (reference dataframe.py:475) WITHOUT a
+    * pre-count: order by a seeded `rand()` and take n. Compiles to
+    * TakeOrderedAndProject — each partition keeps its own top-n by the
+    * random key, the driver merges p·n candidates; no full sort, no
+    * extra scan. Cost grows with n, so for "roughly n of 100 TB" prefer
+    * [[sampleFraction]]. */
+  def sample(n: Int, seed: Long = 42L): TFrame[S] =
+    same(df.orderBy(rand(seed)).limit(n))
 
   /** Distinct rows by key columns, keeping one representative row —
     * colnade unique() (reference dataframe.py:480). Implemented as a
@@ -165,6 +169,20 @@ final class TFrame[S <: GSchema](val df: DataFrame, val schemaOpt: Option[S]) ex
   // --- Materialization / conversion ---
   def collectRows(): Array[Row] = df.collect()
   def toDS[T: Encoder]: Dataset[T] = df.as[T]
+
+  /** Typed local row iteration — colnade iter_rows_as (reference
+    * dataframe.py:374). Streams one partition at a time to the driver
+    * (toLocalIterator), never materializing the whole frame. */
+  def iterRowsAs[T: Encoder]: Iterator[T] = {
+    import scala.jdk.CollectionConverters._
+    df.as[T].toLocalIterator().asScala
+  }
+
+  /** Arrow-IPC interchange — colnade to_batches/to_pyarrow (reference
+    * dataframe.py:689, arrow.py:27-70): one serialized Arrow RecordBatch
+    * per RDD element, produced distributively. */
+  def toArrowBatches: org.apache.spark.rdd.RDD[Array[Byte]] =
+    org.apache.spark.sql.graftbridge.Bridge.arrowBatchRdd(df)
   def cache(): TFrame[S] = same(df.cache())
   def explainPlan(): String = df.queryExecution.explainString(
     org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

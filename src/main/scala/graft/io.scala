@@ -54,6 +54,23 @@ object Tio {
     new TFrame[S](aligned, Some(schema))
   }
 
+  /** Columnar construction — colnade from_dict (reference
+    * dataframe.py:703): column name → values, all the same length. */
+  def fromDict[S <: GSchema](spark: SparkSession, schema: S, data: Map[String, Seq[Any]]): TFrame[S] = {
+    val names = schema.columnNames
+    val missing = names.filterNot(data.contains)
+    require(missing.isEmpty, s"fromDict: missing columns ${missing.mkString(", ")}")
+    val lens = data.values.map(_.size).toSet
+    require(lens.size == 1, s"fromDict: ragged columns (lengths $lens)")
+    import scala.jdk.CollectionConverters._
+    val rows: java.util.List[org.apache.spark.sql.Row] =
+      (0 until lens.head).map(i =>
+        org.apache.spark.sql.Row.fromSeq(names.map(n => data(n)(i)))).asJava
+    val df = spark.createDataFrame(rows, schema.structType)
+    if (GValidation.full) Validator.constraints(df, schema)
+    new TFrame[S](df, Some(schema))
+  }
+
   /** Wrap an existing DataFrame under a schema (validating boundary). */
   def fromDF[S <: GSchema](df: DataFrame, schema: S): TFrame[S] = {
     if (GValidation.enabled) Validator.structural(df, schema)

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+import graft._
+
+/** Structured-streaming surface (SURVEY §2.6). The reference has no
+  * streaming story — this is the Spark-native extension: the same typed
+  * schema layer over `readStream`, event-time windows with watermarks
+  * (ST1), and stateful gap sessionization via `flatMapGroupsWithState`
+  * (ST2).
+  *
+  * Batch/stream unification is Spark's own: [[tumblingAgg]] produces the
+  * identical logical plan on a batch frame, which is what the
+  * StreamingSpec pins (MemoryStream result == q18-shaped batch result).
+  */
+object GStream {
+
+  /** Typed streaming read over a parquet directory: the streaming twin of
+    * [[Tio.readParquet]] — schema comes from the GSchema (a stream can't
+    * infer), columns pruned to the declared set. */
+  def readStreamParquet[S <: GSchema](spark: SparkSession, path: String, schema: S): TFrame[S] = {
+    val raw = spark.readStream.schema(schema.structType).parquet(path)
+    new TFrame[S](raw.select(schema.columnNames.map(col): _*), Some(schema))
+  }
+
+  /** ST1 — tumbling event-time window aggregation with a watermark.
+    * Works identically on streaming and batch frames; on a stream the
+    * watermark bounds state (windows older than it are finalized and
+    * dropped — mandatory for an unbounded 100 TB/day stream). */
+  def tumblingAgg[S <: GSchema](
+      tf: TFrame[S],
+      ts: GCol[Timestamp],
+      windowDuration: String,
+      watermarkDelay: String,
+      keys: Seq[GCol[_]],
+      aggs: Seq[Aliased],
+  ): DataFrame = {
+    val wm = if (tf.df.isStreaming) tf.df.withWatermark(ts.name, watermarkDelay) else tf.df
+    wm.groupBy(window(col(ts.name), windowDuration) +: keys.map(_.column): _*)
+      .agg(aggs.head.column, aggs.tail.map(_.column): _*)
+      .withColumn("window_start", col("window.start"))
+      .withColumn("window_end", col("window.end"))
+      .drop("window")
+  }
+
+  // ------------------------------------------------------------- ST2
+  /** Input row for sessionization. */
+  final case class SEvent(user_id: Long, ts: Timestamp, event_type: String)
+  /** One closed (gap-expired) session. */
+  final case class SessionInfo(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long)
+  private final case class SessState(startMs: Long, endMs: Long, n: Long)
+
+  /** ST2 — gap-based sessionization with `flatMapGroupsWithState`:
+    * events within `gapMs` of the session's end extend it; a larger gap
+    * (or event-time timeout once the watermark passes end+gap) closes it
+    * and emits a [[SessionInfo]]. State per key is one tiny record; the
+    * watermark timeout guarantees state is dropped — bounded memory on an
+    * unbounded stream. */
+  def sessionize(events: Dataset[SEvent], gapMs: Long, watermarkDelay: String = "10 seconds"): Dataset[SessionInfo] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionInfo](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) { (uid, evts, state) =>
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(SessionInfo(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
+        } else {
+          var closed = List.empty[SessionInfo]
+          var cur = state.getOption
+          evts.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+            cur match {
+              case Some(s) if t - s.endMs <= gapMs =>
+                cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+              case Some(s) =>
+                closed ::= SessionInfo(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
+                cur = Some(SessState(t, t, 1))
+              case None =>
+                cur = Some(SessState(t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.endMs + gapMs)
+          }
+          closed.reverseIterator
+        }
+      }
+  }
+}

@@ -32,6 +32,15 @@ object GType {
   implicit val gTimestamp: GType[java.sql.Timestamp] = inst(TimestampType)
   implicit val gDecimal: GType[BigDecimal] = inst(DecimalType(38, 18))
 
+  /** Time-of-day: Spark SQL has no TIME type — represented as
+    * nanos-since-midnight Long (documented widening, SURVEY §5;
+    * reference dtypes.py:96-140). */
+  implicit val gTime: GType[java.time.LocalTime] = inst(LongType)
+  /** Duration → Spark's ANSI day-time interval (full micros range). */
+  implicit val gDuration: GType[java.time.Duration] = inst(DayTimeIntervalType())
+  /** Year-month spans → ANSI year-month interval. */
+  implicit val gPeriod: GType[java.time.Period] = inst(YearMonthIntervalType())
+
   implicit def gSeq[E](implicit e: GType[E]): GType[Seq[E]] =
     inst(ArrayType(e.dataType))
   implicit def gMap[K, V](implicit k: GType[K], v: GType[V]): GType[Map[K, V]] =

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -16,4 +16,17 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Arrow-IPC batch export (one serialized RecordBatch per element) —
+    * Spark's own python/R interchange path, `private[sql]` in Spark 4. */
+  def arrowBatchRdd(df: DataFrame): org.apache.spark.rdd.RDD[Array[Byte]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].toArrowBatchRdd
+
+  /** Arrow-IPC batches → DataFrame (driver-side iterator). */
+  def fromArrowBatches(
+      batches: Iterator[Array[Byte]],
+      schemaJson: String,
+      spark: SparkSession): DataFrame =
+    org.apache.spark.sql.execution.arrow.ArrowConverters.toDataFrame(
+      batches, schemaJson, spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 }
