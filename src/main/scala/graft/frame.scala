@@ -225,12 +225,14 @@ final class JoinedFrame[A <: GSchema, B <: GSchema](
     new JoinedFrame[A, B](d, leftSchema, rightSchema, rightRenames)
 
   /** Remap a user expression so references to renamed right-side columns
-    * resolve against the joined plan. */
+    * resolve against the joined plan. Must run on the CONVERTED catalyst
+    * tree (Bridge.catalystExpr) — Spark 4 Columns are ColumnNode shims a
+    * catalyst transform can't see into. */
   private[graft] def remap(c: Column): Column =
     if (rightRenames.isEmpty) c
     else {
       import org.apache.spark.sql.graftbridge.Bridge
-      Bridge.column(Bridge.expr(c).transform {
+      Bridge.column(Bridge.catalystExpr(c).transform {
         case org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(parts)
             if parts.size == 1 && rightRenames.contains(parts.head) =>
           org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(rightRenames(parts.head)))

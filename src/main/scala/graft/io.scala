@@ -48,10 +48,23 @@ object Tio {
     * Encoder is the compile-time row/schema link. */
   def fromRows[S <: GSchema, R: Encoder](spark: SparkSession, schema: S, rows: Seq[R]): TFrame[S] = {
     val df = spark.createDataset(rows).toDF()
-    val aligned = df.select(schema.columns.map(c => col(c.name).cast(c.dataType)): _*)
+    val aligned = df.select(schema.columns.map(c => col(c.name).cast(relaxNullable(c.dataType))): _*)
     if (GValidation.enabled) Validator.structural(aligned, schema)
     if (GValidation.full) Validator.constraints(aligned, schema)
     new TFrame[S](aligned, Some(schema))
+  }
+
+  /** Casting to a type with non-nullable inner struct fields is rejected
+    * by Catalyst; nullability is enforced by validation, not the cast. */
+  private def relaxNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StructType(fs) =>
+        StructType(fs.map(f => f.copy(dataType = relaxNullable(f.dataType), nullable = true)))
+      case ArrayType(e, _) => ArrayType(relaxNullable(e), containsNull = true)
+      case MapType(k, v, _) => MapType(relaxNullable(k), relaxNullable(v), valueContainsNull = true)
+      case other => other
+    }
   }
 
   /** Columnar construction — colnade from_dict (reference

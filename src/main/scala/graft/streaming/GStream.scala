@@ -53,7 +53,9 @@ object GStream {
   final case class SEvent(user_id: Long, ts: Timestamp, event_type: String)
   /** One closed (gap-expired) session. */
   final case class SessionInfo(user_id: Long, start: Timestamp, end: Timestamp, n_events: Long)
-  private final case class SessState(startMs: Long, endMs: Long, n: Long)
+  // Public: Spark codegen instantiates the state encoder's target class,
+  // which a private case class blocks at runtime.
+  final case class SessState(startMs: Long, endMs: Long, n: Long)
 
   /** ST2 — gap-based sessionization with `flatMapGroupsWithState`:
     * events within `gapMs` of the session's end extend it; a larger gap

@@ -17,6 +17,14 @@ object Bridge {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Fully-converted catalyst expression tree. Spark 4's Column wraps a
+    * ColumnNode, and `ExpressionUtils.expression` returns a lazy
+    * `ColumnNodeExpression` shim whose children are NOT catalyst nodes —
+    * a catalyst `transform` over it silently matches nothing. Rewrites
+    * (e.g. JoinedFrame's right-rename remap) must convert first. */
+  def catalystExpr(c: Column): Expression =
+    org.apache.spark.sql.classic.GraftClassicBridge.toCatalyst(ExpressionUtils.expression(c))
+
   /** Arrow-IPC batch export (one serialized RecordBatch per element) —
     * Spark's own python/R interchange path, `private[sql]` in Spark 4. */
   def arrowBatchRdd(df: DataFrame): org.apache.spark.rdd.RDD[Array[Byte]] =

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Ann, Vec}
+
+/** L6–L7: brute-force top-k pinned against an independent local
+  * implementation; LSH recall pinned on planted clusters. */
+class AnnSpec extends SparkSpec {
+
+  object Embs extends GSchema {
+    val vec_id    = col[Long]("vec_id")
+    val embedding = col[Seq[Float]]("embedding")
+  }
+
+  private val dim = 8
+  // 4 tight clusters of 5 vectors each: member = center + 0.01·noise.
+  private val vectors: Seq[Emb] = {
+    val rnd = new java.util.Random(99L)
+    (0 until 4).flatMap { c =>
+      val center = Array.fill(dim)(rnd.nextGaussian())
+      (0 until 5).map { m =>
+        val v = center.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat)
+        Emb((c * 5 + m).toLong, v.toSeq)
+      }
+    }
+  }
+  private val probeIds = Seq(0L, 5L, 10L, 15L)
+
+  /** Independent local reference: same fold order (left-to-right double),
+    * same formula, same HALF_UP rounding as the Spark operator. */
+  private def localTopK(k: Int): Map[Long, Seq[(Long, Double, Int)]] = {
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    probeIds.map { p =>
+      val pv = vectors.find(_.vec_id == p).get.embedding
+      val ranked = vectors.filter(_.vec_id != p)
+        .map(e => e.vec_id -> round6(cos(e.embedding, pv)))
+        .sortBy { case (id, s) => (-s, id) }
+        .take(k).zipWithIndex
+        .map { case ((id, s), i) => (id, s, i + 1) }
+      p -> ranked
+    }.toMap
+  }
+
+  private def frames = {
+    import spark.implicits._
+    val e = Tio.fromRows(spark, Embs, vectors).toNative
+    val probes = e.where(col("vec_id") < 20).where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    (e, probes)
+  }
+
+  test("topKBrute matches an independent local implementation exactly") {
+    val (e, probes) = frames
+    val got = Ann.topKBrute(e, col("vec_id"), col("embedding"), probes, k = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("probe_id"), (r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"), r.getAs[Int]("rank"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+    assert(got == localTopK(6))
+  }
+
+  test("topKLsh recovers the brute-force top-4 (cluster mates) per probe") {
+    val (e, probes) = frames
+    val brute = localTopK(4).view.mapValues(_.map(_._1).toSet).toMap
+    val lsh = Ann.topKLsh(e, col("vec_id"), col("embedding"), probes, k = 4, dim = dim)
+      .collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(lsh == brute)
+    // and the planted structure: each probe's top-4 are its cluster mates
+    probeIds.foreach { p =>
+      assert(brute(p) == (p until p + 5).toSet - p)
+    }
+  }
+
+  test("cosine kernel agrees with plain math on a known pair") {
+    import spark.implicits._
+    val df = Seq((Seq(1f, 0f), Seq(1f, 1f))).toDF("a", "b")
+    val got = df.select(Vec.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(math.abs(got - 1.0 / math.sqrt(2.0)) < 1e-15)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Dedup
+
+final case class Doc(doc_id: Long, text: String)
+final case class Emb(vec_id: Long, embedding: Seq[Float])
+
+/** L1–L5 logic gates on planted duplicates — the ground-truth twin of
+  * the rows-only driver gates (SURVEY §2.5). */
+class DedupSpec extends SparkSpec {
+
+  object Docs extends GSchema {
+    val doc_id = col[Long]("doc_id")
+    val text   = col[String]("text")
+  }
+
+  // 1 and 2 identical; 3 near-dup of 1 (last word changed: 6/8 shingles
+  // shared, J = 0.75); 4 unrelated.
+  private val docs = Seq(
+    Doc(1L, "the quick brown fox jumps over the lazy dog"),
+    Doc(2L, "The quick  brown fox jumps over the lazy dog"), // case+spacing: same normText
+    Doc(3L, "the quick brown fox jumps over the lazy cat"),
+    Doc(4L, "spark shuffles partitions across the cluster executors nightly"),
+  )
+  private def df = {
+    import spark.implicits._
+    Tio.fromRows(spark, Docs, docs).toNative
+  }
+
+  test("exactGroups collapses normalized duplicates to min-id representative") {
+    val g = Dedup.exactGroups(df, col("text"), col("doc_id")).collect()
+    assert(g.length == 3)
+    val dupGroup = g.find(_.getAs[Long]("n_dups") == 2L).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("exactKeep drops only the higher-id exact duplicate") {
+    val kept = Dedup.exactKeep(df, col("text"), col("doc_id"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("minhash LSH candidates contain every true near-dup pair") {
+    val cands = Dedup.minhashCandidates(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)) && cands.contains((1L, 3L)) && cands.contains((2L, 3L)))
+  }
+
+  test("jaccardPairs verifies candidates with exact set Jaccard") {
+    val pairs = Dedup.jaccardPairs(df, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) == 0.75)
+    assert(pairs((2L, 3L)) == 0.75)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhashKeep applies the min-id representative rule transitively down") {
+    val kept = Dedup.minhashKeep(df, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("simhashPairs finds hamming-0 twins and nothing across content") {
+    val pairs = Dedup.simhashPairs(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
+    assert(pairs((1L, 2L)) == 0) // identical normText ⇒ identical simhash
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  object Embs extends GSchema {
+    val vec_id    = col[Long]("vec_id")
+    val embedding = col[Seq[Float]]("embedding")
+  }
+
+  test("embeddingPairs finds planted cosine near-dups via sign-LSH buckets") {
+    import spark.implicits._
+    val base = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val near = Seq(1f, 0.05f, 0f, 0f, 0f, 0f, 0f, 0f) // cos ≈ 0.99875
+    val ortho = Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val e = Tio.fromRows(spark, Embs, Seq(Emb(1L, base), Emb(2L, near), Emb(3L, ortho))).toNative
+    val pairs = Dedup.embeddingPairs(e, col("vec_id"), col("embedding"), tau = 0.95, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

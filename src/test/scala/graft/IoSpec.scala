@@ -1,0 +1,77 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** S4, F16, F18: typed construction, parquet/csv round trips, typed row
+  * iteration, Arrow interchange (reference tests/e2e/test_io.py,
+  * arrow.py:27-70). */
+class IoSpec extends SparkSpec {
+  import fixtures._
+  private def freshDir(tag: String) =
+    Files.createTempDirectory(s"graft-io-$tag").toString
+
+  test("fromRows round-trips through a typed Dataset") {
+    import spark.implicits._
+    val tf = Tio.fromRows(spark, Users, users)
+    assert(tf.height == 4L)
+    val back = tf.toDS[UserRow].collect().sortBy(_.id).toSeq
+    assert(back == users)
+  }
+
+  test("fromDict builds a typed frame column-wise") {
+    val tf = Tio.fromDict(spark, Users, Map(
+      "id" -> Seq(10L, 11L),
+      "name" -> Seq("x", "y"),
+      "age" -> Seq(null, 30L),
+      "score" -> Seq(1.0, 2.0)))
+    assert(tf.height == 2L)
+    assert(tf.df.where("id = 10 AND name = 'x' AND age IS NULL").count() == 1L)
+    assert(tf.df.where("id = 11 AND age = 30").count() == 1L)
+    val err = intercept[IllegalArgumentException] {
+      Tio.fromDict(spark, Users, Map("id" -> Seq(1L)))
+    }
+    assert(err.getMessage.contains("missing columns"))
+  }
+
+  test("parquet write/read round trip preserves schema and rows") {
+    import spark.implicits._
+    val dir = freshDir("pq") + "/users"
+    val tf = Tio.fromRows(spark, Users, users)
+    Tio.writeParquet(tf, dir)
+    val back = Tio.readParquet(spark, dir, Users)
+    assert(back.toDS[UserRow].collect().sortBy(_.id).toSeq == users)
+  }
+
+  test("csv write/read round trip") {
+    import spark.implicits._
+    val dir = freshDir("csv") + "/users"
+    val tf = Tio.fromRows(spark, Users, users)
+    Tio.writeCsv(tf, dir)
+    val back = Tio.readCsv(spark, dir, Users)
+    assert(back.toDS[UserRow].collect().sortBy(_.id).toSeq == users)
+  }
+
+  test("iterRowsAs streams typed rows without collect") {
+    import spark.implicits._
+    val tf = Tio.fromRows(spark, Users, users)
+    val it = tf.iterRowsAs[UserRow]
+    assert(it.toSeq.sortBy(_.id) == users)
+  }
+
+  test("Arrow batches round-trip through IPC bytes") {
+    val tf = Tio.fromRows(spark, Users, users)(org.apache.spark.sql.Encoders.product[UserRow])
+    val batches = tf.toArrowBatches.collect()
+    assert(batches.nonEmpty)
+    val back = Bridge.fromArrowBatches(batches.iterator, tf.df.schema.json, spark)
+    assert(back.count() == 4L)
+    assert(back.columns.toSeq == Seq("id", "name", "age", "score"))
+  }
+
+  test("concat unions same-schema frames") {
+    val a = Tio.fromRows(spark, Users, users.take(2))(org.apache.spark.sql.Encoders.product[UserRow])
+    val b = Tio.fromRows(spark, Users, users.drop(2))(org.apache.spark.sql.Encoders.product[UserRow])
+    assert(Tio.concat(a, b).height == 4L)
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+final case class LRow(id: Long, v: Int)
+final case class RRow(rid: Long, v: Int, tag: String)
+
+/** F11, F12: JoinedFrame two-schema ops, right-side rename tracking,
+  * castSchema flatten with ambiguity rules (reference
+  * dataframe.py:1188-1412, tests/e2e/test_join_pipeline.py shape). */
+class JoinSpec extends SparkSpec {
+
+  object L extends GSchema {
+    val id = col[Long]("id")
+    val v  = col[Int]("v")
+  }
+  object R extends GSchema {
+    val rid = col[Long]("rid")
+    val v   = col[Int]("v") // name collision with L.v
+    val tag = col[String]("tag")
+  }
+
+  private def frames = {
+    import spark.implicits._
+    val l = Tio.fromRows(spark, L, Seq(LRow(1L, 10), LRow(2L, 20), LRow(3L, 30)))
+    val r = Tio.fromRows(spark, R, Seq(RRow(1L, 7, "a"), RRow(2L, 99, "b")))
+    (l, r)
+  }
+
+  test("inner join renames colliding right columns and keeps both") {
+    val (l, r) = frames
+    val jf = l.join(r, L.id === R.rid)
+    assert(jf.df.columns.toSeq == Seq("id", "v", "rid", "v__r", "tag"))
+    assert(jf.df.count() == 2L)
+  }
+
+  test("JoinedFrame ops remap right-schema refs through the rename") {
+    val (l, r) = frames
+    val jf = l.join(r, L.id === R.rid)
+    // R.v > 50 must hit the renamed v__r, not left v
+    assert(jf.filter(R.v.tc > 50).df.count() == 1L)
+    val agg = jf.groupBy(R.tag).agg(L.v.sum.asName("lv")).toNative.orderBy("tag").collect()
+    assert(agg.map(_.getAs[Long]("lv")).toSeq == Seq(10L, 20L)) // Spark widens sum(int)→long
+  }
+
+  test("left join keeps unmatched rows with nulls") {
+    val (l, r) = frames
+    val jf = l.join(r, L.id === R.rid, how = "left")
+    assert(jf.df.count() == 3L)
+    assert(jf.df.where("tag IS NULL").count() == 1L)
+  }
+
+  test("castSchema flatten: ambiguous names need explicit resolution") {
+    val (l, r) = frames
+    val jf = l.join(r, L.id === R.rid)
+    object Flat extends GSchema {
+      val id  = col[Long]("id")
+      val v   = col[Int]("v") // ambiguous: exists on both sides
+      val tag = col[String]("tag")
+    }
+    val e = intercept[GSchemaError](jf.castSchema(Flat))
+    assert(e.missingColumns == Seq("v"))
+    // explicit mapping to the right-side v resolves via the join rename
+    val out = jf.castSchema(Flat, mapping = Map[GCol[_], GCol[_]](Flat.v -> R.v))
+    assert(out.toNative.orderBy("id").collect().map(_.getAs[Int]("v")).toSeq == Seq(7, 99))
+  }
+
+  test("semi and anti joins partition the left frame") {
+    val (l, r) = frames
+    assert(l.semiJoin(r, L.id === R.rid).height == 2L)
+    assert(l.antiJoin(r, L.id === R.rid).height == 1L)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+import java.time.Instant
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.streaming.GStream
+import graft.streaming.GStream.{SEvent, SessionInfo}
+
+/** ST1, ST2: streaming window agg equals the batch plan on the same
+  * data; stateful sessionization closes sessions on gaps and timeouts. */
+class StreamingSpec extends SparkSpec {
+
+  object SEvents extends GSchema {
+    val user_id    = col[Long]("user_id")
+    val ts         = col[Timestamp]("ts")
+    val event_type = col[String]("event_type")
+  }
+
+  private def t(iso: String): Timestamp = Timestamp.from(Instant.parse(iso))
+
+  test("ST1: MemoryStream tumbling window agg == identical batch agg") {
+    val events = Seq(
+      SEvent(1L, t("2024-01-01T10:05:00Z"), "a"),
+      SEvent(2L, t("2024-01-01T10:20:00Z"), "a"),
+      SEvent(3L, t("2024-01-01T10:40:00Z"), "b"),
+      SEvent(4L, t("2024-01-01T11:10:00Z"), "a"),
+    )
+    def windowed(tf: TFrame[SEvents.type]) =
+      GStream.tumblingAgg(tf, SEvents.ts, "1 hour", "10 minutes",
+        Seq(SEvents.event_type), Seq(gref[Long]("user_id").count.asName("n")))
+
+    val input = MemoryStream(Encoders.product[SEvent], spark)
+    val stf = new TFrame[SEvents.type](input.toDF(), Some(SEvents))
+    val q = windowed(stf).writeStream
+      .format("memory").queryName("st1_out").outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      // advance the watermark far past every window so they all finalize
+      input.addData(Seq(SEvent(99L, t("2024-01-01T20:00:00Z"), "flush")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("st1_out")
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    val batch = windowed(Tio.fromRows(spark, SEvents, events)(Encoders.product[SEvent]))
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+    assert(batch.map(x => (x._2, x._3)) == Set(("a", 2L), ("b", 1L), ("a", 1L)))
+  }
+
+  test("ST2: sessionize closes sessions on gap and on event-time timeout") {
+    val base = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    def ev(uid: Long, sec: Long) = SEvent(uid, new Timestamp(base + sec * 1000), "x")
+
+    val input = MemoryStream(Encoders.product[SEvent], spark)
+    val sessions = GStream.sessionize(input.toDS(), gapMs = 100000L, watermarkDelay = "10 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("st2_out").outputMode("append").start()
+    try {
+      input.addData(Seq(ev(1L, 0), ev(1L, 30), ev(1L, 200)))
+      q.processAllAvailable() // gap 30→200 closes session {0..30}
+      input.addData(Seq(ev(1L, 1000)))
+      q.processAllAvailable() // closes session {200}
+      input.addData(Seq(ev(2L, 5000)))
+      q.processAllAvailable() // watermark → 4990
+      input.addData(Seq(ev(2L, 6000)))
+      q.processAllAvailable() // timeout fires for u1 session {1000}
+    } finally q.stop()
+
+    val got = spark.table("st2_out").as[SessionInfo](Encoders.product[SessionInfo])
+      .collect().filter(_.user_id == 1L)
+      .map(s => (s.start.getTime - base, s.end.getTime - base, s.n_events)).toSet
+    assert(got == Set((0L, 30000L, 2L), (200000L, 200000L, 1L), (1000000L, 1000000L, 1L)))
+  }
+}
