@@ -265,26 +265,31 @@ object SparkEntry {
     },
 
     // ------------------------------------------------------------ §2.5
-    // L8: language ID — pure-Catalyst stopword/CJK heuristic
+    // L8: language ID — pure-Catalyst stopword/CJK heuristic, staged so
+    // tokenization runs once per row (not once per CASE branch)
     "text_langid" -> { (s, dir) =>
-      documents(s, dir).toNative
-        .select(col("doc_id"), TextFns.langId(col("text")).as("lang_pred"))
+      TextFns.withLangId(documents(s, dir).toNative, col("text"), "lang_pred")
+        .select("doc_id", "lang_pred")
         .orderBy("doc_id")
     },
 
-    // L9: quality metrics — word/stopword/punct/uppercase counts + ratio
+    // L9: quality metrics — word/stopword/punct/uppercase counts + ratio.
+    // Counts staged once per row; the ratio reads the staged columns
+    // (CASE values are excluded from subexpression elimination).
     "text_quality" -> { (s, dir) =>
       val t = col("text")
-      val nWords = TextFns.wordCount(t)
-      documents(s, dir).toNative.select(
-        col("doc_id"),
-        nWords.cast("int").as("n_words"),
-        TextFns.stopwordHits(t).cast("int").as("n_stop"),
-        TextFns.punctCount(t).cast("int").as("n_punct"),
-        TextFns.upperCount(t).cast("int").as("n_upper"),
-        when(nWords === 0, 0.0)
-          .otherwise(TextFns.stopwordHits(t).cast("double") / nWords).as("stop_ratio"),
-      ).orderBy("doc_id")
+      documents(s, dir).toNative
+        .withColumn("_nw", TextFns.wordCount(t).cast("int"))
+        .withColumn("_ns", TextFns.stopwordHits(t).cast("int"))
+        .select(
+          col("doc_id"),
+          col("_nw").as("n_words"),
+          col("_ns").as("n_stop"),
+          TextFns.punctCount(t).cast("int").as("n_punct"),
+          TextFns.upperCount(t).cast("int").as("n_upper"),
+          when(col("_nw") === 0, 0.0)
+            .otherwise(col("_ns").cast("double") / col("_nw")).as("stop_ratio"),
+        ).orderBy("doc_id")
     },
 
     // L10: token counting — whitespace + BPE-ish regex pre-tokenizer

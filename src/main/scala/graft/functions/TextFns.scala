@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.graftexpr.{MinHashSigExpr, SimHash64Expr}
+import org.apache.spark.sql.graftexpr.{MinHashBandsExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr}
 
 /** Text-analysis column functions for LLM-data pipelines (SURVEY §2.5
   * L8–L11): language ID, quality metrics, token counting, document
@@ -30,19 +31,21 @@ object TextFns {
   def wsTokens(c: Column): Column = split(c, " ")
 
   /** Word k-shingles: ["a b c", "b c d", ...]; texts shorter than k
-    * collapse to one whole-text shingle. */
-  def shingles(c: Column, k: Int): Column = {
-    val toks = wsTokens(normText(c))
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-      .otherwise(array(concat_ws(" ", toks)))
-  }
+    * collapse to one whole-text shingle. Native one-pass expression —
+    * the `transform(sequence(...), i => slice(toks,...))` form
+    * re-evaluates the tokenization once per shingle (quadratic). */
+  def shingles(c: Column, k: Int): Column =
+    Bridge.column(ShinglesExpr(Bridge.expr(wsTokens(normText(c))), k))
 
   /** k-permutation minhash signature — ONE pass over the array via a
     * native codegen'd expression (graft.plans.MinHashSigExpr). */
   def minhashSig(tokens: Column, numHashes: Int): Column =
     Bridge.column(MinHashSigExpr(Bridge.expr(tokens), numHashes))
+
+  /** Fused minhash + LSH band-bucket keys (array of `bands` longs) —
+    * one pass; see MinHashBandsExpr for why banding is fused. */
+  def minhashBands(tokens: Column, numHashes: Int, bands: Int): Column =
+    Bridge.column(MinHashBandsExpr(Bridge.expr(tokens), numHashes, bands))
 
   /** 64-bit simhash — native codegen'd expression. */
   def simhash64(tokens: Column): Column =
@@ -71,20 +74,53 @@ object TextFns {
   def cjkChars(c: Column): Column =
     length(regexp_replace(c, "[^\\x{4e00}-\\x{9fff}]", ""))
 
-  /** Language prediction: zh if any CJK chars, else argmax of stopword
-    * hits with fixed priority en > de > fr > es, 'und' when all zero. */
-  def langId(textCol: Column): Column = {
-    val toks = wsTokens(lower(textCol))
+  /** Language prediction from pre-materialized parts: zh if any CJK
+    * chars, else argmax of stopword hits with fixed priority
+    * en > de > fr > es, 'und' when all zero.
+    *
+    * Callers on large data should materialize `toks` in its own
+    * projection (see [[withLangId]]): CASE branch values are excluded
+    * from common-subexpression elimination, so the inline form re-splits
+    * the text up to 32× per row — measured 8× slower at sf0.1. */
+  def langIdFromParts(toks: Column, cjk: Column): Column = {
     val en = langHits(toks, stopwordsEn)
     val de = langHits(toks, stopwordsDe)
     val fr = langHits(toks, stopwordsFr)
     val es = langHits(toks, stopwordsEs)
-    when(cjkChars(textCol) > 0, "zh")
+    when(cjk > 0, "zh")
       .when(en >= de && en >= fr && en >= es && en > 0, "en")
       .when(de >= fr && de >= es && de > 0, "de")
       .when(fr >= es && fr > 0, "fr")
       .when(es > 0, "es")
       .otherwise("und")
+  }
+
+  /** Inline single-Column form (convenient for small data). */
+  def langId(textCol: Column): Column =
+    langIdFromParts(wsTokens(lower(textCol)), cjkChars(textCol))
+
+  /** Staged language-ID: tokenization AND the per-language scores each
+    * run once per row in their own projections (CollapseProject keeps
+    * multi-referenced non-cheap expressions materialized; CASE branch
+    * values are excluded from subexpression elimination, so the inline
+    * form re-evaluates each score up to 4× and the split up to 32×). */
+  def withLangId(df: org.apache.spark.sql.DataFrame, text: Column, out: String): org.apache.spark.sql.DataFrame = {
+    val (en, de, fr, es, cjk) =
+      (col("_lid_en"), col("_lid_de"), col("_lid_fr"), col("_lid_es"), col("_lid_cjk"))
+    df.withColumn("_lid_toks", wsTokens(lower(text)))
+      .withColumn("_lid_cjk", cjkChars(text))
+      .withColumn("_lid_en", langHits(col("_lid_toks"), stopwordsEn))
+      .withColumn("_lid_de", langHits(col("_lid_toks"), stopwordsDe))
+      .withColumn("_lid_fr", langHits(col("_lid_toks"), stopwordsFr))
+      .withColumn("_lid_es", langHits(col("_lid_toks"), stopwordsEs))
+      .withColumn(out,
+        when(cjk > 0, "zh")
+          .when(en >= de && en >= fr && en >= es && en > 0, "en")
+          .when(de >= fr && de >= es && de > 0, "de")
+          .when(fr >= es && fr > 0, "fr")
+          .when(es > 0, "es")
+          .otherwise("und"))
+      .drop("_lid_toks", "_lid_cjk", "_lid_en", "_lid_de", "_lid_fr", "_lid_es")
   }
 
   // ---------------------------------------------------------------- L9

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.graftexpr.TopKByScore
+import org.apache.spark.sql.graftexpr.{CosineSimExpr, HyperplaneBucketsExpr, TopKByScore}
 
 /** Vector column kernels shared by ANN search and embedding dedup
   * (SURVEY §2.5 L5–L7). Pure `org.apache.spark.sql.functions` — the
@@ -13,12 +13,11 @@ object Vec {
   /** Cosine similarity between two float/double array columns, computed
     * as a deterministic left-to-right double fold — `dot/(‖a‖·‖b‖)` —
     * so any engine that folds sequentially in double reproduces it
-    * bit-for-bit (round to 6 decimals for a cross-engine gate). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(norm2sq(a)) * sqrt(norm2sq(b)))
-  }
+    * bit-for-bit (round to 6 decimals for a cross-engine gate).
+    * Native codegen'd kernel: the higher-order-function formulation is
+    * interpreted per element and boxes every value. */
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSimExpr(Bridge.expr(a), Bridge.expr(b)))
 
   /** Squared L2 norm as a sequential double fold. */
   def norm2sq(v: Column): Column =
@@ -33,27 +32,16 @@ object Vec {
     Array.fill(tables, bits, dim)(rnd.nextDouble() * 2.0 - 1.0)
   }
 
-  /** Sign-LSH bucket id for one table: bit p set iff dot(v, plane_p) ≥ 0. */
-  def signBucket(vec: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
-      val dot = aggregate(zip_with(vec, planeCol, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0.0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
   /** Explode a vector frame into one row per (row, table) with that
     * table's bucket id: output columns `(<id passthroughs…>, tbl,
-    * bucket)`. Input frame must carry the vector in `vecCol`. */
+    * bucket)`. All tables' buckets come from ONE native pass over the
+    * vector (HyperplaneBucketsExpr), then posexplode. */
   def hyperplaneBuckets(
       df: DataFrame, vecCol: Column, dim: Int,
       tables: Int, bits: Int, seed: Long): DataFrame = {
-    val planes = hyperplanes(dim, tables, bits, seed)
-    val tableStructs = (0 until tables).map { t =>
-      struct(lit(t).as("tbl"), signBucket(vecCol, planes(t)).as("bucket"))
-    }
-    df.select(df.columns.map(col) :+ explode(array(tableStructs: _*)).as("_tb"): _*)
-      .select(df.columns.map(col) :+ col("_tb.tbl").as("tbl") :+ col("_tb.bucket").as("bucket"): _*)
+    val flat = hyperplanes(dim, tables, bits, seed).flatten.flatten
+    val buckets = Bridge.column(HyperplaneBucketsExpr(Bridge.expr(vecCol), flat, tables, bits))
+    df.select(df.columns.map(col) :+ posexplode(buckets).as(Seq("tbl", "bucket")): _*)
   }
 }
 

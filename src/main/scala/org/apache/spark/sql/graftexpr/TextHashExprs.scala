@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graftexpr
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -34,6 +34,108 @@ final case class MinHashSigExpr(child: Expression, numHashes: Int)
     defineCodeGen(ctx, ev, c => s"graft.hashing.MinHashUtil.signature($c, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}
+
+/** Word k-shingles over a token array — one pass (see
+  * [[graft.hashing.ShingleUtil]] for why the HOF form is quadratic). */
+final case class ShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k > 0 && k <= 64, s"shingle k out of range: $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.ShingleUtil.shingles(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.hashing.ShingleUtil.shingles($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglesExpr =
+    copy(child = newChild)
+}
+
+/** Fused minhash-signature + LSH band-bucket keys — one pass over the
+  * token array (see [[graft.hashing.MinHashUtil.bandBuckets]] for why
+  * fusing matters: lambda-based banding re-evaluates the signature per
+  * band after projection collapse). */
+final case class MinHashBandsExpr(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(numHashes > 0 && numHashes <= 512, s"numHashes out of range: $numHashes")
+  require(bands > 0 && numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.MinHashUtil.bandBuckets(input.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.hashing.MinHashUtil.bandBuckets($c, $numHashes, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandsExpr =
+    copy(child = newChild)
+}
+
+/** Cosine similarity over two float/double array columns — native
+  * codegen'd kernel (the `zip_with`+`aggregate` higher-order-function
+  * form is interpreted per element with boxing). Result is bit-identical
+  * to the sequential-double-fold formula the oracles mirror. */
+final case class CosineSimExpr(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)),
+    TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.hashing.VecUtil.cosine(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.hashing.VecUtil.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+    copy(left = l, right = r)
+}
+
+/** All sign-LSH hyperplane tables in one pass over the vector; `planes`
+  * is the flattened [table][bit][dim] tensor shipped as a literal
+  * reference object. */
+final case class HyperplaneBucketsExpr(
+    child: Expression, planes: Array[Double], tables: Int, bits: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_buckets"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.VecUtil.hyperplaneBuckets(
+      input.asInstanceOf[ArrayData], planes, tables, bits, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.hashing.VecUtil.hyperplaneBuckets($c, $planesRef, $tables, $bits, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
     copy(child = newChild)
 }
 
