@@ -168,6 +168,14 @@ final class TFrame[S <: GSchema](val df: DataFrame, val schemaOpt: Option[S]) ex
 
   // --- Materialization / conversion ---
   def collectRows(): Array[Row] = df.collect()
+
+  /** Column-oriented collect — colnade rows_to_dict (reference
+    * dataframe.py). Driver-side action; for large frames prefer
+    * [[iterRowsAs]] or [[toArrowBatches]]. */
+  def rowsToDict(): Map[String, Seq[Any]] = {
+    val rows = df.collect()
+    df.columns.zipWithIndex.map { case (n, i) => n -> rows.toSeq.map(_.get(i)) }.toMap
+  }
   def toDS[T: Encoder]: Dataset[T] = df.as[T]
 
   /** Typed local row iteration — colnade iter_rows_as (reference

@@ -84,6 +84,14 @@ object Tio {
     new TFrame[S](df, Some(schema))
   }
 
+  /** Arrow-IPC import — colnade from_batches/from_pyarrow (reference
+    * dataframe.py, arrow.py:27-70): serialized RecordBatches → typed
+    * frame, the inverse of [[TFrame.toArrowBatches]]. */
+  def fromBatches[S <: GSchema](
+      spark: SparkSession, schema: S, batches: Iterator[Array[Byte]]): TFrame[S] =
+    fromDF(org.apache.spark.sql.graftbridge.Bridge.fromArrowBatches(
+      batches, schema.structType.json, spark), schema)
+
   /** Wrap an existing DataFrame under a schema (validating boundary). */
   def fromDF[S <: GSchema](df: DataFrame, schema: S): TFrame[S] = {
     if (GValidation.enabled) Validator.structural(df, schema)

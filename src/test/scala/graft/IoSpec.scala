@@ -61,12 +61,24 @@ class IoSpec extends SparkSpec {
   }
 
   test("Arrow batches round-trip through IPC bytes") {
-    val tf = Tio.fromRows(spark, Users, users)(org.apache.spark.sql.Encoders.product[UserRow])
+    import spark.implicits._
+    val tf = Tio.fromRows(spark, Users, users)
     val batches = tf.toArrowBatches.collect()
     assert(batches.nonEmpty)
     val back = Bridge.fromArrowBatches(batches.iterator, tf.df.schema.json, spark)
     assert(back.count() == 4L)
     assert(back.columns.toSeq == Seq("id", "name", "age", "score"))
+    // and the typed constructor inverse
+    val typed = Tio.fromBatches(spark, Users, batches.iterator)
+    assert(typed.toDS[UserRow].collect().sortBy(_.id).toSeq == users)
+  }
+
+  test("rowsToDict collects column-oriented") {
+    val d = Tio.fromRows(spark, Users, users)(org.apache.spark.sql.Encoders.product[UserRow])
+      .sort(Users.id).rowsToDict()
+    assert(d("id") == Seq(1L, 2L, 3L, 4L))
+    assert(d("name") == Seq("ann", "bo", "cy", "dee"))
+    assert(d("age")(1) == null)
   }
 
   test("concat unions same-schema frames") {
