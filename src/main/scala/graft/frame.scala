@@ -232,20 +232,42 @@ final class JoinedFrame[A <: GSchema, B <: GSchema](
   private def same(d: DataFrame): JoinedFrame[A, B] =
     new JoinedFrame[A, B](d, leftSchema, rightSchema, rightRenames)
 
-  /** Remap a user expression so references to renamed right-side columns
-    * resolve against the joined plan. Must run on the CONVERTED catalyst
+  /** Side-explicit typed accessors for COLLIDED column names. A bare
+    * `L.v`/`R.v` expression compiles to `col("v")`, which cannot say
+    * which side it means once both schemas define `v` — so ambiguous
+    * bare references are REJECTED (see [[remap]]), mirroring the
+    * reference's explicitness rule for ambiguous cast_schema names
+    * (dataframe.py:1388-1399). Uncollided names need no accessor. */
+  def left[T](c: GCol[T]): TypedCol[T] = new TypedCol[T](df(c.name))
+  def right[T](c: GCol[T]): TypedCol[T] =
+    new TypedCol[T](df(rightRenames.getOrElse(c.name, c.name)))
+
+  /** Ownership-aware name resolution for GCol-typed arguments: the
+    * descriptor knows its owner schema, so collided names resolve
+    * correctly without user involvement. */
+  private def resolveName(c: GCol[_]): String =
+    if (rightSchema.exists(_ eq c.owner) && rightRenames.contains(c.name)) rightRenames(c.name)
+    else c.name
+  private[graft] def resolveKeyName(c: GCol[_]): String = resolveName(c)
+
+  /** Validate a user expression against the join's renames: a bare
+    * single-part reference to a COLLIDED name is ambiguous — fail fast
+    * with the fix, never guess a side. Runs on the CONVERTED catalyst
     * tree (Bridge.catalystExpr) — Spark 4 Columns are ColumnNode shims a
-    * catalyst transform can't see into. */
-  private[graft] def remap(c: Column): Column =
-    if (rightRenames.isEmpty) c
-    else {
+    * catalyst traversal can't see into. */
+  private[graft] def remap(c: Column): Column = {
+    if (rightRenames.nonEmpty) {
       import org.apache.spark.sql.graftbridge.Bridge
-      Bridge.column(Bridge.catalystExpr(c).transform {
+      val ambiguous = Bridge.catalystExpr(c).collect {
         case org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(parts)
-            if parts.size == 1 && rightRenames.contains(parts.head) =>
-          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(rightRenames(parts.head)))
-      })
+            if parts.size == 1 && rightRenames.contains(parts.head) => parts.head
+      }
+      if (ambiguous.nonEmpty) throw new IllegalArgumentException(
+        s"Ambiguous column reference(s) after join: ${ambiguous.distinct.mkString(", ")} " +
+          "exist in both schemas. Use joinedFrame.left(col) / joinedFrame.right(col).")
     }
+    c
+  }
 
   def toNative: DataFrame = df
 
@@ -254,10 +276,10 @@ final class JoinedFrame[A <: GSchema, B <: GSchema](
   def limit(n: Int): JoinedFrame[A, B] = same(df.limit(n))
   def unique(keys: GCol[_]*): JoinedFrame[A, B] =
     if (keys.isEmpty) same(df.distinct())
-    else same(df.dropDuplicates(keys.map(k => rightRenames.getOrElse(k.name, k.name))))
+    else same(df.dropDuplicates(keys.map(resolveName)))
   def dropNulls(cols: GCol[_]*): JoinedFrame[A, B] =
     if (cols.isEmpty) same(df.na.drop())
-    else same(df.na.drop(cols.map(c => rightRenames.getOrElse(c.name, c.name))))
+    else same(df.na.drop(cols.map(resolveName)))
   def withCols(exprs: Aliased*): JoinedFrame[A, B] =
     same(df.withColumns(exprs.map(e => e.name -> remap(e.c)).toMap))
 
@@ -298,10 +320,13 @@ final class JoinedFrame[A <: GSchema, B <: GSchema](
 final class JoinedGroupedFrame[A <: GSchema, B <: GSchema](
     jf: JoinedFrame[A, B], keys: Seq[GCol[_]]) {
   def agg(exprs: Aliased*): TFrame[GSchema] = {
-    val keyCols = keys.map(k => col(jf.rightRenames.getOrElse(k.name, k.name)).as(k.name))
+    val keyCols = keys.map(k => col(jf.resolveKeyName(k)).as(k.name))
+    // Aggregate exprs must go through remap too: a right-schema column
+    // that collided at join time lives under its renamed name.
+    val aggCols = exprs.map(e => jf.remap(e.c).as(e.name))
     new TFrame[GSchema](
       jf.df.groupBy(keyCols: _*)
-        .agg(exprs.head.column, exprs.tail.map(_.column): _*),
+        .agg(aggCols.head, aggCols.tail: _*),
       None)
   }
 }

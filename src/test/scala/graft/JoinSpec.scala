@@ -32,13 +32,22 @@ class JoinSpec extends SparkSpec {
     assert(jf.df.count() == 2L)
   }
 
-  test("JoinedFrame ops remap right-schema refs through the rename") {
+  test("JoinedFrame ops resolve collided names by explicit side") {
     val (l, r) = frames
     val jf = l.join(r, L.id === R.rid)
-    // R.v > 50 must hit the renamed v__r, not left v
-    assert(jf.filter(R.v.tc > 50).df.count() == 1L)
-    val agg = jf.groupBy(R.tag).agg(L.v.sum.asName("lv")).toNative.orderBy("tag").collect()
+    // a bare reference to a collided name is ambiguous → rejected fast
+    val e = intercept[IllegalArgumentException](jf.filter(R.v.tc > 50))
+    assert(e.getMessage.contains("Ambiguous"))
+    // side-explicit accessors resolve through the join rename
+    assert(jf.filter(jf.right(R.v) > 50).df.count() == 1L)
+    assert(jf.filter(jf.left(L.v) > 15).df.count() == 1L)
+    val agg = jf.groupBy(R.tag)
+      .agg(jf.left(L.v).sum.asName("lv"), jf.right(R.v).sum.asName("rv"))
+      .toNative.orderBy("tag").collect()
     assert(agg.map(_.getAs[Long]("lv")).toSeq == Seq(10L, 20L)) // Spark widens sum(int)→long
+    assert(agg.map(_.getAs[Long]("rv")).toSeq == Seq(7L, 99L))
+    // GCol-typed args carry ownership → no accessor needed
+    assert(jf.dropNulls(R.v).df.count() == 2L)
   }
 
   test("left join keeps unmatched rows with nulls") {
