@@ -307,8 +307,8 @@ final class JoinedFrame[A <: GSchema, B <: GSchema](
     val ambiguous = leftNames.toSet intersect rightNames.toSet
     val sourceNames = leftNames.toSet ++ rightNames
     val nameMap = CastResolve.resolve(target, sourceNames, mapping, extraForbid, ambiguous,
-      inheritanceFallback = false, rightOwned = rightSchema.map(s => s.columnNames.toSet).getOrElse(Set.empty),
-      rightRenames = rightRenames, mappingOwners = mapping.map { case (k, v) => k.name -> v })
+      inheritanceFallback = false, rightSchemaObj = rightSchema,
+      rightRenames = rightRenames)
     val projected = target.columns.map { tcol =>
       val src = nameMap(tcol.name)
       col(src).cast(tcol.dataType).as(tcol.name)
@@ -341,14 +341,16 @@ private[graft] object CastResolve {
       extraForbid: Boolean,
       ambiguous: Set[String],
       inheritanceFallback: Boolean,
-      rightOwned: Set[String] = Set.empty,
+      rightSchemaObj: Option[GSchema] = None,
       rightRenames: Map[String, String] = Map.empty,
-      mappingOwners: Map[String, GCol[_]] = Map.empty,
   ): Map[String, String] = {
     // A right-schema source column may have been renamed at join time.
+    // Ownership decides the side — name membership alone would send an
+    // explicit mapping from a collided LEFT column to the right rename.
     def actual(srcCol: GCol[_]): String = {
       val n = srcCol.name
-      if (rightRenames.contains(n) && rightOwned.contains(n)) rightRenames(n) else n
+      if (rightSchemaObj.exists(_ eq srcCol.owner) && rightRenames.contains(n)) rightRenames(n)
+      else n
     }
     val explicitByName: Map[String, String] =
       mapping.map { case (tgt, src) => tgt.name -> actual(src) }

@@ -70,6 +70,9 @@ class JoinSpec extends SparkSpec {
     // explicit mapping to the right-side v resolves via the join rename
     val out = jf.castSchema(Flat, mapping = Map[GCol[_], GCol[_]](Flat.v -> R.v))
     assert(out.toNative.orderBy("id").collect().map(_.getAs[Int]("v")).toSeq == Seq(7, 99))
+    // ... and to the LEFT v by ownership, not by name membership
+    val outL = jf.castSchema(Flat, mapping = Map[GCol[_], GCol[_]](Flat.v -> L.v))
+    assert(outL.toNative.orderBy("id").collect().map(_.getAs[Int]("v")).toSeq == Seq(10, 20))
   }
 
   test("semi and anti joins partition the left frame") {
