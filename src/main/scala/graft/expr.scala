@@ -127,6 +127,14 @@ final class TypedCol[T](val c: Column) extends Serializable {
   def desc: GSort = GSort(c.desc)
   def asc: GSort  = GSort(c.asc)
 
+  /** Names of the source columns this expression references — colnade
+    * collect_column_names (reference src/colnade/expr.py). */
+  def collectColumnNames: Seq[String] =
+    org.apache.spark.sql.graftbridge.Bridge.catalystExpr(c).collect {
+      case org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(parts) => parts.mkString(".")
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference => a.name
+    }.distinct
+
   // --- Struct field access (reference schema.py:461-472) ---
   def field[U](inner: GCol[U]): TypedCol[U] = new TypedCol(c.getField(inner.name))
 

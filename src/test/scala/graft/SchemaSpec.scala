@@ -50,6 +50,12 @@ class SchemaSpec extends SparkSpec {
     assert(Outer.structType("s").dataType.isInstanceOf[StructType])
   }
 
+  test("collectColumnNames walks an expression tree") {
+    val e = (Users.score.tc * glit(2.0) + Users.age.tc.cast[Double]) > 10.0
+    assert(e.collectColumnNames.toSet == Set("score", "age"))
+    assert(glit(1).collectColumnNames.isEmpty)
+  }
+
   test("field() and from() replace the registered descriptor") {
     object S extends GSchema { val a = col[Long]("a") }
     object T extends GSchema { val b = col[Long]("b").from(S.a) }
