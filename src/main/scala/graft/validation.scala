@@ -96,6 +96,13 @@ object Validator {
         f.pattern.foreach(p => addProbe(gc.name, s"pattern=$p", !c.rlike(p) && c.isNotNull, c))
         f.isin.foreach(vs => addProbe(gc.name, "isin", !c.isin(vs: _*) && c.isNotNull, c))
         if (f.unique) {
+          // Scale note: k exact count_distinct aggregates on DIFFERENT
+          // columns in one job make Catalyst plan an Expand (scan output
+          // multiplied k-fold). One `unique` column per table is the
+          // common case and costs nothing extra; schemas with several
+          // unique columns at extreme scale should prefer one validation
+          // pass per unique column, or an approx_count_distinct
+          // pre-screen, traded explicitly by the caller.
           val ci = aggs.size; aggs += count(c)
           val di = aggs.size; aggs += count_distinct(c)
           uniqueProbes = (gc.name, ci, di) :: uniqueProbes
