@@ -116,10 +116,14 @@ final class TFrame[S <: GSchema](val df: DataFrame, val schemaOpt: Option[S]) ex
     val renames = rightDupes.map(n => n -> s"${n}__r").toMap
     val rdf0 = renames.foldLeft(other.df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
     val rdf = if (broadcastRight) broadcast(rdf0) else rdf0
-    val cond = on.pairs
-      .map { case (l, r) => df(l) === rdf(renames.getOrElse(r, r)) }
-      .reduce(_ && _)
-    new JoinedFrame[S, S2](df.join(rdf, cond, how), schemaOpt, other.schemaOpt, renames)
+    // "cross" ignores the condition (reference dataframe.py:613 accepts
+    // the same literal); everything else is an equi-join on the pairs.
+    val joined =
+      if (how == "cross") df.crossJoin(rdf)
+      else df.join(rdf,
+        on.pairs.map { case (l, r) => df(l) === rdf(renames.getOrElse(r, r)) }.reduce(_ && _),
+        how)
+    new JoinedFrame[S, S2](joined, schemaOpt, other.schemaOpt, renames)
   }
 
   /** Semi/anti joins (Spark superset — EXISTS / NOT EXISTS pushups). */

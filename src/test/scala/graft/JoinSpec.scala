@@ -80,4 +80,27 @@ class JoinSpec extends SparkSpec {
     assert(l.semiJoin(r, L.id === R.rid).height == 2L)
     assert(l.antiJoin(r, L.id === R.rid).height == 1L)
   }
+
+  test("outer join keeps both unmatched sides") {
+    import spark.implicits._
+    val l = Tio.fromRows(spark, L, Seq(LRow(1L, 10), LRow(3L, 30)))
+    val r = Tio.fromRows(spark, R, Seq(RRow(1L, 7, "a"), RRow(9L, 5, "z")))
+    val jf = l.join(r, L.id === R.rid, how = "outer")
+    assert(jf.df.count() == 3L)
+    assert(jf.df.where("id IS NULL").count() == 1L)
+    assert(jf.df.where("rid IS NULL").count() == 1L)
+  }
+
+  test("cross join ignores the condition") {
+    val (l, r) = frames
+    assert(l.join(r, L.id === R.rid, how = "cross").df.count() == 6L) // 3×2
+  }
+
+  test("composite-key join conditions combine with &&") {
+    import spark.implicits._
+    val l = Tio.fromRows(spark, L, Seq(LRow(1L, 7), LRow(1L, 8), LRow(2L, 7)))
+    val r = Tio.fromRows(spark, R, Seq(RRow(1L, 7, "a"), RRow(2L, 7, "b"), RRow(2L, 9, "c")))
+    val jf = l.join(r, (L.id === R.rid) && (L.v === R.v))
+    assert(jf.df.select("tag").collect().map(_.getString(0)).toSet == Set("a", "b"))
+  }
 }
