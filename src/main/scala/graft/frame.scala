@@ -64,7 +64,11 @@ final class TFrame[S <: GSchema](val df: DataFrame, val schemaOpt: Option[S]) ex
   /** Distinct rows by key columns, keeping one representative row —
     * colnade unique() (reference dataframe.py:480). Implemented as a
     * groupBy-first (shuffle on the keys only), not a global distinct of
-    * whole rows — at 100 TB only the keys + one row per group move. */
+    * whole rows — at 100 TB only the keys + one row per group move.
+    * Like the reference, the representative is "any" row of the group
+    * (first-encountered — stable within a run, not across
+    * repartitionings); pipelines needing a canonical representative
+    * should sort or aggregate explicitly. */
   def unique(keys: GCol[_]*): TFrame[S] =
     if (keys.isEmpty) same(df.distinct())
     else {
