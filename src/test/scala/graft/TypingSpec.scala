@@ -81,6 +81,17 @@ class TypingSpec extends AnyFunSuite {
     """)
   }
 
+  test("schema-polymorphic functions preserve the concrete schema type") {
+    // reference examples/generic_functions.py: TypeVar-bound utilities
+    assertCompiles("""
+      import graft._, graft.fixtures.Users
+      def firstN[S <: GSchema](tf: TFrame[S], n: Int): TFrame[S] = tf.head(n)
+      def dropNullRows[S <: GSchema](tf: TFrame[S]): TFrame[S] = tf.dropNulls()
+      def countRows[S <: GSchema](tf: TFrame[S]): Long = tf.height
+      def use(tf: TFrame[Users.type]): TFrame[Users.type] = dropNullRows(firstN(tf, 3))
+    """)
+  }
+
   test("castSchema re-binds the schema type parameter") {
     assertCompiles("""
       import graft._, graft.fixtures.Users
