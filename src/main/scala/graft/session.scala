@@ -24,9 +24,13 @@ object GraftSession {
     configure(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
       .getOrCreate()
 
-  /** Apply graft's required confs to any builder (cluster deploys too). */
+  /** Apply graft's required confs to any builder (cluster deploys too).
+    * Also registers the native kernels as SQL functions
+    * (word_shingles/minhash_sig/minhash_bands/simhash64/cosine_sim) via
+    * the standard SparkSessionExtensions hook. */
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
-    b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    b.withExtensions(new org.apache.spark.sql.graftexpr.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
