@@ -374,6 +374,17 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     },
 
+    // L7 (IVF variant): k-means inverted lists + nProbe search, exact
+    // rerank — rows-only gate; AnnSpec pins recall vs brute force.
+    "ann_ivf" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Ann.topKIvf(e, col("vec_id"), col("embedding"), probes, k = 10,
+          dim = 64, nClusters = 16, nProbe = 4)
+        .orderBy("probe_id", "rank")
+    },
+
     // L12: multimodal metadata decode over binary payloads. Text bytes
     // stand in for media bytes; the deterministic fake codec makes the
     // gate SQL-oracle-able while the mapPartitions plumbing stays real.

@@ -23,6 +23,45 @@ object Vec {
   def norm2sq(v: Column): Column =
     aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
+  /** Deterministic Lloyd's k-means for the IVF coarse quantizer:
+    * seeded init from the sample itself, fixed iteration count, plain
+    * double arithmetic — same centroids on every run and JVM. Runs on
+    * the DRIVER over a bounded sample (offline training step). */
+  def kmeans(sample: Array[Array[Double]], k: Int, seed: Long, iters: Int = 10): Array[Array[Double]] = {
+    require(sample.nonEmpty, "kmeans: empty training sample")
+    val dim = sample.head.length
+    val rnd = new java.util.Random(seed)
+    val centroids = Array.tabulate(math.min(k, sample.length))(i => sample(i).clone()) ++
+      Array.fill(math.max(0, k - sample.length))(sample(rnd.nextInt(sample.length)).clone())
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < k) { val d = dist2(v, centroids(c)); if (d < bd) { bd = d; best = c }; c += 1 }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
   /** Deterministic pseudo-random hyperplanes: `tables·bits` planes of
     * `dim` coordinates in [-1, 1), from a fixed-seed LCG (java.util
     * .Random is specified exactly, so every JVM generates the same
@@ -73,6 +112,43 @@ object Ann {
       .crossJoin(broadcast(probes.select(col("probe_id"), col("probe_vec").as("_pv"))))
       .where(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), round(Vec.cosine(col("_v"), col("_pv")), 6).as("sim"))
+    topKPerProbe(sims, k)
+  }
+
+  /** L7 (IVF variant) — inverted-file ANN: a small k-means coarse
+    * quantizer is trained ONCE on a seeded driver-side sample (IVF
+    * training is an offline step; the sample is bounded, never the full
+    * table), every vector is assigned to its nearest centroid with one
+    * native-kernel pass, and each probe searches only its `nProbe`
+    * closest inverted lists — an equi-join on the centroid id, followed
+    * by exact rerank through the same partial top-k aggregate. At 100 TB
+    * the scan fraction is ≈ nProbe/nClusters. */
+  def topKIvf(
+      df: DataFrame, id: Column, vec: Column, probes: DataFrame, k: Int,
+      dim: Int, nClusters: Int = 16, nProbe: Int = 4,
+      trainSampleRows: Int = 2048, seed: Long = 7L): DataFrame = {
+    val sample = df.select(vec.as("_v"))
+      .sample(withReplacement = false, 1.0, seed).limit(trainSampleRows)
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val centroids = Vec.kmeans(sample, nClusters, seed)
+
+    def assignment(v: Column, top: Int): Column = {
+      val sims = array(centroids.zipWithIndex.map { case (c, i) =>
+        struct(Vec.cosine(v, array(c.map(lit): _*)).as("sim"), lit(i).as("cid"))
+      }: _*)
+      slice(reverse(array_sort(sims)), 1, top)
+    }
+
+    val data = df.select(id.as("neighbor_id"), vec.as("_v"),
+        assignment(vec, 1)(0).getField("cid").as("cid"))
+    val probed = probes.select(col("probe_id"), col("probe_vec").as("_pv"),
+        explode(assignment(col("probe_vec"), nProbe)).as("_pc"))
+      .select(col("probe_id"), col("_pv"), col("_pc.cid").as("cid"))
+    val sims = data.join(broadcast(probed), Seq("cid"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(Vec.cosine(col("_v"), col("_pv")), 6).as("sim"))
+      .distinct()
     topKPerProbe(sims, k)
   }
 

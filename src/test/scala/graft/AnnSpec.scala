@@ -85,6 +85,17 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("topKIvf recovers the brute-force top-4 via inverted lists") {
+    val (e, probes) = frames
+    val brute = localTopK(4).view.mapValues(_.map(_._1).toSet).toMap
+    val ivf = Ann.topKIvf(e, col("vec_id"), col("embedding"), probes, k = 4,
+        dim = dim, nClusters = 4, nProbe = 2)
+      .collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf == brute)
+  }
+
   test("cosine kernel agrees with plain math on a known pair") {
     import spark.implicits._
     val df = Seq((Seq(1f, 0f), Seq(1f, 1f))).toDF("a", "b")
