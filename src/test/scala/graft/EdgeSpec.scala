@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Ann, Dedup}
+import graft.functions.TextFns
+
+/** Edge inputs through the operator pipelines — empty frames, single
+  * rows, empty strings (reference tests/integration/test_edge_cases.py
+  * shape). A harness run over odd data must degrade to empty results,
+  * never throw. */
+class EdgeSpec extends SparkSpec {
+
+  private def docs(rows: Seq[Doc]) = {
+    import spark.implicits._
+    Tio.fromRows(spark, new GSchema {
+      val doc_id = col[Long]("doc_id"); val text = col[String]("text")
+    }, rows).toNative
+  }
+
+  test("dedup pipelines on an empty frame return empty, not errors") {
+    val d = docs(Nil)
+    assert(Dedup.exactGroups(d, col("text"), col("doc_id")).count() == 0L)
+    assert(Dedup.minhashCandidates(d, col("doc_id"), col("text")).count() == 0L)
+    assert(Dedup.jaccardPairs(d, col("doc_id"), col("text"), 0.5).count() == 0L)
+    assert(Dedup.simhashPairs(d, col("doc_id"), col("text")).count() == 0L)
+  }
+
+  test("single-row and empty-string documents flow through text kernels") {
+    val d = docs(Seq(Doc(1L, ""), Doc(2L, "   "), Doc(3L, "one")))
+    val out = d.select(
+      col("doc_id"),
+      TextFns.wordCount(col("text")).as("w"),
+      TextFns.fingerprint64(col("text")).as("fp"),
+      TextFns.tokenCountBpeish(col("text")).as("bp"),
+    ).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Int]("w")).toSeq == Seq(0, 0, 1))
+    // "" and "   " normalize identically → identical fingerprints
+    assert(out(0).getAs[Long]("fp") == out(1).getAs[Long]("fp"))
+    assert(Dedup.jaccardPairs(d, col("doc_id"), col("text"), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("ANN with an empty probe set returns empty") {
+    import spark.implicits._
+    val e = Tio.fromRows(spark, new GSchema {
+      val vec_id = col[Long]("vec_id"); val embedding = col[Seq[Float]]("embedding")
+    }, Seq(Emb(1L, Seq(1f, 0f)), Emb(2L, Seq(0f, 1f)))).toNative
+    val noProbes = e.where("vec_id < 0")
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    assert(Ann.topKBrute(e, col("vec_id"), col("embedding"), noProbes, 5).count() == 0L)
+  }
+}
