@@ -30,22 +30,33 @@ object Bench {
       try run(fn)
       catch { case e: Throwable => System.err.println(s"[bench warmup] $name: ${e.getMessage}") }
     }
-    // min-of-3 timed iterations per query: one noisy window on the
-    // driver box must not be able to fake a 10× regression (it did in
-    // round 3 — a judge re-run of the identical binary was 11× faster).
-    var failed = List.empty[String]
-    val results = qs.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        try { run(fn); (System.nanoTime() - t0) / 1e9 }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
+    // Three INTERLEAVED round-robin passes over all queries, per-query
+    // min: consecutive min-of-3 (rounds 3 and 4) had no defense against
+    // a contention window outlasting one query's three back-to-back
+    // runs — all three samples landed inside it and a judge re-run of
+    // the identical binary was up to 11× faster. Interleaving spaces a
+    // query's samples a full pass apart, so a sustained noisy window
+    // poisons at most one sample of each query, never all three of one.
+    var failed = Set.empty[String]
+    val best = scala.collection.mutable.Map.empty[String, Double]
+    (1 to 3).foreach { _ =>
+      qs.foreach { case (name, fn) =>
+        if (!failed(name)) {
+          val t0 = System.nanoTime()
+          try {
+            run(fn)
+            val dt = (System.nanoTime() - t0) / 1e9
+            if (best.get(name).forall(dt < _)) best(name) = dt
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              failed += name
+          }
         }
       }
-      if (times.contains(-1.0)) { failed ::= name; name -> -1.0 }
-      else name -> times.min
+    }
+    val results = qs.map { case (name, _) =>
+      name -> (if (failed(name)) -1.0 else best(name))
     }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -53,7 +64,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size}}""")
     spark.stop()
     if (failed.nonEmpty) {
-      System.err.println(s"[bench] ${failed.size} queries failed: ${failed.sorted.mkString(", ")}")
+      System.err.println(s"[bench] ${failed.size} queries failed: ${failed.toSeq.sorted.mkString(", ")}")
       sys.exit(2)
     }
   }

@@ -34,6 +34,15 @@ final class TFrame[S <: GSchema](val df: DataFrame, val schemaOpt: Option[S]) ex
     rows(0).getAs[T](0)
   }
 
+  /** Scalar from a 1×1 frame without naming the column (reference
+    * dataframe.py:426-428 no-arg form). */
+  def item[T](): T = {
+    require(df.schema.size == 1, s"item() requires exactly 1 column, got ${df.schema.size}")
+    val rows = df.limit(2).collect()
+    require(rows.length == 1, s"item() requires exactly 1 row, got ${rows.length}")
+    rows(0).getAs[T](0)
+  }
+
   // --- Schema-preserving ops (reference dataframe.py:448-496) ---
   def filter(p: TypedCol[Boolean]): TFrame[S] = same(df.filter(p.c))
 

@@ -129,9 +129,16 @@ object ShingleUtil {
 object VecUtil {
 
   /** Cosine as dot/(‖a‖·‖b‖), double accumulation left-to-right —
-    * bit-identical to the documented oracle formula. */
+    * bit-identical to the documented oracle formula. Mismatched lengths
+    * throw (reading past numElements on UnsafeArrayData is an unsafe
+    * out-of-bounds read — silent garbage or a JVM crash); a zero-norm
+    * side yields NaN, which [[org.apache.spark.sql.graftexpr.CosineSimExpr]]
+    * maps to SQL NULL so it can never outrank real scores in top-k. */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: array length mismatch ($n vs ${b.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -140,7 +147,49 @@ object VecUtil {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) Double.NaN else dot / denom
+  }
+
+  /** Top-`top` centroid ids for `v` by cosine, given UNIT-normalized
+    * centroids flattened [cid][dim]. Ranking by the raw dot product
+    * equals ranking by cosine when every centroid has norm 1 (the row's
+    * own norm is a shared positive factor), so assignment is ONE
+    * k·dim pass — no per-row norm recomputation. Ties break to the
+    * smaller cid (iteration order + strict insert), deterministically.
+    * Zero/NaN rows produce no meaningful ranking; their ids simply
+    * match no inverted list downstream. */
+  def topCentroids(v: ArrayData, centroids: Array[Double], dim: Int, top: Int, isFloat: Boolean): ArrayData = {
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"centroid_ids: vector length ${v.numElements()} != quantizer dim $dim")
+    val k = centroids.length / dim
+    val n = math.min(top, k)
+    val bestDot = new Array[Double](n)
+    val bestCid = new Array[Int](n)
+    java.util.Arrays.fill(bestDot, Double.NegativeInfinity)
+    java.util.Arrays.fill(bestCid, Int.MinValue)
+    var c = 0
+    while (c < k) {
+      var dot = 0.0
+      var d = 0
+      val off = c * dim
+      while (d < dim) {
+        val x = if (isFloat) v.getFloat(d).toDouble else v.getDouble(d)
+        dot += x * centroids(off + d)
+        d += 1
+      }
+      // insertion into the running top-n, ordered (dot desc, cid asc)
+      if (dot > bestDot(n - 1)) {
+        var i = n - 1
+        while (i > 0 && dot > bestDot(i - 1)) {
+          bestDot(i) = bestDot(i - 1); bestCid(i) = bestCid(i - 1); i -= 1
+        }
+        bestDot(i) = dot; bestCid(i) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(bestCid)
   }
 
   /** All sign-LSH tables in one pass: `planes` is the flattened

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.graftexpr.{CosineSimExpr, HyperplaneBucketsExpr, TopKByScore}
+import org.apache.spark.sql.graftexpr.{CentroidIdsExpr, CosineSimExpr, HyperplaneBucketsExpr, TopKByScore}
 
 /** Vector column kernels shared by ANN search and embedding dedup
   * (SURVEY §2.5 L5–L7). Pure `org.apache.spark.sql.functions` — the
@@ -18,10 +18,6 @@ object Vec {
     * interpreted per element and boxes every value. */
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimExpr(Bridge.expr(a), Bridge.expr(b)))
-
-  /** Squared L2 norm as a sequential double fold. */
-  def norm2sq(v: Column): Column =
-    aggregate(v, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
 
   /** Deterministic Lloyd's k-means for the IVF coarse quantizer:
     * seeded init from the sample itself, fixed iteration count, plain
@@ -127,28 +123,44 @@ object Ann {
       df: DataFrame, id: Column, vec: Column, probes: DataFrame, k: Int,
       dim: Int, nClusters: Int = 16, nProbe: Int = 4,
       trainSampleRows: Int = 2048, seed: Long = 7L): DataFrame = {
-    val sample = df.select(vec.as("_v"))
-      .sample(withReplacement = false, 1.0, seed).limit(trainSampleRows)
-      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    val centroids = Vec.kmeans(sample, nClusters, seed)
-
-    def assignment(v: Column, top: Int): Column = {
-      val sims = array(centroids.zipWithIndex.map { case (c, i) =>
-        struct(Vec.cosine(v, array(c.map(lit): _*)).as("sim"), lit(i).as("cid"))
-      }: _*)
-      slice(reverse(array_sort(sims)), 1, top)
+    // Seeded UNIFORM training sample: orderBy(rand) compiles to
+    // TakeOrderedAndProject (each partition keeps its own n by the
+    // random key, the driver merges p·n candidates — no full sort).
+    // A bare limit(n) would train the quantizer on the first rows of
+    // the scan order — one parquet file of one shard at 100 TB — and
+    // bias the centroids on clustered/sorted data. The array<double>
+    // cast reads float or double embeddings alike.
+    val sample = df.select(vec.cast("array<double>").as("_v"))
+      .orderBy(rand(seed)).limit(trainSampleRows)
+      .collect()
+      .flatMap(r => Option(r.getSeq[Double](0)).map(_.toArray))
+      .filter(_.length == dim)
+    if (sample.isEmpty) {
+      // Never-throw contract (EdgeSpec): empty table / all-null vectors
+      // → empty result with the standard ANN output schema.
+      return probes.select(col("probe_id"), lit(0L).as("neighbor_id"),
+        lit(0.0).as("sim"), lit(0).as("rank")).where(lit(false))
     }
+    // Unit-normalize the trained centroids so assignment ranks by one
+    // dot product per centroid (ranking by dot == by cosine at norm 1);
+    // empty clusters keep a zero centroid and rank last.
+    val unit = Vec.kmeans(sample, nClusters, seed).map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n > 0) c.map(_ / n) else c
+    }
+    def topc(v: Column, top: Int): Column =
+      Bridge.column(CentroidIdsExpr(Bridge.expr(v), unit.flatten, dim, top))
 
-    val data = df.select(id.as("neighbor_id"), vec.as("_v"),
-        assignment(vec, 1)(0).getField("cid").as("cid"))
+    val data = df.select(id.as("neighbor_id"), vec.as("_v"), topc(vec, 1)(0).as("cid"))
     val probed = probes.select(col("probe_id"), col("probe_vec").as("_pv"),
-        explode(assignment(col("probe_vec"), nProbe)).as("_pc"))
-      .select(col("probe_id"), col("_pv"), col("_pc.cid").as("cid"))
+      explode(topc(col("probe_vec"), nProbe)).as("cid"))
+    // No distinct needed: each data row has exactly one cid and a
+    // probe's nProbe list ids are distinct, so (probe_id, neighbor_id)
+    // appears at most once.
     val sims = data.join(broadcast(probed), Seq("cid"))
       .where(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         round(Vec.cosine(col("_v"), col("_pv")), 6).as("sim"))
-      .distinct()
     topKPerProbe(sims, k)
   }
 

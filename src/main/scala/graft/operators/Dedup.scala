@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -17,6 +18,11 @@ import graft.functions.TextFns
   */
 object Dedup {
 
+  /** Default hot-bucket cap for the LSH self-joins (see [[capBuckets]]).
+    * 500 members ⇒ ≤ ~125k intra-bucket pairs, bounded work per bucket;
+    * sized far above anything honest LSH produces at gate scale. */
+  val DefaultMaxBucket = 500
+
   // ------------------------------------------------------------------ L1
   /** Exact-dedup groups: one row per distinct normalized text —
     * `(fp, keep_id, n_dups)` with the min-id row as representative.
@@ -26,15 +32,51 @@ object Dedup {
     df.groupBy(TextFns.fingerprintMd5(text).as("fp"))
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Rows surviving exact dedup. For pure-Spark pipelines the 8-byte
-    * xxhash64 fingerprint is used (4× narrower shuffle than md5-hex).
-    * One shuffle: window-min over the fingerprint, keep the min-id row. */
+  /** Rows surviving exact dedup: the min-id row per distinct normalized
+    * text. Keep-list shape, no full-row window exchange: (1) a groupBy
+    * on the fingerprint builds the `(fp → min id)` keep-list with
+    * map-side partial aggregation — that shuffle carries only
+    * fingerprint + id; (2) a left-semi join on `id` keeps the winning
+    * rows (AQE broadcasts the keep-list when the distinct count fits;
+    * otherwise it is a narrow-key hash join, never a sort). The
+    * fingerprint is 128-bit md5, same as [[exactGroups]] — at
+    * billions of docs a 64-bit hash alone drops distinct rows on
+    * birthday collisions. Assumes `id` is unique (it is the
+    * representative key throughout this module). */
   def exactKeep(df: DataFrame, text: Column, id: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(TextFns.fingerprint64(text))
-    df.withColumn("_keep", min(id).over(w))
-      .where(id === col("_keep"))
-      .drop("_keep")
+    val keep = df.groupBy(TextFns.fingerprintMd5(text).as("_fp"))
+      .agg(min(id).as("_keep_id"))
+      .select(col("_keep_id"))
+    df.join(keep, id === col("_keep_id"), "left_semi")
   }
+
+  // ------------------------------------------------------ hot-bucket guard
+  /** Hot-bucket guard for the LSH self-joins. A degenerate key —
+    * boilerplate/template docs, zero-ish embeddings — puts b rows in one
+    * bucket and the self-join emits O(b²) pairs; AQE's skew split fixes
+    * the shuffle, not the quadratic blowup inside the bucket. Standard
+    * practice: drop buckets over `maxBucket` members from candidate
+    * generation. Members of an over-cap bucket are near-exact copies of
+    * one another, which exact dedup (L1) already collapses without
+    * quadratic cost — run it first in production pipelines. The count is
+    * a window over the same keys the join shuffles on, so the rows are
+    * narrow (id + keys) and the partitioning is reused by the join.
+    * `maxBucket <= 0` disables the guard; [[oversizedBuckets]] surfaces
+    * what a given cap would skip. */
+  private def capBuckets(bk: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    if (maxBucket <= 0) bk
+    else bk
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .where(col("_bsz") <= maxBucket)
+      .drop("_bsz")
+
+  /** Monitoring twin of the guard: bucket groups a cap of `maxBucket`
+    * would drop, with sizes — `(keys…, bucket_size)`. Run over
+    * [[minhashBuckets]] (keys `band`,`bucket`) or any bucketed frame to
+    * log skipped volume before a production dedup; no silent loss. */
+  def oversizedBuckets(bk: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
+    bk.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucket)
 
   // ------------------------------------------------------------------ L2
   /** LSH band buckets: `(_id, band, bucket)` — one row per (doc, band),
@@ -54,11 +96,16 @@ object Dedup {
   }
 
   /** Candidate pairs `(id_a, id_b)`, id_a < id_b — the bucketed
-    * self-join. NEVER a cartesian: the join keys are (band, bucket). */
+    * self-join. NEVER a cartesian: the join keys are (band, bucket),
+    * and buckets over `maxBucket` members are dropped (hot-bucket
+    * guard, see [[capBuckets]]). */
   def minhashCandidates(
       df: DataFrame, id: Column, text: Column,
-      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): DataFrame = {
-    val bk = minhashBuckets(df, id, text, shingleK, numHashes, bands)
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val bk = capBuckets(
+      minhashBuckets(df, id, text, shingleK, numHashes, bands),
+      Seq("band", "bucket"), maxBucket)
     val a = bk.toDF("id_a", "band", "bucket")
     val b = bk.toDF("id_b", "band", "bucket")
     a.join(b, Seq("band", "bucket"))
@@ -75,9 +122,10 @@ object Dedup {
     * AQE broadcast-joins it against the shingle sets at runtime. */
   def jaccardPairs(
       df: DataFrame, id: Column, text: Column, threshold: Double,
-      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): DataFrame = {
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sets = df.select(id.as("_jid"), array_distinct(TextFns.shingles(text, shingleK)).as("_set"))
-    minhashCandidates(df, id, text, shingleK, numHashes, bands)
+    minhashCandidates(df, id, text, shingleK, numHashes, bands, maxBucket)
       .join(sets.select(col("_jid").as("id_a"), col("_set").as("_set_a")), "id_a")
       .join(sets.select(col("_jid").as("id_b"), col("_set").as("_set_b")), "id_b")
       .withColumn("jaccard",
@@ -92,8 +140,9 @@ object Dedup {
     * applied as an anti-join against the verified pairs. */
   def minhashKeep(
       df: DataFrame, id: Column, text: Column, threshold: Double,
-      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): DataFrame = {
-    val dups = jaccardPairs(df, id, text, threshold, shingleK, numHashes, bands)
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val dups = jaccardPairs(df, id, text, threshold, shingleK, numHashes, bands, maxBucket)
       .select(col("id_b").as("_drop_id"))
     df.join(dups, id === col("_drop_id"), "left_anti")
   }
@@ -103,8 +152,11 @@ object Dedup {
     * `maxHamming` (≤ 3 by default). Pigeonhole banding: a 64-bit simhash
     * split into 4 16-bit chunks — any pair within hamming 3 agrees on at
     * least one chunk, so the chunk-equality self-join has recall 1 while
-    * random 16-bit collisions keep buckets tiny. */
-  def simhashPairs(df: DataFrame, id: Column, text: Column, maxHamming: Int = 3): DataFrame = {
+    * random 16-bit collisions keep buckets tiny. Degenerate chunks
+    * (identical boilerplate) are bounded by the hot-bucket guard. */
+  def simhashPairs(
+      df: DataFrame, id: Column, text: Column, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only for hamming <= 3")
     val sig = TextFns.simhash64(TextFns.wsTokens(TextFns.normText(text)))
     val h = df.select(id.as("_id"), sig.as("_sh"))
@@ -114,8 +166,9 @@ object Dedup {
     val banded = h
       .select(col("_id"), col("_sh"), explode(array(chunks: _*)).as("c"))
       .select(col("_id"), col("_sh"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
-    val a = banded.toDF("id_a", "sh_a", "chunk", "ckey")
-    val b = banded.toDF("id_b", "sh_b", "chunk", "ckey")
+    val capped = capBuckets(banded, Seq("chunk", "ckey"), maxBucket)
+    val a = capped.toDF("id_a", "sh_a", "chunk", "ckey")
+    val b = capped.toDF("id_b", "sh_b", "chunk", "ckey")
     a.join(b, Seq("chunk", "ckey"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -128,20 +181,33 @@ object Dedup {
   /** Embedding cosine near-dup pairs `(id_a, id_b, sim)` with rounded
     * cosine ≥ `tau`, candidates from random-hyperplane (sign) LSH:
     * `tables` independent bucket tables of `bitsPerTable` hyperplanes
-    * each. The self-join keys are (table, bucket) — never all-pairs.
+    * each. The self-join keys are (table, bucket) — never all-pairs —
+    * and only `(id, tbl, bucket)` rides the candidate shuffle: vectors
+    * are joined back by id for the exact-cosine verify step, so the
+    * O(n·tables) exploded stream stays ~24 bytes/row instead of
+    * carrying the embedding ×tables. Oversized buckets (degenerate
+    * near-identical embeddings) are dropped by the hot-bucket guard.
     * Recall is probabilistic (raise `tables` to push it up); the
-    * AnnSpec pins it against brute force on planted duplicates. */
+    * DedupSpec pins it against brute force on planted duplicates. */
   def embeddingPairs(
       df: DataFrame, id: Column, vec: Column, tau: Double, dim: Int,
-      tables: Int = 8, bitsPerTable: Int = 8, seed: Long = 7L): DataFrame = {
+      tables: Int = 8, bitsPerTable: Int = 8, seed: Long = 7L,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bucketed = Vec.hyperplaneBuckets(df.select(id.as("_id"), vec.as("_v")),
       col("_v"), dim, tables, bitsPerTable, seed)
-    val a = bucketed.toDF("id_a", "v_a", "tbl", "bucket")
-    val b = bucketed.toDF("id_b", "v_b", "tbl", "bucket")
-    a.join(b, Seq("tbl", "bucket"))
+      .select("_id", "tbl", "bucket") // vectors do NOT ride the candidate shuffle
+    val capped = capBuckets(bucketed, Seq("tbl", "bucket"), maxBucket)
+    val a = capped.toDF("id_a", "tbl", "bucket")
+    val b = capped.toDF("id_b", "tbl", "bucket")
+    val cand = a.join(b, Seq("tbl", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), round(Vec.cosine(col("v_a"), col("v_b")), 6).as("sim"))
+      .select("id_a", "id_b")
       .distinct()
+    val vecs = df.select(id.as("_vid"), vec.as("_vv"))
+    cand
+      .join(vecs.select(col("_vid").as("id_a"), col("_vv").as("_v_a")), "id_a")
+      .join(vecs.select(col("_vid").as("id_b"), col("_vv").as("_v_b")), "id_b")
+      .select(col("id_a"), col("id_b"), round(Vec.cosine(col("_v_a"), col("_v_b")), 6).as("sim"))
       .where(col("sim") >= tau)
   }
 }

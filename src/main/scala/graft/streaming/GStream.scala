@@ -81,7 +81,10 @@ object GStream {
           evts.map(_.ts.getTime).toSeq.sorted.foreach { t =>
             cur match {
               case Some(s) if t - s.endMs <= gapMs =>
-                cur = Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                // A late event can also precede the session start —
+                // extend both ends, never just the tail.
+                cur = Some(s.copy(startMs = math.min(s.startMs, t),
+                  endMs = math.max(s.endMs, t), n = s.n + 1))
               case Some(s) =>
                 closed ::= SessionInfo(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
                 cur = Some(SessState(t, t, 1))
@@ -91,7 +94,13 @@ object GStream {
           }
           cur.foreach { s =>
             state.update(s)
-            state.setTimeoutTimestamp(s.endMs + gapMs)
+            // end+gap can be <= the current watermark when this batch's
+            // events arrived very late; setTimeoutTimestamp rejects a
+            // non-future timestamp with IllegalArgumentException (query
+            // death). Clamp to watermark+1: the session then closes on
+            // the next trigger instead of killing the stream.
+            state.setTimeoutTimestamp(
+              math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
           }
           closed.reverseIterator
         }

@@ -85,7 +85,10 @@ final case class MinHashBandsExpr(child: Expression, numHashes: Int, bands: Int)
 /** Cosine similarity over two float/double array columns — native
   * codegen'd kernel (the `zip_with`+`aggregate` higher-order-function
   * form is interpreted per element with boxing). Result is bit-identical
-  * to the sequential-double-fold formula the oracles mirror. */
+  * to the sequential-double-fold formula the oracles mirror. Undefined
+  * results (zero-norm vector, NaN elements) surface as NULL, not NaN —
+  * `Double.compare` ranks NaN above every real number, so a propagated
+  * NaN would poison any downstream top-k. */
 final case class CosineSimExpr(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
 
@@ -94,17 +97,23 @@ final case class CosineSimExpr(left: Expression, right: Expression)
     TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  override def nullable: Boolean = true
 
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override protected def nullSafeEval(a: Any, b: Any): Any =
-    graft.hashing.VecUtil.cosine(
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r = graft.hashing.VecUtil.cosine(
       a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isFloat(left), isFloat(right))
+    if (java.lang.Double.isNaN(r)) null else r
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.hashing.VecUtil.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.hashing.VecUtil.cosine($a, $b, ${isFloat(left)}, ${isFloat(right)});
+         |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
     copy(left = l, right = r)
@@ -136,6 +145,42 @@ final case class HyperplaneBucketsExpr(
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucketsExpr =
+    copy(child = newChild)
+}
+
+/** Top-`top` IVF centroid ids by cosine for a vector column. The
+  * UNIT-normalized centroid matrix ships ONCE per task as a codegen
+  * reference object (`ctx.addReferenceObj`) — the literal-array
+  * formulation (`array(struct(cosine(v, array(lit…))))` per centroid)
+  * embeds nClusters×dim literals in the plan twice and is a plan-size
+  * and codegen bomb past ~64 clusters. One k·dim pass per row
+  * ([[graft.hashing.VecUtil.topCentroids]]). */
+final case class CentroidIdsExpr(child: Expression, centroids: Array[Double], dim: Int, top: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(dim > 0 && centroids.nonEmpty && centroids.length % dim == 0,
+    s"centroids length ${centroids.length} must be a positive multiple of dim=$dim")
+  require(top > 0, s"top out of range: $top")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_ids"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.VecUtil.topCentroids(
+      input.asInstanceOf[ArrayData], centroids, dim, top, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.hashing.VecUtil.topCentroids($c, $cRef, $dim, $top, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidIdsExpr =
     copy(child = newChild)
 }
 

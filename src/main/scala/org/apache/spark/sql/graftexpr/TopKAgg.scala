@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -33,9 +33,14 @@ final case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0,
-) extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+) extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]]
+    with ImplicitCastInputTypes {
 
   require(k > 0 && k <= (1 << 20), s"k out of range: $k")
+
+  // Misuse (int ids, decimal scores) coerces — or fails analysis with a
+  // type message — instead of ClassCastException deep inside update().
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType, LongType)
 
   // Head of the queue = the element to evict first: lowest score wins,
   // then largest id (so ties keep the smallest ids).
@@ -58,7 +63,11 @@ final case class TopKByScore(
       buf: mutable.PriorityQueue[(Double, Long)], input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null) add(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
+    // NaN would rank above every real score under Double.compare — skip
+    // it like NULL (cosine_sim already surfaces undefined as NULL; this
+    // guards arbitrary user score expressions too).
+    if (s != null && i != null && !java.lang.Double.isNaN(s.asInstanceOf[Double]))
+      add(buf, (s.asInstanceOf[Double], i.asInstanceOf[Long]))
     buf
   }
 

@@ -96,6 +96,35 @@ class AnnSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("topKIvf trains on a uniform sample — cluster-sorted input, small sample") {
+    val (e, probes) = frames
+    // One partition, sorted by cluster: a first-rows "sample" of 8 rows
+    // would only ever see clusters 0-1; the seeded uniform sample
+    // (orderBy(rand)) must still recover recall 1 vs brute force.
+    val sorted = e.orderBy(col("vec_id")).coalesce(1)
+    val brute = localTopK(4).view.mapValues(_.map(_._1).toSet).toMap
+    val ivf = Ann.topKIvf(sorted, col("vec_id"), col("embedding"), probes, k = 4,
+        dim = dim, nClusters = 4, nProbe = 2, trainSampleRows = 8)
+      .collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivf == brute)
+  }
+
+  test("IVF plan stays flat as nClusters grows (centroids ship as one reference object)") {
+    val (e, probes) = frames
+    def planLen(nc: Int): Int =
+      Ann.topKIvf(e, col("vec_id"), col("embedding"), probes, k = 4,
+          dim = dim, nClusters = nc, nProbe = nc / 2)
+        .queryExecution.executedPlan.toString.length
+    // the literal-array formulation grew O(nClusters·dim) in the plan;
+    // the reference-object kernel must not
+    assert(planLen(256) < planLen(16) * 2)
+    val rows = Ann.topKIvf(e, col("vec_id"), col("embedding"), probes, k = 4,
+      dim = dim, nClusters = 256, nProbe = 128).collect()
+    assert(rows.length == probeIds.size * 4)
+  }
+
   test("cosine kernel agrees with plain math on a known pair") {
     import spark.implicits._
     val df = Seq((Seq(1f, 0f), Seq(1f, 1f))).toDF("a", "b")

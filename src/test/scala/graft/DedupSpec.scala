@@ -70,6 +70,51 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("hot-bucket guard bounds a degenerate bucket and keeps true pairs") {
+    import spark.implicits._
+    // 1000 identical template docs: one degenerate (band,bucket) group
+    // that would emit ~500k intra-bucket pairs without the guard.
+    val template = (100L until 1100L).map(i =>
+      Doc(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"))
+    val all = Tio.fromRows(spark, Docs, docs ++ template).toNative
+    val cands = Dedup.minhashCandidates(all, col("doc_id"), col("text"), maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the template bucket is dropped; the planted true pairs survive
+    assert(cands == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the monitoring twin surfaces exactly what the cap skipped
+    val over = Dedup.oversizedBuckets(
+      Dedup.minhashBuckets(all, col("doc_id"), col("text")),
+      Seq("band", "bucket"), 50).collect()
+    assert(over.nonEmpty && over.forall(_.getAs[Long]("bucket_size") == 1000L))
+    // at gate scale (no degenerate bucket) the default cap never fires
+    val uncapped = Dedup.minhashCandidates(df, col("doc_id"), col("text"), maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val defaulted = Dedup.minhashCandidates(df, col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(defaulted == uncapped)
+  }
+
+  test("simhash and embedding self-joins honor the hot-bucket cap") {
+    import spark.implicits._
+    val template = (100L until 700L).map(i =>
+      Doc(i, "boilerplate footer text repeated across the whole crawl"))
+    val all = Tio.fromRows(spark, Docs, docs ++ template).toNative
+    val pairs = Dedup.simhashPairs(all, col("doc_id"), col("text"), maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a >= 100L && b >= 100L })
+
+    val base = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val near = Seq(1f, 0.05f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val tmplV = Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)
+    val embs = Seq(Emb(1L, base), Emb(2L, near)) ++ (100L until 700L).map(i => Emb(i, tmplV))
+    val e = Tio.fromRows(spark, Embs, embs).toNative
+    val ep = Dedup.embeddingPairs(e, col("vec_id"), col("embedding"),
+        tau = 0.95, dim = 8, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ep == Set((1L, 2L)))
+  }
+
   object Embs extends GSchema {
     val vec_id    = col[Long]("vec_id")
     val embedding = col[Seq[Float]]("embedding")

@@ -50,4 +50,30 @@ class EdgeSpec extends SparkSpec {
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
     assert(Ann.topKBrute(e, col("vec_id"), col("embedding"), noProbes, 5).count() == 0L)
   }
+
+  test("topKIvf on an empty vector table returns empty, not an exception") {
+    import spark.implicits._
+    val schema = new GSchema {
+      val vec_id = col[Long]("vec_id"); val embedding = col[Seq[Float]]("embedding")
+    }
+    val empty = Tio.fromRows(spark, schema, Seq.empty[Emb]).toNative
+    val probes = Tio.fromRows(spark, schema, Seq(Emb(1L, Seq(1f, 0f)))).toNative
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val out = Ann.topKIvf(empty, col("vec_id"), col("embedding"), probes, k = 3, dim = 2)
+    assert(out.count() == 0L)
+    assert(out.columns.toSeq == Seq("probe_id", "neighbor_id", "sim", "rank"))
+  }
+
+  test("cosine_sim: zero-norm is NULL (not NaN), length mismatch is a clear error") {
+    import spark.implicits._
+    val zero = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+    assert(zero.select(graft.operators.Vec.cosine(col("a"), col("b"))).head().isNullAt(0))
+    val bad = Seq((Seq(1f, 0f, 0f), Seq(1f, 1f))).toDF("a", "b")
+    val ex = intercept[Throwable] {
+      bad.select(graft.operators.Vec.cosine(col("a"), col("b"))).collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("length mismatch")))
+  }
 }

@@ -19,6 +19,14 @@ class FrameSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](tf.item(Users.name))
   }
 
+  test("no-arg item() reads a 1x1 frame and rejects wider/taller ones") {
+    val oneByOne = tf.filter(Users.id.tc === 3L).select(Users.name)
+    assert(oneByOne.item[String]() == "cy")
+    // 1 row, >1 col → reject; >1 row, 1 col → reject
+    assertThrows[IllegalArgumentException](tf.filter(Users.id.tc === 3L).item[String]())
+    assertThrows[IllegalArgumentException](tf.select(Users.name).item[String]())
+  }
+
   test("sample(n) is seeded-deterministic, exactly n, and count-free") {
     val f = tf
     val s1 = f.sample(2).collectRows().map(_.getLong(0)).toSeq

@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.BoundReference
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftexpr.TopKByScore
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.hashing.{MinHashUtil, ShingleUtil}
+
+/** Generated-input invariants for the pure kernels (no SparkSession —
+  * the kernels are static JVM code Catalyst codegen calls into).
+  * ScalaCheck `Properties` run under `sbt test` next to the ScalaTest
+  * suites via sbt's built-in framework support. */
+object HashingProps extends Properties("hashing-kernels") {
+
+  private val toksGen: Gen[List[String]] = Gen.listOf(Gen.identifier)
+
+  private def arr(tokens: Seq[String]): ArrayData =
+    new GenericArrayData(tokens.map(t => UTF8String.fromString(t): Any).toArray)
+
+  property("minhash signature has numHashes entries and is token-order-invariant") =
+    forAll(toksGen, Gen.choose(1, 64), Gen.long) { (toks, nh, seed) =>
+      val sig = MinHashUtil.signature(arr(toks), nh).toLongArray()
+      val shuffled = new scala.util.Random(seed).shuffle(toks)
+      sig.length == nh &&
+        MinHashUtil.signature(arr(shuffled), nh).toLongArray().sameElements(sig)
+    }
+
+  property("minhash signature ignores duplicate tokens (set semantics)") =
+    forAll(toksGen) { toks =>
+      MinHashUtil.signature(arr(toks ++ toks), 32).toLongArray()
+        .sameElements(MinHashUtil.signature(arr(toks), 32).toLongArray())
+    }
+
+  property("bandBuckets emits exactly `bands` buckets, equal for equal token sets") =
+    forAll(toksGen, Gen.choose(1, 8), Gen.choose(1, 8), Gen.long) { (toks, r, bands, seed) =>
+      val nh = r * bands
+      val bk = MinHashUtil.bandBuckets(arr(toks), nh, bands).toLongArray()
+      val shuffled = new scala.util.Random(seed).shuffle(toks)
+      bk.length == bands &&
+        MinHashUtil.bandBuckets(arr(shuffled), nh, bands).toLongArray().sameElements(bk)
+    }
+
+  property("shingle count == max(1, n - k + 1)") =
+    forAll(toksGen, Gen.choose(1, 10)) { (toks, k) =>
+      ShingleUtil.shingles(arr(toks), k).numElements() ==
+        math.max(1, toks.length - k + 1)
+    }
+}
+
+/** TopKByScore's determinism claim (TopKAgg.scala): the result is
+  * independent of how the input is partitioned and in which order the
+  * partial buffers merge. */
+object TopKProps extends Properties("topk-agg") {
+
+  private val pairGen: Gen[(Double, Long)] = for {
+    s <- Gen.chooseNum(-1e6, 1e6)
+    i <- Gen.chooseNum(-1000L, 1000L)
+  } yield (s, i)
+
+  private def toPairs(result: Any): Seq[(Double, Long)] =
+    result.asInstanceOf[GenericArrayData].array.toSeq.map { e =>
+      val r = e.asInstanceOf[InternalRow]
+      (r.getDouble(0), r.getLong(1))
+    }
+
+  property("partitioning and merge order never change the top-k") =
+    forAll(Gen.listOf(pairGen), Gen.choose(1, 10), Gen.choose(1, 7), Gen.long) {
+      (pairs, k, chunkSize, seed) =>
+        val agg = TopKByScore(
+          BoundReference(0, DoubleType, nullable = false),
+          BoundReference(1, LongType, nullable = false), k)
+        def updated(ps: Seq[(Double, Long)]) =
+          ps.foldLeft(agg.createAggregationBuffer()) { (b, p) =>
+            agg.update(b, InternalRow(p._1, p._2))
+          }
+        val rnd = new scala.util.Random(seed)
+        val chunkBufs = rnd.shuffle(pairs.grouped(chunkSize).toList).map(updated)
+        val merged = chunkBufs.foldLeft(agg.createAggregationBuffer())(agg.merge)
+        toPairs(agg.eval(merged)) == toPairs(agg.eval(updated(pairs)))
+    }
+
+  property("result is sorted (score desc, id asc) and bounded by k") =
+    forAll(Gen.listOf(pairGen), Gen.choose(1, 10)) { (pairs, k) =>
+      val agg = TopKByScore(
+        BoundReference(0, DoubleType, nullable = false),
+        BoundReference(1, LongType, nullable = false), k)
+      val buf = pairs.foldLeft(agg.createAggregationBuffer()) { (b, p) =>
+        agg.update(b, InternalRow(p._1, p._2))
+      }
+      val out = toPairs(agg.eval(buf))
+      val resorted = out.sortBy { case (s, i) => (-s, i) }
+      out.length == math.min(k, pairs.length) && out == resorted
+    }
+}
+
+/** cast_schema mapping resolution under generated schema shapes —
+  * the precedence matrix (explicit mapping > mappedFrom > name match)
+  * from CastResolve (frame.scala), reference dataframe.py:234-290. */
+object CastResolveProps extends Properties("cast-resolve") {
+
+  private final class DynSchema(names: Seq[String]) extends GSchema {
+    names.foreach(n => col[Long](n))
+    override def schemaName: String = s"Dyn(${names.mkString(",")})"
+  }
+
+  // Distinct identifiers whose "src_"-prefixed forms stay disjoint from
+  // the originals (so source schemas built from both sets are unambiguous).
+  private val namesGen: Gen[List[String]] =
+    Gen.listOf(Gen.identifier).map(_.distinct)
+      .suchThat(ns => ns.map("src_" + _).toSet.intersect(ns.toSet).isEmpty)
+
+  property("identity resolution maps every target name to itself") =
+    forAll(namesGen) { names =>
+      val tgt = new DynSchema(names)
+      CastResolve.resolve(tgt, names.toSet, Map.empty,
+        extraForbid = true, ambiguous = Set.empty, inheritanceFallback = false) ==
+        names.map(n => n -> n).toMap
+    }
+
+  property("explicit mapping wins over a same-name source column") =
+    forAll(namesGen.suchThat(_.nonEmpty)) { names =>
+      val tgt = new DynSchema(names)
+      val srcNames = names.map("src_" + _)
+      val src = new DynSchema(srcNames ++ names)
+      val mapping: Map[GCol[_], GCol[_]] =
+        tgt.columns.zip(src.columns.take(names.length)).toMap
+      CastResolve.resolve(tgt, (srcNames ++ names).toSet, mapping,
+        extraForbid = false, ambiguous = Set.empty, inheritanceFallback = false) ==
+        names.map(n => n -> ("src_" + n)).toMap
+    }
+
+  property("unresolvable target columns raise GSchemaError naming exactly them") =
+    forAll(namesGen.suchThat(_.nonEmpty)) { names =>
+      val tgt = new DynSchema(names)
+      try {
+        CastResolve.resolve(tgt, names.drop(1).toSet, Map.empty,
+          extraForbid = false, ambiguous = Set.empty, inheritanceFallback = false)
+        false
+      } catch {
+        case e: GSchemaError => e.missingColumns == Seq(names.head)
+      }
+    }
+
+  property("extraForbid raises GSchemaError naming the unused source columns") =
+    forAll(namesGen.suchThat(_.nonEmpty)) { names =>
+      val tgt = new DynSchema(names.tail)
+      try {
+        CastResolve.resolve(tgt, names.toSet, Map.empty,
+          extraForbid = true, ambiguous = Set.empty, inheritanceFallback = false)
+        names.tail.isEmpty && names.head.isEmpty // unreachable; extras must throw
+      } catch {
+        case e: GSchemaError => e.extraColumns == Seq(names.head)
+      }
+    }
+}
