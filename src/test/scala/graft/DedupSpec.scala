@@ -37,9 +37,13 @@ class DedupSpec extends SparkSpec {
   }
 
   test("exactKeep drops only the higher-id exact duplicate") {
-    val kept = Dedup.exactKeep(df, col("text"), col("doc_id"))
-      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val out = Dedup.exactKeep(df, col("text"), col("doc_id"))
+    val kept = out.collect().map(_.getAs[Long]("doc_id")).toSet
     assert(kept == Set(1L, 3L, 4L))
+    // keep-list shape: no full-row window exchange in the plan — the
+    // only aggregation shuffles (fingerprint, id), never the text
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"expected no window exchange, got:\n$plan")
   }
 
   test("minhash LSH candidates contain every true near-dup pair") {
