@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Plan-shape regression gates: the properties that make these queries
+  * scale (filter pushdown, column pruning, broadcast dims, partial
+  * aggregation) must stay visible in the FINAL AQE plan — a correct
+  * result from a degraded plan is still a regression at 100 TB. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Execute and return the final (post-AQE) physical plan string. */
+  private def finalPlan(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def q(name: String): String = finalPlan(SparkEntry.queries(name)(spark, dir))
+
+  test("q2: filters reach the parquet scan; scan is column-pruned") {
+    val plan = q("q2_filter_sort")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"expected pushed filters, got:\n$plan")
+    assert(plan.contains("GreaterThan(l_quantity,30.0)"), s"missing pushed range filter:\n$plan")
+    // projection pruning: the 16-col lineitem scan reads only what q2 needs
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipmode") && !readSchema.contains("l_comment"),
+      s"scan not pruned: $readSchema")
+  }
+
+  test("q3/q5: dimension sides broadcast, no sort-merge join of a dim") {
+    val p3 = q("q3_join_agg")
+    assert(p3.contains("BroadcastHashJoin"), s"q3 expected broadcast join:\n$p3")
+    val p5 = q("q5_multi_join")
+    assert(p5.contains("BroadcastHashJoin"), s"q5 expected broadcast dims:\n$p5")
+  }
+
+  test("q1: grouped agg is partial -> final, no Expand in the distinct path") {
+    val plan = q("q1_agg")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    assert(!plan.contains("Expand"), s"count_distinct must not plan an Expand:\n$plan")
+  }
+
+  test("ann_topk: probes broadcast and top-k is a partial-merge aggregate, not a window") {
+    val plan = q("ann_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probes must broadcast:\n$plan")
+    assert(plan.contains("top_k_by_score"), s"expected TopKByScore aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"per-probe top-k must not use a window function:\n$plan")
+    assert(plan.contains("partial_top_k_by_score") || plan.contains("partial top_k_by_score")
+        || plan.contains("functions=[partial"),
+      s"top-k must participate in partial aggregation:\n$plan")
+  }
+
+  test("text kernels stay inside whole-stage codegen in one pruned scan") {
+    val plan = q("text_langid")
+    // "*(n)" is the whole-stage-codegen stage marker in plan toString;
+    // the scan's Project chain must carry one (no interpreted boundary)
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"expected codegen'd projection:\n$plan")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected exactly one documents scan, got $scans:\n$plan")
+  }
+}
