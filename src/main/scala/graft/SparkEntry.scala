@@ -337,6 +337,17 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     },
 
+    // L13: connected-components clustering over the verified pairs —
+    // every duplicated doc gets the component's min id as canonical id.
+    // Iterative min-label propagation on Spark; WITH RECURSIVE closure
+    // in the DuckDB oracle.
+    "dedup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(documents(s, dir).toNative, col("doc_id"), col("text"), 0.5)
+      Dedup.duplicateClusters(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+
     // L3: SimHash pairs within hamming 3 via 4x16-bit pigeonhole bands.
     // No SQL oracle (simhash isn't expressible in ANSI SQL) — rows-only
     // gate; DedupSpec pins exact pair recovery on planted duplicates.
@@ -601,6 +612,19 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        |  THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT ida AS u, idb AS v FROM pairs UNION SELECT idb, ida FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges
+        |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u ORDER BY 1""".stripMargin,
 
     "ann_topk" ->
       """WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv

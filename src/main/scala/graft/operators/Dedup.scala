@@ -147,6 +147,51 @@ object Dedup {
     df.join(dups, id === col("_drop_id"), "left_anti")
   }
 
+  // ----------------------------------------------------------------- L13
+  /** Connected components over a verified duplicate-pair graph:
+    * `(id, cluster_id)` with cluster_id = the smallest doc id in the
+    * component, one row per doc with at least one duplicate (docs
+    * without pairs are implicit singletons). This is the transitive
+    * step pair-based dedup needs: with A~B and B~C but A≁C, the min-id
+    * rule alone picks representatives per-pair; clustering gives every
+    * member the same canonical id.
+    *
+    * Iterative min-label propagation: each round joins labels to the
+    * edge list and takes the min over neighbors — shuffle O(|edges|)
+    * per round, rounds = component diameter (near-dup components are
+    * chains/cliques of a few docs, so a handful in practice; raise
+    * `maxIters` for adversarial chains). Lineage is truncated per
+    * round with `localCheckpoint`, so the plan stays flat no matter
+    * how many rounds run — the classic iterative-Spark requirement.
+    * Convergence is a 1-row probe per round, not a full count. */
+  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b"))
+    val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
+      .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
+      .localCheckpoint(true) // materialize once: candidate gen never re-runs per round
+    var labels = edges.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
+    var changed = true
+    var it = 0
+    while (changed && it < maxIters) {
+      val nmin = edges.join(labels, edges("v") === labels("id"))
+        .groupBy("u").agg(min("cluster_id").as("_nmin"))
+      val next = labels.join(nmin, labels("id") === nmin("u"), "left")
+        .select(labels("id"),
+          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"),
+          (coalesce(col("_nmin"), col("cluster_id")) < col("cluster_id")).as("_c"))
+        .localCheckpoint(true)
+      changed = next.where(col("_c")).limit(1).count() > 0
+      labels = next.drop("_c")
+      it += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"duplicateClusters: not converged after $maxIters rounds (component diameter > $maxIters); raise maxIters")
+    labels
+  }
+
   // ------------------------------------------------------------------ L3
   /** SimHash near-dup pairs `(id_a, id_b, hamming)` with hamming ≤
     * `maxHamming` (≤ 3 by default). Pigeonhole banding: a 64-bit simhash

@@ -74,6 +74,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("duplicateClusters assigns the component min id transitively (chain A~B~C)") {
+    import spark.implicits._
+    val chain = Seq(
+      Doc(10L, "the quick brown fox jumps over the lazy dog"),
+      Doc(11L, "the quick brown fox jumps over the lazy cat"),
+      Doc(12L, "a speedy brown fox jumps over the lazy cat"),
+      Doc(13L, "completely unrelated content about spark shuffle partitions"),
+      Doc(20L, "another isolated pair of documents first twin here now"),
+      Doc(21L, "another isolated pair of documents first twin here soon"),
+    )
+    val d = Tio.fromRows(spark, Docs, chain).toNative
+    val pairs = Dedup.jaccardPairs(d, col("doc_id"), col("text"), 0.5)
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the chain is NOT a clique: 10~11, 11~12, but J(10,12) < 0.5
+    assert(ps == Set((10L, 11L), (11L, 12L), (20L, 21L)))
+    val clusters = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    // transitive: 12 reaches 10 through 11; the isolated pair stays separate
+    assert(clusters == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
   test("hot-bucket guard bounds a degenerate bucket and keeps true pairs") {
     import spark.implicits._
     // 1000 identical template docs: one degenerate (band,bucket) group

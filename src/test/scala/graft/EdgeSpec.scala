@@ -24,6 +24,8 @@ class EdgeSpec extends SparkSpec {
     assert(Dedup.minhashCandidates(d, col("doc_id"), col("text")).count() == 0L)
     assert(Dedup.jaccardPairs(d, col("doc_id"), col("text"), 0.5).count() == 0L)
     assert(Dedup.simhashPairs(d, col("doc_id"), col("text")).count() == 0L)
+    assert(Dedup.duplicateClusters(
+      Dedup.jaccardPairs(d, col("doc_id"), col("text"), 0.5)).count() == 0L)
   }
 
   test("single-row and empty-string documents flow through text kernels") {
