@@ -157,8 +157,10 @@ object VecUtil {
     * own norm is a shared positive factor), so assignment is ONE
     * k·dim pass — no per-row norm recomputation. Ties break to the
     * smaller cid (iteration order + strict insert), deterministically.
-    * Zero/NaN rows produce no meaningful ranking; their ids simply
-    * match no inverted list downstream. */
+    * The output is truncated to the FILLED prefix: an all-NaN vector
+    * inserts nothing and yields an empty list (so degenerate rows join
+    * no inverted list), never Int.MinValue sentinel "ids" — callers
+    * rely on every returned id being a real, distinct centroid. */
   def topCentroids(v: ArrayData, centroids: Array[Double], dim: Int, top: Int, isFloat: Boolean): ArrayData = {
     if (v.numElements() != dim)
       throw new IllegalArgumentException(
@@ -189,7 +191,10 @@ object VecUtil {
       }
       c += 1
     }
-    new GenericArrayData(bestCid)
+    var filled = 0
+    while (filled < n && bestCid(filled) != Int.MinValue) filled += 1
+    if (filled == n) new GenericArrayData(bestCid)
+    else new GenericArrayData(java.util.Arrays.copyOf(bestCid, filled))
   }
 
   /** All sign-LSH tables in one pass: `planes` is the flattened

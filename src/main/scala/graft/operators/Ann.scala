@@ -74,7 +74,8 @@ object Vec {
   def hyperplaneBuckets(
       df: DataFrame, vecCol: Column, dim: Int,
       tables: Int, bits: Int, seed: Long): DataFrame = {
-    val flat = hyperplanes(dim, tables, bits, seed).flatten.flatten
+    val flat = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      hyperplanes(dim, tables, bits, seed).flatten.flatten)
     val buckets = Bridge.column(HyperplaneBucketsExpr(Bridge.expr(vecCol), flat, tables, bits))
     df.select(df.columns.map(col) :+ posexplode(buckets).as(Seq("tbl", "bucket")): _*)
   }
@@ -149,7 +150,8 @@ object Ann {
       if (n > 0) c.map(_ / n) else c
     }
     def topc(v: Column, top: Int): Column =
-      Bridge.column(CentroidIdsExpr(Bridge.expr(v), unit.flatten, dim, top))
+      Bridge.column(CentroidIdsExpr(Bridge.expr(v),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(unit.flatten), dim, top))
 
     val data = df.select(id.as("neighbor_id"), vec.as("_v"), topc(vec, 1)(0).as("cid"))
     val probed = probes.select(col("probe_id"), col("probe_vec").as("_pv"),

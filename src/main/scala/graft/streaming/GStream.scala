@@ -76,23 +76,30 @@ object GStream {
           state.remove()
           Iterator.single(SessionInfo(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n))
         } else {
+          // Interval sweep over (existing session ∪ batch events) sorted
+          // by start time: adjacent items merge when separated by <= gap.
+          // This handles an above-watermark event EARLIER than the open
+          // session correctly — within the gap of startMs it back-extends
+          // the session; beyond it, it forms (and closes) its own earlier
+          // session instead of dragging startMs arbitrarily backwards
+          // (the naive `t - endMs <= gap` test merges ANY earlier event).
           var closed = List.empty[SessionInfo]
-          var cur = state.getOption
-          evts.map(_.ts.getTime).toSeq.sorted.foreach { t =>
+          val items = (state.getOption.map(s => (s.startMs, s.endMs, s.n)).toList ++
+            evts.map { e => val t = e.ts.getTime; (t, t, 1L) }.toList)
+            .sortBy(x => (x._1, x._2))
+          var cur: Option[(Long, Long, Long)] = None
+          items.foreach { case item @ (s0, e0, n0) =>
             cur match {
-              case Some(s) if t - s.endMs <= gapMs =>
-                // A late event can also precede the session start —
-                // extend both ends, never just the tail.
-                cur = Some(s.copy(startMs = math.min(s.startMs, t),
-                  endMs = math.max(s.endMs, t), n = s.n + 1))
-              case Some(s) =>
-                closed ::= SessionInfo(uid, new Timestamp(s.startMs), new Timestamp(s.endMs), s.n)
-                cur = Some(SessState(t, t, 1))
+              case Some((cs, ce, cn)) if s0 - ce <= gapMs =>
+                cur = Some((cs, math.max(ce, e0), cn + n0))
+              case Some((cs, ce, cn)) =>
+                closed ::= SessionInfo(uid, new Timestamp(cs), new Timestamp(ce), cn)
+                cur = Some(item)
               case None =>
-                cur = Some(SessState(t, t, 1))
+                cur = Some(item)
             }
           }
-          cur.foreach { s =>
+          cur.map { case (cs, ce, cn) => SessState(cs, ce, cn) }.foreach { s =>
             state.update(s)
             // end+gap can be <= the current watermark when this batch's
             // events arrived very late; setTimeoutTimestamp rejects a

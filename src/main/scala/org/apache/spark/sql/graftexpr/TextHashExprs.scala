@@ -121,10 +121,15 @@ final case class CosineSimExpr(left: Expression, right: Expression)
 
 /** All sign-LSH hyperplane tables in one pass over the vector; `planes`
   * is the flattened [table][bit][dim] tensor shipped as a literal
-  * reference object. */
+  * reference object. Held as an immutable Seq (not Array) so two
+  * structurally identical expressions compare equal — case-class
+  * equality over an Array is reference-based, which defeats Catalyst
+  * canonicalization and common-subexpression elimination. */
 final case class HyperplaneBucketsExpr(
-    child: Expression, planes: Array[Double], tables: Int, bits: Int)
+    child: Expression, planes: Seq[Double], tables: Int, bits: Int)
     extends UnaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val planesArr: Array[Double] = planes.toArray
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
@@ -136,10 +141,10 @@ final case class HyperplaneBucketsExpr(
 
   override protected def nullSafeEval(input: Any): Any =
     graft.hashing.VecUtil.hyperplaneBuckets(
-      input.asInstanceOf[ArrayData], planes, tables, bits, isFloat)
+      input.asInstanceOf[ArrayData], planesArr, tables, bits, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    val planesRef = ctx.addReferenceObj("planes", planesArr, "double[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.hashing.VecUtil.hyperplaneBuckets($c, $planesRef, $tables, $bits, $isFloat)")
   }
@@ -154,13 +159,18 @@ final case class HyperplaneBucketsExpr(
   * formulation (`array(struct(cosine(v, array(lit…))))` per centroid)
   * embeds nClusters×dim literals in the plan twice and is a plan-size
   * and codegen bomb past ~64 clusters. One k·dim pass per row
-  * ([[graft.hashing.VecUtil.topCentroids]]). */
-final case class CentroidIdsExpr(child: Expression, centroids: Array[Double], dim: Int, top: Int)
+  * ([[graft.hashing.VecUtil.topCentroids]]). Centroids are an immutable
+  * Seq (not Array) so structurally equal instances compare equal —
+  * Array equality is reference-based and would defeat canonicalization
+  * / common-subexpression elimination. */
+final case class CentroidIdsExpr(child: Expression, centroids: Seq[Double], dim: Int, top: Int)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(dim > 0 && centroids.nonEmpty && centroids.length % dim == 0,
     s"centroids length ${centroids.length} must be a positive multiple of dim=$dim")
   require(top > 0, s"top out of range: $top")
+
+  @transient private lazy val centroidsArr: Array[Double] = centroids.toArray
 
   override def inputTypes: Seq[AbstractDataType] =
     Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
@@ -172,10 +182,10 @@ final case class CentroidIdsExpr(child: Expression, centroids: Array[Double], di
 
   override protected def nullSafeEval(input: Any): Any =
     graft.hashing.VecUtil.topCentroids(
-      input.asInstanceOf[ArrayData], centroids, dim, top, isFloat)
+      input.asInstanceOf[ArrayData], centroidsArr, dim, top, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val cRef = ctx.addReferenceObj("centroids", centroids, "double[]")
+    val cRef = ctx.addReferenceObj("centroids", centroidsArr, "double[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.hashing.VecUtil.topCentroids($c, $cRef, $dim, $top, $isFloat)")
   }

@@ -131,4 +131,27 @@ class AnnSpec extends SparkSpec {
     val got = df.select(Vec.cosine(col("a"), col("b"))).head().getDouble(0)
     assert(math.abs(got - 1.0 / math.sqrt(2.0)) < 1e-15)
   }
+
+  test("topCentroids truncates to real centroid ids — an all-NaN vector yields an empty list") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.hashing.VecUtil
+    val centroids = Array(1.0, 0.0, 0.0, 1.0) // 2 unit centroids, dim 2
+    val nan = new GenericArrayData(Array(Double.NaN, Double.NaN))
+    // nothing inserts: empty output, never an Int.MinValue sentinel id
+    assert(VecUtil.topCentroids(nan, centroids, dim = 2, top = 3, isFloat = false)
+      .toIntArray().isEmpty)
+    // a real vector with top > k returns exactly the k distinct real ids
+    val v = new GenericArrayData(Array(1.0, 0.1))
+    assert(VecUtil.topCentroids(v, centroids, dim = 2, top = 5, isFloat = false)
+      .toIntArray().toSeq == Seq(0, 1))
+  }
+
+  test("structurally equal centroid/hyperplane expressions compare equal (CSE-friendly)") {
+    import org.apache.spark.sql.graftexpr.{CentroidIdsExpr, HyperplaneBucketsExpr}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val cs = Seq(1.0, 0.0, 0.0, 1.0)
+    val c = Bridge.expr(col("v"))
+    assert(CentroidIdsExpr(c, cs, 2, 1) == CentroidIdsExpr(c, Seq(1.0, 0.0, 0.0, 1.0), 2, 1))
+    assert(HyperplaneBucketsExpr(c, cs, 1, 2) == HyperplaneBucketsExpr(c, Seq(1.0, 0.0, 0.0, 1.0), 1, 2))
+  }
 }

@@ -81,6 +81,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((0L, 30000L, 2L), (200000L, 200000L, 1L), (1000000L, 1000000L, 1L)))
   }
 
+  test("ST2: an early above-watermark event beyond the gap forms its own session") {
+    val base = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    def ev(uid: Long, sec: Long) = SEvent(uid, new Timestamp(base + sec * 1000), "x")
+
+    val input = MemoryStream(Encoders.product[SEvent], spark)
+    // huge watermark delay: even much-earlier events stay above-watermark
+    // and reach the stateful function instead of being dropped upstream
+    val sessions = GStream.sessionize(input.toDS(), gapMs = 10000L, watermarkDelay = "2 hours")
+    val q = sessions.writeStream
+      .format("memory").queryName("st2_early").outputMode("append").start()
+    try {
+      input.addData(Seq(ev(1L, 100)))
+      q.processAllAvailable() // open session {100}
+      // 50s is 50s before the session start — far beyond the 10s gap, so
+      // it must become its own (already-gap-expired) session, NOT merge
+      // into {100} and drag its start back
+      input.addData(Seq(ev(1L, 50)))
+      q.processAllAvailable()
+      // 95s is within the gap of the session start: back-extends to {95..100}
+      input.addData(Seq(ev(1L, 95)))
+      q.processAllAvailable()
+      // 300s closes the current session by gap: it must be {95..100}, 2 events
+      input.addData(Seq(ev(1L, 300)))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+
+    val got = spark.table("st2_early").as[SessionInfo](Encoders.product[SessionInfo])
+      .collect().map(s => (s.start.getTime - base, s.end.getTime - base, s.n_events)).toSet
+    assert(got == Set((50000L, 50000L, 1L), (95000L, 100000L, 2L)))
+  }
+
   test("ST2: a very late event cannot kill the query") {
     val base = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
     def ev(uid: Long, sec: Long) = SEvent(uid, new Timestamp(base + sec * 1000), "x")
