@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -161,28 +161,44 @@ object Dedup {
     * per round, rounds = component diameter (near-dup components are
     * chains/cliques of a few docs, so a handful in practice; raise
     * `maxIters` for adversarial chains). Lineage is truncated per
-    * round with `localCheckpoint`, so the plan stays flat no matter
-    * how many rounds run — the classic iterative-Spark requirement.
-    * Convergence is a 1-row probe per round, not a full count. */
-  def duplicateClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    * round (the classic iterative-Spark requirement) and convergence
+    * is read from an `observe` metric collected DURING the
+    * materializing pass — no separate probe job per round.
+    *
+    * `checkpointDir`: by default rounds truncate lineage with
+    * `localCheckpoint`, whose blocks live on executors — fine on
+    * local[n], but on a real cluster losing one executor mid-iteration
+    * loses the (truncated) lineage and kills the job. Pass a reliable
+    * store path (HDFS/S3) to swap in fault-tolerant `checkpoint()` for
+    * production runs. */
+  def duplicateClusters(
+      pairs: DataFrame, maxIters: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def materialize(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
     val p = pairs.select(col("id_a"), col("id_b"))
-    val edges = p.select(col("id_a").as("u"), col("id_b").as("v"))
-      .union(p.select(col("id_b").as("u"), col("id_a").as("v")))
-      .localCheckpoint(true) // materialize once: candidate gen never re-runs per round
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
+    val edges = materialize( // materialize once: candidate gen never re-runs per round
+      p.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(p.select(col("id_b").as("u"), col("id_a").as("v"))))
+    var labels = materialize(
+      edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id")))
     var changed = true
     var it = 0
     while (changed && it < maxIters) {
       val nmin = edges.join(labels, edges("v") === labels("id"))
         .groupBy("u").agg(min("cluster_id").as("_nmin"))
-      val next = labels.join(nmin, labels("id") === nmin("u"), "left")
-        .select(labels("id"),
-          least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"),
-          (coalesce(col("_nmin"), col("cluster_id")) < col("cluster_id")).as("_c"))
-        .localCheckpoint(true)
-      changed = next.where(col("_c")).limit(1).count() > 0
+      val obs = Observation()
+      val next = materialize(
+        labels.join(nmin, labels("id") === nmin("u"), "left")
+          .select(labels("id"),
+            least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"),
+            (coalesce(col("_nmin"), col("cluster_id")) < col("cluster_id")).as("_c"))
+          .observe(obs, sum(when(col("_c"), 1L).otherwise(0L)).as("n_changed")))
+      changed = observedChanged(obs, next)
       labels = next.drop("_c")
       it += 1
     }
@@ -190,6 +206,22 @@ object Dedup {
       throw new IllegalStateException(
         s"duplicateClusters: not converged after $maxIters rounds (component diameter > $maxIters); raise maxIters")
     labels
+  }
+
+  /** Read the per-round convergence metric the checkpoint action already
+    * collected. Listener delivery is synchronous with the action in
+    * practice; the brief poll + 1-row probe fallback keeps the loop
+    * correct even if a future Spark delivers metrics asynchronously. */
+  private def observedChanged(obs: Observation, next: DataFrame): Boolean = {
+    import org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty
+    var waited = 0
+    while (observedOrEmpty(obs).isEmpty && waited < 5000) { Thread.sleep(10); waited += 10 }
+    val m = observedOrEmpty(obs)
+    m.get("n_changed") match {
+      case Some(n: java.lang.Long) => n.longValue > 0L
+      case _ if m.nonEmpty => false // null sum: the label set itself is empty
+      case _ => next.where(col("_c")).limit(1).count() > 0
+    }
   }
 
   // ------------------------------------------------------------------ L3

@@ -30,6 +30,13 @@ object Bridge {
   def arrowBatchRdd(df: DataFrame): org.apache.spark.rdd.RDD[Array[Byte]] =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].toArrowBatchRdd
 
+  /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
+    * `private[sql]`): empty map until the observed action completes.
+    * Callers poll this instead of the blocking `get` so a
+    * metrics-delivery failure can fall back rather than hang. */
+  def observedOrEmpty(obs: org.apache.spark.sql.Observation): Map[String, Any] =
+    obs.getOrEmpty
+
   /** Arrow-IPC batches → DataFrame (driver-side iterator). */
   def fromArrowBatches(
       batches: Iterator[Array[Byte]],

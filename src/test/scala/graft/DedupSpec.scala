@@ -89,10 +89,21 @@ class DedupSpec extends SparkSpec {
     val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the chain is NOT a clique: 10~11, 11~12, but J(10,12) < 0.5
     assert(ps == Set((10L, 11L), (11L, 12L), (20L, 21L)))
+    val expected = Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
     val clusters = Dedup.duplicateClusters(pairs).collect()
       .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
     // transitive: 12 reaches 10 through 11; the isolated pair stays separate
-    assert(clusters == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(clusters == expected)
+    // reliable-checkpoint mode (cluster fault tolerance) — same answer
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    val reliable = Dedup.duplicateClusters(pairs, checkpointDir = Some(ckptDir)).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(reliable == expected)
+  }
+
+  test("duplicateClusters on an empty pair set returns an empty frame (no hang)") {
+    val none = Dedup.jaccardPairs(df, col("doc_id"), col("text"), threshold = 1.01)
+    assert(Dedup.duplicateClusters(none).collect().isEmpty)
   }
 
   test("hot-bucket guard bounds a degenerate bucket and keeps true pairs") {

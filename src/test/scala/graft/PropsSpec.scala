@@ -98,6 +98,52 @@ object TopKProps extends Properties("topk-agg") {
     }
 }
 
+/** `duplicateClusters` vs an independent local union-find on random
+  * small graphs — the only non-trivial distributed algorithm in the
+  * library gets a generated-input gate, not just fixed planted chains.
+  * Uses the shared test SparkSession; case count is kept small because
+  * each evaluation runs a full iterative Spark job. */
+object ClusterProps extends Properties("duplicate-clusters") {
+  import org.scalacheck.Test
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val edgeGen: Gen[(Long, Long)] = for {
+    a <- Gen.choose(0L, 12L)
+    b <- Gen.choose(0L, 12L)
+    if a != b
+  } yield (math.min(a, b), math.max(a, b))
+
+  private val graphGen: Gen[List[(Long, Long)]] =
+    Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, edgeGen)).map(_.distinct)
+
+  /** Min-root union-find with path compression: component root = the
+    * smallest id in the component, matching duplicateClusters' contract. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+  }
+
+  property("cluster assignment equals an independent union-find") =
+    forAll(graphGen) { edges =>
+      val s = TestSession.spark
+      import s.implicits._
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = graft.operators.Dedup.duplicateClusters(pairs, maxIters = 64)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+      got == unionFind(edges)
+    }
+}
+
 /** cast_schema mapping resolution under generated schema shapes —
   * the precedence matrix (explicit mapping > mappedFrom > name match)
   * from CastResolve (frame.scala), reference dataframe.py:234-290. */
