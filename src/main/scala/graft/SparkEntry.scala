@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.functions.{col, max, when}
 import graft.functions.TextFns
 import graft.operators.{Ann, Dedup, Media}
 import graft.tables._
@@ -337,6 +337,23 @@ object SparkEntry {
         .orderBy("doc_id_a", "doc_id_b")
     },
 
+    // L2 persisted/incremental: write a MinHash index over the older
+    // half of the corpus, then dedup the newer half against it (plus
+    // within-batch) — the re-runnable production flow. Equivalent to
+    // minhashKeep over the union restricted to the new half, which is
+    // exactly what the all-pairs oracle checks.
+    "dedup_incremental" -> { (s, dir) =>
+      val docs0 = documents(s, dir).toNative
+      val cut = docs0.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.writeMinHashIndex(
+        docs0.where(col("doc_id") <= cut), col("doc_id"), col("text"), idx)
+      Dedup.minhashKeepIncremental(
+          docs0.where(col("doc_id") > cut), col("doc_id"), col("text"), idx, 0.5)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // L13: connected-components clustering over the verified pairs —
     // every duplicated doc gets the component's min id as canonical id.
     // Iterative min-label propagation on Spark; WITH RECURSIVE closure
@@ -612,6 +629,18 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        |  THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |cut AS (SELECT max(doc_id) // 2 AS c FROM documents),
+        |drops AS (SELECT b.doc_id AS idb FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+        |SELECT doc_id FROM documents, cut
+        |WHERE doc_id > c AND doc_id NOT IN (SELECT idb FROM drops)
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),

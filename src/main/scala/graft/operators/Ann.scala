@@ -123,7 +123,18 @@ object Ann {
   def topKIvf(
       df: DataFrame, id: Column, vec: Column, probes: DataFrame, k: Int,
       dim: Int, nClusters: Int = 16, nProbe: Int = 4,
-      trainSampleRows: Int = 2048, seed: Long = 7L): DataFrame = {
+      trainSampleRows: Int = 2048, seed: Long = 7L): DataFrame =
+    topKIvfWith(trainIvf(df, vec, dim, nClusters, trainSampleRows, seed),
+      df, id, vec, probes, k, nProbe)
+
+  /** Train the IVF coarse quantizer (offline step): seeded uniform
+    * sample + deterministic k-means, returning UNIT-normalized centroids
+    * (empty when the table has no usable vectors). Persist with
+    * [[saveIvf]] so later search runs skip retraining — a production
+    * corpus trains once, searches many times. */
+  def trainIvf(
+      df: DataFrame, vec: Column, dim: Int, nClusters: Int = 16,
+      trainSampleRows: Int = 2048, seed: Long = 7L): Array[Array[Double]] = {
     // Seeded UNIFORM training sample: orderBy(rand) compiles to
     // TakeOrderedAndProject (each partition keeps its own n by the
     // random key, the driver merges p·n candidates — no full sort).
@@ -136,19 +147,45 @@ object Ann {
       .collect()
       .flatMap(r => Option(r.getSeq[Double](0)).map(_.toArray))
       .filter(_.length == dim)
-    if (sample.isEmpty) {
+    if (sample.isEmpty) Array.empty
+    else {
+      // Unit-normalize the trained centroids so assignment ranks by one
+      // dot product per centroid (ranking by dot == by cosine at norm 1);
+      // empty clusters keep a zero centroid and rank last.
+      Vec.kmeans(sample, nClusters, seed).map { c =>
+        val n = math.sqrt(c.map(x => x * x).sum)
+        if (n > 0) c.map(_ / n) else c
+      }
+    }
+  }
+
+  /** Persist a trained IVF quantizer as parquet rows `(cid, centroid)`. */
+  def saveIvf(spark: org.apache.spark.sql.SparkSession,
+      centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cid", "centroid").repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer saved by [[saveIvf]], in cid order. */
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy("cid")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** IVF search against an already-trained (or [[loadIvf]]-loaded)
+    * quantizer — the per-batch piece of the train-once / search-many
+    * production flow. Same output shape and semantics as [[topKIvf]]. */
+  def topKIvfWith(
+      unit: Array[Array[Double]], df: DataFrame, id: Column, vec: Column,
+      probes: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    if (unit.isEmpty) {
       // Never-throw contract (EdgeSpec): empty table / all-null vectors
       // → empty result with the standard ANN output schema.
       return probes.select(col("probe_id"), lit(0L).as("neighbor_id"),
         lit(0.0).as("sim"), lit(0).as("rank")).where(lit(false))
     }
-    // Unit-normalize the trained centroids so assignment ranks by one
-    // dot product per centroid (ranking by dot == by cosine at norm 1);
-    // empty clusters keep a zero centroid and rank last.
-    val unit = Vec.kmeans(sample, nClusters, seed).map { c =>
-      val n = math.sqrt(c.map(x => x * x).sum)
-      if (n > 0) c.map(_ / n) else c
-    }
+    val dim = unit.head.length
     def topc(v: Column, top: Int): Column =
       Bridge.column(CentroidIdsExpr(Bridge.expr(v),
         scala.collection.immutable.ArraySeq.unsafeWrapArray(unit.flatten), dim, top))

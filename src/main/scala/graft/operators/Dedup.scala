@@ -147,6 +147,102 @@ object Dedup {
     df.join(dups, id === col("_drop_id"), "left_anti")
   }
 
+  // ------------------------------------------------- persisted index (L2+)
+  /** Write a persisted MinHash-LSH index for [[minhashKeepIncremental]] —
+    * the re-runnable form of [[minhashKeep]]: a production 100 TB corpus
+    * is deduped in increments against the corpus indexed so far, never by
+    * re-hashing everything per batch. Layout under `path` (all parquet):
+    *
+    *   - `buckets/`  `(id, band, bucket)` — the narrow candidate-
+    *     generation stream the incremental equi-join shuffles;
+    *   - `shingles/` `(id, shingles)` — the exact-verify side, joined
+    *     back by id for candidate ids only;
+    *   - `params/`   one row `(shingle_k, num_hashes, bands)` — queries
+    *     against an index with different hash params fail fast instead
+    *     of silently missing duplicates.
+    *
+    * `mode = "append"` adds a new batch (e.g. the survivors of the last
+    * incremental run) to an existing index after checking param equality.
+    * Ids must be unique across everything ever written to one index. */
+  def writeMinHashIndex(
+      df: DataFrame, id: Column, text: Column, path: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
+      mode: String = "overwrite"): Unit = {
+    require(mode == "overwrite" || mode == "append", s"unsupported index write mode: $mode")
+    val spark = df.sparkSession
+    if (mode == "append") readIndexParams(spark, path).foreach { p =>
+      require(p == ((shingleK, numHashes, bands)),
+        s"MinHash index at $path has params (shingleK, numHashes, bands)=$p; " +
+          s"refusing to append with (${shingleK}, ${numHashes}, ${bands})")
+    }
+    minhashBuckets(df, id, text, shingleK, numHashes, bands)
+      .toDF("id", "band", "bucket")
+      .write.mode(mode).parquet(s"$path/buckets")
+    df.select(id.as("id"), array_distinct(TextFns.shingles(text, shingleK)).as("shingles"))
+      .write.mode(mode).parquet(s"$path/shingles")
+    import spark.implicits._
+    Seq((shingleK, numHashes, bands)).toDF("shingle_k", "num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Hash params of the index at `path`, None if no index exists there. */
+  def readIndexParams(spark: org.apache.spark.sql.SparkSession, path: String): Option[(Int, Int, Int)] =
+    try {
+      val r = spark.read.parquet(s"$path/params").head()
+      Some((r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"), r.getAs[Int]("bands")))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Incremental near-dedup of a new batch against a persisted index
+    * (plus within-batch dedup): returns the new docs that duplicate
+    * (exact-Jaccard ≥ `threshold`) neither any indexed doc nor a
+    * smaller-id doc in the same batch. Equivalent to [[minhashKeep]]
+    * over (indexed ∪ batch) restricted to the batch, when indexed ids
+    * precede batch ids — without touching the indexed corpus' text.
+    *
+    * Scale shape: the indexed bucket table is first pruned with a
+    * left-semi join on the batch's (band, bucket) set — AQE broadcasts
+    * that set for a typical small increment, so the huge indexed side
+    * never fully shuffles. The hot-bucket guard then runs jointly over
+    * (pruned indexed ∪ batch) rows: a degenerate bucket is degenerate
+    * regardless of which side its members came from, and the per-bucket
+    * sizes are exact because the semi-join keeps whole buckets. */
+  def minhashKeepIncremental(
+      newDocs: DataFrame, id: Column, text: Column, indexPath: String,
+      threshold: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (shingleK, numHashes, bands) = readIndexParams(spark, indexPath).getOrElse(
+      throw new IllegalArgumentException(s"no MinHash index found at $indexPath"))
+    val newBk = minhashBuckets(newDocs, id, text, shingleK, numHashes, bands)
+    val oldBk = spark.read.parquet(s"$indexPath/buckets")
+      .join(newBk.select("band", "bucket").distinct(), Seq("band", "bucket"), "left_semi")
+      .select(col("id").as("_id"), col("band"), col("bucket"))
+    val tagged = capBuckets(
+      oldBk.withColumn("_new", lit(false)).union(newBk.withColumn("_new", lit(true))),
+      Seq("band", "bucket"), maxBucket)
+    val newSide = tagged.where(col("_new")).drop("_new").toDF("id_b", "band", "bucket")
+    val oldSide = tagged.where(!col("_new")).drop("_new").toDF("id_a", "band", "bucket")
+    val newSideA = tagged.where(col("_new")).drop("_new").toDF("id_a", "band", "bucket")
+    val cands = oldSide.join(newSide, Seq("band", "bucket"))
+      .union(newSideA.join(newSide, Seq("band", "bucket")).where(col("id_a") < col("id_b")))
+      .select("id_a", "id_b")
+      .distinct()
+    val newSets = newDocs.select(
+      id.as("_jid"), array_distinct(TextFns.shingles(text, shingleK)).as("_set"))
+    val aSets = spark.read.parquet(s"$indexPath/shingles")
+      .select(col("id").as("_jid"), col("shingles").as("_set"))
+      .union(newSets)
+    val drops = cands
+      .join(aSets.select(col("_jid").as("id_a"), col("_set").as("_set_a")), "id_a")
+      .join(newSets.select(col("_jid").as("id_b"), col("_set").as("_set_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_set_a"), col("_set_b"))).cast("double") /
+          size(array_union(col("_set_a"), col("_set_b"))))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_b").as("_drop_id"))
+      .distinct()
+    newDocs.join(drops, id === col("_drop_id"), "left_anti")
+  }
+
   // ----------------------------------------------------------------- L13
   /** Connected components over a verified duplicate-pair graph:
     * `(id, cluster_id)` with cluster_id = the smallest doc id in the

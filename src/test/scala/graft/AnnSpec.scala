@@ -125,6 +125,23 @@ class AnnSpec extends SparkSpec {
     assert(rows.length == probeIds.size * 4)
   }
 
+  test("IVF quantizer persists: save/load round trip searches identically to direct topKIvf") {
+    val (e, probes) = frames
+    val direct = Ann.topKIvf(e, col("vec_id"), col("embedding"), probes,
+      k = 4, dim = dim, nClusters = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val trained = Ann.trainIvf(e, col("embedding"), dim, nClusters = 4)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/quantizer"
+    Ann.saveIvf(spark, trained, path)
+    val loaded = Ann.loadIvf(spark, path)
+    assert(loaded.length == trained.length)
+    assert(loaded.zip(trained).forall { case (a, b) => a.sameElements(b) })
+    val viaLoaded = Ann.topKIvfWith(loaded, e, col("vec_id"), col("embedding"), probes,
+      k = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaLoaded == direct && viaLoaded.nonEmpty)
+  }
+
   test("cosine kernel agrees with plain math on a known pair") {
     import spark.implicits._
     val df = Seq((Seq(1f, 0f), Seq(1f, 1f))).toDF("a", "b")

@@ -106,6 +106,52 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicateClusters(none).collect().isEmpty)
   }
 
+  test("persisted MinHash index: incremental keep == full-corpus keep restricted to the batch") {
+    import spark.implicits._
+    val old = Seq(
+      Doc(1L, "the quick brown fox jumps over the lazy dog"),
+      Doc(4L, "spark shuffles partitions across the cluster executors nightly"))
+    val batch = Seq(
+      Doc(10L, "The quick  brown fox jumps over the lazy dog"), // exact dup of indexed 1
+      Doc(11L, "an entirely fresh document about training data pipelines"),
+      Doc(12L, "an entirely fresh document about training data pipeline"), // near-dup of 11
+      Doc(13L, "unrelated third text mentioning neither foxes nor sparks today"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-mh-idx").toString + "/idx"
+    val oldDf = Tio.fromRows(spark, Docs, old).toNative
+    val newDf = Tio.fromRows(spark, Docs, batch).toNative
+
+    intercept[IllegalArgumentException] {
+      Dedup.minhashKeepIncremental(newDf, col("doc_id"), col("text"), idx, 0.5)
+    }
+    Dedup.writeMinHashIndex(oldDf, col("doc_id"), col("text"), idx)
+    assert(Dedup.readIndexParams(spark, idx).contains((3, 128, 64)))
+
+    val kept = Dedup.minhashKeepIncremental(newDf, col("doc_id"), col("text"), idx, 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(11L, 13L)) // 10 dups indexed 1; 12 dups in-batch 11
+    // matches the one-shot rule over the whole corpus, restricted to the batch
+    val full = Dedup.minhashKeep(Tio.fromRows(spark, Docs, old ++ batch).toNative,
+        col("doc_id"), col("text"), 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == full.filter(_ >= 10L))
+
+    // append the surviving batch docs, dedup the next batch against them
+    Dedup.writeMinHashIndex(
+      newDf.where(col("doc_id").isin(11L, 13L)), col("doc_id"), col("text"), idx,
+      mode = "append")
+    val next = Tio.fromRows(spark, Docs,
+      Seq(Doc(20L, "an entirely fresh document about training data pipelines"))).toNative
+    assert(Dedup.minhashKeepIncremental(next, col("doc_id"), col("text"), idx, 0.5)
+      .collect().isEmpty) // 20 duplicates the appended 11
+
+    // appending with different hash params must fail fast
+    val err = intercept[IllegalArgumentException] {
+      Dedup.writeMinHashIndex(oldDf, col("doc_id"), col("text"), idx,
+        numHashes = 64, bands = 32, mode = "append")
+    }
+    assert(err.getMessage.contains("refusing to append"))
+  }
+
   test("hot-bucket guard bounds a degenerate bucket and keeps true pairs") {
     import spark.implicits._
     // 1000 identical template docs: one degenerate (band,bucket) group
