@@ -208,6 +208,15 @@ final class TFrame[S <: GSchema](val df: DataFrame, val schemaOpt: Option[S]) ex
     * per RDD element, produced distributively. */
   def toArrowBatches: org.apache.spark.rdd.RDD[Array[Byte]] =
     org.apache.spark.sql.graftbridge.Bridge.arrowBatchRdd(df)
+
+  /** Arrow-IPC interchange with a caller-bounded batch size — the
+    * reference's `to_batches(batch_size)` knob (dataframe.py:689): at
+    * most `batchSize` rows per RecordBatch so the consumer's per-batch
+    * memory is bounded regardless of partition sizes. */
+  def toArrowBatches(batchSize: Int): org.apache.spark.rdd.RDD[Array[Byte]] = {
+    require(batchSize > 0, s"batchSize must be positive: $batchSize")
+    org.apache.spark.sql.graftbridge.Bridge.arrowBatchRdd(df, batchSize.toLong)
+  }
   def cache(): TFrame[S] = same(df.cache())
   def explainPlan(): String = df.queryExecution.explainString(
     org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

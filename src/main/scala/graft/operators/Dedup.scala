@@ -78,6 +78,58 @@ object Dedup {
     bk.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_size"))
       .where(col("bucket_size") > maxBucket)
 
+  /** What one run's hot-bucket guard dropped: over-cap bucket `groups`
+    * and their member `rows` (per-band doc slots, not distinct docs). */
+  final case class SkippedBuckets(groups: Long, rows: Long)
+
+  /** Cap + report in one materialized pass, for the `*Reported` API
+    * variants: the narrow (id, keys, size) bucket stream is computed
+    * once and localCheckpointed; the eager skip-count aggregation and
+    * the lazy capped candidate stream both read the materialized
+    * blocks, so reporting never re-runs the hashing scan. */
+  private def capWithReport(
+      bk: DataFrame, keys: Seq[String], maxBucket: Int): (DataFrame, SkippedBuckets) = {
+    require(maxBucket > 0, "reported variants require a positive maxBucket")
+    val sized = bk
+      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+      .localCheckpoint(true)
+    val r = sized.where(col("_bsz") > maxBucket)
+      .agg(count_distinct(struct(keys.map(col): _*)).as("g"), count(lit(1)).as("r"))
+      .head()
+    (sized.where(col("_bsz") <= maxBucket).drop("_bsz"),
+      SkippedBuckets(r.getLong(0), r.getLong(1)))
+  }
+
+  /** Candidate pairs from a capped bucket frame `(id, keys…)`: the
+    * bucketed self-join on `keys`, id_a < id_b, deduplicated. */
+  private def bucketSelfJoin(bk: DataFrame, keys: Seq[String]): DataFrame = {
+    val a = bk.toDF("id_a" +: keys: _*)
+    val b = bk.toDF("id_b" +: keys: _*)
+    a.join(b, keys)
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Normalized distinct shingle sets `(_jid, _set)` for exact verify. */
+  private def shingleSets(df: DataFrame, id: Column, text: Column, shingleK: Int): DataFrame =
+    df.select(id.as("_jid"), array_distinct(TextFns.shingles(text, shingleK)).as("_set"))
+
+  /** Exact set-Jaccard verification of candidate pairs: id_a resolves
+    * in `setsA`, id_b in `setsB` (both `(_jid, _set)`). Integer
+    * intersection/union sizes, so the double ratio is bit-identical
+    * across engines. */
+  private def jaccardVerify(
+      cands: DataFrame, setsA: DataFrame, setsB: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(setsA.select(col("_jid").as("id_a"), col("_set").as("_set_a")), "id_a")
+      .join(setsB.select(col("_jid").as("id_b"), col("_set").as("_set_b")), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_set_a"), col("_set_b"))).cast("double") /
+          size(array_union(col("_set_a"), col("_set_b"))))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
   // ------------------------------------------------------------------ L2
   /** LSH band buckets: `(_id, band, bucket)` — one row per (doc, band),
     * bucket = xxhash64 of that band's signature slice. Equal buckets in
@@ -102,17 +154,11 @@ object Dedup {
   def minhashCandidates(
       df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val bk = capBuckets(
-      minhashBuckets(df, id, text, shingleK, numHashes, bands),
-      Seq("band", "bucket"), maxBucket)
-    val a = bk.toDF("id_a", "band", "bucket")
-    val b = bk.toDF("id_b", "band", "bucket")
-    a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-  }
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bucketSelfJoin(
+      capBuckets(minhashBuckets(df, id, text, shingleK, numHashes, bands),
+        Seq("band", "bucket"), maxBucket),
+      Seq("band", "bucket"))
 
   // ------------------------------------------------------------------ L4
   /** LSH candidates verified by exact shingle-set Jaccard:
@@ -124,15 +170,10 @@ object Dedup {
       df: DataFrame, id: Column, text: Column, threshold: Double,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sets = df.select(id.as("_jid"), array_distinct(TextFns.shingles(text, shingleK)).as("_set"))
-    minhashCandidates(df, id, text, shingleK, numHashes, bands, maxBucket)
-      .join(sets.select(col("_jid").as("id_a"), col("_set").as("_set_a")), "id_a")
-      .join(sets.select(col("_jid").as("id_b"), col("_set").as("_set_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("_set_a"), col("_set_b"))).cast("double") /
-          size(array_union(col("_set_a"), col("_set_b"))))
-      .where(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val sets = shingleSets(df, id, text, shingleK)
+    jaccardVerify(
+      minhashCandidates(df, id, text, shingleK, numHashes, bands, maxBucket),
+      sets, sets, threshold)
   }
 
   /** Near-dedup keep-list: drop every doc that duplicates (Jaccard ≥
@@ -145,6 +186,24 @@ object Dedup {
     val dups = jaccardPairs(df, id, text, threshold, shingleK, numHashes, bands, maxBucket)
       .select(col("id_b").as("_drop_id"))
     df.join(dups, id === col("_drop_id"), "left_anti")
+  }
+
+  /** [[minhashKeep]] that ALSO returns what the hot-bucket guard
+    * skipped — the default for production runs, where capped buckets
+    * must be logged, not silently lost. One extra pass over the narrow
+    * bucket stream (see [[capWithReport]]); use [[oversizedBuckets]]
+    * for a detailed per-bucket breakdown. */
+  def minhashKeepReported(
+      df: DataFrame, id: Column, text: Column, threshold: Double,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
+      maxBucket: Int = DefaultMaxBucket): (DataFrame, SkippedBuckets) = {
+    val (capped, report) = capWithReport(
+      minhashBuckets(df, id, text, shingleK, numHashes, bands),
+      Seq("band", "bucket"), maxBucket)
+    val sets = shingleSets(df, id, text, shingleK)
+    val dups = jaccardVerify(bucketSelfJoin(capped, Seq("band", "bucket")), sets, sets, threshold)
+      .select(col("id_b").as("_drop_id"))
+    (df.join(dups, id === col("_drop_id"), "left_anti"), report)
   }
 
   // ------------------------------------------------- persisted index (L2+)
@@ -226,18 +285,11 @@ object Dedup {
       .union(newSideA.join(newSide, Seq("band", "bucket")).where(col("id_a") < col("id_b")))
       .select("id_a", "id_b")
       .distinct()
-    val newSets = newDocs.select(
-      id.as("_jid"), array_distinct(TextFns.shingles(text, shingleK)).as("_set"))
+    val newSets = shingleSets(newDocs, id, text, shingleK)
     val aSets = spark.read.parquet(s"$indexPath/shingles")
       .select(col("id").as("_jid"), col("shingles").as("_set"))
       .union(newSets)
-    val drops = cands
-      .join(aSets.select(col("_jid").as("id_a"), col("_set").as("_set_a")), "id_a")
-      .join(newSets.select(col("_jid").as("id_b"), col("_set").as("_set_b")), "id_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("_set_a"), col("_set_b"))).cast("double") /
-          size(array_union(col("_set_a"), col("_set_b"))))
-      .where(col("jaccard") >= threshold)
+    val drops = jaccardVerify(cands, aSets, newSets, threshold)
       .select(col("id_b").as("_drop_id"))
       .distinct()
     newDocs.join(drops, id === col("_drop_id"), "left_anti")
@@ -329,17 +381,34 @@ object Dedup {
     * (identical boilerplate) are bounded by the hot-bucket guard. */
   def simhashPairs(
       df: DataFrame, id: Column, text: Column, maxHamming: Int = 3,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only for hamming <= 3")
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    simhashJoin(
+      capBuckets(simhashBanded(df, id, text), Seq("chunk", "ckey"), maxBucket),
+      maxHamming)
+
+  /** [[simhashPairs]] that ALSO returns what the hot-bucket guard
+    * skipped (see [[minhashKeepReported]]). */
+  def simhashPairsReported(
+      df: DataFrame, id: Column, text: Column, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): (DataFrame, SkippedBuckets) = {
+    val (capped, report) = capWithReport(
+      simhashBanded(df, id, text), Seq("chunk", "ckey"), maxBucket)
+    (simhashJoin(capped, maxHamming), report)
+  }
+
+  /** `(_id, _sh, chunk, ckey)` — one row per (doc, 16-bit chunk). */
+  private def simhashBanded(df: DataFrame, id: Column, text: Column): DataFrame = {
     val sig = TextFns.simhash64(TextFns.wsTokens(TextFns.normText(text)))
     val h = df.select(id.as("_id"), sig.as("_sh"))
     val chunks = (0 until 4).map { i =>
       struct(lit(i).as("chunk"), shiftright(col("_sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
     }
-    val banded = h
-      .select(col("_id"), col("_sh"), explode(array(chunks: _*)).as("c"))
+    h.select(col("_id"), col("_sh"), explode(array(chunks: _*)).as("c"))
       .select(col("_id"), col("_sh"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
-    val capped = capBuckets(banded, Seq("chunk", "ckey"), maxBucket)
+  }
+
+  private def simhashJoin(capped: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only for hamming <= 3")
     val a = capped.toDF("id_a", "sh_a", "chunk", "ckey")
     val b = capped.toDF("id_b", "sh_b", "chunk", "ckey")
     a.join(b, Seq("chunk", "ckey"))
@@ -365,17 +434,37 @@ object Dedup {
   def embeddingPairs(
       df: DataFrame, id: Column, vec: Column, tau: Double, dim: Int,
       tables: Int = 8, bitsPerTable: Int = 8, seed: Long = 7L,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val bucketed = Vec.hyperplaneBuckets(df.select(id.as("_id"), vec.as("_v")),
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    embeddingVerify(
+      bucketSelfJoin(
+        capBuckets(embeddingBucketed(df, id, vec, dim, tables, bitsPerTable, seed),
+          Seq("tbl", "bucket"), maxBucket),
+        Seq("tbl", "bucket")),
+      df, id, vec, tau)
+
+  /** [[embeddingPairs]] that ALSO returns what the hot-bucket guard
+    * skipped (see [[minhashKeepReported]]). */
+  def embeddingPairsReported(
+      df: DataFrame, id: Column, vec: Column, tau: Double, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 8, seed: Long = 7L,
+      maxBucket: Int = DefaultMaxBucket): (DataFrame, SkippedBuckets) = {
+    val (capped, report) = capWithReport(
+      embeddingBucketed(df, id, vec, dim, tables, bitsPerTable, seed),
+      Seq("tbl", "bucket"), maxBucket)
+    (embeddingVerify(bucketSelfJoin(capped, Seq("tbl", "bucket")), df, id, vec, tau), report)
+  }
+
+  /** `(_id, tbl, bucket)` — vectors do NOT ride the candidate shuffle. */
+  private def embeddingBucketed(
+      df: DataFrame, id: Column, vec: Column, dim: Int,
+      tables: Int, bitsPerTable: Int, seed: Long): DataFrame =
+    Vec.hyperplaneBuckets(df.select(id.as("_id"), vec.as("_v")),
       col("_v"), dim, tables, bitsPerTable, seed)
-      .select("_id", "tbl", "bucket") // vectors do NOT ride the candidate shuffle
-    val capped = capBuckets(bucketed, Seq("tbl", "bucket"), maxBucket)
-    val a = capped.toDF("id_a", "tbl", "bucket")
-    val b = capped.toDF("id_b", "tbl", "bucket")
-    val cand = a.join(b, Seq("tbl", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+      .select("_id", "tbl", "bucket")
+
+  /** Exact-cosine verification: join vectors back by id, keep ≥ tau. */
+  private def embeddingVerify(
+      cand: DataFrame, df: DataFrame, id: Column, vec: Column, tau: Double): DataFrame = {
     val vecs = df.select(id.as("_vid"), vec.as("_vv"))
     cand
       .join(vecs.select(col("_vid").as("id_a"), col("_vv").as("_v_a")), "id_a")

@@ -46,6 +46,66 @@ object Media {
     }
   }
 
+  /** Real image-container header parser — PNG IHDR, JPEG SOFn frame
+    * header, GIF logical screen descriptor. Pure public-format byte
+    * parsing (PNG spec §11.2.2, JPEG/JFIF marker segments, GIF89a
+    * spec), no codec library, so it runs in this dependency-free
+    * container and on any executor. Payloads matching no signature
+    * decode as (0, 0, "unknown") rather than throwing — a corrupt blob
+    * in 100 TB of crawl data must not kill the job. Full pixel decode
+    * still belongs to a library-backed [[MediaDecoder]] swapped in at
+    * deployment; dimension/format metadata is what the pipeline
+    * filters and routes on. */
+  object HeaderDecoder extends MediaDecoder {
+    private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    private def be32(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) | ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
+    private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+
+    private val PngSig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    def decode(c: Array[Byte]): DecodedMedia = {
+      val n = c.length.toLong
+      if (c.length >= 24 && c.startsWith(PngSig) &&
+          c(12) == 'I' && c(13) == 'H' && c(14) == 'D' && c(15) == 'R')
+        DecodedMedia(be32(c, 16), be32(c, 20), "png", n) // IHDR: width, height big-endian
+      else if (c.length >= 4 && (c(0) & 0xFF) == 0xFF && (c(1) & 0xFF) == 0xD8)
+        jpegSof(c, n)
+      else if (c.length >= 10 && c(0) == 'G' && c(1) == 'I' && c(2) == 'F' && c(3) == '8')
+        DecodedMedia(le16(c, 6), le16(c, 8), "gif", n) // screen descriptor, little-endian
+      else DecodedMedia(0, 0, "unknown", n)
+    }
+
+    /** Walk the marker segments for the first SOFn frame header:
+      * `FF Cx len(2) precision(1) height(2) width(2)`. */
+    private def jpegSof(c: Array[Byte], n: Long): DecodedMedia = {
+      var i = 2
+      while (i + 3 < c.length) {
+        if ((c(i) & 0xFF) != 0xFF) return DecodedMedia(0, 0, "jpeg", n) // corrupt stream
+        var j = i
+        while (j + 1 < c.length && (c(j + 1) & 0xFF) == 0xFF) j += 1 // skip fill bytes
+        val m = c(j + 1) & 0xFF
+        m match {
+          case 0xD8 | 0x01 => i = j + 2                          // SOI / TEM: bare marker
+          case x if x >= 0xD0 && x <= 0xD7 => i = j + 2          // RSTn: bare marker
+          case 0xD9 | 0xDA => return DecodedMedia(0, 0, "jpeg", n) // EOI / SOS before any SOF
+          case x if isSof(x) =>
+            return if (j + 8 < c.length)
+              DecodedMedia(be16(c, j + 7), be16(c, j + 5), "jpeg", n)
+            else DecodedMedia(0, 0, "jpeg", n)
+          case _ =>
+            if (j + 3 >= c.length) return DecodedMedia(0, 0, "jpeg", n)
+            i = j + 2 + be16(c, j + 2) // payload segment: skip by declared length
+        }
+      }
+      DecodedMedia(0, 0, "jpeg", n)
+    }
+
+    private def isSof(m: Int): Boolean =
+      m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC // not DHT/JPG/DAC
+  }
+
   final case class MediaRow(media_id: Long, content: Array[Byte])
   final case class MediaMetaRow(media_id: Long, width: Int, height: Int, format: String, n_bytes: Long)
 

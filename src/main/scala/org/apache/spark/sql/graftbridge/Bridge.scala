@@ -30,6 +30,23 @@ object Bridge {
   def arrowBatchRdd(df: DataFrame): org.apache.spark.rdd.RDD[Array[Byte]] =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].toArrowBatchRdd
 
+  /** Arrow-IPC batch export with a caller-bounded batch size: at most
+    * `maxRecordsPerBatch` rows per serialized RecordBatch, multiple
+    * batches per partition as needed. Spark's own RDD honors only the
+    * session-wide `arrow.maxRecordsPerBatch` conf; this is the per-call
+    * knob (reference `to_batches(batch_size)`). */
+  def arrowBatchRdd(df: DataFrame, maxRecordsPerBatch: Long): org.apache.spark.rdd.RDD[Array[Byte]] = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+    val schema = ds.schema
+    val conf = ds.sparkSession.sessionState.conf
+    val tz = conf.sessionLocalTimeZone
+    val large = conf.arrowUseLargeVarTypes
+    ds.queryExecution.toRdd.mapPartitionsInternal { iter =>
+      org.apache.spark.sql.execution.arrow.ArrowConverters.toBatchIterator(
+        iter, schema, maxRecordsPerBatch, tz, true, large, org.apache.spark.TaskContext.get())
+    }
+  }
+
   /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
     * `private[sql]`): empty map until the observed action completes.
     * Callers poll this instead of the blocking `get` so a

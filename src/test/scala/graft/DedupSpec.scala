@@ -197,6 +197,43 @@ class DedupSpec extends SparkSpec {
     assert(ep == Set((1L, 2L)))
   }
 
+  test("reported variants surface exactly what the hot-bucket guard skipped") {
+    import spark.implicits._
+    // 1000 identical template docs: every one of the 64 bands puts all
+    // 1000 in one bucket → 64 skipped groups, 64·1000 skipped rows.
+    val template = (100L until 1100L).map(i =>
+      Doc(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"))
+    val all = Tio.fromRows(spark, Docs, docs ++ template).toNative
+    val (kept, rep) = Dedup.minhashKeepReported(all, col("doc_id"), col("text"), 0.5, maxBucket = 50)
+    assert(rep == Dedup.SkippedBuckets(64L, 64000L))
+    val keptIds = kept.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptIds.contains(1L) && keptIds.contains(4L))
+    assert(!keptIds.contains(2L) && !keptIds.contains(3L)) // true pairs still dropped
+    assert(template.forall(d => keptIds.contains(d.doc_id))) // capped bucket: reported, not deduped
+
+    // without a degenerate bucket the report is zero and the result
+    // matches the plain API exactly
+    val (kept2, rep2) = Dedup.minhashKeepReported(df, col("doc_id"), col("text"), 0.5)
+    assert(rep2 == Dedup.SkippedBuckets(0L, 0L))
+    assert(kept2.collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L))
+
+    // simhash: identical docs agree on all 4 chunks
+    val (sp, rep3) = Dedup.simhashPairsReported(all, col("doc_id"), col("text"), maxBucket = 50)
+    assert(rep3.groups == 4L && rep3.rows >= 4000L)
+    assert(sp.collect().map(r => (r.getLong(0), r.getLong(1))).toSet.contains((1L, 2L)))
+
+    // embedding: identical vectors agree in all 8 tables
+    val tmplV = Seq(1f, 1f, 1f, 1f, 1f, 1f, 1f, 1f)
+    val embs = Seq(Emb(1L, Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      Emb(2L, Seq(1f, 0.05f, 0f, 0f, 0f, 0f, 0f, 0f))) ++
+      (100L until 700L).map(i => Emb(i, tmplV))
+    val e = Tio.fromRows(spark, Embs, embs).toNative
+    val (ep, rep4) = Dedup.embeddingPairsReported(e, col("vec_id"), col("embedding"),
+      tau = 0.95, dim = 8, maxBucket = 50)
+    assert(rep4.groups == 8L && rep4.rows >= 4800L)
+    assert(ep.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   object Embs extends GSchema {
     val vec_id    = col[Long]("vec_id")
     val embedding = col[Seq[Float]]("embedding")

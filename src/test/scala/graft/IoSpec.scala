@@ -73,6 +73,18 @@ class IoSpec extends SparkSpec {
     assert(typed.toDS[UserRow].collect().sortBy(_.id).toSeq == users)
   }
 
+  test("toArrowBatches(batchSize) bounds rows per batch and round-trips") {
+    import spark.implicits._
+    val tf = Tio.fromDF(Tio.fromRows(spark, Users, users).df.repartition(1), Users)
+    val bounded = tf.toArrowBatches(2).collect()
+    assert(bounded.length == 2) // 4 rows, 1 partition, <=2 rows per batch
+    val unbounded = tf.toArrowBatches.collect()
+    assert(unbounded.length == 1) // default: one batch per partition
+    val back = Tio.fromBatches(spark, Users, bounded.iterator)
+    assert(back.toDS[UserRow].collect().sortBy(_.id).toSeq == users)
+    intercept[IllegalArgumentException](tf.toArrowBatches(0))
+  }
+
   test("rowsToDict collects column-oriented") {
     val d = Tio.fromRows(spark, Users, users)(org.apache.spark.sql.Encoders.product[UserRow])
       .sort(Users.id).rowsToDict()

@@ -32,6 +32,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == ((16, 16, "png", 0L)))
   }
 
+  private val pngBytes = Array[Int](
+    0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, // signature
+    0, 0, 0, 13, 'I', 'H', 'D', 'R',             // IHDR chunk length + type
+    0, 0, 0x02, 0x80,                            // width  = 640
+    0, 0, 0x01, 0xE0                             // height = 480
+  ).map(_.toByte)
+
+  private val jpegBytes = Array[Int](
+    0xFF, 0xD8,                                            // SOI
+    0xFF, 0xE0, 0x00, 0x10,                                // APP0, len 16
+    'J', 'F', 'I', 'F', 0, 1, 2, 0, 0, 1, 0, 1, 0, 0,      // 14 payload bytes
+    0xFF, 0xC0, 0x00, 0x11,                                // SOF0, len 17
+    8, 0x01, 0x00, 0x02, 0x00,                             // precision, h=256, w=512
+    3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1                  // component specs
+  ).map(_.toByte)
+
+  private val gifBytes = Array[Int](
+    'G', 'I', 'F', '8', '9', 'a',
+    0x40, 0x01,                                            // width  = 320 (LE)
+    0xC8, 0x00                                             // height = 200 (LE)
+  ).map(_.toByte)
+
+  test("HeaderDecoder parses real PNG/JPEG/GIF headers and tolerates junk") {
+    import Media.{DecodedMedia, HeaderDecoder}
+    assert(HeaderDecoder.decode(pngBytes) == DecodedMedia(640, 480, "png", pngBytes.length.toLong))
+    assert(HeaderDecoder.decode(jpegBytes) == DecodedMedia(512, 256, "jpeg", jpegBytes.length.toLong))
+    assert(HeaderDecoder.decode(gifBytes) == DecodedMedia(320, 200, "gif", gifBytes.length.toLong))
+    val junk = "definitely not an image payload".getBytes("UTF-8")
+    assert(HeaderDecoder.decode(junk) == DecodedMedia(0, 0, "unknown", junk.length.toLong))
+    // truncated JPEG (SOI only) degrades gracefully, no exception
+    assert(HeaderDecoder.decode(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xC0.toByte)).format == "jpeg")
+    assert(HeaderDecoder.decode(Array.emptyByteArray).format == "unknown")
+  }
+
+  test("HeaderDecoder runs through the distributed decodeMeta path") {
+    import spark.implicits._
+    val media = Tio.fromRows(spark, Blobs, Seq(
+      Blob(1L, pngBytes), Blob(2L, jpegBytes), Blob(3L, gifBytes))).toNative
+    val out = Media.decodeMeta(media, col("media_id"), col("content"), Media.HeaderDecoder)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        ((r.getAs[Int]("width"), r.getAs[Int]("height"), r.getAs[String]("format")))).toMap
+    assert(out == Map(
+      1L -> ((640, 480, "png")),
+      2L -> ((512, 256, "jpeg")),
+      3L -> ((320, 200, "gif"))))
+  }
+
   test("a custom decoder plugs in behind the MediaDecoder trait") {
     object UpperBound extends Media.MediaDecoder {
       def decode(b: Array[Byte]): Media.DecodedMedia =
