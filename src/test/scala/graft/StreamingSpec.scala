@@ -81,6 +81,44 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((0L, 30000L, 2L), (200000L, 200000L, 1L), (1000000L, 1000000L, 1L)))
   }
 
+  test("ST2: sessionize state survives a query restart from checkpoint") {
+    val base = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    def ev(uid: Long, sec: Long) = SEvent(uid, new Timestamp(base + sec * 1000), "x")
+
+    // memory sink doesn't support recovery; foreachBatch does — collect
+    // emitted sessions into a driver-side buffer across both runs
+    val buf = java.util.Collections.synchronizedList(new java.util.ArrayList[SessionInfo]())
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString
+    val input = MemoryStream(Encoders.product[SEvent], spark)
+    val sessions = GStream.sessionize(input.toDS(), gapMs = 100000L, watermarkDelay = "10 seconds")
+    def start() = sessions.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[SessionInfo], _: Long) =>
+        ds.collect().foreach(buf.add)
+      }
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData(Seq(ev(1L, 0), ev(1L, 30)))
+      q1.processAllAvailable() // leaves an OPEN session {0..30, n=2} in state
+    } finally q1.stop()
+
+    val q2 = start() // recover offsets + flatMapGroupsWithState state
+    try {
+      input.addData(Seq(ev(1L, 200))) // gap 30→200 closes the RESTORED session
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty)
+    } finally q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val got = buf.asScala
+      .map(s => (s.user_id, s.start.getTime - base, s.end.getTime - base, s.n_events)).toSet
+    // both pre-restart events are in the emitted session: state survived
+    assert(got.contains((1L, 0L, 30000L, 2L)))
+  }
+
   test("ST2: an early above-watermark event beyond the gap forms its own session") {
     val base = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
     def ev(uid: Long, sec: Long) = SEvent(uid, new Timestamp(base + sec * 1000), "x")
