@@ -300,9 +300,20 @@ final class JoinedFrame[A <: GSchema, B <: GSchema](
   def filter(p: TypedCol[Boolean]): JoinedFrame[A, B] = same(df.filter(remap(p.c)))
   def sort(keys: SortKey*): JoinedFrame[A, B] = same(df.orderBy(keys.map(k => remap(k.sortCol)): _*))
   def limit(n: Int): JoinedFrame[A, B] = same(df.limit(n))
+  /** Same groupBy-first shape as [[TFrame.unique]] — the shuffle moves
+    * keys + one representative row per group, not every duplicate row. */
   def unique(keys: GCol[_]*): JoinedFrame[A, B] =
     if (keys.isEmpty) same(df.distinct())
-    else same(df.dropDuplicates(keys.map(resolveName)))
+    else {
+      val keyNames = keys.map(resolveName)
+      val others = df.columns.filterNot(keyNames.contains)
+      if (others.isEmpty) same(df.distinct())
+      else {
+        val aggs = others.map(n => first(col(n)).as(n))
+        same(df.groupBy(keyNames.map(col): _*).agg(aggs.head, aggs.tail: _*)
+          .select(df.columns.map(col): _*))
+      }
+    }
   def dropNulls(cols: GCol[_]*): JoinedFrame[A, B] =
     if (cols.isEmpty) same(df.na.drop())
     else same(df.na.drop(cols.map(resolveName)))

@@ -50,6 +50,19 @@ class JoinSpec extends SparkSpec {
     assert(jf.dropNulls(R.v).df.count() == 2L)
   }
 
+  test("JoinedFrame.unique keeps one representative per key, groupBy-first plan") {
+    val (l, r) = frames
+    val jf = l.join(r, L.id === R.rid, how = "left") // 3 rows, tag: a, b, null
+    val u = jf.unique(R.tag)
+    assert(u.df.count() == 3L) // tags a/b/null all distinct here
+    val byTag = jf.unique(L.id) // id unique already: row-preserving
+    assert(byTag.df.count() == 3L)
+    assert(byTag.df.columns.toSeq == jf.df.columns.toSeq) // column order preserved
+    // the plan aggregates (first per group), it does not sort/window rows
+    val plan = u.df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"), s"unexpected plan:\n$plan")
+  }
+
   test("left join keeps unmatched rows with nulls") {
     val (l, r) = frames
     val jf = l.join(r, L.id === R.rid, how = "left")
