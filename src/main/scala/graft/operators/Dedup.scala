@@ -222,7 +222,11 @@ object Dedup {
     *
     * `mode = "append"` adds a new batch (e.g. the survivors of the last
     * incremental run) to an existing index after checking param equality.
-    * Ids must be unique across everything ever written to one index. */
+    * Ids must be unique across everything ever written to one index.
+    * The batch's shingle sets are materialized once (localCheckpoint) to
+    * feed both index sides in a single text pass — so seed an enormous
+    * initial corpus in bounded batches via `append`, the same way it
+    * would arrive in production, rather than as one giant write. */
   def writeMinHashIndex(
       df: DataFrame, id: Column, text: Column, path: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
@@ -234,11 +238,16 @@ object Dedup {
         s"MinHash index at $path has params (shingleK, numHashes, bands)=$p; " +
           s"refusing to append with (${shingleK}, ${numHashes}, ${bands})")
     }
-    minhashBuckets(df, id, text, shingleK, numHashes, bands)
+    // ONE normalization+shingling pass over the batch text (the dominant
+    // cost): materialize the shingle sets, then derive both index sides
+    // from them — bucket keys via the fused minhash-bands kernel over the
+    // already-computed sets, never a second pass over raw text.
+    val sets = df.select(id.as("id"), array_distinct(TextFns.shingles(text, shingleK)).as("shingles"))
+      .localCheckpoint(eager = true)
+    sets.write.mode(mode).parquet(s"$path/shingles")
+    sets.select(col("id"), posexplode(TextFns.minhashBands(col("shingles"), numHashes, bands)))
       .toDF("id", "band", "bucket")
       .write.mode(mode).parquet(s"$path/buckets")
-    df.select(id.as("id"), array_distinct(TextFns.shingles(text, shingleK)).as("shingles"))
-      .write.mode(mode).parquet(s"$path/shingles")
     import spark.implicits._
     Seq((shingleK, numHashes, bands)).toDF("shingle_k", "num_hashes", "bands")
       .write.mode("overwrite").parquet(s"$path/params")
@@ -271,7 +280,12 @@ object Dedup {
     val spark = newDocs.sparkSession
     val (shingleK, numHashes, bands) = readIndexParams(spark, indexPath).getOrElse(
       throw new IllegalArgumentException(s"no MinHash index found at $indexPath"))
-    val newBk = minhashBuckets(newDocs, id, text, shingleK, numHashes, bands)
+    // one shingling pass over the batch: the materialized sets feed both
+    // the bucket keys and the exact-Jaccard verify join
+    val newSets = shingleSets(newDocs, id, text, shingleK).localCheckpoint(eager = true)
+    val newBk = newSets
+      .select(col("_jid").as("_id"), posexplode(TextFns.minhashBands(col("_set"), numHashes, bands)))
+      .toDF("_id", "band", "bucket")
     val oldBk = spark.read.parquet(s"$indexPath/buckets")
       .join(newBk.select("band", "bucket").distinct(), Seq("band", "bucket"), "left_semi")
       .select(col("id").as("_id"), col("band"), col("bucket"))
@@ -285,7 +299,6 @@ object Dedup {
       .union(newSideA.join(newSide, Seq("band", "bucket")).where(col("id_a") < col("id_b")))
       .select("id_a", "id_b")
       .distinct()
-    val newSets = shingleSets(newDocs, id, text, shingleK)
     val aSets = spark.read.parquet(s"$indexPath/shingles")
       .select(col("id").as("_jid"), col("shingles").as("_set"))
       .union(newSets)
