@@ -349,6 +349,7 @@ object Dedup {
         .select(col("id"), col("id").as("cluster_id")))
     var changed = true
     var it = 0
+    var obsHealthy = true // one delivery failure → stop polling, probe directly
     while (changed && it < maxIters) {
       val nmin = edges.join(labels, edges("v") === labels("id"))
         .groupBy("u").agg(min("cluster_id").as("_nmin"))
@@ -359,7 +360,9 @@ object Dedup {
             least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"),
             (coalesce(col("_nmin"), col("cluster_id")) < col("cluster_id")).as("_c"))
           .observe(obs, sum(when(col("_c"), 1L).otherwise(0L)).as("n_changed")))
-      changed = observedChanged(obs, next)
+      val viaObs = if (obsHealthy) observedChanged(obs) else None
+      if (viaObs.isEmpty) obsHealthy = false
+      changed = viaObs.getOrElse(next.where(col("_c")).limit(1).count() > 0)
       labels = next.drop("_c")
       it += 1
     }
@@ -371,17 +374,18 @@ object Dedup {
 
   /** Read the per-round convergence metric the checkpoint action already
     * collected. Listener delivery is synchronous with the action in
-    * practice; the brief poll + 1-row probe fallback keeps the loop
-    * correct even if a future Spark delivers metrics asynchronously. */
-  private def observedChanged(obs: Observation, next: DataFrame): Boolean = {
+    * practice; returns None if metrics were not delivered within the
+    * brief poll window so the caller can fall back to a 1-row probe
+    * (and stop polling on later rounds). */
+  private def observedChanged(obs: Observation): Option[Boolean] = {
     import org.apache.spark.sql.graftbridge.Bridge.observedOrEmpty
     var waited = 0
     while (observedOrEmpty(obs).isEmpty && waited < 5000) { Thread.sleep(10); waited += 10 }
     val m = observedOrEmpty(obs)
     m.get("n_changed") match {
-      case Some(n: java.lang.Long) => n.longValue > 0L
-      case _ if m.nonEmpty => false // null sum: the label set itself is empty
-      case _ => next.where(col("_c")).limit(1).count() > 0
+      case Some(n: java.lang.Long) => Some(n.longValue > 0L)
+      case _ if m.nonEmpty => Some(false) // null sum: the label set itself is empty
+      case _ => None
     }
   }
 

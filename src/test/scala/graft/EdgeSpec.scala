@@ -43,6 +43,41 @@ class EdgeSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("incremental dedup of an empty batch (or against an empty-corpus index) degrades cleanly") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-edge-idx").toString + "/idx"
+    Dedup.writeMinHashIndex(docs(Seq(Doc(1L, "some indexed text here"))),
+      col("doc_id"), col("text"), idx)
+    // empty new batch: empty result, no error
+    assert(Dedup.minhashKeepIncremental(docs(Nil), col("doc_id"), col("text"), idx, 0.5)
+      .count() == 0L)
+    // empty indexed corpus: batch dedups only against itself
+    val emptyIdx = java.nio.file.Files.createTempDirectory("graft-edge-idx0").toString + "/idx"
+    Dedup.writeMinHashIndex(docs(Nil), col("doc_id"), col("text"), emptyIdx)
+    val kept = Dedup.minhashKeepIncremental(
+        docs(Seq(Doc(5L, "fresh batch text document"), Doc(6L, "fresh batch text document"))),
+        col("doc_id"), col("text"), emptyIdx, 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept == Set(5L))
+  }
+
+  test("IVF persistence of an empty quantizer round-trips to the empty-result path") {
+    import spark.implicits._
+    val schema = new GSchema {
+      val vec_id = col[Long]("vec_id"); val embedding = col[Seq[Float]]("embedding")
+    }
+    val empty = Tio.fromRows(spark, schema, Seq.empty[Emb]).toNative
+    val trained = Ann.trainIvf(empty, col("embedding"), dim = 2)
+    assert(trained.isEmpty)
+    val path = java.nio.file.Files.createTempDirectory("graft-edge-ivf").toString + "/q"
+    Ann.saveIvf(spark, trained, path)
+    assert(Ann.loadIvf(spark, path).isEmpty)
+    val probes = Tio.fromRows(spark, schema, Seq(Emb(1L, Seq(1f, 0f)))).toNative
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val data = Tio.fromRows(spark, schema, Seq(Emb(2L, Seq(1f, 1f)))).toNative
+    assert(Ann.topKIvfWith(Ann.loadIvf(spark, path), data,
+      col("vec_id"), col("embedding"), probes, k = 3).count() == 0L)
+  }
+
   test("ANN with an empty probe set returns empty") {
     import spark.implicits._
     val e = Tio.fromRows(spark, new GSchema {

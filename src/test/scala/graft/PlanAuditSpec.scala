@@ -57,6 +57,26 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k must participate in partial aggregation:\n$plan")
   }
 
+  test("dedup_incremental: the stored index side is semi-join-pruned before the hot-bucket window") {
+    // Plan the incremental keep directly (the SparkEntry query also
+    // writes the index; here we want the read path's shape).
+    val idx = java.nio.file.Files.createTempDirectory("graft-plan-idx").toString + "/idx"
+    val docs = graft.tables.documents(spark, dir).toNative
+    import org.apache.spark.sql.functions.col
+    graft.operators.Dedup.writeMinHashIndex(
+      docs.where(col("doc_id") < 250), col("doc_id"), col("text"), idx)
+    val inc = graft.operators.Dedup.minhashKeepIncremental(
+      docs.where(col("doc_id") >= 250), col("doc_id"), col("text"), idx, 0.5)
+    val plan = finalPlan(inc)
+    // a small increment must not shuffle the whole stored index: the
+    // index scan feeds a LeftSemi join on (band,bucket) and only then
+    // the capping window
+    assert(plan.contains("LeftSemi"), s"expected index-side semi-join prune:\n$plan")
+    assert(plan.contains("Window"), s"expected the hot-bucket window guard:\n$plan")
+    assert(plan.indexOf("LeftSemi") >= 0 &&
+      plan.contains("buckets"), s"semi-join must apply to the stored bucket table:\n$plan")
+  }
+
   test("text kernels stay inside whole-stage codegen in one pruned scan") {
     val plan = q("text_langid")
     // "*(n)" is the whole-stage-codegen stage marker in plan toString;
