@@ -43,6 +43,36 @@ object Tio {
   def writeCsv[S <: GSchema](tf: TFrame[S], path: String, mode: String = "overwrite"): Unit =
     tf.df.write.mode(mode).option("header", "true").csv(path)
 
+  /** Write as a BUCKETED managed table (`bucketBy` + `saveAsTable` —
+    * bucketing metadata lives in the session catalog, which is why this
+    * is a table, not a path). The 100 TB payoff: two tables bucketed on
+    * the same keys into the same bucket count join/aggregate on those
+    * keys with NO exchange — the most expensive recurring shuffle of a
+    * pipeline (fact-fact join) is paid once at write time, then never
+    * again. `sortKeys` additionally sorts within each bucket file.
+    * BucketSpec pins the exchange-free join plan. */
+  def writeBucketed[S <: GSchema](
+      tf: TFrame[S], table: String, bucketKeys: Seq[GCol[_]], nBuckets: Int,
+      sortKeys: Seq[GCol[_]] = Nil, mode: String = "overwrite"): Unit = {
+    require(bucketKeys.nonEmpty, "writeBucketed: at least one bucket key")
+    require(nBuckets > 0, s"writeBucketed: nBuckets must be positive, got $nBuckets")
+    val w = tf.df.write.mode(mode).format("parquet")
+      .bucketBy(nBuckets, bucketKeys.head.name, bucketKeys.tail.map(_.name): _*)
+    val ws = if (sortKeys.nonEmpty) w.sortBy(sortKeys.head.name, sortKeys.tail.map(_.name): _*)
+             else w
+    ws.saveAsTable(table)
+  }
+
+  /** Typed read of a catalog table (the counterpart of [[writeBucketed]];
+    * works for any table). Scan is pruned to the schema's columns. */
+  def readTable[S <: GSchema](spark: SparkSession, table: String, schema: S): TFrame[S] = {
+    val raw = spark.table(table)
+    if (GValidation.enabled) Validator.structural(raw, schema)
+    val pruned = raw.select(schema.columnNames.map(col): _*)
+    if (GValidation.full) Validator.constraints(pruned, schema)
+    new TFrame[S](pruned, Some(schema))
+  }
+
   /** Typed construction from case-class rows — colnade from_rows
     * (reference io.py:79-96); the case class plays Schema.Row and the
     * Encoder is the compile-time row/schema link. */

@@ -273,7 +273,14 @@ object Dedup {
     * never fully shuffles. The hot-bucket guard then runs jointly over
     * (pruned indexed ∪ batch) rows: a degenerate bucket is degenerate
     * regardless of which side its members came from, and the per-bucket
-    * sizes are exact because the semi-join keeps whole buckets. */
+    * sizes are exact because the semi-join keeps whole buckets.
+    *
+    * Index entries whose id appears in THIS batch are ignored (anti-join
+    * on the batch's id set): a batch replayed after a partial failure —
+    * its docs already appended to the index — dedups to exactly the
+    * same survivors as the first attempt instead of dropping everything
+    * against its own stale copies. This makes retries idempotent, which
+    * [[graft.streaming.GStream.dedupStream]] relies on. */
   def minhashKeepIncremental(
       newDocs: DataFrame, id: Column, text: Column, indexPath: String,
       threshold: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -283,10 +290,12 @@ object Dedup {
     // one shingling pass over the batch: the materialized sets feed both
     // the bucket keys and the exact-Jaccard verify join
     val newSets = shingleSets(newDocs, id, text, shingleK).localCheckpoint(eager = true)
+    val newIds = newSets.select(col("_jid").as("_nid"))
     val newBk = newSets
       .select(col("_jid").as("_id"), posexplode(TextFns.minhashBands(col("_set"), numHashes, bands)))
       .toDF("_id", "band", "bucket")
     val oldBk = spark.read.parquet(s"$indexPath/buckets")
+      .join(newIds, col("id") === col("_nid"), "left_anti") // replay safety: drop stale self-copies
       .join(newBk.select("band", "bucket").distinct(), Seq("band", "bucket"), "left_semi")
       .select(col("id").as("_id"), col("band"), col("bucket"))
     val tagged = capBuckets(
@@ -300,6 +309,7 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
     val aSets = spark.read.parquet(s"$indexPath/shingles")
+      .join(newIds, col("id") === col("_nid"), "left_anti") // mirror the bucket-side exclusion
       .select(col("id").as("_jid"), col("shingles").as("_set"))
       .union(newSets)
     val drops = jaccardVerify(cands, aSets, newSets, threshold)

@@ -34,4 +34,11 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // bucketed saveAsTable needs a warehouse; keep it out of the cwd
+      // AND unique per JVM — the in-memory catalog starts empty each
+      // run, so a stale shared location would fail saveAsTable with
+      // LOCATION_ALREADY_EXISTS. (Cluster deploys override this with
+      // their real warehouse + persistent catalog.)
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft-warehouse-${ProcessHandle.current().pid()}")
 }

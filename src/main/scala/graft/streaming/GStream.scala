@@ -2,11 +2,12 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery}
 
 import graft._
+import graft.operators.Dedup
 
 /** Structured-streaming surface (SURVEY §2.6). The reference has no
   * streaming story — this is the Spark-native extension: the same typed
@@ -46,6 +47,50 @@ object GStream {
       .withColumn("window_start", col("window.start"))
       .withColumn("window_end", col("window.end"))
       .drop("window")
+  }
+
+  // ------------------------------------------------------------- ST3
+  /** Streaming incremental near-dedup over a document stream: each
+    * micro-batch is deduped against the persisted MinHash index (and
+    * within itself) via [[Dedup.minhashKeepIncremental]]; survivors
+    * land in `outPath/batch_id=N/` and are appended to the index. The
+    * index IS the stream's dedup state — kept on shared storage, not
+    * the state store, so it survives restarts, has no watermark-bounded
+    * horizon (a duplicate of a document ingested months ago is still
+    * caught), and is shared with batch pipelines.
+    *
+    * Delivery contract: idempotent end-to-end under replay. Per-batch
+    * output directories are OVERWRITTEN, and `minhashKeepIncremental`
+    * ignores index entries carrying the replayed batch's own ids, so a
+    * batch retried after a mid-write failure reproduces byte-identical
+    * survivors; the index append itself is at-least-once, but duplicate
+    * index entries for an id are inert (candidates are distinct, self
+    * ids excluded). Doc ids must be globally unique across the stream. */
+  def dedupStream(
+      docs: DataFrame, id: Column, text: Column, indexPath: String, outPath: String,
+      threshold: Double, checkpointDir: String,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): StreamingQuery = {
+    val spark = docs.sparkSession
+    if (Dedup.readIndexParams(spark, indexPath).isEmpty) {
+      // bootstrap an empty index so the first micro-batch has something
+      // to join against (and the params are pinned up front)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], docs.schema)
+      Dedup.writeMinHashIndex(empty, id, text, indexPath, shingleK, numHashes, bands)
+    }
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val kept = Dedup
+          .minhashKeepIncremental(batch.toDF(), id, text, indexPath, threshold)
+          .localCheckpoint(eager = true) // compute survivors ONCE, consume twice
+        kept.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        if (!kept.isEmpty)
+          Dedup.writeMinHashIndex(kept, id, text, indexPath, shingleK, numHashes, bands,
+            mode = "append")
+      }
+      .start()
   }
 
   // ------------------------------------------------------------- ST2

@@ -81,6 +81,32 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((0L, 30000L, 2L), (200000L, 200000L, 1L), (1000000L, 1000000L, 1L)))
   }
 
+  test("ST3: streaming incremental dedup catches duplicates across micro-batches via the index") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    val input = MemoryStream(Encoders.product[Doc], spark)
+    val q = GStream.dedupStream(input.toDF(), col("doc_id"), col("text"),
+      s"$tmp/idx", s"$tmp/out", threshold = 0.5, checkpointDir = s"$tmp/ckpt")
+    try {
+      input.addData(Seq(
+        Doc(1L, "the quick brown fox jumps over the lazy dog"),
+        Doc(2L, "The quick  brown fox jumps over the lazy dog"), // in-batch dup of 1
+        Doc(3L, "completely different content about spark executors tonight")))
+      q.processAllAvailable()
+      input.addData(Seq(
+        Doc(10L, "the quick brown fox jumps over the lazy dog"), // dup of INDEXED 1
+        Doc(11L, "yet another entirely new document with fresh words")))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+
+    val ids = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 3L, 11L))
+    // the index carries every survivor: a fresh batch query sees them
+    assert(graft.operators.Dedup.readIndexParams(spark, s"$tmp/idx").contains((3, 128, 64)))
+  }
+
   test("ST2: sessionize state survives a query restart from checkpoint") {
     val base = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
     def ev(uid: Long, sec: Long) = SEvent(uid, new Timestamp(base + sec * 1000), "x")
