@@ -152,6 +152,29 @@ class DedupSpec extends SparkSpec {
     assert(err.getMessage.contains("refusing to append"))
   }
 
+  test("incremental dedup is replay-idempotent after its own batch reached the index") {
+    import spark.implicits._
+    val old = Seq(Doc(1L, "the quick brown fox jumps over the lazy dog"))
+    val batch = Seq(
+      Doc(10L, "The quick  brown fox jumps over the lazy dog"), // dup of indexed 1
+      Doc(11L, "an entirely fresh document about training data pipelines"),
+      Doc(12L, "an entirely fresh document about training data pipeline")) // dup of 11
+    val idx = java.nio.file.Files.createTempDirectory("graft-mh-replay").toString + "/idx"
+    val oldDf = Tio.fromRows(spark, Docs, old).toNative
+    val newDf = Tio.fromRows(spark, Docs, batch).toNative
+    Dedup.writeMinHashIndex(oldDf, col("doc_id"), col("text"), idx)
+    def run() = Dedup.minhashKeepIncremental(newDf, col("doc_id"), col("text"), idx, 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val first = run()
+    assert(first == Set(11L))
+    // partial-failure replay: the WHOLE batch (not just survivors) was
+    // already appended — self-ids in the index must be ignored, so the
+    // replay reproduces the identical survivor set instead of dropping
+    // everything against its own stale copies
+    Dedup.writeMinHashIndex(newDf, col("doc_id"), col("text"), idx, mode = "append")
+    assert(run() == first)
+  }
+
   test("hot-bucket guard bounds a degenerate bucket and keeps true pairs") {
     import spark.implicits._
     // 1000 identical template docs: one degenerate (band,bucket) group
