@@ -239,15 +239,17 @@ object Dedup {
           s"refusing to append with (${shingleK}, ${numHashes}, ${bands})")
     }
     // ONE normalization+shingling pass over the batch text (the dominant
-    // cost): materialize the shingle sets, then derive both index sides
-    // from them — bucket keys via the fused minhash-bands kernel over the
-    // already-computed sets, never a second pass over raw text.
+    // cost): cache the shingle sets for the two writes, then RELEASE the
+    // blocks — a lingering cache would tax every later job in a
+    // long-lived session with GC/storage pressure.
     val sets = df.select(id.as("id"), array_distinct(TextFns.shingles(text, shingleK)).as("shingles"))
-      .localCheckpoint(eager = true)
-    sets.write.mode(mode).parquet(s"$path/shingles")
-    sets.select(col("id"), posexplode(TextFns.minhashBands(col("shingles"), numHashes, bands)))
-      .toDF("id", "band", "bucket")
-      .write.mode(mode).parquet(s"$path/buckets")
+      .persist()
+    try {
+      sets.write.mode(mode).parquet(s"$path/shingles")
+      sets.select(col("id"), posexplode(TextFns.minhashBands(col("shingles"), numHashes, bands)))
+        .toDF("id", "band", "bucket")
+        .write.mode(mode).parquet(s"$path/buckets")
+    } finally sets.unpersist(blocking = false)
     import spark.implicits._
     Seq((shingleK, numHashes, bands)).toDF("shingle_k", "num_hashes", "bands")
       .write.mode("overwrite").parquet(s"$path/params")
@@ -287,13 +289,13 @@ object Dedup {
     val spark = newDocs.sparkSession
     val (shingleK, numHashes, bands) = readIndexParams(spark, indexPath).getOrElse(
       throw new IllegalArgumentException(s"no MinHash index found at $indexPath"))
-    // one shingling pass over the batch: the materialized sets feed both
-    // the bucket keys and the exact-Jaccard verify join
-    val newSets = shingleSets(newDocs, id, text, shingleK).localCheckpoint(eager = true)
-    val newIds = newSets.select(col("_jid").as("_nid"))
-    val newBk = newSets
-      .select(col("_jid").as("_id"), posexplode(TextFns.minhashBands(col("_set"), numHashes, bands)))
-      .toDF("_id", "band", "bucket")
+    // The batch is the SMALL side: shingle it independently for buckets
+    // and for the verify join rather than caching one materialized set —
+    // a cache this function could never release (the result is lazy)
+    // would keep taxing the session's executors long after the query.
+    val newSets = shingleSets(newDocs, id, text, shingleK)
+    val newIds = newDocs.select(id.as("_nid"))
+    val newBk = minhashBuckets(newDocs, id, text, shingleK, numHashes, bands)
     val oldBk = spark.read.parquet(s"$indexPath/buckets")
       .join(newIds, col("id") === col("_nid"), "left_anti") // replay safety: drop stale self-copies
       .join(newBk.select("band", "bucket").distinct(), Seq("band", "bucket"), "left_semi")

@@ -84,11 +84,13 @@ object GStream {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val kept = Dedup
           .minhashKeepIncremental(batch.toDF(), id, text, indexPath, threshold)
-          .localCheckpoint(eager = true) // compute survivors ONCE, consume twice
-        kept.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-        if (!kept.isEmpty)
-          Dedup.writeMinHashIndex(kept, id, text, indexPath, shingleK, numHashes, bands,
-            mode = "append")
+          .persist() // compute survivors ONCE, consume twice, then release
+        try {
+          kept.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          if (!kept.isEmpty)
+            Dedup.writeMinHashIndex(kept, id, text, indexPath, shingleK, numHashes, bands,
+              mode = "append")
+        } finally kept.unpersist(blocking = false)
       }
       .start()
   }
