@@ -68,8 +68,13 @@ object Media {
     def decode(c: Array[Byte]): DecodedMedia = {
       val n = c.length.toLong
       if (c.length >= 24 && c.startsWith(PngSig) &&
-          c(12) == 'I' && c(13) == 'H' && c(14) == 'D' && c(15) == 'R')
-        DecodedMedia(be32(c, 16), be32(c, 20), "png", n) // IHDR: width, height big-endian
+          c(12) == 'I' && c(13) == 'H' && c(14) == 'D' && c(15) == 'R') {
+        // IHDR width/height are big-endian, capped at 2^31-1 by the PNG
+        // spec — a negative parse is corrupt bytes, not a giant image
+        val (w, h) = (be32(c, 16), be32(c, 20))
+        if (w < 0 || h < 0) DecodedMedia(0, 0, "png", n)
+        else DecodedMedia(w, h, "png", n)
+      }
       else if (c.length >= 4 && (c(0) & 0xFF) == 0xFF && (c(1) & 0xFF) == 0xD8)
         jpegSof(c, n)
       else if (c.length >= 10 && c(0) == 'G' && c(1) == 'I' && c(2) == 'F' && c(3) == '8')
@@ -85,6 +90,7 @@ object Media {
         if ((c(i) & 0xFF) != 0xFF) return DecodedMedia(0, 0, "jpeg", n) // corrupt stream
         var j = i
         while (j + 1 < c.length && (c(j + 1) & 0xFF) == 0xFF) j += 1 // skip fill bytes
+        if (j + 1 >= c.length) return DecodedMedia(0, 0, "jpeg", n) // trailing fill run
         val m = c(j + 1) & 0xFF
         m match {
           case 0xD8 | 0x01 => i = j + 2                          // SOI / TEM: bare marker

@@ -98,6 +98,31 @@ object TopKProps extends Properties("topk-agg") {
     }
 }
 
+/** The media header parser's 100 TB robustness claim: ARBITRARY bytes —
+  * including adversarial prefixes that look like container signatures —
+  * must decode to something, never throw (a corrupt blob in a crawl
+  * cannot kill the job). Pure JVM, no SparkSession. */
+object HeaderDecoderProps extends Properties("header-decoder") {
+  import graft.operators.Media.HeaderDecoder
+
+  private val sigs: Gen[Array[Byte]] = Gen.oneOf(
+    Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte),
+    Array[Int](0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, // full IHDR preamble:
+      0, 0, 0, 13, 'I', 'H', 'D', 'R').map(_.toByte),       // random tail = random dims
+    Array[Int](0xFF, 0xD8).map(_.toByte),             // JPEG SOI
+    Array[Int](0xFF, 0xD8, 0xFF, 0xFF).map(_.toByte), // SOI + fill-byte run
+    "GIF89a".getBytes("ISO-8859-1"),
+    Array.emptyByteArray)
+
+  property("decode never throws and always reports the true byte count") =
+    forAll(sigs, Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))) { (sig, tail) =>
+      val payload = sig ++ tail.toArray
+      val d = HeaderDecoder.decode(payload) // must not throw
+      d.nBytes == payload.length.toLong && d.width >= 0 && d.height >= 0 &&
+        Set("png", "jpeg", "gif", "unknown").contains(d.format)
+    }
+}
+
 /** `duplicateClusters` vs an independent local union-find on random
   * small graphs — the only non-trivial distributed algorithm in the
   * library gets a generated-input gate, not just fixed planted chains.
