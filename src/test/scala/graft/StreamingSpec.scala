@@ -107,6 +107,35 @@ class StreamingSpec extends SparkSpec {
     assert(graft.operators.Dedup.readIndexParams(spark, s"$tmp/idx").contains((3, 128, 64)))
   }
 
+  test("ST3: dedupStream resumes after restart — the index carries dedup state across queries") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup-rs").toString
+    val input = MemoryStream(Encoders.product[Doc], spark)
+    def start() = GStream.dedupStream(input.toDF(), col("doc_id"), col("text"),
+      s"$tmp/idx", s"$tmp/out", threshold = 0.5, checkpointDir = s"$tmp/ckpt")
+
+    val q1 = start()
+    try {
+      input.addData(Seq(
+        Doc(1L, "the quick brown fox jumps over the lazy dog"),
+        Doc(2L, "a totally separate document about streaming state stores")))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    val q2 = start() // fresh query, same checkpoint + same index
+    try {
+      input.addData(Seq(
+        Doc(10L, "the quick brown fox jumps over the lazy dog"), // dup of PRE-RESTART 1
+        Doc(11L, "new content arriving after the restart entirely")))
+      q2.processAllAvailable()
+      assert(q2.exception.isEmpty)
+    } finally q2.stop()
+
+    val ids = spark.read.parquet(s"$tmp/out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 2L, 11L)) // 10 caught against the pre-restart index
+  }
+
   test("ST2: sessionize state survives a query restart from checkpoint") {
     val base = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
     def ev(uid: Long, sec: Long) = SEvent(uid, new Timestamp(base + sec * 1000), "x")
