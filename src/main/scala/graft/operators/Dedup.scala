@@ -86,7 +86,10 @@ object Dedup {
     * variants: the narrow (id, keys, size) bucket stream is computed
     * once and localCheckpointed; the eager skip-count aggregation and
     * the lazy capped candidate stream both read the materialized
-    * blocks, so reporting never re-runs the hashing scan. */
+    * blocks, so reporting never re-runs the hashing scan. The blocks
+    * stay cached until the returned frame is garbage-collected — the
+    * price of pairing an eager report with a lazy result; run the
+    * `*Reported` variant per production job, not in a tight loop. */
   private def capWithReport(
       bk: DataFrame, keys: Seq[String], maxBucket: Int): (DataFrame, SkippedBuckets) = {
     require(maxBucket > 0, "reported variants require a positive maxBucket")

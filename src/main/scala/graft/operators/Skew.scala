@@ -29,8 +29,11 @@ object Skew {
       left: DataFrame, right: DataFrame, key: String, salt: Int,
       seed: Long = 42L): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
-    val l = left.withColumn("_salt", (rand(seed) * salt).cast("int"))
-    val r = right.withColumn("_salt", explode(array((0 until salt).map(lit): _*)))
-    l.join(r, Seq(key, "_salt")).drop("_salt")
+    val saltCol = "__graft_salt" // prefixed: must not collide with user columns
+    require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
+      s"saltedInnerJoin: input already has a $saltCol column")
+    val l = left.withColumn(saltCol, (rand(seed) * salt).cast("int"))
+    val r = right.withColumn(saltCol, explode(array((0 until salt).map(lit): _*)))
+    l.join(r, Seq(key, saltCol)).drop(saltCol)
   }
 }

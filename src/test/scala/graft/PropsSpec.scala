@@ -169,6 +169,33 @@ object ClusterProps extends Properties("duplicate-clusters") {
     }
 }
 
+/** `saltedInnerJoin` must be a drop-in for the plain inner join on any
+  * data — random tables with heavy key collisions, any salt. Small case
+  * count: each evaluation runs two Spark joins. */
+object SaltedJoinProps extends Properties("salted-join") {
+  import org.scalacheck.Test
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private val rowsGen: Gen[List[(Long, Long)]] =
+    Gen.choose(0, 60).flatMap(n => Gen.listOfN(n,
+      for { k <- Gen.choose(0L, 5L); v <- Gen.choose(0L, 100L) } yield (k, v)))
+
+  property("equals the plain inner join as a multiset, for any salt") =
+    forAll(rowsGen, rowsGen, Gen.choose(1, 6)) { (lRows, rRows, salt) =>
+      val s = TestSession.spark
+      import s.implicits._
+      val left = lRows.toDF("k", "lv")
+      val right = rRows.toDF("k", "rv")
+      def multiset(df: org.apache.spark.sql.DataFrame): Map[(Long, Long, Long), Long] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      multiset(graft.operators.Skew.saltedInnerJoin(left, right, "k", salt)) ==
+        multiset(left.join(right, Seq("k")))
+    }
+}
+
 /** cast_schema mapping resolution under generated schema shapes —
   * the precedence matrix (explicit mapping > mappedFrom > name match)
   * from CastResolve (frame.scala), reference dataframe.py:234-290. */
