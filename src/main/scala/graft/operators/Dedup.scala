@@ -236,10 +236,30 @@ object Dedup {
       mode: String = "overwrite"): Unit = {
     require(mode == "overwrite" || mode == "append", s"unsupported index write mode: $mode")
     val spark = df.sparkSession
-    if (mode == "append") readIndexParams(spark, path).foreach { p =>
-      require(p == ((shingleK, numHashes, bands)),
-        s"MinHash index at $path has params (shingleK, numHashes, bands)=$p; " +
-          s"refusing to append with (${shingleK}, ${numHashes}, ${bands})")
+    val existing = readIndexParams(spark, path)
+    if (mode == "append") existing match {
+      case Some(p) =>
+        require(p == ((shingleK, numHashes, bands)),
+          s"MinHash index at $path has params (shingleK, numHashes, bands)=$p; " +
+            s"refusing to append with (${shingleK}, ${numHashes}, ${bands})")
+      case None =>
+        // Data without params/ is a half-written index (a crash between
+        // the data writes and the params write), NOT an empty one:
+        // appending over it — or bootstrapping an "empty" index over it
+        // — would silently orphan the accumulated dedup state. Repair
+        // is an explicit overwrite (or restoring params/), never
+        // implicit.
+        require(!indexDataExists(spark, path),
+          s"MinHash index at $path has buckets/ or shingles/ but no params/ — a failed " +
+            "write left it inconsistent; re-create it with mode=\"overwrite\" (discarding " +
+            "the accumulated state) or restore params/ before appending")
+    }
+    // Re-creation drops the old commit marker FIRST: stale params over
+    // half-overwritten data would validate reads against the wrong hash
+    // configuration; params-less data is detected as corrupt instead.
+    if (mode == "overwrite" && existing.isDefined) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/params")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
     // ONE normalization+shingling pass over the batch text (the dominant
     // cost): cache the shingle sets for the two writes, then RELEASE the
@@ -253,9 +273,17 @@ object Dedup {
         .toDF("id", "band", "bucket")
         .write.mode(mode).parquet(s"$path/buckets")
     } finally sets.unpersist(blocking = false)
-    import spark.implicits._
-    Seq((shingleK, numHashes, bands)).toDF("shingle_k", "num_hashes", "bands")
-      .write.mode("overwrite").parquet(s"$path/params")
+    // params/ is written ONCE per index (re)creation, and acts as the
+    // commit marker (data first, params last). An append must never
+    // rewrite it: mode("overwrite") deletes the directory before
+    // writing, and a driver crash inside that window would leave the
+    // whole accumulated index looking param-less — i.e. wiped — to the
+    // next reader.
+    if (mode == "overwrite" || existing.isEmpty) {
+      import spark.implicits._
+      Seq((shingleK, numHashes, bands)).toDF("shingle_k", "num_hashes", "bands")
+        .write.mode("overwrite").parquet(s"$path/params")
+    }
   }
 
   /** Hash params of the index at `path`, None if no index exists there. */
@@ -264,6 +292,17 @@ object Dedup {
       val r = spark.read.parquet(s"$path/params").head()
       Some((r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"), r.getAs[Int]("bands")))
     } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Whether index data directories exist at `path`. Data present while
+    * [[readIndexParams]] returns None means a half-written (crashed)
+    * index — callers must refuse to treat it as empty. */
+  def indexDataExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("buckets", "shingles").exists { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+      p.getFileSystem(conf).exists(p)
+    }
+  }
 
   /** Incremental near-dedup of a new batch against a persisted index
     * (plus within-batch dedup): returns the new docs that duplicate
@@ -303,6 +342,12 @@ object Dedup {
       .join(newIds, col("id") === col("_nid"), "left_anti") // replay safety: drop stale self-copies
       .join(newBk.select("band", "bucket").distinct(), Seq("band", "bucket"), "left_semi")
       .select(col("id").as("_id"), col("band"), col("bucket"))
+      // At-least-once appends can leave duplicate (id, band, bucket)
+      // rows; distinct AFTER the semi-join prune (so only surviving
+      // buckets pay the shuffle) keeps the capBuckets count an exact
+      // member count — replayed rows must not push a legitimate bucket
+      // over maxBucket and silently drop its real duplicates.
+      .distinct()
     val tagged = capBuckets(
       oldBk.withColumn("_new", lit(false)).union(newBk.withColumn("_new", lit(true))),
       Seq("band", "bucket"), maxBucket)
@@ -345,21 +390,39 @@ object Dedup {
     * `localCheckpoint`, whose blocks live on executors — fine on
     * local[n], but on a real cluster losing one executor mid-iteration
     * loses the (truncated) lineage and kills the job. Pass a reliable
-    * store path (HDFS/S3) to swap in fault-tolerant `checkpoint()` for
-    * production runs. */
+    * store path (HDFS/S3) to snapshot each round to parquet there
+    * instead. Reliable mode never touches the SparkContext-global
+    * checkpoint directory, and it cleans up after itself: each round's
+    * snapshot is deleted as soon as the next round is on disk, so the
+    * footprint is O(1) snapshots rather than one per round. Exactly one
+    * `graft-cc-<uuid>/` run directory remains at exit — it backs the
+    * returned (lazy) frame — and is the caller's to delete once the
+    * result is consumed. */
   def duplicateClusters(
       pairs: DataFrame, maxIters: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
-    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
-    def materialize(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    val runDir = checkpointDir.map(d => s"$d/graft-cc-${java.util.UUID.randomUUID()}")
+    var step = 0
+    // (frame, snapshot path): reliable mode round-trips through parquet —
+    // truncated lineage that survives executor loss, re-readable by path.
+    def snap(df: DataFrame): (DataFrame, Option[String]) = runDir match {
+      case Some(base) =>
+        val p = s"$base/step-$step"; step += 1
+        df.write.parquet(p)
+        // explicit schema: a zero-row snapshot has no footer to infer from
+        (spark.read.schema(df.schema).parquet(p), Some(p))
+      case None => (df.localCheckpoint(eager = true), None)
+    }
+    def drop(path: Option[String]): Unit = path.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     val p = pairs.select(col("id_a"), col("id_b"))
-    val edges = materialize( // materialize once: candidate gen never re-runs per round
+    val (edges, edgesPath) = snap( // materialize once: candidate gen never re-runs per round
       p.select(col("id_a").as("u"), col("id_b").as("v"))
         .union(p.select(col("id_b").as("u"), col("id_a").as("v"))))
-    var labels = materialize(
+    var (labels, labelsPath) = snap(
       edges.select(col("u").as("id")).distinct()
         .select(col("id"), col("id").as("cluster_id")))
     var changed = true
@@ -369,7 +432,7 @@ object Dedup {
       val nmin = edges.join(labels, edges("v") === labels("id"))
         .groupBy("u").agg(min("cluster_id").as("_nmin"))
       val obs = Observation()
-      val next = materialize(
+      val (next, nextPath) = snap(
         labels.join(nmin, labels("id") === nmin("u"), "left")
           .select(labels("id"),
             least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"),
@@ -378,12 +441,15 @@ object Dedup {
       val viaObs = if (obsHealthy) observedChanged(obs) else None
       if (viaObs.isEmpty) obsHealthy = false
       changed = viaObs.getOrElse(next.where(col("_c")).limit(1).count() > 0)
+      drop(labelsPath) // round N-1's snapshot: unreferenced once round N is on disk
+      labelsPath = nextPath
       labels = next.drop("_c")
       it += 1
     }
     if (changed)
       throw new IllegalStateException(
         s"duplicateClusters: not converged after $maxIters rounds (component diameter > $maxIters); raise maxIters")
+    drop(edgesPath) // the loop is done; only the final label snapshot stays live
     labels
   }
 

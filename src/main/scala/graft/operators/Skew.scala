@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation for equi-joins (SURVEY §4).
@@ -16,10 +16,24 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Inner equi-join of `left` and `right` on `key`, with the LEFT side
-    * salted: every left row gets a seeded pseudo-random salt in
-    * `[0, salt)` and the right side is replicated `salt` times, so the
-    * join key becomes `(key, _salt)` and a pathologically hot key's
-    * rows land on `salt` different reducers instead of one straggler.
+    * salted: every left row gets a salt in `[0, salt)` and the right
+    * side is replicated `salt` times, so the join key becomes
+    * `(key, _salt)` and a pathologically hot key's rows land on `salt`
+    * different reducers instead of one straggler.
+    *
+    * `saltBy`: pass a STABLE per-row column (a unique row id is ideal)
+    * to derive the salt deterministically as
+    * `xxhash64(saltBy, seed) mod salt` — the production-safe choice.
+    * The `None` default salts with `rand(seed)`, which is
+    * row-order-dependent: if a shuffle-map task is recomputed after a
+    * fetch failure, rows can land on different `(key, salt)` reduce
+    * partitions than the first attempt (the SPARK-23207-style
+    * indeterminate-stage hazard). Spark marks the stage indeterminate
+    * and rolls it back wholesale on such failures, so results stay
+    * correct, but the retry is expensive — prefer `saltBy` whenever a
+    * stable column exists. (Deriving from the row's full content is no
+    * substitute: a hot key's rows are often byte-identical, which would
+    * put them all back on one reducer.)
     *
     * Put the LARGE/SKEWED side left and the moderate side right — the
     * right side's shuffle volume multiplies by `salt` (that is the
@@ -27,12 +41,16 @@ object Skew {
     * hot key). Result equals the plain inner join, row for row. */
   def saltedInnerJoin(
       left: DataFrame, right: DataFrame, key: String, salt: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, saltBy: Option[Column] = None): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
     val saltCol = "__graft_salt" // prefixed: must not collide with user columns
     require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
       s"saltedInnerJoin: input already has a $saltCol column")
-    val l = left.withColumn(saltCol, (rand(seed) * salt).cast("int"))
+    val saltExpr = saltBy match {
+      case Some(c) => pmod(xxhash64(c, lit(seed)), lit(salt)).cast("int")
+      case None => (rand(seed) * salt).cast("int")
+    }
+    val l = left.withColumn(saltCol, saltExpr)
     val r = right.withColumn(saltCol, explode(array((0 until salt).map(lit): _*)))
     l.join(r, Seq(key, saltCol)).drop(saltCol)
   }

@@ -64,14 +64,25 @@ object GStream {
     * ignores index entries carrying the replayed batch's own ids, so a
     * batch retried after a mid-write failure reproduces byte-identical
     * survivors; the index append itself is at-least-once, but duplicate
-    * index entries for an id are inert (candidates are distinct, self
-    * ids excluded). Doc ids must be globally unique across the stream. */
+    * index entries for an id are inert (the indexed bucket side is
+    * deduplicated before the hot-bucket guard counts members, candidates
+    * are distinct, self ids excluded). Doc ids must be globally unique
+    * across the stream. */
   def dedupStream(
       docs: DataFrame, id: Column, text: Column, indexPath: String, outPath: String,
       threshold: Double, checkpointDir: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): StreamingQuery = {
     val spark = docs.sparkSession
     if (Dedup.readIndexParams(spark, indexPath).isEmpty) {
+      // Missing params + existing data is a half-written index (e.g. a
+      // crash inside a previous creation), NOT an empty one: bootstrapping
+      // over it would overwrite the accumulated dedup state with an empty
+      // index and silently re-admit every historical duplicate. Refuse;
+      // repair is an explicit decision.
+      require(!Dedup.indexDataExists(spark, indexPath),
+        s"MinHash index at $indexPath has buckets/ or shingles/ but no params/ — refusing " +
+          "to bootstrap an empty index over existing data; restore params/ or explicitly " +
+          "re-create the index with Dedup.writeMinHashIndex(mode = \"overwrite\")")
       // bootstrap an empty index so the first micro-batch has something
       // to join against (and the params are pinned up front)
       val empty = spark.createDataFrame(
