@@ -229,7 +229,17 @@ object Dedup {
     * The batch's shingle sets are materialized once (localCheckpoint) to
     * feed both index sides in a single text pass — so seed an enormous
     * initial corpus in bounded batches via `append`, the same way it
-    * would arrive in production, rather than as one giant write. */
+    * would arrive in production, rather than as one giant write.
+    *
+    * APPEND ATOMICITY: an append is two writes (`shingles/` first, then
+    * `buckets/`) and is NOT atomic across them — a crash in between
+    * leaves the batch's docs shingled but bucket-less, so they never
+    * generate candidates. The contract is at-least-once REPLAY: after
+    * any append failure, re-append the SAME batch (duplicate rows are
+    * inert — see [[minhashKeepIncremental]]). [[GStream.dedupStream]]
+    * replays automatically via its streaming checkpoint; standalone
+    * batch callers must replay themselves, and can audit an index of
+    * uncertain history with [[indexMissingBucketIds]]. */
   def writeMinHashIndex(
       df: DataFrame, id: Column, text: Column, path: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
@@ -303,6 +313,30 @@ object Dedup {
       p.getFileSystem(conf).exists(p)
     }
   }
+
+  /** Whether the index data directories at `path` are VERIFIABLY empty:
+    * each of `buckets/` and `shingles/` is absent, has no parquet files,
+    * or reads as zero rows. True means the index holds no accumulated
+    * dedup state — e.g. an empty-index bootstrap that crashed before its
+    * params write — so re-creating it loses nothing. Callers use this to
+    * distinguish a repairable orphan from a real half-written index
+    * (see [[GStream.dedupStream]]'s bootstrap). */
+  def indexDataIsEmpty(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    Seq("buckets", "shingles").forall { d =>
+      try spark.read.parquet(s"$path/$d").isEmpty
+      catch { case _: org.apache.spark.sql.AnalysisException => true } // absent / no parquet footers
+    }
+
+  /** Append-consistency audit: ids present in `shingles/` but absent
+    * from `buckets/` — the signature of an append that crashed between
+    * its two writes (see the atomicity note on [[writeMinHashIndex]]).
+    * Docs listed here are invisible to candidate generation until their
+    * batch is replayed. Empty result == consistent (bucket-side ids ⊇
+    * shingle-side ids always holds for completed writes; the converse
+    * direction cannot occur because shingles are written first). */
+  def indexMissingBucketIds(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/shingles").select("id").distinct()
+      .join(spark.read.parquet(s"$path/buckets").select("id").distinct(), Seq("id"), "left_anti")
 
   /** Incremental near-dedup of a new batch against a persisted index
     * (plus within-batch dedup): returns the new docs that duplicate
@@ -394,10 +428,13 @@ object Dedup {
     * instead. Reliable mode never touches the SparkContext-global
     * checkpoint directory, and it cleans up after itself: each round's
     * snapshot is deleted as soon as the next round is on disk, so the
-    * footprint is O(1) snapshots rather than one per round. Exactly one
-    * `graft-cc-<uuid>/` run directory remains at exit — it backs the
-    * returned (lazy) frame — and is the caller's to delete once the
-    * result is consumed. */
+    * footprint is O(1) snapshots rather than one per round. On
+    * SUCCESSFUL return exactly one `graft-cc-<uuid>/` run directory
+    * remains — it backs the returned (lazy) frame — and is the
+    * caller's to delete once the result is consumed. On ANY failure
+    * (non-convergence, a Spark job dying mid-round) the whole run
+    * directory is best-effort deleted before the error propagates:
+    * a failed call leaves nothing behind to leak. */
   def duplicateClusters(
       pairs: DataFrame, maxIters: Int = 25,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -418,39 +455,49 @@ object Dedup {
       val p = new org.apache.hadoop.fs.Path(d)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
-    val p = pairs.select(col("id_a"), col("id_b"))
-    val (edges, edgesPath) = snap( // materialize once: candidate gen never re-runs per round
-      p.select(col("id_a").as("u"), col("id_b").as("v"))
-        .union(p.select(col("id_b").as("u"), col("id_a").as("v"))))
-    var (labels, labelsPath) = snap(
-      edges.select(col("u").as("id")).distinct()
-        .select(col("id"), col("id").as("cluster_id")))
-    var changed = true
-    var it = 0
-    var obsHealthy = true // one delivery failure → stop polling, probe directly
-    while (changed && it < maxIters) {
-      val nmin = edges.join(labels, edges("v") === labels("id"))
-        .groupBy("u").agg(min("cluster_id").as("_nmin"))
-      val obs = Observation()
-      val (next, nextPath) = snap(
-        labels.join(nmin, labels("id") === nmin("u"), "left")
-          .select(labels("id"),
-            least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"),
-            (coalesce(col("_nmin"), col("cluster_id")) < col("cluster_id")).as("_c"))
-          .observe(obs, sum(when(col("_c"), 1L).otherwise(0L)).as("n_changed")))
-      val viaObs = if (obsHealthy) observedChanged(obs) else None
-      if (viaObs.isEmpty) obsHealthy = false
-      changed = viaObs.getOrElse(next.where(col("_c")).limit(1).count() > 0)
-      drop(labelsPath) // round N-1's snapshot: unreferenced once round N is on disk
-      labelsPath = nextPath
-      labels = next.drop("_c")
-      it += 1
+    try {
+      val p = pairs.select(col("id_a"), col("id_b"))
+      val (edges, edgesPath) = snap( // materialize once: candidate gen never re-runs per round
+        p.select(col("id_a").as("u"), col("id_b").as("v"))
+          .union(p.select(col("id_b").as("u"), col("id_a").as("v"))))
+      var (labels, labelsPath) = snap(
+        edges.select(col("u").as("id")).distinct()
+          .select(col("id"), col("id").as("cluster_id")))
+      var changed = true
+      var it = 0
+      var obsHealthy = true // one delivery failure → stop polling, probe directly
+      while (changed && it < maxIters) {
+        val nmin = edges.join(labels, edges("v") === labels("id"))
+          .groupBy("u").agg(min("cluster_id").as("_nmin"))
+        val obs = Observation()
+        val (next, nextPath) = snap(
+          labels.join(nmin, labels("id") === nmin("u"), "left")
+            .select(labels("id"),
+              least(col("cluster_id"), coalesce(col("_nmin"), col("cluster_id"))).as("cluster_id"),
+              (coalesce(col("_nmin"), col("cluster_id")) < col("cluster_id")).as("_c"))
+            .observe(obs, sum(when(col("_c"), 1L).otherwise(0L)).as("n_changed")))
+        val viaObs = if (obsHealthy) observedChanged(obs) else None
+        if (viaObs.isEmpty) obsHealthy = false
+        changed = viaObs.getOrElse(next.where(col("_c")).limit(1).count() > 0)
+        drop(labelsPath) // round N-1's snapshot: unreferenced once round N is on disk
+        labelsPath = nextPath
+        labels = next.drop("_c")
+        it += 1
+      }
+      if (changed)
+        throw new IllegalStateException(
+          s"duplicateClusters: not converged after $maxIters rounds (component diameter > $maxIters); raise maxIters")
+      drop(edgesPath) // the loop is done; only the final label snapshot stays live
+      labels
+    } catch {
+      case t: Throwable =>
+        // Nothing is returned on failure, so the whole run directory —
+        // edges plus whatever round snapshots the crash stranded — is
+        // garbage. Best-effort delete; the original error wins.
+        try drop(runDir)
+        catch { case cleanup: Throwable => t.addSuppressed(cleanup) }
+        throw t
     }
-    if (changed)
-      throw new IllegalStateException(
-        s"duplicateClusters: not converged after $maxIters rounds (component diameter > $maxIters); raise maxIters")
-    drop(edgesPath) // the loop is done; only the final label snapshot stays live
-    labels
   }
 
   /** Read the per-round convergence metric the checkpoint action already

@@ -74,17 +74,22 @@ object GStream {
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): StreamingQuery = {
     val spark = docs.sparkSession
     if (Dedup.readIndexParams(spark, indexPath).isEmpty) {
-      // Missing params + existing data is a half-written index (e.g. a
-      // crash inside a previous creation), NOT an empty one: bootstrapping
-      // over it would overwrite the accumulated dedup state with an empty
-      // index and silently re-admit every historical duplicate. Refuse;
-      // repair is an explicit decision.
-      require(!Dedup.indexDataExists(spark, indexPath),
-        s"MinHash index at $indexPath has buckets/ or shingles/ but no params/ — refusing " +
-          "to bootstrap an empty index over existing data; restore params/ or explicitly " +
-          "re-create the index with Dedup.writeMinHashIndex(mode = \"overwrite\")")
+      // Missing params + existing NON-EMPTY data is a half-written index
+      // (e.g. a crash inside a previous creation): bootstrapping over it
+      // would overwrite the accumulated dedup state with an empty index
+      // and silently re-admit every historical duplicate. Refuse; repair
+      // is an explicit decision. The one self-inflicted case we CAN
+      // repair safely: this function's own empty-index bootstrap crashed
+      // between its (zero-row) data writes and the params write — the
+      // orphaned directories verifiably hold no state, so re-running the
+      // bootstrap loses nothing and the stream restarts unattended.
+      require(!Dedup.indexDataExists(spark, indexPath) || Dedup.indexDataIsEmpty(spark, indexPath),
+        s"MinHash index at $indexPath has non-empty buckets/ or shingles/ but no params/ — " +
+          "refusing to bootstrap an empty index over existing data; restore params/ or " +
+          "explicitly re-create the index with Dedup.writeMinHashIndex(mode = \"overwrite\")")
       // bootstrap an empty index so the first micro-batch has something
-      // to join against (and the params are pinned up front)
+      // to join against (and the params are pinned up front); overwrite
+      // mode replaces any verifiably-empty orphaned directories
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], docs.schema)
       Dedup.writeMinHashIndex(empty, id, text, indexPath, shingleK, numHashes, bands)

@@ -106,6 +106,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicateClusters(none).collect().isEmpty)
   }
 
+  test("duplicateClusters reliable mode leaves no run directory behind on failure") {
+    import spark.implicits._
+    // a 4-node chain has diameter 3: maxIters = 1 cannot converge
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val base = java.nio.file.Files.createTempDirectory("graft-cc-fail").toString
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(pairs, maxIters = 1, checkpointDir = Some(base))
+    }
+    // the failed run deleted its graft-cc-<uuid>/ directory (edges + snapshots)
+    val leftovers = new java.io.File(base).listFiles()
+    assert(leftovers == null || leftovers.isEmpty,
+      s"expected no leaked run dirs, found: ${leftovers.map(_.getName).mkString(", ")}")
+  }
+
   test("persisted MinHash index: incremental keep == full-corpus keep restricted to the batch") {
     import spark.implicits._
     val old = Seq(
@@ -173,6 +187,41 @@ class DedupSpec extends SparkSpec {
     // everything against its own stale copies
     Dedup.writeMinHashIndex(newDf, col("doc_id"), col("text"), idx, mode = "append")
     assert(run() == first)
+  }
+
+  test("index audit finds a crashed append's bucket-less ids; param-less data refuses appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.array_distinct
+    val idx = java.nio.file.Files.createTempDirectory("graft-mh-halfw").toString + "/idx"
+    val oldDf = Tio.fromRows(spark, Docs, docs).toNative
+    Dedup.writeMinHashIndex(oldDf, col("doc_id"), col("text"), idx)
+    assert(Dedup.indexMissingBucketIds(spark, idx).isEmpty) // completed write: consistent
+
+    // Simulate an append that crashed between its two writes: the
+    // batch's shingles landed (the first write writeMinHashIndex does),
+    // its buckets did not — those docs are invisible to candidate gen.
+    val batch = Tio.fromRows(spark, Docs, Seq(
+      Doc(50L, "totally new content about gradient checkpoint schedules"),
+      Doc(51L, "the quick brown fox jumps over the lazy dog"))).toNative
+    batch.select(col("doc_id").as("id"),
+        array_distinct(graft.functions.TextFns.shingles(col("text"), 3)).as("shingles"))
+      .write.mode("append").parquet(s"$idx/shingles")
+    val missing = Dedup.indexMissingBucketIds(spark, idx)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(missing == Set(50L, 51L))
+    // the documented contract: replaying the SAME batch restores consistency
+    Dedup.writeMinHashIndex(batch, col("doc_id"), col("text"), idx, mode = "append")
+    assert(Dedup.indexMissingBucketIds(spark, idx).isEmpty)
+
+    // params/ lost (crash during a re-creation): appends must refuse —
+    // the data can no longer be validated against any hash configuration
+    val pdir = new org.apache.hadoop.fs.Path(s"$idx/params")
+    pdir.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(pdir, true)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.writeMinHashIndex(batch, col("doc_id"), col("text"), idx, mode = "append")
+    }
+    assert(err.getMessage.contains("no params"))
+    assert(!Dedup.indexDataIsEmpty(spark, idx)) // real state: NOT auto-repairable
   }
 
   test("hot-bucket guard bounds a degenerate bucket and keeps true pairs") {

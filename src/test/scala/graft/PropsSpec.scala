@@ -194,6 +194,22 @@ object SaltedJoinProps extends Properties("salted-join") {
       multiset(graft.operators.Skew.saltedInnerJoin(left, right, "k", salt)) ==
         multiset(left.join(right, Seq("k")))
     }
+
+  property("deterministic saltBy also equals the plain inner join as a multiset") =
+    forAll(rowsGen, rowsGen, Gen.choose(1, 6)) { (lRows, rRows, salt) =>
+      val s = TestSession.spark
+      import s.implicits._
+      // a stable unique row id drives the xxhash64/pmod salt derivation
+      val left = lRows.zipWithIndex.map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("k", "lv", "rid")
+      val right = rRows.toDF("k", "rv")
+      def multiset(df: org.apache.spark.sql.DataFrame): Map[(Long, Long, Long, Long), Long] =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      multiset(graft.operators.Skew.saltedInnerJoin(left, right, "k", salt,
+        saltBy = Some(org.apache.spark.sql.functions.col("rid")))) ==
+        multiset(left.join(right, Seq("k")))
+    }
 }
 
 /** cast_schema mapping resolution under generated schema shapes —

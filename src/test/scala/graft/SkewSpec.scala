@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.rand
+import org.apache.spark.sql.functions.{lit, pmod, rand, xxhash64}
 
 import graft.operators.Skew
 
@@ -26,6 +26,28 @@ class SkewSpec extends SparkSpec {
     // the hot key's rows really land on many distinct salts (same seeded
     // expression the join uses), so no single reducer gets them all
     val spread = left.withColumn("_salt", (rand(42L) * 8).cast("int"))
+      .where($"k" === 1L).select("_salt").distinct().count()
+    assert(spread >= 6, s"expected the hot key spread over >=6 of 8 salts, got $spread")
+  }
+
+  test("deterministic saltBy equals the plain join and still spreads the hot key") {
+    import spark.implicits._
+    // same hot-key shape, plus a stable unique row id to salt by
+    val left = ((1 to 10000).map(_ => (1L, "hot")) ++ (2L to 50L).map(k => (k, "cold")))
+      .zipWithIndex.map { case ((k, tag), i) => (k, tag, i.toLong) }
+      .toDF("k", "tag", "rid")
+    val right = (1L to 50L).map(k => (k, k * 2)).toDF("k", "v")
+
+    val plain = left.join(right, Seq("k"))
+    val salted = Skew.saltedInnerJoin(left, right, "k", salt = 8, saltBy = Some($"rid"))
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    val a = salted.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+
+    // the hot key's 10k rows land on many distinct salts under the same
+    // xxhash64/pmod derivation the join uses (seed default 42)
+    val spread = left.withColumn("_salt", pmod(xxhash64($"rid", lit(42L)), lit(8)).cast("int"))
       .where($"k" === 1L).select("_salt").distinct().count()
     assert(spread >= 6, s"expected the hot key spread over >=6 of 8 salts, got $spread")
   }

@@ -136,6 +136,52 @@ class StreamingSpec extends SparkSpec {
     assert(ids == Set(1L, 2L, 11L)) // 10 caught against the pre-restart index
   }
 
+  test("ST3: bootstrap refuses a non-empty param-less index but auto-repairs an empty orphan") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup-boot").toString
+    def del(p: String): Unit = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    }
+
+    // (1) real accumulated state whose params/ went missing: starting the
+    // stream must refuse — bootstrapping an empty index over it would
+    // silently re-admit every historical duplicate
+    val badIdx = s"$tmp/bad/idx"
+    Dedup.writeMinHashIndex(
+      Seq(Doc(1L, "the quick brown fox jumps over the lazy dog")).toDF(),
+      col("doc_id"), col("text"), badIdx)
+    del(s"$badIdx/params")
+    val input0 = MemoryStream(Encoders.product[Doc], spark)
+    val err = intercept[IllegalArgumentException] {
+      GStream.dedupStream(input0.toDF(), col("doc_id"), col("text"),
+        badIdx, s"$tmp/bad/out", threshold = 0.5, checkpointDir = s"$tmp/bad/ckpt")
+    }
+    assert(err.getMessage.contains("refusing"))
+
+    // (2) the bootstrap's own crash signature — zero-row data dirs, no
+    // params — auto-repairs: the stream starts unattended and dedups
+    val okIdx = s"$tmp/ok/idx"
+    Dedup.writeMinHashIndex(Seq.empty[Doc].toDF(), col("doc_id"), col("text"), okIdx)
+    del(s"$okIdx/params")
+    assert(Dedup.indexDataExists(spark, okIdx) && Dedup.indexDataIsEmpty(spark, okIdx))
+    val input = MemoryStream(Encoders.product[Doc], spark)
+    val q = GStream.dedupStream(input.toDF(), col("doc_id"), col("text"),
+      okIdx, s"$tmp/ok/out", threshold = 0.5, checkpointDir = s"$tmp/ok/ckpt")
+    try {
+      input.addData(Seq(
+        Doc(1L, "the quick brown fox jumps over the lazy dog"),
+        Doc(2L, "The quick  brown fox jumps over the lazy dog"))) // in-batch dup of 1
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+    val ids = spark.read.parquet(s"$tmp/ok/out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L))
+  }
+
   test("ST2: sessionize state survives a query restart from checkpoint") {
     val base = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
     def ev(uid: Long, sec: Long) = SEvent(uid, new Timestamp(base + sec * 1000), "x")
