@@ -366,16 +366,22 @@ object SparkEntry {
     },
 
     // L3: SimHash pairs within hamming 3 via 4x16-bit pigeonhole bands.
-    // No SQL oracle (simhash isn't expressible in ANSI SQL) — rows-only
-    // gate; DedupSpec pins exact pair recovery on planted duplicates.
+    // PARTIAL oracle: the hash kernel isn't ANSI-SQL-expressible, so
+    // Verify exports the Spark-computed signatures (_aux/simhash_sigs)
+    // and DuckDB re-derives banding + hot-bucket cap + join + hamming
+    // from them with xor/bit_count — the whole pairing logic is
+    // driver-checked; SqlFunctionsSpec carries the kernel itself.
     "dedup_simhash" -> { (s, dir) =>
       Dedup.simhashPairs(documents(s, dir).toNative, col("doc_id"), col("text"), 3)
         .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("hamming"))
         .orderBy("doc_id_a", "doc_id_b")
     },
 
-    // L5: embedding cosine near-dup via sign-LSH buckets. Rows-only gate
-    // (LSH recall is probabilistic); AnnSpec pins recall on planted dups.
+    // L5: embedding cosine near-dup via sign-LSH buckets. PARTIAL
+    // oracle: hyperplane bucketing is probabilistic (AnnSpec pins
+    // recall), so Verify exports the candidate pairs (_aux/emb_cand)
+    // and DuckDB re-derives the exact-cosine verify + threshold with
+    // list_cosine_similarity — the verify stage is driver-checked.
     "dedup_embedding" -> { (s, dir) =>
       Dedup.embeddingPairs(embeddings(s, dir).toNative,
           col("vec_id"), col("embedding"), tau = 0.4, dim = 64)
@@ -392,8 +398,10 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     },
 
-    // L7: LSH-bucketed ANN, same shape — rows-only gate; AnnSpec pins
-    // recall@k against ann_topk.
+    // L7: LSH-bucketed ANN, same shape. PARTIAL oracle: recall is
+    // probabilistic (AnnSpec pins it vs brute force), so Verify exports
+    // the candidate pairs (_aux/ann_lsh_cand) and DuckDB re-derives the
+    // exact rerank (cosine + row_number top-k) — driver-checked.
     "ann_lsh" -> { (s, dir) =>
       val e = embeddings(s, dir).toNative
       val probes = e.where(col("vec_id") < 5)
@@ -403,7 +411,9 @@ object SparkEntry {
     },
 
     // L7 (IVF variant): k-means inverted lists + nProbe search, exact
-    // rerank — rows-only gate; AnnSpec pins recall vs brute force.
+    // rerank. PARTIAL oracle like ann_lsh (_aux/ann_ivf_cand): centroid
+    // training/assignment stays under AnnSpec, the rerank is
+    // driver-checked in DuckDB.
     "ann_ivf" -> { (s, dir) =>
       val e = embeddings(s, dir).toNative
       val probes = e.where(col("vec_id") < 5)
@@ -422,7 +432,46 @@ object SparkEntry {
     },
   )
 
-  /** DuckDB-equivalent SQL per query (column names must match exactly). */
+  /** Deterministic intermediate stages backing the PARTIAL oracles of
+    * the four queries whose full pipeline is not ANSI-SQL-expressible.
+    * Verify writes each to `outDir/_aux/<name>` so the corresponding
+    * [[oracleSql]] entry (with `{OUT}` substituted to the absolute
+    * outDir) can `read_parquet` it and re-derive the downstream stage
+    * in DuckDB. Every export is a pure function of the input tables
+    * (fixed seeds, deterministic hashing — trainIvf's `orderBy(rand(
+    * seed))` sample included), so re-computing it here yields exactly
+    * the candidates the query itself reranked/verified. */
+  def auxExports: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // dedup_simhash upstream: per-doc 64-bit signatures.
+    "simhash_sigs" -> { (s, dir) =>
+      Dedup.simhashSignatures(documents(s, dir).toNative, col("doc_id"), col("text"))
+    },
+    // dedup_embedding upstream: sign-LSH candidate pairs (pre-verify).
+    "emb_cand" -> { (s, dir) =>
+      Dedup.embeddingCandidates(embeddings(s, dir).toNative,
+        col("vec_id"), col("embedding"), dim = 64)
+    },
+    // ann_lsh upstream: distinct (probe_id, neighbor_id) candidates.
+    "ann_lsh_cand" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Ann.lshCandidates(e, col("vec_id"), col("embedding"), probes, dim = 64)
+    },
+    // ann_ivf upstream: same, from the identically-trained quantizer.
+    "ann_ivf_cand" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Ann.ivfCandidates(
+        Ann.trainIvf(e, col("embedding"), dim = 64, nClusters = 16),
+        e, col("vec_id"), col("embedding"), probes, nProbe = 4)
+    },
+  )
+
+  /** DuckDB-equivalent SQL per query (column names must match exactly).
+    * `{OUT}` is substituted by Verify with the absolute output dir, so
+    * partial oracles can read the [[auxExports]] parquet. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -560,9 +609,60 @@ object SparkEntry {
         |  sum(coalesce(value, 0.0)) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
-    // §2.5 gates. dedup_simhash / dedup_embedding / ann_lsh are
-    // deliberately absent (not ANSI-SQL-expressible / probabilistic
-    // recall) → driver records rows-only; specs carry their logic gates.
+    // §2.5 gates. dedup_simhash / dedup_embedding / ann_lsh / ann_ivf
+    // use PARTIAL oracles over the _aux exports (see [[auxExports]]):
+    // the non-SQL-expressible hash kernels stay under their specs, and
+    // everything downstream is re-derived in DuckDB.
+    "dedup_simhash" ->
+      """WITH sig AS (SELECT doc_id, sig FROM '{OUT}/_aux/simhash_sigs/*.parquet'),
+        |banded AS (SELECT doc_id, sig, c.chunk, (sig >> (c.chunk * 16)) & 65535 AS ckey
+        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk) c),
+        |capped AS (SELECT * FROM
+        |    (SELECT *, count(*) OVER (PARTITION BY chunk, ckey) AS bsz FROM banded)
+        |  WHERE bsz <= 500),
+        |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+        |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |  FROM capped a JOIN capped b
+        |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+        |SELECT doc_id_a, doc_id_b, hamming FROM pairs
+        |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH cand AS (SELECT id_a, id_b FROM '{OUT}/_aux/emb_cand/*.parquet'),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+        |SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.ev, b.ev), 6) AS sim
+        |FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+        |WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
+
+    "ann_lsh" ->
+      """WITH cand AS (SELECT probe_id, neighbor_id FROM '{OUT}/_aux/ann_lsh_cand/*.parquet'),
+        |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |           FROM embeddings WHERE vec_id < 5),
+        |sims AS (SELECT c.probe_id, c.neighbor_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6) AS sim
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+        |              JOIN probes p ON p.probe_id = c.probe_id),
+        |ranked AS (SELECT probe_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM sims)
+        |SELECT probe_id, neighbor_id, sim, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
+    "ann_ivf" ->
+      """WITH cand AS (SELECT probe_id, neighbor_id FROM '{OUT}/_aux/ann_ivf_cand/*.parquet'),
+        |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+        |           FROM embeddings WHERE vec_id < 5),
+        |sims AS (SELECT c.probe_id, c.neighbor_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6) AS sim
+        |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+        |              JOIN probes p ON p.probe_id = c.probe_id),
+        |ranked AS (SELECT probe_id, neighbor_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM sims)
+        |SELECT probe_id, neighbor_id, sim, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+
     "text_langid" ->
       """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
         |s AS (SELECT doc_id,

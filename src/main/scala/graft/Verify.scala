@@ -21,6 +21,15 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Aux exports backing the partial oracles (see SparkEntry.auxExports)
+    // — under _aux/ so the driver's query-result glob never sees them.
+    SparkEntry.auxExports.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/_aux/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -33,8 +42,13 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Partial oracles read the _aux exports by path: resolve {OUT} to
+    // the absolute output dir HERE (only Verify knows it) so the dumped
+    // SQL is runnable verbatim by the driver's DuckDB, whatever its cwd.
+    val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", absOut))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -185,22 +185,44 @@ object Ann {
       return probes.select(col("probe_id"), lit(0L).as("neighbor_id"),
         lit(0.0).as("sim"), lit(0).as("rank")).where(lit(false))
     }
+    val sims = ivfCandJoin(unit, df, id, vec, probes, nProbe)
+      .select(col("probe_id"), col("neighbor_id"),
+        round(Vec.cosine(col("_v"), col("_pv")), 6).as("sim"))
+    topKPerProbe(sims, k)
+  }
+
+  /** The candidate stage of [[topKIvfWith]]: `(probe_id, neighbor_id,
+    * _v, _pv)` — rows sharing one of the probe's nProbe inverted lists,
+    * with both vectors still attached for the rerank. */
+  private def ivfCandJoin(
+      unit: Array[Array[Double]], df: DataFrame, id: Column, vec: Column,
+      probes: DataFrame, nProbe: Int): DataFrame = {
     val dim = unit.head.length
     def topc(v: Column, top: Int): Column =
       Bridge.column(CentroidIdsExpr(Bridge.expr(v),
         scala.collection.immutable.ArraySeq.unsafeWrapArray(unit.flatten), dim, top))
-
     val data = df.select(id.as("neighbor_id"), vec.as("_v"), topc(vec, 1)(0).as("cid"))
     val probed = probes.select(col("probe_id"), col("probe_vec").as("_pv"),
       explode(topc(col("probe_vec"), nProbe)).as("cid"))
     // No distinct needed: each data row has exactly one cid and a
     // probe's nProbe list ids are distinct, so (probe_id, neighbor_id)
     // appears at most once.
-    val sims = data.join(broadcast(probed), Seq("cid"))
+    data.join(broadcast(probed), Seq("cid"))
       .where(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        round(Vec.cosine(col("_v"), col("_pv")), 6).as("sim"))
-    topKPerProbe(sims, k)
+  }
+
+  /** The distinct IVF candidate pairs `(probe_id, neighbor_id)` a
+    * [[topKIvfWith]] search with the same quantizer reranks — public
+    * and exportable so an external engine can re-derive the exact
+    * rerank from the candidates plus the raw vectors (the driver's
+    * DuckDB oracle reruns it with `list_cosine_similarity`), leaving
+    * only centroid training/assignment to AnnSpec's recall gate. */
+  def ivfCandidates(
+      unit: Array[Array[Double]], df: DataFrame, id: Column, vec: Column,
+      probes: DataFrame, nProbe: Int = 4): DataFrame = {
+    if (unit.isEmpty)
+      return probes.select(col("probe_id"), lit(0L).as("neighbor_id")).where(lit(false))
+    ivfCandJoin(unit, df, id, vec, probes, nProbe).select("probe_id", "neighbor_id")
   }
 
   /** L7 — LSH-bucketed ANN: candidates are rows sharing a hyperplane
@@ -212,15 +234,36 @@ object Ann {
   def topKLsh(
       df: DataFrame, id: Column, vec: Column, probes: DataFrame, k: Int,
       dim: Int, tables: Int = 8, bits: Int = 8, seed: Long = 7L): DataFrame = {
-    val data = Vec.hyperplaneBuckets(
-      df.select(id.as("neighbor_id"), vec.as("_v")), col("_v"), dim, tables, bits, seed)
-    val probeBuckets = Vec.hyperplaneBuckets(
-      probes.select(col("probe_id"), col("probe_vec").as("_pv")), col("_pv"), dim, tables, bits, seed)
-    val sims = data.join(broadcast(probeBuckets), Seq("tbl", "bucket"))
-      .where(col("probe_id") =!= col("neighbor_id"))
+    val sims = lshCandJoin(df, id, vec, probes, dim, tables, bits, seed)
       .select(col("probe_id"), col("neighbor_id"),
         round(Vec.cosine(col("_v"), col("_pv")), 6).as("sim"))
       .distinct()
     topKPerProbe(sims, k)
   }
+
+  /** The candidate stage of [[topKLsh]]: `(probe_id, neighbor_id, _v,
+    * _pv)` — one row per shared (tbl, bucket), NOT yet deduplicated
+    * (a pair colliding in t tables appears t times). */
+  private def lshCandJoin(
+      df: DataFrame, id: Column, vec: Column, probes: DataFrame,
+      dim: Int, tables: Int, bits: Int, seed: Long): DataFrame = {
+    val data = Vec.hyperplaneBuckets(
+      df.select(id.as("neighbor_id"), vec.as("_v")), col("_v"), dim, tables, bits, seed)
+    val probeBuckets = Vec.hyperplaneBuckets(
+      probes.select(col("probe_id"), col("probe_vec").as("_pv")), col("_pv"), dim, tables, bits, seed)
+    data.join(broadcast(probeBuckets), Seq("tbl", "bucket"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+  }
+
+  /** The distinct LSH candidate pairs `(probe_id, neighbor_id)` a
+    * [[topKLsh]] search with the same params reranks — public and
+    * exportable so an external engine can re-derive the exact rerank
+    * from the candidates plus the raw vectors (the driver's DuckDB
+    * oracle reruns it with `list_cosine_similarity`), leaving only the
+    * hyperplane hashing to AnnSpec's recall gate. */
+  def lshCandidates(
+      df: DataFrame, id: Column, vec: Column, probes: DataFrame,
+      dim: Int, tables: Int = 8, bits: Int = 8, seed: Long = 7L): DataFrame =
+    lshCandJoin(df, id, vec, probes, dim, tables, bits, seed)
+      .select("probe_id", "neighbor_id").distinct()
 }

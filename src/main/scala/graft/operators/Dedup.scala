@@ -541,10 +541,21 @@ object Dedup {
     (simhashJoin(capped, maxHamming), report)
   }
 
+  /** Per-doc 64-bit SimHash signatures `(doc_id, sig)` — the upstream
+    * stage [[simhashPairs]] bands and joins. Public and exportable so an
+    * external engine can re-derive the ENTIRE pairing step (banding,
+    * hot-bucket cap, chunk-equality join, hamming filter) from the
+    * signatures alone: hamming is `bit_count(xor(sig_a, sig_b))` and the
+    * band keys are `(sig >> 16·chunk) & 0xFFFF` — plain integer SQL.
+    * The driver's DuckDB oracle does exactly that, so only the hash
+    * kernel itself ([[TextFns.simhash64]]) rests on SqlFunctionsSpec. */
+  def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("doc_id"),
+      TextFns.simhash64(TextFns.wsTokens(TextFns.normText(text))).as("sig"))
+
   /** `(_id, _sh, chunk, ckey)` — one row per (doc, 16-bit chunk). */
   private def simhashBanded(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val sig = TextFns.simhash64(TextFns.wsTokens(TextFns.normText(text)))
-    val h = df.select(id.as("_id"), sig.as("_sh"))
+    val h = simhashSignatures(df, id, text).toDF("_id", "_sh")
     val chunks = (0 until 4).map { i =>
       struct(lit(i).as("chunk"), shiftright(col("_sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
     }
@@ -581,11 +592,23 @@ object Dedup {
       tables: Int = 8, bitsPerTable: Int = 8, seed: Long = 7L,
       maxBucket: Int = DefaultMaxBucket): DataFrame =
     embeddingVerify(
-      bucketSelfJoin(
-        capBuckets(embeddingBucketed(df, id, vec, dim, tables, bitsPerTable, seed),
-          Seq("tbl", "bucket"), maxBucket),
-        Seq("tbl", "bucket")),
+      embeddingCandidates(df, id, vec, dim, tables, bitsPerTable, seed, maxBucket),
       df, id, vec, tau)
+
+  /** The LSH candidate pairs `(id_a, id_b)` of [[embeddingPairs]],
+    * BEFORE exact-cosine verification — public and exportable so an
+    * external engine can re-derive the whole verify/threshold stage
+    * from the candidates plus the raw vectors (the driver's DuckDB
+    * oracle reruns it with `list_cosine_similarity`), leaving only the
+    * hyperplane hashing to AnnSpec's recall gate. */
+  def embeddingCandidates(
+      df: DataFrame, id: Column, vec: Column, dim: Int,
+      tables: Int = 8, bitsPerTable: Int = 8, seed: Long = 7L,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    bucketSelfJoin(
+      capBuckets(embeddingBucketed(df, id, vec, dim, tables, bitsPerTable, seed),
+        Seq("tbl", "bucket"), maxBucket),
+      Seq("tbl", "bucket"))
 
   /** [[embeddingPairs]] that ALSO returns what the hot-bucket guard
     * skipped (see [[minhashKeepReported]]). */
