@@ -315,17 +315,26 @@ object Dedup {
   }
 
   /** Whether the index data directories at `path` are VERIFIABLY empty:
-    * each of `buckets/` and `shingles/` is absent, has no parquet files,
-    * or reads as zero rows. True means the index holds no accumulated
-    * dedup state — e.g. an empty-index bootstrap that crashed before its
-    * params write — so re-creating it loses nothing. Callers use this to
-    * distinguish a repairable orphan from a real half-written index
-    * (see [[GStream.dedupStream]]'s bootstrap). */
-  def indexDataIsEmpty(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    * each of `buckets/` and `shingles/` is absent, or reads as zero
+    * committed rows. True means the index holds no accumulated dedup
+    * state — e.g. an empty-index bootstrap that crashed before its
+    * params write (a zero-row parquet write commits readable footers) —
+    * so re-creating it loses nothing. A directory that EXISTS but has no
+    * readable parquet (only `_temporary/` task files from a crashed
+    * write) is NOT verifiably empty: the crashed write may have been
+    * seeding real data, so this returns false and the caller refuses.
+    * Callers use this to distinguish a repairable orphan from a real
+    * half-written index (see [[GStream.dedupStream]]'s bootstrap). */
+  def indexDataIsEmpty(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
     Seq("buckets", "shingles").forall { d =>
-      try spark.read.parquet(s"$path/$d").isEmpty
-      catch { case _: org.apache.spark.sql.AnalysisException => true } // absent / no parquet footers
+      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+      !p.getFileSystem(conf).exists(p) || {
+        try spark.read.parquet(p.toString).isEmpty
+        catch { case _: org.apache.spark.sql.AnalysisException => false } // exists, unreadable: wreckage of unknown size
+      }
     }
+  }
 
   /** Append-consistency audit: ids present in `shingles/` but absent
     * from `buckets/` — the signature of an append that crashed between
@@ -333,10 +342,16 @@ object Dedup {
     * Docs listed here are invisible to candidate generation until their
     * batch is replayed. Empty result == consistent (bucket-side ids ⊇
     * shingle-side ids always holds for completed writes; the converse
-    * direction cannot occur because shingles are written first). */
-  def indexMissingBucketIds(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/shingles").select("id").distinct()
-      .join(spark.read.parquet(s"$path/buckets").select("id").distinct(), Seq("id"), "left_anti")
+    * direction cannot occur because shingles are written first). An
+    * absent or unreadable `buckets/` — the very first write crashed
+    * before any bucket commit — reports EVERY shingled id as missing
+    * rather than failing the audit itself. */
+  def indexMissingBucketIds(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val sh = spark.read.parquet(s"$path/shingles").select("id").distinct()
+    val bk = try spark.read.parquet(s"$path/buckets").select("id").distinct()
+      catch { case _: org.apache.spark.sql.AnalysisException => sh.limit(0) }
+    sh.join(bk, Seq("id"), "left_anti")
+  }
 
   /** Incremental near-dedup of a new batch against a persisted index
     * (plus within-batch dedup): returns the new docs that duplicate
@@ -365,13 +380,19 @@ object Dedup {
     val spark = newDocs.sparkSession
     val (shingleK, numHashes, bands) = readIndexParams(spark, indexPath).getOrElse(
       throw new IllegalArgumentException(s"no MinHash index found at $indexPath"))
-    // The batch is the SMALL side: shingle it independently for buckets
-    // and for the verify join rather than caching one materialized set —
-    // a cache this function could never release (the result is lazy)
-    // would keep taxing the session's executors long after the query.
-    val newSets = shingleSets(newDocs, id, text, shingleK)
+    // ONE normalization+shingling pass over the batch text (the dominant
+    // per-batch cost): materialize the shingle sets via localCheckpoint
+    // and derive BOTH the bucket stream and the verify side from the
+    // materialized blocks. Unlike a persist() — which this function
+    // could never release (the result is lazy) — localCheckpoint blocks
+    // are freed by the ContextCleaner once the returned frame is
+    // garbage-collected: their lifetime is the result's, not the
+    // session's, so no lingering-cache tax on later jobs.
+    val newSets = shingleSets(newDocs, id, text, shingleK).localCheckpoint(eager = true)
     val newIds = newDocs.select(id.as("_nid"))
-    val newBk = minhashBuckets(newDocs, id, text, shingleK, numHashes, bands)
+    val newBk = newSets.select(col("_jid").as("_id"),
+        posexplode(TextFns.minhashBands(col("_set"), numHashes, bands)))
+      .toDF("_id", "band", "bucket")
     val oldBk = spark.read.parquet(s"$indexPath/buckets")
       .join(newIds, col("id") === col("_nid"), "left_anti") // replay safety: drop stale self-copies
       .join(newBk.select("band", "bucket").distinct(), Seq("band", "bucket"), "left_semi")

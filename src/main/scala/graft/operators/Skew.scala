@@ -41,17 +41,29 @@ object Skew {
     * hot key). Result equals the plain inner join, row for row. */
   def saltedInnerJoin(
       left: DataFrame, right: DataFrame, key: String, salt: Int,
+      seed: Long = 42L, saltBy: Option[Column] = None): DataFrame =
+    saltedInnerJoinWithSalt(left, right, key, salt, seed, saltBy).drop(SaltCol)
+
+  /** Name of the internal salt column [[saltedInnerJoinWithSalt]] keeps. */
+  private[graft] val SaltCol = "__graft_salt" // prefixed: must not collide with user columns
+
+  /** [[saltedInnerJoin]] with the internal `__graft_salt` column
+    * retained in the output — a test hook, so specs assert the spread
+    * of the salts the join ACTUALLY assigned instead of recomputing the
+    * derivation on their own (which would keep passing if the
+    * derivation or default seed ever drifted). */
+  private[graft] def saltedInnerJoinWithSalt(
+      left: DataFrame, right: DataFrame, key: String, salt: Int,
       seed: Long = 42L, saltBy: Option[Column] = None): DataFrame = {
     require(salt > 0, s"salt must be positive, got $salt")
-    val saltCol = "__graft_salt" // prefixed: must not collide with user columns
-    require(!left.columns.contains(saltCol) && !right.columns.contains(saltCol),
-      s"saltedInnerJoin: input already has a $saltCol column")
+    require(!left.columns.contains(SaltCol) && !right.columns.contains(SaltCol),
+      s"saltedInnerJoin: input already has a $SaltCol column")
     val saltExpr = saltBy match {
       case Some(c) => pmod(xxhash64(c, lit(seed)), lit(salt)).cast("int")
       case None => (rand(seed) * salt).cast("int")
     }
-    val l = left.withColumn(saltCol, saltExpr)
-    val r = right.withColumn(saltCol, explode(array((0 until salt).map(lit): _*)))
-    l.join(r, Seq(key, saltCol)).drop(saltCol)
+    val l = left.withColumn(SaltCol, saltExpr)
+    val r = right.withColumn(SaltCol, explode(array((0 until salt).map(lit): _*)))
+    l.join(r, Seq(key, SaltCol))
   }
 }

@@ -224,6 +224,37 @@ class DedupSpec extends SparkSpec {
     assert(!Dedup.indexDataIsEmpty(spark, idx)) // real state: NOT auto-repairable
   }
 
+  test("index audits survive the worst crash shapes: absent buckets/, unreadable wreckage") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.array_distinct
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+
+    // The very first write crashed before ANY bucket commit: shingles/
+    // exists, buckets/ does not. The audit must report every shingled id
+    // as missing, not throw on the absent directory.
+    val idx = java.nio.file.Files.createTempDirectory("graft-mh-nobk").toString + "/idx"
+    Tio.fromRows(spark, Docs, docs.take(2)).toNative
+      .select(col("doc_id").as("id"),
+        array_distinct(graft.functions.TextFns.shingles(col("text"), 3)).as("shingles"))
+      .write.parquet(s"$idx/shingles")
+    val missing = Dedup.indexMissingBucketIds(spark, idx)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(missing == docs.take(2).map(_.doc_id).toSet)
+
+    // A data dir that EXISTS but holds no committed parquet (only the
+    // wreckage of a crashed write) is NOT verifiably empty — the crashed
+    // write may have been seeding real data, so bootstrap must refuse.
+    val idx2 = java.nio.file.Files.createTempDirectory("graft-mh-wreck").toString + "/idx"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx2/buckets/_temporary/0"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$idx2/shingles/_temporary/0"))
+    assert(Dedup.indexDataExists(spark, idx2))
+    assert(!Dedup.indexDataIsEmpty(spark, idx2))
+
+    // ...while a fully absent index IS verifiably empty (nothing to lose)
+    val idx3 = java.nio.file.Files.createTempDirectory("graft-mh-none").toString + "/idx"
+    assert(Dedup.indexDataIsEmpty(spark, idx3))
+  }
+
   test("hot-bucket guard bounds a degenerate bucket and keeps true pairs") {
     import spark.implicits._
     // 1000 identical template docs: one degenerate (band,bucket) group

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.functions.{lit, pmod, rand, xxhash64}
-
 import graft.operators.Skew
 
 /** Salted equi-join: result-identical to the plain join, with the hot
@@ -23,10 +21,11 @@ class SkewSpec extends SparkSpec {
     val b = plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
 
-    // the hot key's rows really land on many distinct salts (same seeded
-    // expression the join uses), so no single reducer gets them all
-    val spread = left.withColumn("_salt", (rand(42L) * 8).cast("int"))
-      .where($"k" === 1L).select("_salt").distinct().count()
+    // the hot key's rows really land on many distinct salts — observed
+    // from the salt column the join ITSELF assigned (test hook keeps
+    // it), so this fails if the derivation or seed ever drifts
+    val spread = Skew.saltedInnerJoinWithSalt(left, right, "k", salt = 8)
+      .where($"k" === 1L).select(Skew.SaltCol).distinct().count()
     assert(spread >= 6, s"expected the hot key spread over >=6 of 8 salts, got $spread")
   }
 
@@ -45,10 +44,10 @@ class SkewSpec extends SparkSpec {
     val b = plain.groupBy("k").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
 
-    // the hot key's 10k rows land on many distinct salts under the same
-    // xxhash64/pmod derivation the join uses (seed default 42)
-    val spread = left.withColumn("_salt", pmod(xxhash64($"rid", lit(42L)), lit(8)).cast("int"))
-      .where($"k" === 1L).select("_salt").distinct().count()
+    // the hot key's 10k rows land on many distinct salts — observed from
+    // the join's own salt column, not a test-side copy of the derivation
+    val spread = Skew.saltedInnerJoinWithSalt(left, right, "k", salt = 8, saltBy = Some($"rid"))
+      .where($"k" === 1L).select(Skew.SaltCol).distinct().count()
     assert(spread >= 6, s"expected the hot key spread over >=6 of 8 salts, got $spread")
   }
 
