@@ -14,6 +14,14 @@ import org.apache.spark.sql.SparkSession
   * small elapsed time — a regression must not look like a speedup), the
   * error goes to stderr, and the process exits nonzero if anything
   * failed. The JSON line still prints so partial results are usable.
+  *
+  * Self-identification: the line also carries the OS load average
+  * before/after the run, the core count, and EVERY per-pass sample
+  * (`passes`), not just the per-query min — so a machine-contention-
+  * poisoned run (round 8: official 37.3 s vs 23.2 s re-run of the same
+  * binary) is diagnosable from the artifact itself: high/rising load
+  * plus large pass-to-pass spread means environment noise, not a code
+  * regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,8 +45,12 @@ object Bench {
     // the identical binary was up to 11× faster. Interleaving spaces a
     // query's samples a full pass apart, so a sustained noisy window
     // poisons at most one sample of each query, never all three of one.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def load: Double = osBean.getSystemLoadAverage // 1-min avg; -1 if unsupported
+    val loadBefore = load
+
     var failed = Set.empty[String]
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     (1 to 3).foreach { _ =>
       qs.foreach { case (name, fn) =>
         if (!failed(name)) {
@@ -46,7 +58,7 @@ object Bench {
           try {
             run(fn)
             val dt = (System.nanoTime() - t0) / 1e9
-            if (best.get(name).forall(dt < _)) best(name) = dt
+            samples(name) = samples.getOrElse(name, Nil) :+ dt
           } catch {
             case e: Throwable =>
               System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -55,13 +67,18 @@ object Bench {
         }
       }
     }
+    val loadAfter = load
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     val results = qs.map { case (name, _) =>
-      name -> (if (failed(name)) -1.0 else best(name))
+      name -> (if (failed(name)) -1.0 else samples(name).min)
     }
-    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val pjson = qs.map { case (name, _) =>
+      s"\"" + name + "\":" + samples.getOrElse(name, Nil).map(f).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size}}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"cpus_jvm":${Runtime.getRuntime.availableProcessors},"passes":$pjson}""")
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.toSeq.sorted.mkString(", ")}")
