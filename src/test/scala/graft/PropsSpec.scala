@@ -212,6 +212,55 @@ object SaltedJoinProps extends Properties("salted-join") {
     }
 }
 
+/** `minhashKeepIncremental`'s two documented contracts under GENERATED
+  * corpora and split points (DedupSpec pins fixed cases): survivors
+  * equal the one-shot `minhashKeep` over the whole corpus restricted to
+  * the batch (indexed ids precede batch ids by construction), and a
+  * replay after the whole batch already reached the index — the
+  * partial-failure signature — reproduces the identical survivor set.
+  * Small case count: each evaluation writes an index and runs three
+  * dedup jobs. */
+object IncrementalDedupProps extends Properties("incremental-dedup") {
+  import org.scalacheck.Test
+  import org.apache.spark.sql.functions.col
+  import graft.operators.Dedup
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(5)
+
+  // Tiny vocabulary + short docs → every generated corpus is dup-heavy
+  // (exact copies AND high-Jaccard near-copies), so the property
+  // exercises real drops, not vacuous all-survive corpora.
+  private val vocab = Vector("the", "quick", "brown", "fox", "jumps",
+    "over", "lazy", "dog", "data", "pipeline")
+  private val docGen: Gen[String] =
+    Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+  private val corpusGen: Gen[List[String]] =
+    Gen.choose(2, 20).flatMap(n => Gen.listOfN(n, docGen))
+
+  property("incremental == one-shot restricted to the batch, and is replay-idempotent") =
+    forAll(corpusGen, Gen.choose(0.0, 1.0)) { (texts, cutFrac) =>
+      val s = TestSession.spark
+      import s.implicits._
+      val cutIdx = (texts.size * cutFrac).toLong // 0 (all batch) .. n (all indexed)
+      val all = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val batch = all.where($"doc_id" >= cutIdx)
+      val idxPath = java.nio.file.Files.createTempDirectory("graft-incprop").toString + "/idx"
+      Dedup.writeMinHashIndex(all.where($"doc_id" < cutIdx), col("doc_id"), col("text"), idxPath)
+      def survivors(): Set[Long] =
+        Dedup.minhashKeepIncremental(batch, col("doc_id"), col("text"), idxPath, 0.5)
+          .collect().map(_.getAs[Long]("doc_id")).toSet
+      val first = survivors()
+      val oneShot = Dedup.minhashKeep(all, col("doc_id"), col("text"), 0.5)
+        .collect().map(_.getAs[Long]("doc_id")).toSet.filter(_ >= cutIdx)
+      // partial-failure replay: the WHOLE batch (not just survivors)
+      // already reached the index; a rerun must ignore its stale copies
+      Dedup.writeMinHashIndex(batch, col("doc_id"), col("text"), idxPath, mode = "append")
+      val replayed = survivors()
+      first == oneShot && replayed == first
+    }
+}
+
 /** cast_schema mapping resolution under generated schema shapes —
   * the precedence matrix (explicit mapping > mappedFrom > name match)
   * from CastResolve (frame.scala), reference dataframe.py:234-290. */
