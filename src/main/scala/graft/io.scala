@@ -114,19 +114,6 @@ object Tio {
     new TFrame[S](df, Some(schema))
   }
 
-  /** Driver-side columnar export — colnade rows_to_dict (reference
-    * dataframe.py:88-104): column name → value list, the inverse of
-    * [[fromDict]]. An ACTION that collects the whole frame to the
-    * driver, like collectRows — for bounded results (aggregates, small
-    * lookups), never a 100 TB data path. */
-  def toDict(tf: TFrame[_]): Map[String, Seq[Any]] = {
-    val names = tf.df.columns.toSeq
-    val rows = tf.df.collect()
-    names.zipWithIndex.map { case (n, i) =>
-      n -> scala.collection.immutable.ArraySeq.unsafeWrapArray(rows.map(_.get(i)))
-    }.toMap
-  }
-
   /** Arrow-IPC import — colnade from_batches/from_pyarrow (reference
     * dataframe.py, arrow.py:27-70): serialized RecordBatches → typed
     * frame, the inverse of [[TFrame.toArrowBatches]]. */

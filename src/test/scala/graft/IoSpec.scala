@@ -35,18 +35,18 @@ class IoSpec extends SparkSpec {
     assert(err.getMessage.contains("missing columns"))
   }
 
-  test("toDict is the columnar inverse of fromDict") {
+  test("rowsToDict is the columnar inverse of fromDict") {
     val data = Map[String, Seq[Any]](
       "id" -> Seq(10L, 11L),
       "name" -> Seq("x", "y"),
       "age" -> Seq(null, 30L),
       "score" -> Seq(1.0, 2.0))
     val tf = Tio.fromDict(spark, Users, data)
-    val back = Tio.toDict(tf.sort(Users.id.asc))
+    val back = tf.sort(Users.id.asc).rowsToDict()
     assert(back == data)
     // and round-trips back into an identical frame
     val again = Tio.fromDict(spark, Users, back)
-    assert(Tio.toDict(again.sort(Users.id.asc)) == data)
+    assert(again.sort(Users.id.asc).rowsToDict() == data)
   }
 
   test("parquet write/read round trip preserves schema and rows") {
