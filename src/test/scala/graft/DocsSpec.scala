@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Ann, Dedup, Skew}
+
+/** Executable twin of the `docs/` cookbook: every code snippet in the
+  * docs markdown files appears here (with test fixtures substituted for
+  * user paths) and must compile and run. Editing a doc snippet means
+  * editing its twin — the docs cannot silently rot.
+  *
+  * quickstart.md      → "quickstart: …" tests
+  * dedup-at-scale.md  → "dedup recipe: …" tests
+  * ann.md             → "ann recipe: …" tests
+  * shuffle-engineering.md → "shuffle toolkit: …" tests
+  */
+class DocsSpec extends SparkSpec {
+  import fixtures._
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-docs-$tag").toString
+
+  // --- quickstart.md -------------------------------------------------
+
+  test("quickstart: read, transform, write, aggregate") {
+    val path = freshDir("qs") + "/users"
+    Tio.writeParquet(Tio.fromRows(spark, Users, users), path)
+
+    val loaded = Tio.readParquet(spark, path, Users)
+    val top = loaded
+      .filter(Users.score > 90.0 && Users.age.isNotNull)
+      .withCols((Users.score.tc * glit(0.01)).asName("normalized"))
+      .sort(Users.score.desc, Users.id.asc)
+      .limit(100)
+    val outPath = freshDir("qs-out") + "/top"
+    Tio.writeParquet(top.castSchema(Users), outPath) // doc writes `top`; narrow back to Users
+    assert(spark.read.parquet(outPath).count() == 1L) // cy: 99.9, age set
+
+    val agg = loaded.groupBy(Users.name).agg(
+      Users.score.mean.asName("avg_score"),
+      Users.id.count.asName("n"),
+      Users.id.approxNUnique.asName("n_distinct_est"),
+    )
+    assert(agg.toNative.count() == users.size.toLong) // unique names in fixture
+  }
+
+  test("quickstart: validation levels and explicit validator calls") {
+    val df = Tio.fromRows(spark, Users, users).toNative
+    Validator.structural(df, Users)     // no job, throws on shape mismatch
+    Validator.constraints(df, Users)    // ONE aggregation job for all constraints
+  }
+
+  // --- dedup-at-scale.md ---------------------------------------------
+
+  private val corpus = Seq(
+    Doc(1L, "the quick brown fox jumps over the lazy dog"),
+    Doc(2L, "The quick  brown fox jumps over the lazy dog"),
+    Doc(3L, "the quick brown fox jumps over the lazy cat"),
+    Doc(4L, "spark shuffles partitions across the cluster executors nightly"),
+    Doc(5L, "an entirely fresh document about training data pipelines"),
+  )
+  private object Corpus extends GSchema {
+    val doc_id = col[Long]("doc_id")
+    val text   = col[String]("text")
+  }
+  private def corpusDf = Tio.fromRows(spark, Corpus, corpus).toNative
+
+  test("dedup recipe: exact first, then reported near-dup") {
+    val docs = corpusDf
+    val exact = Dedup.exactKeep(docs, col("text"), col("doc_id"))
+    val (kept, skipped) = Dedup.minhashKeepReported(
+      exact, col("doc_id"), col("text"), threshold = 0.5)
+    assert(skipped.groups == 0L) // no degenerate buckets in this corpus
+    val ids = kept.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids == Set(1L, 4L, 5L)) // 2 exact-dups 1; 3 near-dups 1
+  }
+
+  test("dedup recipe: incremental against a persisted index") {
+    val indexPath = freshDir("idx") + "/idx"
+    val all = corpusDf
+    val seed  = all.where(col("doc_id") <= 2)
+    val batch = all.where(col("doc_id") > 2)
+
+    Dedup.writeMinHashIndex(seed, col("doc_id"), col("text"), indexPath)
+    val fresh = Dedup.minhashKeepIncremental(
+      batch, col("doc_id"), col("text"), indexPath, threshold = 0.5)
+    Dedup.writeMinHashIndex(fresh, col("doc_id"), col("text"), indexPath, mode = "append")
+
+    assert(fresh.collect().map(_.getAs[Long]("doc_id")).toSet == Set(4L, 5L))
+    // audits from the doc's failure-contract paragraph
+    assert(Dedup.indexMissingBucketIds(spark, indexPath).isEmpty)
+    assert(!Dedup.indexDataIsEmpty(spark, indexPath))
+  }
+
+  test("dedup recipe: duplicate clusters") {
+    val pairs = Dedup.jaccardPairs(corpusDf, col("doc_id"), col("text"), 0.5)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val byId = clusters.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(byId == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // one transitive component
+  }
+
+  // --- ann.md ---------------------------------------------------------
+
+  private object Embs extends GSchema {
+    val vec_id    = col[Long]("vec_id")
+    val embedding = col[Seq[Float]]("embedding")
+  }
+  private def embDf = {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map { i =>
+      Emb(i, Array.fill(8)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+    Tio.fromRows(spark, Embs, rows).toNative
+  }
+
+  test("ann recipe: brute, LSH, and IVF train/save/load") {
+    val table = embDf
+    val probes = table.where(col("vec_id") < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+
+    val brute = Ann.topKBrute(table, col("vec_id"), col("embedding"), probes, k = 5)
+    assert(brute.count() == 10L) // 2 probes × k
+
+    val lsh = Ann.topKLsh(table, col("vec_id"), col("embedding"), probes, k = 5,
+      dim = 8, tables = 8, bits = 4)
+    assert(lsh.count() <= 10L && lsh.count() > 0L)
+
+    val quantizerPath = freshDir("ivf") + "/quantizer"
+    val centroids = Ann.trainIvf(table, col("embedding"), dim = 8, nClusters = 4)
+    Ann.saveIvf(spark, centroids, quantizerPath)
+    val unit = Ann.loadIvf(spark, quantizerPath)
+    val ivf = Ann.topKIvfWith(unit, table, col("vec_id"), col("embedding"), probes,
+      k = 5, nProbe = 2)
+    assert(ivf.count() > 0L)
+  }
+
+  // --- shuffle-engineering.md ------------------------------------------
+
+  test("shuffle toolkit: salted join with a stable salt column") {
+    import spark.implicits._
+    val events = (1L to 200L).map(i => (1L, i)).toDF("user_id", "event_id")
+    val usersT = Seq((1L, "ann"), (2L, "bo")).toDF("user_id", "name")
+    val out = Skew.saltedInnerJoin(events, usersT, key = "user_id", salt = 16,
+      saltBy = Some(col("event_id")))
+    assert(out.count() == 200L) // result-identical to the plain join
+  }
+
+  test("shuffle toolkit: explain surfaces pushdown and pruning") {
+    val path = freshDir("plan") + "/users"
+    Tio.writeParquet(Tio.fromRows(spark, Users, users), path)
+    val frame = Tio.readParquet(spark, path, Users).filter(Users.score > 50.0)
+    val plan = frame.toNative.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("ReadSchema"))
+  }
+}
