@@ -24,8 +24,22 @@ class EdgeSpec extends SparkSpec {
     assert(Dedup.minhashCandidates(d, col("doc_id"), col("text")).count() == 0L)
     assert(Dedup.jaccardPairs(d, col("doc_id"), col("text"), 0.5).count() == 0L)
     assert(Dedup.simhashPairs(d, col("doc_id"), col("text")).count() == 0L)
+    assert(Dedup.simhashSignatures(d, col("doc_id"), col("text")).count() == 0L)
     assert(Dedup.duplicateClusters(
       Dedup.jaccardPairs(d, col("doc_id"), col("text"), 0.5)).count() == 0L)
+  }
+
+  test("candidate-export functions on empty inputs return empty with the export schema") {
+    import spark.implicits._
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val emptyProbes = Seq.empty[(Long, Seq[Float])].toDF("probe_id", "probe_vec")
+    val ec = Dedup.embeddingCandidates(emptyVecs, col("vec_id"), col("embedding"), dim = 8)
+    assert(ec.columns.toSeq == Seq("id_a", "id_b") && ec.count() == 0L)
+    val lc = Ann.lshCandidates(emptyVecs, col("vec_id"), col("embedding"), emptyProbes, dim = 8)
+    assert(lc.columns.toSeq == Seq("probe_id", "neighbor_id") && lc.count() == 0L)
+    // empty quantizer (untrainable corpus) → empty candidates, same schema
+    val ic = Ann.ivfCandidates(Array.empty, emptyVecs, col("vec_id"), col("embedding"), emptyProbes)
+    assert(ic.columns.toSeq == Seq("probe_id", "neighbor_id") && ic.count() == 0L)
   }
 
   test("single-row and empty-string documents flow through text kernels") {
