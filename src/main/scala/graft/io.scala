@@ -34,6 +34,30 @@ object Tio {
     new TFrame[S](raw, Some(schema))
   }
 
+  /** JSON-lines read (one object per line — the dominant raw-corpus
+    * interchange format; Spark reads `.json`/`.jsonl`, compressed or
+    * not, the same way). The schema is PINNED from the GSchema, never
+    * inferred: JSON schema inference is a full extra pass over the
+    * data — a catastrophic hidden scan at 100 TB — and infers unstable
+    * types across batches. Fields absent from a line read as null and
+    * are caught by the usual nullability validation; extra fields are
+    * ignored (pruned by the pinned schema). Corrupt lines fail the job
+    * by default (`mode=PERMISSIVE` would null them silently — opt in
+    * via [[TFrame.withRaw]] if a lossy read is really wanted). */
+  def readJson[S <: GSchema](spark: SparkSession, path: String, schema: S): TFrame[S] = {
+    val raw = spark.read
+      .schema(schema.structType)
+      .option("mode", "FAILFAST")
+      .json(path)
+    val tf = new TFrame[S](raw, Some(schema))
+    if (GValidation.full) Validator.constraints(raw, schema)
+    tf
+  }
+
+  /** JSON-lines write — the inverse of [[readJson]]. */
+  def writeJson[S <: GSchema](tf: TFrame[S], path: String, mode: String = "overwrite"): Unit =
+    tf.df.write.mode(mode).json(path)
+
   def writeParquet[S <: GSchema](tf: TFrame[S], path: String,
       partitionBy: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
     val w = tf.df.write.mode(mode)

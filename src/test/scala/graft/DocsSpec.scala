@@ -45,6 +45,13 @@ class DocsSpec extends SparkSpec {
     assert(agg.toNative.count() == users.size.toLong) // unique names in fixture
   }
 
+  test("quickstart: JSONL read with pinned schema") {
+    val jsonlPath = freshDir("jsonl") + "/docs"
+    Tio.writeJson(Tio.fromRows(spark, Users, users), jsonlPath)
+    val docs = Tio.readJson(spark, jsonlPath, Users)
+    assert(docs.height == users.size.toLong)
+  }
+
   test("quickstart: validation levels and explicit validator calls") {
     val df = Tio.fromRows(spark, Users, users).toNative
     Validator.structural(df, Users)     // no job, throws on shape mismatch

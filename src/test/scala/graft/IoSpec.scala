@@ -49,6 +49,20 @@ class IoSpec extends SparkSpec {
     assert(again.sort(Users.id.asc).rowsToDict() == data)
   }
 
+  test("jsonl write/read round trip with pinned schema (no inference pass)") {
+    import spark.implicits._
+    val dir = freshDir("jsonl") + "/users"
+    Tio.writeJson(Tio.fromRows(spark, Users, users), dir)
+    val back = Tio.readJson(spark, dir, Users)
+    assert(back.toDS[UserRow].collect().sortBy(_.id).toSeq == users)
+    // extra fields in the source are pruned; missing nullable reads null
+    val mixed = freshDir("jsonl-x")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$mixed/rows.jsonl"),
+      """{"id": 9, "name": "zed", "score": 1.5, "extra": "ignored"}""" + "\n")
+    val loose = Tio.readJson(spark, mixed, Users).collectRows()
+    assert(loose.length == 1 && loose(0).getAs[Any]("age") == null)
+  }
+
   test("parquet write/read round trip preserves schema and rows") {
     import spark.implicits._
     val dir = freshDir("pq") + "/users"
