@@ -29,6 +29,15 @@ object GStream {
     new TFrame[S](raw.select(schema.columnNames.map(col): _*), Some(schema))
   }
 
+  /** Typed streaming read over JSON-lines files — the streaming twin of
+    * [[Tio.readJson]], for corpora that land as jsonl drops. Schema is
+    * pinned (a stream can't infer), FAILFAST on corrupt lines. */
+  def readStreamJson[S <: GSchema](spark: SparkSession, path: String, schema: S): TFrame[S] = {
+    val raw = spark.readStream.schema(schema.structType)
+      .option("mode", "FAILFAST").json(path)
+    new TFrame[S](raw.select(schema.columnNames.map(col): _*), Some(schema))
+  }
+
   /** ST1 — tumbling event-time window aggregation with a watermark.
     * Works identically on streaming and batch frames; on a stream the
     * watermark bounds state (windows older than it are finalized and
@@ -40,9 +49,30 @@ object GStream {
       watermarkDelay: String,
       keys: Seq[GCol[_]],
       aggs: Seq[Aliased],
-  ): DataFrame = {
+  ): DataFrame =
+    windowedAgg(tf, ts, window(col(ts.name), windowDuration), watermarkDelay, keys, aggs)
+
+  /** ST1 (sliding variant) — overlapping event-time windows: each event
+    * lands in `windowDuration / slideDuration` windows. Same watermark
+    * state-bounding contract as [[tumblingAgg]]; state grows by the
+    * overlap factor, so keep the ratio modest on high-cardinality keys. */
+  def slidingAgg[S <: GSchema](
+      tf: TFrame[S],
+      ts: GCol[Timestamp],
+      windowDuration: String,
+      slideDuration: String,
+      watermarkDelay: String,
+      keys: Seq[GCol[_]],
+      aggs: Seq[Aliased],
+  ): DataFrame =
+    windowedAgg(tf, ts, window(col(ts.name), windowDuration, slideDuration),
+      watermarkDelay, keys, aggs)
+
+  private def windowedAgg[S <: GSchema](
+      tf: TFrame[S], ts: GCol[Timestamp], win: Column,
+      watermarkDelay: String, keys: Seq[GCol[_]], aggs: Seq[Aliased]): DataFrame = {
     val wm = if (tf.df.isStreaming) tf.df.withWatermark(ts.name, watermarkDelay) else tf.df
-    wm.groupBy(window(col(ts.name), windowDuration) +: keys.map(_.column): _*)
+    wm.groupBy(win +: keys.map(_.column): _*)
       .agg(aggs.head.column, aggs.tail.map(_.column): _*)
       .withColumn("window_start", col("window.start"))
       .withColumn("window_end", col("window.end"))

@@ -56,6 +56,54 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(x => (x._2, x._3)) == Set(("a", 2L), ("b", 1L), ("a", 1L)))
   }
 
+  test("ST1: MemoryStream sliding window agg == identical batch agg, with overlap") {
+    val events = Seq(
+      SEvent(1L, t("2024-01-01T10:05:00Z"), "a"),
+      SEvent(2L, t("2024-01-01T10:20:00Z"), "a"),
+      SEvent(3L, t("2024-01-01T10:40:00Z"), "b"),
+    )
+    def windowed(tf: TFrame[SEvents.type]) =
+      GStream.slidingAgg(tf, SEvents.ts, "1 hour", "30 minutes", "10 minutes",
+        Seq(SEvents.event_type), Seq(gref[Long]("user_id").count.asName("n")))
+
+    val input = MemoryStream(Encoders.product[SEvent], spark)
+    val stf = new TFrame[SEvents.type](input.toDF(), Some(SEvents))
+    val q = windowed(stf).writeStream
+      .format("memory").queryName("st1_slide_out").outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      input.addData(Seq(SEvent(99L, t("2024-01-01T20:00:00Z"), "flush")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("window_start", "event_type", "n").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = rows(spark.table("st1_slide_out"))
+    val batch = rows(windowed(Tio.fromRows(spark, SEvents, events)(Encoders.product[SEvent])))
+    assert(streamed == batch)
+    // overlap: both "a" events (10:05, 10:20) land in BOTH the
+    // [09:30,10:30) and [10:00,11:00) windows — two window_starts,
+    // count 2 in each (a tumbling 1h window would emit one row)
+    val aRows = batch.filter(_._2 == "a")
+    assert(aRows.map(_._1).size == 2 && aRows.map(_._3) == Set(2L))
+  }
+
+  test("ST1: readStreamJson streams a jsonl drop with the pinned schema") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-sjson").toString
+    val data = s"$dir/data"
+    Tio.writeJson(Tio.fromRows(spark, SEvents,
+      Seq(SEvent(1L, t("2024-01-01T10:05:00Z"), "a")))(Encoders.product[SEvent]), data)
+    val q = GStream.readStreamJson(spark, data, SEvents).toNative
+      .writeStream.format("memory").queryName("sjson_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sjson_out").where(col("event_type") === "a").count() == 1L)
+    } finally q.stop()
+  }
+
   test("ST2: sessionize closes sessions on gap and on event-time timeout") {
     val base = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
     def ev(uid: Long, sec: Long) = SEvent(uid, new Timestamp(base + sec * 1000), "x")
