@@ -272,6 +272,22 @@ object SparkEntry {
         ).sort(gref[String]("window_start").asc, Events.event_type.asc).toNative
     },
 
+    // ST1 (sliding variant): 1h windows sliding every 30min — each event
+    // lands in 2 overlapping windows; identical plan on batch and stream
+    "q19_sliding_window" -> { (s, dir) =>
+      graft.streaming.GStream.slidingAgg(
+          events(s, dir), Events.ts, "1 hour", "30 minutes", "10 minutes",
+          Seq(Events.event_type),
+          Seq(
+            Events.event_id.count.asName("n_events"),
+            Events.value.fillNull(0.0).sum.asName("sum_value")))
+        .select(
+          org.apache.spark.sql.functions
+            .date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("window_start", "event_type")
+    },
+
     // ------------------------------------------------------------ §2.5
     // L8: language ID — pure-Catalyst stopword/CJK heuristic, staged so
     // tokenization runs once per row (not once per CASE branch)
@@ -608,6 +624,17 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  sum(coalesce(value, 0.0)) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q19_sliding_window" ->
+      """WITH off AS (SELECT unnest([0, 1]) AS k),
+        |e AS (SELECT event_type, value, ts,
+        |        to_timestamp(floor(epoch(ts) / 1800) * 1800) AS b FROM events),
+        |w AS (SELECT event_type, value, b - to_seconds(k * 1800) AS ws FROM e, off
+        |      WHERE ts >= b - to_seconds(k * 1800)
+        |        AND ts < b - to_seconds(k * 1800) + INTERVAL 1 HOUR)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+        |  count(*) AS n_events, sum(coalesce(value, 0.0)) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // §2.5 gates. dedup_simhash / dedup_embedding / ann_lsh / ann_ivf
     // use PARTIAL oracles over the _aux exports (see [[auxExports]]):
