@@ -485,6 +485,37 @@ object SparkEntry {
     },
   )
 
+  /** The shared exact-rerank oracle over an exported ANN candidate set:
+    * cosine against the same probes + row_number top-k with the
+    * TopKByScore tie-break (sim desc, neighbor_id asc). One definition
+    * for ann_lsh and ann_ivf, which differ only in where their
+    * candidates came from. */
+  private def annRerankSql(candExport: String): String =
+    s"""WITH cand AS (SELECT probe_id, neighbor_id FROM '{OUT}/_aux/$candExport/*.parquet'),
+       |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+       |           FROM embeddings WHERE vec_id < 5),
+       |sims AS (SELECT c.probe_id, c.neighbor_id,
+       |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6) AS sim
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |              JOIN probes p ON p.probe_id = c.probe_id),
+       |ranked AS (SELECT probe_id, neighbor_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+       |  FROM sims)
+       |SELECT probe_id, neighbor_id, sim, rank FROM ranked
+       |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+
+  /** Which aux export each partial oracle reads — Verify uses this to
+    * DROP the oracle entry (degrading that query to the driver's
+    * rows-only check) when the export itself failed to write, instead
+    * of emitting SQL that points at missing parquet and crashes the
+    * whole DuckDB compare loop. */
+  def auxBackedOracles: Map[String, String] = Map(
+    "dedup_simhash"   -> "simhash_sigs",
+    "dedup_embedding" -> "emb_cand",
+    "ann_lsh"         -> "ann_lsh_cand",
+    "ann_ivf"         -> "ann_ivf_cand",
+  )
+
   /** DuckDB-equivalent SQL per query (column names must match exactly).
     * `{OUT}` is substituted by Verify with the absolute output dir, so
     * partial oracles can read the [[auxExports]] parquet. */
@@ -625,10 +656,15 @@ object SparkEntry {
         |  sum(coalesce(value, 0.0)) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // make_timestamp (NOT to_timestamp, which yields TIMESTAMPTZ and
+    // would shift the naive-ts comparison under a non-UTC DuckDB
+    // session): all arithmetic stays naive, so the oracle's verdict is
+    // independent of the driver's TimeZone setting.
     "q19_sliding_window" ->
       """WITH off AS (SELECT unnest([0, 1]) AS k),
         |e AS (SELECT event_type, value, ts,
-        |        to_timestamp(floor(epoch(ts) / 1800) * 1800) AS b FROM events),
+        |        make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000) AS b
+        |      FROM events),
         |w AS (SELECT event_type, value, b - to_seconds(k * 1800) AS ws FROM e, off
         |      WHERE ts >= b - to_seconds(k * 1800)
         |        AND ts < b - to_seconds(k * 1800) + INTERVAL 1 HOUR)
@@ -641,18 +677,18 @@ object SparkEntry {
     // the non-SQL-expressible hash kernels stay under their specs, and
     // everything downstream is re-derived in DuckDB.
     "dedup_simhash" ->
-      """WITH sig AS (SELECT doc_id, sig FROM '{OUT}/_aux/simhash_sigs/*.parquet'),
-        |banded AS (SELECT doc_id, sig, c.chunk, (sig >> (c.chunk * 16)) & 65535 AS ckey
-        |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk) c),
-        |capped AS (SELECT * FROM
-        |    (SELECT *, count(*) OVER (PARTITION BY chunk, ckey) AS bsz FROM banded)
-        |  WHERE bsz <= 500),
-        |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-        |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
-        |  FROM capped a JOIN capped b
-        |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
-        |SELECT doc_id_a, doc_id_b, hamming FROM pairs
-        |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+      s"""WITH sig AS (SELECT doc_id, sig FROM '{OUT}/_aux/simhash_sigs/*.parquet'),
+         |banded AS (SELECT doc_id, sig, c.chunk, (sig >> (c.chunk * 16)) & 65535 AS ckey
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk) c),
+         |capped AS (SELECT * FROM
+         |    (SELECT *, count(*) OVER (PARTITION BY chunk, ckey) AS bsz FROM banded)
+         |  WHERE bsz <= ${Dedup.DefaultMaxBucket}),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |  FROM capped a JOIN capped b
+         |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+         |SELECT doc_id_a, doc_id_b, hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
 
     "dedup_embedding" ->
       """WITH cand AS (SELECT id_a, id_b FROM '{OUT}/_aux/emb_cand/*.parquet'),
@@ -662,33 +698,8 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
 
-    "ann_lsh" ->
-      """WITH cand AS (SELECT probe_id, neighbor_id FROM '{OUT}/_aux/ann_lsh_cand/*.parquet'),
-        |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
-        |           FROM embeddings WHERE vec_id < 5),
-        |sims AS (SELECT c.probe_id, c.neighbor_id,
-        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6) AS sim
-        |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
-        |              JOIN probes p ON p.probe_id = c.probe_id),
-        |ranked AS (SELECT probe_id, neighbor_id, sim,
-        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
-        |  FROM sims)
-        |SELECT probe_id, neighbor_id, sim, rank FROM ranked
-        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
-
-    "ann_ivf" ->
-      """WITH cand AS (SELECT probe_id, neighbor_id FROM '{OUT}/_aux/ann_ivf_cand/*.parquet'),
-        |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
-        |           FROM embeddings WHERE vec_id < 5),
-        |sims AS (SELECT c.probe_id, c.neighbor_id,
-        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6) AS sim
-        |  FROM cand c JOIN embeddings e ON e.vec_id = c.neighbor_id
-        |              JOIN probes p ON p.probe_id = c.probe_id),
-        |ranked AS (SELECT probe_id, neighbor_id, sim,
-        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
-        |  FROM sims)
-        |SELECT probe_id, neighbor_id, sim, rank FROM ranked
-        |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
+    "ann_lsh" -> annRerankSql("ann_lsh_cand"),
+    "ann_ivf" -> annRerankSql("ann_ivf_cand"),
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),

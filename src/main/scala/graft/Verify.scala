@@ -23,13 +23,16 @@ object Verify {
     }
     // Aux exports backing the partial oracles (see SparkEntry.auxExports)
     // — under _aux/ so the driver's query-result glob never sees them.
-    SparkEntry.auxExports.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/_aux/$name")
-      catch { case e: Throwable =>
+    val failedAux = SparkEntry.auxExports.flatMap { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/_aux/$name")
+        None
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+        Some(name)
       }
-    }
+    }.toSet
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -45,8 +48,14 @@ object Verify {
     // Partial oracles read the _aux exports by path: resolve {OUT} to
     // the absolute output dir HERE (only Verify knows it) so the dumped
     // SQL is runnable verbatim by the driver's DuckDB, whatever its cwd.
+    // An oracle whose aux export failed to write is DROPPED (the query
+    // degrades to the driver's rows-only check) — emitting SQL that
+    // points at missing parquet would crash the whole compare loop.
     val absOut = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) =>
+        !SparkEntry.auxBackedOracles.get(k).exists(failedAux.contains)
+      }
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", absOut))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -388,6 +388,13 @@ object Dedup {
     // are freed by the ContextCleaner once the returned frame is
     // garbage-collected: their lifetime is the result's, not the
     // session's, so no lingering-cache tax on later jobs.
+    // Two consequences, accepted deliberately: (1) this call is eager —
+    // it launches the shingling job now; (2) checkpoint blocks have no
+    // lineage, so losing an executor before the result is consumed
+    // fails that JOB (no recompute) — the recovery story is a re-CALL,
+    // which is cheap because the batch is the small side and safe
+    // because this function is replay-idempotent (the contract
+    // [[GStream.dedupStream]]'s foreachBatch retries already rely on).
     val newSets = shingleSets(newDocs, id, text, shingleK).localCheckpoint(eager = true)
     val newIds = newDocs.select(id.as("_nid"))
     val newBk = newSets.select(col("_jid").as("_id"),

@@ -40,7 +40,7 @@ class AuxOracleSpec extends SparkSpec {
       .select(col("doc_id"), col("sig"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
     val capped = banded
       .withColumn("bsz", count(lit(1)).over(Window.partitionBy("chunk", "ckey")))
-      .where(col("bsz") <= 500)
+      .where(col("bsz") <= graft.operators.Dedup.DefaultMaxBucket)
     val a = capped.select(col("doc_id").as("doc_id_a"), col("sig").as("sig_a"),
       col("chunk"), col("ckey"))
     val b = capped.select(col("doc_id").as("doc_id_b"), col("sig").as("sig_b"),

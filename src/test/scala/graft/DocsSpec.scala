@@ -34,7 +34,7 @@ class DocsSpec extends SparkSpec {
       .sort(Users.score.desc, Users.id.asc)
       .limit(100)
     val outPath = freshDir("qs-out") + "/top"
-    Tio.writeParquet(top.castSchema(Users), outPath) // doc writes `top`; narrow back to Users
+    Tio.writeParquet(top, outPath)
     assert(spark.read.parquet(outPath).count() == 1L) // cy: 99.9, age set
 
     val agg = loaded.groupBy(Users.name).agg(
