@@ -381,6 +381,15 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L14: substring-level duplicated-span stats — per doc, how many of
+    // its 5-token windows also occur in >= 2 distinct docs. The engine
+    // groups 64-bit window fingerprints (narrow shuffle); the oracle
+    // groups the window strings — equivalent below the collision floor.
+    "dedup_spans" -> { (s, dir) =>
+      Dedup.spanDupStats(documents(s, dir).toNative, col("doc_id"), col("text"), k = 5)
+        .orderBy("doc_id")
+    },
+
     // L3: SimHash pairs within hamming 3 via 4x16-bit pigeonhole bands.
     // PARTIAL oracle: the hash kernel isn't ANSI-SQL-expressible, so
     // Verify exports the Spark-computed signatures (_aux/simhash_sigs)
@@ -792,6 +801,19 @@ object SparkEntry {
         |reach(u, v) AS (SELECT u, v FROM edges
         |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
         |SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u ORDER BY 1""".stripMargin,
+
+    "dedup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 5
+        |  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+        |pd AS (SELECT gram, doc_id, count(*) AS n FROM g GROUP BY 1, 2),
+        |fl AS (SELECT *, count(*) OVER (PARTITION BY gram) AS nd FROM pd)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) AS DOUBLE) / sum(n) AS dup_ratio
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_topk" ->
       """WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv

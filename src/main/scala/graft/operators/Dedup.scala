@@ -430,6 +430,43 @@ object Dedup {
     newDocs.join(drops, id === col("_drop_id"), "left_anti")
   }
 
+  // ----------------------------------------------------------------- L14
+  /** Substring-level duplication statistics — the window-level twin of
+    * document-level dedup (the "duplicated spans" measure from the
+    * public train-data-dedup literature): for each doc, how many of its
+    * k-token windows also occur in at least `minDf` DISTINCT docs.
+    * Returns `(doc_id, n_windows, n_dup_windows, dup_ratio)`; a high
+    * ratio flags boilerplate/template contamination that doc-level
+    * near-dedup misses (two long docs sharing one big block are far
+    * apart in whole-doc Jaccard). Windows repeated only WITHIN a doc do
+    * not count — the measure is cross-corpus contamination.
+    *
+    * Scale shape: windows are hashed to 64-bit fingerprints so the
+    * shuffles carry (fp, doc_id) pairs, never the window text; the plan
+    * is groupBy(fp, doc) with map-side combine → per-fp doc count →
+    * groupBy(doc) — all narrow, O(total tokens) rows, no join and no
+    * candidate blowup. A 64-bit collision falsely flags one window;
+    * P(any collision) ≈ m²/2⁶⁵ ≈ 3e-7 even at a billion distinct
+    * windows, far below the noise floor of a ratio statistic. */
+  def spanDupStats(
+      df: DataFrame, id: Column, text: Column,
+      k: Int = 8, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf counts distinct docs sharing a window; need >= 2, got $minDf")
+    val g = df
+      .select(id.as("doc_id"), explode(TextFns.shingles(text, k)).as("_gram"))
+      .select(col("doc_id"), xxhash64(col("_gram")).as("_fp"))
+    // one row per (window fp, doc): _n = occurrences of the window in
+    // the doc; the per-fp row count is then the DISTINCT doc count
+    val perDocGram = g.groupBy("_fp", "doc_id").agg(count(lit(1)).as("_n"))
+    perDocGram
+      .withColumn("_nd", count(lit(1)).over(Window.partitionBy("_fp")))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("_n")).as("n_windows"),
+        sum(when(col("_nd") >= minDf, col("_n")).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_ratio", col("n_dup_windows").cast("double") / col("n_windows"))
+  }
+
   // ----------------------------------------------------------------- L13
   /** Connected components over a verified duplicate-pair graph:
     * `(id, cluster_id)` with cluster_id = the smallest doc id in the

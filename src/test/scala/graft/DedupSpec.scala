@@ -255,6 +255,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.indexDataIsEmpty(spark, idx3))
   }
 
+  test("spanDupStats: shared k-token blocks are counted per window, cross-doc only") {
+    import spark.implicits._
+    // docs 20/21 share one exact 5-token block inside otherwise-unrelated
+    // text; doc 22 repeats a window WITHIN itself only; doc 23 is unique.
+    val corpus = Seq(
+      Doc(20L, "alpha beta gamma delta epsilon totally different tail one"),
+      Doc(21L, "other head words alpha beta gamma delta epsilon distinct ending"),
+      Doc(22L, "x y z w v x y z w v"), // in-doc repeat: NOT contamination
+      Doc(23L, "completely unique words never repeated anywhere else at all"))
+    val out = Dedup.spanDupStats(
+        Tio.fromRows(spark, Docs, corpus).toNative, col("doc_id"), col("text"), k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows")))).toMap
+    // doc 20: 5 windows of 9 tokens, 1 shared ("alpha..epsilon"); doc 21:
+    // 6 windows of 10 tokens, 1 shared; doc 22: all 6 windows repeat
+    // in-doc only (nd = 1 doc) -> zero dup; doc 23: nothing shared
+    assert(out(20L) == ((5L, 1L)))
+    assert(out(21L) == ((6L, 1L)))
+    assert(out(22L)._2 == 0L)
+    assert(out(23L) == ((5L, 0L)))
+  }
+
   test("hot-bucket guard bounds a degenerate bucket and keeps true pairs") {
     import spark.implicits._
     // 1000 identical template docs: one degenerate (band,bucket) group
