@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, max, when}
 import graft.functions.TextFns
-import graft.operators.{Ann, Dedup, Media}
+import graft.operators.{Ann, Dedup, Media, Pack, Sampling}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -387,6 +387,47 @@ object SparkEntry {
     // groups the window strings — equivalent below the collision floor.
     "dedup_spans" -> { (s, dir) =>
       Dedup.spanDupStats(documents(s, dir).toNative, col("doc_id"), col("text"), k = 5)
+        .orderBy("doc_id")
+    },
+
+    // L15: benchmark decontamination — n-gram overlap of each corpus doc
+    // against a held-out eval set (docs with doc_id % 10 == 0 stand in
+    // for the benchmark; the rest is the corpus). The engine probes
+    // broadcast 64-bit window fingerprints; the oracle joins the window
+    // strings — equivalent below the collision floor (as dedup_spans).
+    "dedup_contamination" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      Dedup.contaminationStats(
+          docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+          docs.where(col("doc_id") % 10 === 0), col("text"), k = 5)
+        .orderBy("doc_id")
+    },
+
+    // L16: deterministic hash sample — keep iff the first 8 hex chars of
+    // md5(key:seed) fall below rate·2^32. Reproducible under ANY
+    // repartitioning (unlike df.sample), pure narrow filter, and the
+    // oracle runs the IDENTICAL ANSI expression.
+    "sample_hash" -> { (s, dir) =>
+      Sampling.sampleHash(documents(s, dir).toNative, col("doc_id"), rate = 0.25, seed = 42)
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // L16 (stratified): per-language rates — the data-mixture weighting
+    // move (keep half the English, a quarter of the German, 10% rest).
+    "sample_stratified" -> { (s, dir) =>
+      Sampling.sampleStratified(documents(s, dir).toNative, col("doc_id"), col("lang"),
+          rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1, seed = 7)
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // L17: token-budget shard packing via the two-phase distributed
+    // prefix sum (block cumsum + broadcast offsets — no global
+    // single-partition sort). Oracle: the global window cumsum DuckDB
+    // can afford at oracle scale.
+    "pack_shards" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      Pack.packByBudget(docs, col("doc_id"), TextFns.tokenCountWs(col("text")), budget = 2000)
+        .select(col("id").as("doc_id"), col("weight").as("n_tokens"), col("shard_id"))
         .orderBy("doc_id")
     },
 
@@ -814,6 +855,49 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_dup_windows,
         |  CAST(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) AS DOUBLE) / sum(n) AS dup_ratio
         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same gram construction as dedup_spans; bench/corpus split on
+    // doc_id % 10. sum() in DuckDB widens to HUGEINT → explicit BIGINT
+    // casts keep the schema comparable.
+    "dedup_contamination" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 5
+        |  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |corp AS (SELECT g.doc_id, CASE WHEN b.gram IS NULL THEN 0 ELSE 1 END AS hit
+        |         FROM g LEFT JOIN bench b ON g.gram = b.gram
+        |         WHERE g.doc_id % 10 <> 0)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(hit) AS BIGINT) AS n_contaminated,
+        |  CAST(sum(hit) AS DOUBLE) / count(*) AS contamination_ratio
+        |FROM corp GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The keep-predicate is the IDENTICAL ANSI expression the engine
+    // runs: fixed-width lowercase hex compares lexicographically like
+    // the 32-bit number it encodes.
+    "sample_hash" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(doc_id::VARCHAR || ':42'), 1, 8) < '${Sampling.thresholdHex(0.25)}'
+         |ORDER BY doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5(doc_id::VARCHAR || ':7'), 1, 8) <
+         |  CASE lang WHEN 'en' THEN '${Sampling.thresholdHex(0.5)}'
+         |            WHEN 'de' THEN '${Sampling.thresholdHex(0.25)}'
+         |            ELSE '${Sampling.thresholdHex(0.1)}' END
+         |ORDER BY doc_id""".stripMargin,
+
+    // The global-window form of the prefix sum the engine computes in
+    // two distributed phases; // is integer division (both sides
+    // truncate nonnegative values identically).
+    "pack_shards" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000 AS BIGINT) AS shard_id
+        |FROM t ORDER BY doc_id""".stripMargin,
 
     "ann_topk" ->
       """WITH probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv

@@ -467,6 +467,60 @@ object Dedup {
       .withColumn("dup_ratio", col("n_dup_windows").cast("double") / col("n_windows"))
   }
 
+  // ----------------------------------------------------------------- L15
+  /** Benchmark decontamination — the published n-gram-overlap method
+    * (flag a training doc if any of its k-token windows also occurs in
+    * a held-out evaluation set; GPT-3 appendix C used k=13): per corpus
+    * doc, `(doc_id, n_windows, n_contaminated, contamination_ratio)`
+    * where `n_contaminated` counts the doc's windows (with
+    * multiplicity, same convention as [[spanDupStats]]) that appear
+    * anywhere in `bench`. `n_contaminated = 0` means the doc is clean;
+    * use [[decontaminatedKeep]] for the filtered corpus directly.
+    *
+    * Scale shape: the benchmark side collapses to its DISTINCT window
+    * fingerprints — eval sets are tiny next to a 100 TB corpus, so that
+    * set broadcasts (hinted; drop to a shuffled hash join by passing
+    * `broadcastBench = false` for a pathologically large bench). The
+    * corpus side streams once: shingle → 64-bit fingerprint →
+    * broadcast-probe → groupBy(doc) with map-side combine. The only
+    * shuffle carries (doc_id, partial counts); window text never moves.
+    * Same 64-bit collision floor as [[spanDupStats]] — a collision
+    * falsely flags one window, P(any) ≈ 3e-7 at 1e9 distinct windows. */
+  def contaminationStats(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchText: Column,
+      k: Int = 8, broadcastBench: Boolean = true): DataFrame = {
+    val bfp0 = bench
+      .select(explode(TextFns.shingles(benchText, k)).as("_g"))
+      .select(xxhash64(col("_g")).as("_fp"))
+      .distinct()
+      .withColumn("_hit", lit(1L))
+    val bfp = if (broadcastBench) broadcast(bfp0) else bfp0
+    corpus
+      .select(corpusId.as("doc_id"), explode(TextFns.shingles(corpusText, k)).as("_g"))
+      .select(col("doc_id"), xxhash64(col("_g")).as("_fp"))
+      .join(bfp, Seq("_fp"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_contaminated"))
+      .withColumn("contamination_ratio",
+        col("n_contaminated").cast("double") / col("n_windows"))
+  }
+
+  /** Corpus rows with ZERO benchmark-overlapping windows — the actual
+    * decontaminated training set. Keep-list + left-semi (the
+    * [[exactKeep]] shape): full rows never ride the stats shuffle. */
+  def decontaminatedKeep(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchText: Column,
+      k: Int = 8, broadcastBench: Boolean = true): DataFrame = {
+    val clean = contaminationStats(corpus, corpusId, corpusText, bench, benchText, k, broadcastBench)
+      .where(col("n_contaminated") === 0L)
+      .select(col("doc_id").as("_keep_id"))
+    corpus.join(clean, corpusId === col("_keep_id"), "left_semi")
+  }
+
   // ----------------------------------------------------------------- L13
   /** Connected components over a verified duplicate-pair graph:
     * `(id, cluster_id)` with cluster_id = the smallest doc id in the

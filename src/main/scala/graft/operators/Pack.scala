@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget shard packing for training-data pipelines (SURVEY §2.5
+  * L17): assign documents, in deterministic id order, to consecutive
+  * shards of ~`budget` tokens each — the "concatenate docs into
+  * fixed-size training shards" step that follows dedup + filtering.
+  *
+  * Semantics (greedy sequential, the standard data-prep contract):
+  * walk docs in ascending `id` order, keep a running token total, and
+  * give each doc `shard_id = floor(tokens_before_it / budget)`. A doc
+  * larger than the budget still lands in one shard (documents are
+  * never split here — splitting is a tokenizer-side concern), so shard
+  * ids are monotone but may skip values after an oversized doc.
+  *
+  * The naive plan — `sum(w) OVER (ORDER BY id)` — is a GLOBAL window:
+  * Spark sorts everything into ONE partition, which is exactly the
+  * anti-pattern that dies at 100 TB. This implementation is the classic
+  * two-phase distributed prefix sum instead:
+  *
+  *  1. Bucket ids into `targetBlocks` CONTIGUOUS ranges (pure
+  *     arithmetic on (min,max) — no sampling, so the result is fully
+  *     deterministic, unlike `repartitionByRange`'s sampled bounds).
+  *  2. Per-block running sum: `sum OVER (PARTITION BY block ORDER BY
+  *     id)` — blocks run in parallel, shuffle carries only (id,
+  *     weight).
+  *  3. Per-block totals (map-side-combined groupBy → ≤ targetBlocks
+  *     rows) → exclusive prefix offsets via a window over that TINY
+  *     frame (single partition of ≤ targetBlocks rows — the only
+  *     "global" sort, over kilobytes) → broadcast-joined back.
+  *
+  * global_prefix(row) = block_offset + within_block_cumsum, exactly.
+  * The output is a pure function of the (id, weight) multiset and the
+  * parameters — independent of input partitioning AND of
+  * `targetBlocks` (prefix sums are exact either way), which the spec
+  * pins. Requires unique ids (the module-wide convention) and
+  * non-negative weights.
+  *
+  * Returns `(id, weight, shard_id)`; join back by id for full rows.
+  */
+object Pack {
+
+  def packByBudget(
+      df: DataFrame, id: Column, weight: Column, budget: Long,
+      targetBlocks: Int = 1024): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    require(targetBlocks > 0, s"targetBlocks must be positive, got $targetBlocks")
+    val base = df.select(id.cast("long").as("id"), weight.cast("long").as("weight"))
+    val mm = base.agg(min(col("id")), max(col("id"))).head()
+    if (mm.isNullAt(0)) // empty input: keep the output schema, no rows
+      return base.withColumn("shard_id", lit(0L)).where(lit(false))
+    val lo = mm.getLong(0)
+    // BigInt: (max - min) must not overflow for adversarial id ranges
+    val blockSize = ((BigInt(mm.getLong(1)) - BigInt(lo)) / targetBlocks + 1).toLong
+    val blocked = base.withColumn("_blk", expr(s"(id - ${lo}L) div ${blockSize}L"))
+    val inBlock = Window.partitionBy("_blk").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = blocked.withColumn("_cum", sum(col("weight")).over(inBlock))
+    // ≤ targetBlocks rows: the single-partition window here is over a
+    // frame that fits in one cache line per block, not over the data
+    val acrossBlocks = Window.orderBy("_blk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = blocked.groupBy("_blk").agg(sum(col("weight")).as("_tot"))
+      .withColumn("_off", sum(col("_tot")).over(acrossBlocks) - col("_tot"))
+      .select("_blk", "_off")
+    cum.join(broadcast(offsets), Seq("_blk"))
+      .withColumn("shard_id", expr(s"(_off + _cum - weight) div ${budget}L"))
+      .select("id", "weight", "shard_id")
+  }
+
+  /** Shard-level summary of a [[packByBudget]] assignment: how full
+    * each shard actually is — `(shard_id, n_docs, total_weight)`. The
+    * operational check that packing produced ~budget-sized shards. */
+  def shardStats(assignment: DataFrame): DataFrame =
+    assignment.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("total_weight"))
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling for training-data pipelines
+  * (SURVEY §2.5 L16).
+  *
+  * Why not `df.sample(fraction, seed)`: Spark's native sampler draws
+  * from a per-partition RNG stream, so the selected ROWS change
+  * whenever the partitioning changes — a repartition, a different file
+  * split, AQE coalescing, or simply re-reading the same data at a
+  * different parallelism yields a different sample. At 100 TB a
+  * pipeline is re-run, re-partitioned and resumed constantly; a sample
+  * that silently drifts between runs is not reproducible science.
+  *
+  * Here the keep/drop decision is a pure function of a user-chosen key
+  * (plus a seed): keep iff the first 8 hex chars of
+  * `md5(key || ':' || seed)` — a uniform 32-bit draw — fall below
+  * `rate · 2³²`. Properties:
+  *
+  *  - **Partition-independent**: same key + seed + rate → same decision
+  *    on any cluster layout, any engine (the predicate is plain ANSI
+  *    SQL — the DuckDB oracle runs the identical expression).
+  *  - **Narrow**: a pure filter — no shuffle, no state, fully
+  *    codegen'd; composes with pushdown on other predicates.
+  *  - **Consistent across tables**: sampling two tables by the same
+  *    join key with the same seed keeps ALIGNED subsets, so joins of
+  *    samples are samples of the join (the classic hash-sampling
+  *    coordination trick).
+  *  - **Nested rates compose**: a rate-0.5 sample of a rate-0.5 sample
+  *    (same seed) equals a rate-0.25 sample, because the decision
+  *    threshold just tightens.
+  *
+  * The 32-bit threshold comparison is done on the HEX STRING (8
+  * fixed-width lowercase chars compare lexicographically exactly like
+  * the number) so the expression needs no engine-specific hex-to-int
+  * conversion and stays bit-identical across engines.
+  */
+object Sampling {
+
+  /** `floor(rate · 2³²)` as 8 lowercase hex chars — the string a key's
+    * hash prefix must stay below to be kept. Exposed so oracles/tests
+    * can embed the identical literal. */
+  def thresholdHex(rate: Double): String = {
+    require(rate > 0.0 && rate < 1.0, s"threshold only defined for rate in (0,1), got $rate")
+    "%08x".format((rate * 4294967296.0).toLong)
+  }
+
+  /** The 8-hex-char uniform draw for `key` under `seed`.
+    * SQL mirror: substr(md5(key::VARCHAR || ':<seed>'), 1, 8) */
+  def hashDraw(key: Column, seed: Int): Column =
+    substring(md5(concat(key.cast("string"), lit(":" + seed)).cast("binary")), 1, 8)
+
+  /** Boolean keep-predicate for a flat rate. */
+  def keepPredicate(key: Column, rate: Double, seed: Int): Column = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    if (rate <= 0.0) lit(false)
+    else if (rate >= 1.0) lit(true)
+    else hashDraw(key, seed) < lit(thresholdHex(rate))
+  }
+
+  /** Deterministic Bernoulli(rate) sample keyed on `key`. */
+  def sampleHash(df: DataFrame, key: Column, rate: Double, seed: Int = 0): DataFrame =
+    df.where(keepPredicate(key, rate, seed))
+
+  /** Stratified deterministic sample: per-stratum rates (data-mixture
+    * weighting — e.g. keep 80% of high-quality English, 10% of the
+    * rest), strata not listed fall back to `defaultRate`. One CASE
+    * expression — still a pure narrow filter, no join, no shuffle. */
+  def sampleStratified(
+      df: DataFrame, key: Column, strata: Column,
+      rates: Map[String, Double], defaultRate: Double, seed: Int = 0): DataFrame = {
+    val draw = hashDraw(key, seed)
+    def keep(rate: Double): Column = {
+      require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+      if (rate <= 0.0) lit(false)
+      else if (rate >= 1.0) lit(true)
+      else draw < lit(thresholdHex(rate))
+    }
+    val pred = rates.toSeq.sortBy(_._1).foldRight(keep(defaultRate)) {
+      case ((stratum, rate), elseCol) => when(strata === lit(stratum), keep(rate)).otherwise(elseCol)
+    }
+    df.where(pred)
+  }
+}

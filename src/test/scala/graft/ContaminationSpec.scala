@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** L15 benchmark decontamination: planted n-gram overlap between a
+  * corpus and a held-out eval set. */
+class ContaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the eval set: one question whose 5-gram windows must not leak
+  private val bench = Seq(
+    (100L, "what is the capital of france and why does it matter"),
+    (101L, "compute the sum of the first hundred primes quickly"),
+  ).toDF("doc_id", "text")
+
+  // doc 1 embeds a full bench sentence (contaminated); doc 2 shares a
+  // sub-threshold fragment (4 words < k=5, clean); doc 3 is unrelated
+  private val corpus = Seq(
+    (1L, "intro text what is the capital of france and why does it matter closing text"),
+    (2L, "the capital of france is a lovely place to visit in the spring"),
+    (3L, "entirely unrelated content about distributed prefix sums on spark"),
+  ).toDF("doc_id", "text")
+
+  test("flags exactly the docs sharing a full k-gram with the bench set") {
+    val stats = Dedup.contaminationStats(
+        corpus, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(stats(1L) > 0L, "doc embedding a bench sentence must be flagged")
+    assert(stats(2L) == 0L, "sub-k overlap must NOT flag")
+    assert(stats(3L) == 0L)
+  }
+
+  test("window counts and ratio follow the spanDupStats conventions") {
+    val r = Dedup.contaminationStats(
+        corpus, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      .where(col("doc_id") === 1L).head()
+    val (nw, nc, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+    // doc 1: 15 words → 11 windows of 5; the embedded 11-word sentence
+    // contributes its 7 windows, all present in bench doc 100
+    assert(nw == 11L, s"n_windows $nw")
+    assert(nc == 7L, s"n_contaminated $nc")
+    assert(ratio == 7.0 / 11.0)
+  }
+
+  test("decontaminatedKeep returns exactly the clean rows, full schema") {
+    val kept = Dedup.decontaminatedKeep(
+        corpus, col("doc_id"), col("text"), bench, col("text"), k = 5)
+    assert(kept.columns.toSeq == corpus.columns.toSeq)
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+  }
+
+  test("shuffled-join path (broadcastBench = false) agrees with broadcast") {
+    val a = Dedup.contaminationStats(
+        corpus, col("doc_id"), col("text"), bench, col("text"), k = 5, broadcastBench = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Dedup.contaminationStats(
+        corpus, col("doc_id"), col("text"), bench, col("text"), k = 5, broadcastBench = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("a corpus window repeated in-doc counts with multiplicity") {
+    val c = Seq((9L, "alpha beta gamma delta epsilon alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val b = Seq((90L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val r = Dedup.contaminationStats(c, col("doc_id"), col("text"), b, col("text"), k = 5).head()
+    // 10 words → 6 windows; windows 1 and 6 are the bench 5-gram
+    assert(r.getLong(1) == 6L)
+    assert(r.getLong(2) == 2L)
+  }
+
+  test("an empty bench set flags nothing") {
+    val r = Dedup.contaminationStats(
+        corpus, col("doc_id"), col("text"),
+        bench.where(lit(false)), col("text"), k = 5)
+      .agg(sum(col("n_contaminated"))).head().getLong(0)
+    assert(r == 0L)
+  }
+}

@@ -143,6 +143,51 @@ class DocsSpec extends SparkSpec {
     assert(ivf.count() > 0L)
   }
 
+  // --- training-data-prep.md -------------------------------------------
+
+  test("prep recipe: decontaminate against a benchmark set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "totally unrelated words in this training document here"),
+    ).toDF("doc_id", "text")
+    val benchmarks = Seq((9L, "beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+
+    val stats = graft.operators.Dedup.contaminationStats(
+      corpus, col("doc_id"), col("text"), benchmarks, col("text"), k = 5)
+    val flagged = stats.where(col("n_contaminated") > 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L))
+
+    val clean = graft.operators.Dedup.decontaminatedKeep(
+      corpus, col("doc_id"), col("text"), benchmarks, col("text"), k = 5)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("prep recipe: deterministic flat and stratified sampling") {
+    import spark.implicits._
+    val docs = (1L to 500L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
+
+    val tenPct = graft.operators.Sampling.sampleHash(docs, col("doc_id"), rate = 0.1, seed = 42)
+    assert(tenPct.count() > 20L && tenPct.count() < 80L)
+
+    val mixed = graft.operators.Sampling.sampleStratified(docs, col("doc_id"), col("lang"),
+      rates = Map("en" -> 0.8, "de" -> 0.5), defaultRate = 0.1, seed = 42)
+    assert(mixed.count() > docs.count() / 4)
+  }
+
+  test("prep recipe: pack into token-budget shards and join back") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, ("tok " * 20).trim)).toDF("doc_id", "text")
+    val assignment = graft.operators.Pack.packByBudget(
+      docs, col("doc_id"), graft.functions.TextFns.tokenCountWs(col("text")), budget = 100)
+    val sharded = docs.join(assignment.withColumnRenamed("id", "doc_id"), "doc_id")
+    assert(sharded.count() == 50L)
+    val stats = graft.operators.Pack.shardStats(assignment)
+    // 50 docs × 20 tokens at budget 100 → 10 shards of 5 docs
+    assert(stats.count() == 10L)
+  }
+
   // --- shuffle-engineering.md ------------------------------------------
 
   test("shuffle toolkit: salted join with a stable salt column") {

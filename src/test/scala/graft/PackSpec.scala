@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pack
+
+/** L17 token-budget shard packing: the distributed two-phase prefix sum
+  * must equal the sequential greedy reference exactly, independent of
+  * input partitioning and of the block count. */
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference: walk ids in order, shard = floor(pre / budget). */
+  private def reference(rows: Seq[(Long, Long)], budget: Long): Map[Long, Long] = {
+    var pre = 0L
+    rows.sortBy(_._1).map { case (id, w) =>
+      val shard = pre / budget
+      pre += w
+      id -> shard
+    }.toMap
+  }
+
+  private def packed(rows: Seq[(Long, Long)], budget: Long, blocks: Int = 1024): Map[Long, Long] =
+    Pack.packByBudget(rows.toDF("id", "w"), col("id"), col("w"), budget, blocks)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  test("matches the sequential greedy reference") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1L to 500L).map(id => id -> (rnd.nextInt(300) + 1).toLong)
+    assert(packed(rows, budget = 1000) == reference(rows, 1000))
+  }
+
+  test("independent of partitioning and of targetBlocks") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 400L).map(id => id -> (rnd.nextInt(100) + 1).toLong)
+    val expect = reference(rows, 500)
+    assert(packed(rows, 500, blocks = 1) == expect)   // degenerate: one block
+    assert(packed(rows, 500, blocks = 7) == expect)
+    assert(packed(rows, 500, blocks = 4096) == expect) // more blocks than rows
+    val shuffled = Pack.packByBudget(
+      rows.toDF("id", "w").repartition(13), col("id"), col("w"), 500)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(shuffled == expect)
+  }
+
+  test("sparse, non-contiguous ids pack in id order") {
+    val rows = Seq(5L -> 10L, 1000L -> 10L, 7L -> 10L, 999999L -> 10L, 2L -> 10L)
+    assert(packed(rows, budget = 25) == reference(rows, 25))
+  }
+
+  test("a doc larger than the budget occupies its own shard; ids skip") {
+    // pre: 0, 5000, 5010 → shards 0, 5, 5
+    val rows = Seq(1L -> 5000L, 2L -> 10L, 3L -> 10L)
+    val m = packed(rows, budget = 1000)
+    assert(m == Map(1L -> 0L, 2L -> 5L, 3L -> 5L))
+  }
+
+  test("zero-weight docs ride along without advancing the budget") {
+    val rows = Seq(1L -> 0L, 2L -> 10L, 3L -> 0L, 4L -> 10L)
+    assert(packed(rows, budget = 15) == reference(rows, 15))
+  }
+
+  test("empty input yields an empty, correctly-shaped result") {
+    val out = Pack.packByBudget(
+      Seq.empty[(Long, Long)].toDF("id", "w"), col("id"), col("w"), 100)
+    assert(out.columns.toSeq == Seq("id", "weight", "shard_id"))
+    assert(out.count() == 0)
+  }
+
+  test("shardStats reports per-shard doc counts and weights") {
+    val rows = Seq(1L -> 40L, 2L -> 40L, 3L -> 40L, 4L -> 40L)
+    val asg = Pack.packByBudget(rows.toDF("id", "w"), col("id"), col("w"), budget = 100)
+    val stats = Pack.shardStats(asg).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // pre: 0,40,80,120 → shards 0,0,0,1
+    assert(stats == Map(0L -> ((3L, 120L)), 1L -> ((1L, 40L))))
+  }
+
+  test("shard ids are monotone in id order") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1L to 300L).map(id => id -> (rnd.nextInt(500) + 1).toLong)
+    val out = Pack.packByBudget(rows.toDF("id", "w"), col("id"), col("w"), 750)
+      .orderBy("id").collect().map(_.getLong(2))
+    assert(out.zip(out.tail).forall { case (a, b) => a <= b })
+  }
+}

@@ -77,6 +77,42 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("buckets"), s"semi-join must apply to the stored bucket table:\n$plan")
   }
 
+  test("dedup_contamination: bench fingerprints broadcast; corpus never shuffles grams wide") {
+    val plan = q("dedup_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench fingerprint set must broadcast-probe the corpus:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the gram probe must not sort-merge at gate scale:\n$plan")
+  }
+
+  test("sample queries stay a pure narrow filter: no shuffle, no join") {
+    for (name <- Seq("sample_hash", "sample_stratified")) {
+      val plan = q(name)
+      assert(!plan.contains("Join"), s"$name must not join:\n$plan")
+      // the only exchange allowed is the final orderBy's range partition
+      val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 1, s"$name: filter must be narrow, got $exchanges exchanges:\n$plan")
+      assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
+        s"$name: keep-predicate must stay in whole-stage codegen:\n$plan")
+    }
+  }
+
+  test("pack_shards: offsets broadcast back; no global window over the data") {
+    val plan = q("pack_shards")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"block offsets must broadcast-join back:\n$plan")
+    // two Window nodes exist: the per-block cumsum (partitioned by _blk)
+    // and the tiny offsets cumsum; neither may be an unpartitioned
+    // window over the full data — the offsets window input is the
+    // ≤targetBlocks-row aggregate, which the plan shows under a
+    // single-partition exchange AFTER the block totals HashAggregate.
+    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.exists(_.contains("_blk")),
+      s"per-block cumsum must partition by the block key:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"block totals must be a (map-side combined) aggregate:\n$plan")
+  }
+
   test("text kernels stay inside whole-stage codegen in one pruned scan") {
     val plan = q("text_langid")
     // "*(n)" is the whole-stage-codegen stage marker in plan toString;

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+/** L16 deterministic hash sampling: the property that motivates it —
+  * the selected ROW SET is a pure function of (key, seed, rate),
+  * invariant under repartitioning — plus rate calibration, stratified
+  * rates, seed independence, and the nested-rate composition law. */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("k").collect().map(_.getLong(0)).toSet
+
+  test("thresholdHex encodes floor(rate * 2^32) as 8 lowercase hex chars") {
+    assert(Sampling.thresholdHex(0.25) == "40000000")
+    assert(Sampling.thresholdHex(0.5) == "80000000")
+    assert(Sampling.thresholdHex(0.1) == "19999999")
+    assertThrows[IllegalArgumentException](Sampling.thresholdHex(0.0))
+    assertThrows[IllegalArgumentException](Sampling.thresholdHex(1.0))
+  }
+
+  test("sample is deterministic and invariant under repartitioning") {
+    val df = (1L to 4000L).toDF("k")
+    val a = keys(Sampling.sampleHash(df, col("k"), 0.3, seed = 5))
+    val b = keys(Sampling.sampleHash(df.repartition(17), col("k"), 0.3, seed = 5))
+    val c = keys(Sampling.sampleHash(df.coalesce(1), col("k"), 0.3, seed = 5))
+    assert(a == b && a == c)
+    assert(a.nonEmpty && a.size < 4000)
+  }
+
+  test("sampled fraction lands near the nominal rate") {
+    val df = (1L to 4000L).toDF("k")
+    val n = Sampling.sampleHash(df, col("k"), 0.25, seed = 1).count()
+    // md5 is uniform: 4000 draws at p=.25, ±5 sigma ≈ ±137
+    assert(n > 863 && n < 1137, s"got $n of 4000 at rate 0.25")
+  }
+
+  test("different seeds select different sets; same seed re-selects") {
+    val df = (1L to 2000L).toDF("k")
+    val s1 = keys(Sampling.sampleHash(df, col("k"), 0.5, seed = 1))
+    val s2 = keys(Sampling.sampleHash(df, col("k"), 0.5, seed = 2))
+    val s1b = keys(Sampling.sampleHash(df, col("k"), 0.5, seed = 1))
+    assert(s1 == s1b)
+    assert(s1 != s2)
+    // independent draws: overlap ≈ 25% of the population, nowhere near either set
+    val overlap = (s1 & s2).size.toDouble / 2000
+    assert(overlap > 0.15 && overlap < 0.35, s"overlap fraction $overlap")
+  }
+
+  test("nested rates compose: 0.5-sample of a 0.5-sample == 0.25-sample") {
+    val df = (1L to 2000L).toDF("k")
+    val nested = keys(Sampling.sampleHash(
+      Sampling.sampleHash(df, col("k"), 0.5, seed = 9), col("k"), 0.25, seed = 9))
+    val direct = keys(Sampling.sampleHash(df, col("k"), 0.25, seed = 9))
+    assert(nested == direct) // min(0.5, 0.25): thresholds nest, not multiply across same seed
+  }
+
+  test("rate 0 keeps nothing; rate 1 keeps everything") {
+    val df = (1L to 100L).toDF("k")
+    assert(Sampling.sampleHash(df, col("k"), 0.0).count() == 0)
+    assert(Sampling.sampleHash(df, col("k"), 1.0).count() == 100)
+  }
+
+  test("stratified rates apply per stratum, default covers the rest") {
+    val df = (1L to 6000L).map(k => (k, if (k % 3 == 0) "a" else if (k % 3 == 1) "b" else "c"))
+      .toDF("k", "g")
+    val out = Sampling.sampleStratified(df, col("k"), col("g"),
+      rates = Map("a" -> 0.8, "b" -> 0.2), defaultRate = 0.0, seed = 3)
+    val byG = out.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 keys per stratum; ±5 sigma windows (sigma ≈ 18)
+    assert(byG("a") > 1510 && byG("a") < 1690, s"stratum a: ${byG("a")}")
+    assert(byG("b") > 310 && byG("b") < 490, s"stratum b: ${byG("b")}")
+    assert(!byG.contains("c"), s"default rate 0 must drop stratum c entirely: $byG")
+  }
+
+  test("same key+seed decides identically across tables (aligned samples)") {
+    val left = (1L to 1000L).toDF("k")
+    val right = (501L to 1500L).toDF("k")
+    val a = keys(Sampling.sampleHash(left, col("k"), 0.4, seed = 11))
+    val b = keys(Sampling.sampleHash(right, col("k"), 0.4, seed = 11))
+    // on the shared key range the decisions are identical
+    assert(a.filter(_ >= 501L) == b.filter(_ <= 1000L))
+  }
+}
