@@ -420,6 +420,15 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // L16 (fixed budget): exactly n docs per language, deterministic
+    // draw order — Spark's WindowGroupLimit keeps the top-n prune
+    // map-side partial (plan-asserted).
+    "sample_exact_n" -> { (s, dir) =>
+      Sampling.sampleExactPerStratum(documents(s, dir).toNative,
+          col("doc_id"), col("lang"), n = 20, seed = 13)
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
     // L17: token-budget shard packing via the two-phase distributed
     // prefix sum (block cumsum + broadcast offsets — no global
     // single-partition sort). Oracle: the global window cumsum DuckDB
@@ -889,6 +898,12 @@ object SparkEntry {
          |            WHEN 'de' THEN '${Sampling.thresholdHex(0.25)}'
          |            ELSE '${Sampling.thresholdHex(0.1)}' END
          |ORDER BY doc_id""".stripMargin,
+
+    "sample_exact_n" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY substr(md5(doc_id::VARCHAR || ':13'), 1, 8), doc_id) <= 20
+        |ORDER BY doc_id""".stripMargin,
 
     // The global-window form of the prefix sum the engine computes in
     // two distributed phases; // is integer division (both sides

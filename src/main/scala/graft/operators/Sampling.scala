@@ -83,4 +83,29 @@ object Sampling {
     }
     df.where(pred)
   }
+
+  /** Exactly `min(n, |stratum|)` rows per stratum — the FIXED-BUDGET
+    * mixture sampler ("2M docs per language"), complementing the
+    * rate-based [[sampleStratified]]. Selection order is the same
+    * deterministic draw (ties broken by key), so the result is again a
+    * pure function of (key, strata, n, seed): growing a stratum only
+    * displaces its highest-draw survivors, and two runs on different
+    * partitionings agree row-for-row.
+    *
+    * Scale shape: `row_number ≤ n` over (stratum, draw) — Spark's
+    * WindowGroupLimit rewrite inserts a PARTIAL group-limit before the
+    * shuffle, so each map task forwards at most n rows per stratum and
+    * a billion-row stratum never funnels through one sort
+    * (plan-asserted in PlanAuditSpec). Keys must be unique (module
+    * convention) for the total order. */
+  def sampleExactPerStratum(
+      df: DataFrame, key: Column, strata: Column, n: Int, seed: Int = 0): DataFrame = {
+    require(n >= 0, s"n must be non-negative, got $n")
+    if (n == 0) return df.where(lit(false))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(hashDraw(key, seed), key)
+    df.withColumn("_graft_rn", row_number().over(w))
+      .where(col("_graft_rn") <= n)
+      .drop("_graft_rn")
+  }
 }

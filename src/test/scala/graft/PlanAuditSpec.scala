@@ -97,6 +97,14 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("sample_exact_n: the top-n prune runs map-side (WindowGroupLimit partial)") {
+    val plan = q("sample_exact_n")
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number<=n must rewrite to a group limit:\n$plan")
+    assert(plan.contains("Partial"),
+      s"the group limit must have a partial (pre-shuffle) stage:\n$plan")
+  }
+
   test("pack_shards: offsets broadcast back; no global window over the data") {
     val plan = q("pack_shards")
     assert(plan.contains("BroadcastHashJoin"),

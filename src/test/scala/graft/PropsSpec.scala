@@ -321,3 +321,67 @@ object CastResolveProps extends Properties("cast-resolve") {
       }
     }
 }
+
+/** `Pack.packByBudget`'s claim that the two-phase distributed prefix
+  * sum equals the sequential greedy walk, for GENERATED id/weight sets
+  * (sparse, shuffled, duplicate-free ids), any budget, any block count
+  * (PackSpec pins fixed cases and the plan shape). */
+object PackProps extends Properties("pack-by-budget") {
+  import org.scalacheck.Test
+  import org.apache.spark.sql.functions.col
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  // sparse ids drawn from a wide range; weights include 0 and > budget
+  private val rowsGen: Gen[List[(Long, Long)]] =
+    Gen.choose(0, 80).flatMap(n => Gen.listOfN(n,
+      for { id <- Gen.choose(0L, 100000L); w <- Gen.choose(0L, 400L) } yield (id, w)))
+      .map(_.distinctBy(_._1))
+
+  property("distributed assignment equals the sequential greedy walk") =
+    forAll(rowsGen, Gen.choose(1L, 300L), Gen.choose(1, 64)) { (rows, budget, blocks) =>
+      val s = TestSession.spark
+      import s.implicits._
+      val expected = {
+        var pre = 0L
+        rows.sortBy(_._1).map { case (id, w) =>
+          val shard = pre / budget; pre += w; id -> shard
+        }.toMap
+      }
+      val got = graft.operators.Pack
+        .packByBudget(rows.toDF("id", "w"), col("id"), col("w"), budget, blocks)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      got == expected
+    }
+}
+
+/** `Sampling`'s determinism laws under generated key sets: the kept set
+  * is a pure function of (key, seed, rate) — so recomputing under a
+  * different partitioning matches — and thresholds NEST (a tighter rate
+  * selects a subset of a looser one, same seed). */
+object SamplingProps extends Properties("hash-sampling") {
+  import org.scalacheck.Test
+  import org.apache.spark.sql.functions.col
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private val keysGen: Gen[List[Long]] =
+    Gen.choose(0, 300).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 1000000L)))
+      .map(_.distinct)
+
+  property("kept set is partition-independent and rates nest") =
+    forAll(keysGen, Gen.choose(1, 99), Gen.choose(1, 99), Gen.choose(0, 1000)) {
+      (ks, pa, pb, seed) =>
+        val s = TestSession.spark
+        import s.implicits._
+        val (lo, hi) = (math.min(pa, pb) / 100.0, math.max(pa, pb) / 100.0)
+        val df = ks.toDF("k")
+        def kept(d: org.apache.spark.sql.DataFrame, r: Double): Set[Long] =
+          graft.operators.Sampling.sampleHash(d, col("k"), r, seed)
+            .collect().map(_.getLong(0)).toSet
+        val a = kept(df, lo)
+        kept(df.repartition(7), lo) == a && a.subsetOf(kept(df, hi))
+    }
+}

@@ -75,6 +75,36 @@ class SamplingSpec extends SparkSpec {
     assert(!byG.contains("c"), s"default rate 0 must drop stratum c entirely: $byG")
   }
 
+  test("exact-n: exactly min(n, |stratum|) rows per stratum, deterministic") {
+    val df = (1L to 1000L).map(k => (k, if (k <= 900) "big" else if (k <= 990) "mid" else "tiny"))
+      .toDF("k", "g")
+    val out = Sampling.sampleExactPerStratum(df, col("k"), col("g"), n = 50, seed = 4)
+    val byG = out.groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG == Map("big" -> 50L, "mid" -> 50L, "tiny" -> 10L))
+    // invariant under repartitioning
+    val again = Sampling.sampleExactPerStratum(df.repartition(11), col("k"), col("g"), 50, seed = 4)
+    assert(out.select("k").collect().map(_.getLong(0)).toSet ==
+      again.select("k").collect().map(_.getLong(0)).toSet)
+  }
+
+  test("exact-n: growing a stratum only displaces highest-draw survivors") {
+    val small = (1L to 200L).map(k => (k, "s")).toDF("k", "g")
+    val grown = (1L to 400L).map(k => (k, "s")).toDF("k", "g")
+    val a = keys(Sampling.sampleExactPerStratum(small, col("k"), col("g"), 30, seed = 2)
+      .select(col("k")))
+    val b = keys(Sampling.sampleExactPerStratum(grown, col("k"), col("g"), 30, seed = 2)
+      .select(col("k")))
+    // every new survivor either was a survivor before or is a new key;
+    // no old non-survivor with a HIGHER draw can displace a lower one —
+    // equivalently, b restricted to 1..200 is a subset of a
+    assert(b.filter(_ <= 200L).subsetOf(a))
+  }
+
+  test("exact-n: n=0 keeps nothing") {
+    val df = (1L to 10L).map(k => (k, "x")).toDF("k", "g")
+    assert(Sampling.sampleExactPerStratum(df, col("k"), col("g"), 0).count() == 0)
+  }
+
   test("same key+seed decides identically across tables (aligned samples)") {
     val left = (1L to 1000L).toDF("k")
     val right = (501L to 1500L).toDF("k")
