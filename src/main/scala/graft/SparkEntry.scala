@@ -420,6 +420,14 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // L16 (splits): deterministic train/val/test assignment — a doc
+    // keeps its split across re-runs and corpus growth (leakage guard).
+    "sample_split" -> { (s, dir) =>
+      Sampling.withSplit(documents(s, dir).toNative, col("doc_id"), "split",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 21)
+        .select("doc_id", "split").orderBy("doc_id")
+    },
+
     // L16 (fixed budget): exactly n docs per language, deterministic
     // draw order — Spark's WindowGroupLimit keeps the top-n prune
     // map-side partial (plan-asserted).
@@ -898,6 +906,15 @@ object SparkEntry {
          |            WHEN 'de' THEN '${Sampling.thresholdHex(0.25)}'
          |            ELSE '${Sampling.thresholdHex(0.1)}' END
          |ORDER BY doc_id""".stripMargin,
+
+    // Cumulative cut points interpolated from the SAME double
+    // arithmetic the engine uses (0.8 + 0.1 != 0.9 exactly in IEEE).
+    "sample_split" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN substr(md5(doc_id::VARCHAR || ':21'), 1, 8) < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+         |       WHEN substr(md5(doc_id::VARCHAR || ':21'), 1, 8) < '${Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "sample_exact_n" ->
       """SELECT doc_id, lang FROM documents

@@ -84,6 +84,31 @@ object Sampling {
     df.where(pred)
   }
 
+  /** Deterministic dataset split — train/val/test assignment as a pure
+    * function of the key: the [0,1) hash draw is cut at the cumulative
+    * weight boundaries, in the given order. Returns the frame plus a
+    * split-label column. The classic leakage guard: a doc keeps its
+    * split across re-runs, re-partitions and corpus growth, so
+    * yesterday's test doc can never drift into today's train set.
+    * Weights must be positive and sum to ≤ 1 (any remainder falls into
+    * the LAST split, keeping the expression total). One narrow
+    * codegen'd CASE — no shuffle. */
+  def withSplit(
+      df: DataFrame, key: Column, out: String,
+      splits: Seq[(String, Double)], seed: Int = 0): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0.0), s"split weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    require(total <= 1.0 + 1e-9, s"split weights must sum to <= 1, got $total")
+    val draw = hashDraw(key, seed)
+    val cuts = splits.scanLeft(0.0)(_ + _._2).tail // cumulative upper bounds
+    val expr = splits.init.zip(cuts.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), cut), elseCol) =>
+        when(draw < lit(thresholdHex(cut)), name).otherwise(elseCol)
+    }
+    df.withColumn(out, expr)
+  }
+
   /** Exactly `min(n, |stratum|)` rows per stratum — the FIXED-BUDGET
     * mixture sampler ("2M docs per language"), complementing the
     * rate-based [[sampleStratified]]. Selection order is the same

@@ -75,6 +75,40 @@ class SamplingSpec extends SparkSpec {
     assert(!byG.contains("c"), s"default rate 0 must drop stratum c entirely: $byG")
   }
 
+  test("withSplit: proportions near weights, stable as the corpus grows") {
+    val df = (1L to 4000L).toDF("k")
+    val out = Sampling.withSplit(df, col("k"), "split",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 6)
+    assert(out.count() == 4000L)
+    val byS = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byS.keySet == Set("train", "val", "test"))
+    assert(byS("train") > 3050 && byS("train") < 3350, s"train: ${byS("train")}")
+    assert(byS("val") > 310 && byS("val") < 490, s"val: ${byS("val")}")
+    // leakage guard: a doc keeps its split when the corpus doubles
+    val grown = Sampling.withSplit((1L to 8000L).toDF("k"), col("k"), "split",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 6)
+    val a = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = grown.where(col("k") <= 4000L).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a == b)
+  }
+
+  test("withSplit: weights summing below 1 send the remainder to the last split") {
+    val df = (1L to 2000L).toDF("k")
+    val out = Sampling.withSplit(df, col("k"), "split",
+      Seq("a" -> 0.1, "b" -> 0.1), seed = 0)
+    val byS = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // b absorbs the unassigned 80%: ~1800 of 2000
+    assert(byS("a") > 110 && byS("a") < 290, s"a: ${byS("a")}")
+    assert(byS("b") > 1710 && byS("b") < 1890, s"b: ${byS("b")}")
+    assertThrows[IllegalArgumentException](
+      Sampling.withSplit(df, col("k"), "s", Seq("x" -> 0.9, "y" -> 0.2)))
+    assertThrows[IllegalArgumentException](
+      Sampling.withSplit(df, col("k"), "s", Seq.empty))
+  }
+
   test("exact-n: exactly min(n, |stratum|) rows per stratum, deterministic") {
     val df = (1L to 1000L).map(k => (k, if (k <= 900) "big" else if (k <= 990) "mid" else "tiny"))
       .toDF("k", "g")

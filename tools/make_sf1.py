@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Derive the 10x stress dataset STRESS_sf1.md describes: replicate the
+sf0.1 fact tables 10x with consistently shifted keys (all foreign keys
+stay valid), dims unchanged, events via pyarrow so the TIMESTAMP(NANOS)
+physical type survives. NOT a correctness input — correctness gates run
+on the driver's sf0.01 parquet + DuckDB oracles; this exists to measure
+scaling behavior (see STRESS_sf1.md).
+
+Usage: python3 tools/make_sf1.py [src=/root/testdata/sf0.1] [dst=/tmp/graft_sf1]
+
+Side effect of replication, by design: every document/embedding gains 10
+exact copies, so duplicate-pair density is ~9000x the sf0.1 corpus --
+the dedup stress is deliberately super-linear in pairs.
+"""
+import sys
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+REPL = 10
+
+import os
+os.makedirs(dst, exist_ok=True)
+
+# key columns to shift per table: {col: stride_source_col} — stride is
+# max(col)+1 of the ORIGINAL table named by the stride key
+SHIFTS = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"},
+    "events": {"event_id": "events", "user_id": "events_user"},
+    "documents": {"doc_id": "documents"},
+    "embeddings": {"vec_id": "embeddings"},
+}
+KEY_OF = {  # table -> its primary key col (for stride computation)
+    "customer": "c_custkey", "supplier": "s_suppkey", "part": "p_partkey",
+    "orders": "o_orderkey", "events": "event_id", "events_user": "user_id",
+    "documents": "doc_id", "embeddings": "vec_id",
+}
+
+
+def stride(table_name: str) -> int:
+    base = "events" if table_name == "events_user" else table_name
+    t = pq.read_table(f"{src}/{base}.parquet", columns=[KEY_OF[table_name]])
+    return t.column(0).to_pylist() and (max(t.column(0).to_pylist()) + 1) or 1
+
+
+strides = {name: stride(name) for name in KEY_OF}
+
+for table in "region nation".split():  # dims unchanged
+    pq.write_table(pq.read_table(f"{src}/{table}.parquet"), f"{dst}/{table}.parquet")
+    print(f"{table}: copied")
+
+for table, shifts in SHIFTS.items():
+    t = pq.read_table(f"{src}/{table}.parquet")
+    copies = []
+    for i in range(REPL):
+        cols = []
+        for name in t.column_names:
+            col = t.column(name)
+            if name in shifts and i > 0:
+                off = i * strides[shifts[name]]
+                col = pa.chunked_array([
+                    pa.compute.add(c, pa.scalar(off, type=c.type)) for c in col.chunks])
+            cols.append(col)
+        copies.append(pa.table(cols, names=t.column_names))
+    out = pa.concat_tables(copies)
+    # preserve the physical schema (events: TIMESTAMP(NANOS)) exactly
+    out = out.cast(t.schema)
+    pq.write_table(out, f"{dst}/{table}.parquet")
+    print(f"{table}: {t.num_rows} -> {out.num_rows}")
