@@ -506,6 +506,21 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     },
 
+    // L7b (PQ variant): product-quantized ANN — the scan side carries m
+    // small ints per vector, ADC-scores O(m) per pair, and only the
+    // top-`rerank` candidates fetch true vectors for the exact top-k.
+    // PARTIAL oracle like ann_lsh/ann_ivf (_aux/ann_pq_cand): codebook
+    // training + ADC stay under AnnSpec's recall gate, the rerank is
+    // driver-checked in DuckDB.
+    "ann_pq" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Ann.topKPq(e, col("vec_id"), col("embedding"), probes, k = 10,
+          dim = 64, m = 8, codes = 16, rerank = 50)
+        .orderBy("probe_id", "rank")
+    },
+
     // L12: multimodal metadata decode over binary payloads. Text bytes
     // stand in for media bytes; the deterministic fake codec makes the
     // gate SQL-oracle-able while the mapPartitions plumbing stays real.
@@ -550,6 +565,16 @@ object SparkEntry {
         Ann.trainIvf(e, col("embedding"), dim = 64, nClusters = 16),
         e, col("vec_id"), col("embedding"), probes, nProbe = 4)
     },
+    // ann_pq upstream: the top-`rerank` ADC candidates from the
+    // identically-trained product quantizer.
+    "ann_pq_cand" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Ann.pqCandidates(
+        Ann.trainPq(e, col("embedding"), dim = 64, m = 8, codes = 16),
+        e, col("vec_id"), col("embedding"), probes, rerank = 50)
+    },
   )
 
   /** The shared exact-rerank oracle over an exported ANN candidate set:
@@ -581,6 +606,7 @@ object SparkEntry {
     "dedup_embedding" -> "emb_cand",
     "ann_lsh"         -> "ann_lsh_cand",
     "ann_ivf"         -> "ann_ivf_cand",
+    "ann_pq"          -> "ann_pq_cand",
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly).
@@ -767,6 +793,7 @@ object SparkEntry {
 
     "ann_lsh" -> annRerankSql("ann_lsh_cand"),
     "ann_ivf" -> annRerankSql("ann_ivf_cand"),
+    "ann_pq"  -> annRerankSql("ann_pq_cand"),
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),

@@ -197,6 +197,104 @@ object VecUtil {
     else new GenericArrayData(java.util.Arrays.copyOf(bestCid, filled))
   }
 
+  /** Product-quantization encode: unit-normalize `v`, then per subspace
+    * the L2-nearest codebook row. `codebooks` is flattened
+    * [sub][code][subDim]; output is `m` code ids (ints in [0, k)).
+    * Ties break to the smaller code (strict `<`), deterministically.
+    * A degenerate vector (zero norm / NaN) returns an EMPTY array —
+    * callers filter on size, mirroring [[topCentroids]]'s contract. */
+  def pqEncode(v: ArrayData, codebooks: Array[Double], m: Int, subDim: Int, k: Int, isFloat: Boolean): ArrayData = {
+    val dim = m * subDim
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"pq_encode: vector length ${v.numElements()} != m*subDim $dim")
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      n2 += x * x; i += 1
+    }
+    val norm = math.sqrt(n2)
+    if (norm == 0.0 || java.lang.Double.isNaN(norm))
+      return new GenericArrayData(Array.empty[Int])
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bd = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = (s * k + c) * subDim
+        var d2 = 0.0
+        var d = 0
+        while (d < subDim) {
+          val x = if (isFloat) v.getFloat(s * subDim + d).toDouble else v.getDouble(s * subDim + d)
+          val diff = x / norm - codebooks(off + d)
+          d2 += diff * diff; d += 1
+        }
+        if (d2 < bd) { bd = d2; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** ADC lookup table for one probe: lut[s·k + c] = dot(probe_sub_s /
+    * ‖probe‖, codebook[s][c]). With data vectors PQ-encoded at unit
+    * norm, Σ_s lut[s][code_s] ≈ cosine(probe, v) — the O(m)-per-pair
+    * approximate score. Degenerate probes return an EMPTY array. */
+  def pqLut(v: ArrayData, codebooks: Array[Double], m: Int, subDim: Int, k: Int, isFloat: Boolean): ArrayData = {
+    val dim = m * subDim
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"pq_lut: vector length ${v.numElements()} != m*subDim $dim")
+    var n2 = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      n2 += x * x; i += 1
+    }
+    val norm = math.sqrt(n2)
+    if (norm == 0.0 || java.lang.Double.isNaN(norm))
+      return new GenericArrayData(Array.empty[Double])
+    val lut = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val off = (s * k + c) * subDim
+        var dot = 0.0
+        var d = 0
+        while (d < subDim) {
+          val x = if (isFloat) v.getFloat(s * subDim + d).toDouble else v.getDouble(s * subDim + d)
+          dot += (x / norm) * codebooks(off + d)
+          d += 1
+        }
+        lut(s * k + c) = dot
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(lut)
+  }
+
+  /** ADC score: Σ_s lut[s·k + codes_s]. Empty codes or a LUT of the
+    * wrong shape yield NaN (the expression maps it to SQL NULL, which
+    * can never outrank real scores — same contract as [[cosine]]). */
+  def pqAdc(codes: ArrayData, lut: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    if (m == 0 || lut.numElements() != m * k) return Double.NaN
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      acc += lut.getDouble(s * k + codes.getInt(s))
+      s += 1
+    }
+    acc
+  }
+
   /** All sign-LSH tables in one pass: `planes` is the flattened
     * [table][bit][dim] hyperplane tensor; output = one bucket id per
     * table (bit p set iff dot(v, plane_p) ≥ 0). */

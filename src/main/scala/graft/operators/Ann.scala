@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.graftexpr.{CentroidIdsExpr, CosineSimExpr, HyperplaneBucketsExpr, TopKByScore}
+import org.apache.spark.sql.graftexpr.{CentroidIdsExpr, CosineSimExpr, HyperplaneBucketsExpr, PqAdcExpr, PqEncodeExpr, PqLutExpr, TopKByScore}
 
 /** Vector column kernels shared by ANN search and embedding dedup
   * (SURVEY §2.5 L5–L7). Pure `org.apache.spark.sql.functions` — the
@@ -223,6 +223,131 @@ object Ann {
     if (unit.isEmpty)
       return probes.select(col("probe_id"), lit(0L).as("neighbor_id")).where(lit(false))
     ivfCandJoin(unit, df, id, vec, probes, nProbe).select("probe_id", "neighbor_id")
+  }
+
+  /** A trained product quantizer: `m` subspaces of `subDim` dims, `k`
+    * codes each; `flat` is the [sub][code][subDim] codebook tensor.
+    * Codebooks quantize UNIT-normalized vectors (ADC dot ≈ cosine). */
+  final case class PqCodebooks(m: Int, subDim: Int, k: Int, flat: Seq[Double]) {
+    require(flat.isEmpty || flat.length == m * k * subDim,
+      s"flat length ${flat.length} != m*k*subDim = ${m * k * subDim}")
+    def isEmpty: Boolean = flat.isEmpty
+  }
+
+  /** L7b — train a product quantizer (offline step, same seeded uniform
+    * sample as [[trainIvf]]): unit-normalize the sample, split each
+    * vector into `m` subvectors, run deterministic k-means with `codes`
+    * centroids per subspace. Empty/degenerate tables yield an empty
+    * quantizer (searches return empty — the never-throw contract). */
+  def trainPq(
+      df: DataFrame, vec: Column, dim: Int, m: Int = 8, codes: Int = 16,
+      trainSampleRows: Int = 2048, seed: Long = 7L): PqCodebooks = {
+    require(dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val sample = df.select(vec.cast("array<double>").as("_v"))
+      .orderBy(rand(seed)).limit(trainSampleRows)
+      .collect()
+      .flatMap(r => Option(r.getSeq[Double](0)).map(_.toArray))
+      .filter(v => v.length == dim && !v.exists(_.isNaN))
+      .flatMap { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n > 0) Some(v.map(_ / n)) else None
+      }
+    if (sample.isEmpty) PqCodebooks(m, subDim, codes, Nil)
+    else {
+      val flat = (0 until m).flatMap { s =>
+        val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+        Vec.kmeans(sub, codes, seed + s).iterator.flatten.toSeq
+      }
+      PqCodebooks(m, subDim, codes, flat)
+    }
+  }
+
+  /** Persist a product quantizer as parquet rows `(sub, cid, centroid)`
+    * — shape (m, k, subDim) is recovered from the rows on load. */
+  def savePq(spark: org.apache.spark.sql.SparkSession, cb: PqCodebooks, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      s <- 0 until cb.m; c <- 0 until cb.k
+    } yield (s, c, cb.flat.slice((s * cb.k + c) * cb.subDim, (s * cb.k + c + 1) * cb.subDim))
+    (if (cb.isEmpty) Seq.empty[(Int, Int, Seq[Double])] else rows)
+      .toDF("sub", "cid", "centroid").repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a quantizer saved by [[savePq]]. An empty save loads back as
+    * an empty (search-returns-empty) quantizer with a 1×1 shape. */
+  def loadPq(spark: org.apache.spark.sql.SparkSession, path: String): PqCodebooks = {
+    val rows = spark.read.parquet(path).orderBy("sub", "cid")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    if (rows.isEmpty) PqCodebooks(1, 1, 1, Nil)
+    else PqCodebooks(rows.map(_._1).max + 1, rows.head._3.length,
+      rows.map(_._2).max + 1, rows.flatMap(_._3).toSeq)
+  }
+
+  /** L7b — PQ-compressed ANN: the scan side carries `m` SMALL INTS per
+    * vector instead of `dim` floats (the 100 TB memory story: 8 bytes
+    * vs 256 at dim=64/float — and the full-precision vectors stay in
+    * cold storage, touched only for the final rerank). Scoring is ADC:
+    * each probe precomputes an m·k lookup table ONCE (one column on the
+    * broadcast probe side), every (probe, vector) pair costs O(m) table
+    * reads — not O(dim) multiplies. Top-`rerank` approximate candidates
+    * per probe flow through the same partial-merge top-k aggregate
+    * (shuffle O(partitions·probes·rerank)), then ONLY those fetch their
+    * true vectors (narrow join by id) for the exact cosine top-`k`.
+    * Recall < 1 by design — AnnSpec pins it vs brute force. */
+  def topKPq(
+      df: DataFrame, id: Column, vec: Column, probes: DataFrame, k: Int,
+      dim: Int, m: Int = 8, codes: Int = 16, rerank: Int = 50,
+      trainSampleRows: Int = 2048, seed: Long = 7L): DataFrame =
+    topKPqWith(trainPq(df, vec, dim, m, codes, trainSampleRows, seed),
+      df, id, vec, probes, k, rerank)
+
+  /** PQ search against an already-trained (or [[loadPq]]-loaded)
+    * quantizer — the per-batch piece of train-once / search-many. */
+  def topKPqWith(
+      cb: PqCodebooks, df: DataFrame, id: Column, vec: Column,
+      probes: DataFrame, k: Int, rerank: Int = 50): DataFrame = {
+    if (cb.isEmpty) {
+      return probes.select(col("probe_id"), lit(0L).as("neighbor_id"),
+        lit(0.0).as("sim"), lit(0).as("rank")).where(lit(false))
+    }
+    val top = pqCandidates(cb, df, id, vec, probes, rerank)
+    val sims = top
+      .join(df.select(id.as("neighbor_id"), vec.as("_v")), Seq("neighbor_id"))
+      .join(broadcast(probes.select(col("probe_id"), col("probe_vec").as("_pv"))), Seq("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"), round(Vec.cosine(col("_v"), col("_pv")), 6).as("sim"))
+    topKPerProbe(sims, k)
+  }
+
+  /** The top-`rerank` ADC candidates per probe `(probe_id,
+    * neighbor_id)` a [[topKPqWith]] search reranks — public and
+    * exportable so the driver's DuckDB oracle can re-derive the exact
+    * rerank (leaving codebook training + ADC to AnnSpec's recall gate).
+    * Deterministic: seeded training, tie-breaks by id everywhere. */
+  def pqCandidates(
+      cb: PqCodebooks, df: DataFrame, id: Column, vec: Column,
+      probes: DataFrame, rerank: Int): DataFrame = {
+    if (cb.isEmpty)
+      return probes.select(col("probe_id"), lit(0L).as("neighbor_id")).where(lit(false))
+    def enc(v: Column): Column =
+      Bridge.column(PqEncodeExpr(Bridge.expr(v), cb.flat, cb.m, cb.subDim, cb.k))
+    def lut(v: Column): Column =
+      Bridge.column(PqLutExpr(Bridge.expr(v), cb.flat, cb.m, cb.subDim, cb.k))
+    def adc(codes: Column, l: Column): Column =
+      Bridge.column(PqAdcExpr(Bridge.expr(codes), Bridge.expr(l), cb.k))
+    // at 100 TB the encoded table is written ONCE (m small ints per
+    // row) and re-scanned per probe batch; the raw vectors never ride
+    // the scoring scan
+    val encoded = df.select(id.as("neighbor_id"), enc(vec).as("_codes"))
+      .where(size(col("_codes")) > 0)
+    val probeLuts = probes
+      .select(col("probe_id"), lut(col("probe_vec")).as("_lut"))
+      .where(size(col("_lut")) > 0)
+    val scored = encoded.crossJoin(broadcast(probeLuts))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), adc(col("_codes"), col("_lut")).as("sim"))
+    topKPerProbe(scored, rerank).select("probe_id", "neighbor_id")
   }
 
   /** L7 — LSH-bucketed ANN: candidates are rows sharing a hyperplane

@@ -194,6 +194,102 @@ final case class CentroidIdsExpr(child: Expression, centroids: Seq[Double], dim:
     copy(child = newChild)
 }
 
+/** Product-quantization code assignment (array<int>, length m) — the
+  * codebook tensor ships once per task as a codegen reference object,
+  * same rationale as [[CentroidIdsExpr]]. Codebooks are an immutable
+  * Seq so structurally equal instances canonicalize. */
+final case class PqEncodeExpr(
+    child: Expression, codebooks: Seq[Double], m: Int, subDim: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(m > 0 && subDim > 0 && k > 0 && codebooks.length == m * k * subDim,
+    s"codebooks length ${codebooks.length} != m*k*subDim = ${m * k * subDim}")
+
+  @transient private lazy val cbArr: Array[Double] = codebooks.toArray
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.VecUtil.pqEncode(input.asInstanceOf[ArrayData], cbArr, m, subDim, k, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCodebooks", cbArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.hashing.VecUtil.pqEncode($c, $cRef, $m, $subDim, $k, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeExpr =
+    copy(child = newChild)
+}
+
+/** Per-probe ADC lookup table (array<double>, length m·k). */
+final case class PqLutExpr(
+    child: Expression, codebooks: Seq[Double], m: Int, subDim: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(m > 0 && subDim > 0 && k > 0 && codebooks.length == m * k * subDim,
+    s"codebooks length ${codebooks.length} != m*k*subDim = ${m * k * subDim}")
+
+  @transient private lazy val cbArr: Array[Double] = codebooks.toArray
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.VecUtil.pqLut(input.asInstanceOf[ArrayData], cbArr, m, subDim, k, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCodebooks", cbArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.hashing.VecUtil.pqLut($c, $cRef, $m, $subDim, $k, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqLutExpr =
+    copy(child = newChild)
+}
+
+/** ADC score of one (codes, lut) pair — O(m), the whole point of PQ:
+  * scoring reads m table entries, never the dim floats. NaN (empty
+  * codes / shape mismatch) surfaces as NULL so it cannot outrank real
+  * scores, same contract as [[CosineSimExpr]]. */
+final case class PqAdcExpr(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(k > 0, s"k out of range: $k")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val r = graft.hashing.VecUtil.pqAdc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], k)
+    if (java.lang.Double.isNaN(r)) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.hashing.VecUtil.pqAdc($a, $b, $k);
+         |if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
+    copy(left = l, right = r)
+}
+
 final case class SimHash64Expr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 

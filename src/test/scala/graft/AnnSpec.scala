@@ -142,6 +142,63 @@ class AnnSpec extends SparkSpec {
     assert(viaLoaded == direct && viaLoaded.nonEmpty)
   }
 
+  test("topKPq recovers the brute-force top-4 through ADC candidates") {
+    val (e, probes) = frames
+    val brute = localTopK(4).view.mapValues(_.map(_._1).toSet).toMap
+    // rerank=8 of 19 possible: the ADC ranking itself must surface the
+    // cluster mates, not a take-everything candidate set
+    val pq = Ann.topKPq(e, col("vec_id"), col("embedding"), probes, k = 4,
+        dim = dim, m = 4, codes = 8, rerank = 8)
+      .collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(pq == brute)
+  }
+
+  test("PQ quantizer persists: save/load round trip searches identically to direct topKPq") {
+    val (e, probes) = frames
+    val direct = Ann.topKPq(e, col("vec_id"), col("embedding"), probes,
+      k = 4, dim = dim, m = 4, codes = 8, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val trained = Ann.trainPq(e, col("embedding"), dim, m = 4, codes = 8)
+    val path = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/quantizer"
+    Ann.savePq(spark, trained, path)
+    val loaded = Ann.loadPq(spark, path)
+    assert(loaded.m == trained.m && loaded.subDim == trained.subDim && loaded.k == trained.k)
+    assert(loaded.flat == trained.flat)
+    val viaLoaded = Ann.topKPqWith(loaded, e, col("vec_id"), col("embedding"), probes,
+      k = 4, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(viaLoaded == direct && viaLoaded.nonEmpty)
+  }
+
+  test("PQ kernels: self-similarity ≈ 1 after encode+ADC; degenerate vectors drop out") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.hashing.VecUtil
+    val cb = Ann.trainPq(frames._1, col("embedding"), dim, m = 4, codes = 8)
+    val cbArr = cb.flat.toArray
+    val v = vectors.head.embedding.map(_.toDouble).toArray
+    val codes = VecUtil.pqEncode(new GenericArrayData(v), cbArr, cb.m, cb.subDim, cb.k, false)
+    val lut = VecUtil.pqLut(new GenericArrayData(v), cbArr, cb.m, cb.subDim, cb.k, false)
+    val self = VecUtil.pqAdc(codes, lut, cb.k)
+    // quantization error on an 8-dim tight-cluster member is small
+    assert(self > 0.95 && self <= 1.0 + 1e-9, s"ADC self-similarity $self")
+    // degenerate inputs: empty codes/lut, NaN → pqAdc NaN, encode empty
+    val nan = new GenericArrayData(Array.fill(dim)(Double.NaN))
+    assert(VecUtil.pqEncode(nan, cbArr, cb.m, cb.subDim, cb.k, false).numElements() == 0)
+    assert(VecUtil.pqLut(nan, cbArr, cb.m, cb.subDim, cb.k, false).numElements() == 0)
+    assert(java.lang.Double.isNaN(VecUtil.pqAdc(
+      new GenericArrayData(Array.empty[Int]), lut, cb.k)))
+  }
+
+  test("empty table yields an empty, correctly-shaped PQ result") {
+    val (e, probes) = frames
+    val out = Ann.topKPq(e.where(col("vec_id") < 0), col("vec_id"), col("embedding"),
+      probes, k = 4, dim = dim, m = 4, codes = 8)
+    assert(out.columns.toSeq == Seq("probe_id", "neighbor_id", "sim", "rank"))
+    assert(out.count() == 0)
+  }
+
   test("cosine kernel agrees with plain math on a known pair") {
     import spark.implicits._
     val df = Seq((Seq(1f, 0f), Seq(1f, 1f))).toDF("a", "b")

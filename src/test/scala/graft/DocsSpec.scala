@@ -141,6 +141,14 @@ class DocsSpec extends SparkSpec {
     val ivf = Ann.topKIvfWith(unit, table, col("vec_id"), col("embedding"), probes,
       k = 5, nProbe = 2)
     assert(ivf.count() > 0L)
+
+    val pqPath = freshDir("pq") + "/quantizer"
+    val cb = Ann.trainPq(table, col("embedding"), dim = 8, m = 4, codes = 8)
+    Ann.savePq(spark, cb, pqPath)
+    val loadedPq = Ann.loadPq(spark, pqPath)
+    val pq = Ann.topKPqWith(loadedPq, table, col("vec_id"), col("embedding"), probes,
+      k = 5, rerank = 10)
+    assert(pq.count() > 0L)
   }
 
   // --- training-data-prep.md -------------------------------------------
