@@ -77,6 +77,16 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("buckets"), s"semi-join must apply to the stored bucket table:\n$plan")
   }
 
+  test("ann_pq: LUTs broadcast, ADC candidates go through the partial top-k aggregate") {
+    val plan = q("ann_pq")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probe LUTs must broadcast:\n$plan")
+    assert(plan.contains("partial_top_k_by_score") || plan.contains("functions=[partial"),
+      s"ADC top-rerank must be a partial-merge aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no window function anywhere in the PQ path:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"rerank joins must stay broadcast/hash:\n$plan")
+  }
+
   test("dedup_contamination: bench fingerprints broadcast; corpus never shuffles grams wide") {
     val plan = q("dedup_contamination")
     assert(plan.contains("BroadcastHashJoin"),
