@@ -55,7 +55,9 @@ object Pack {
     val lo = mm.getLong(0)
     // BigInt: (max - min) must not overflow for adversarial id ranges
     val blockSize = ((BigInt(mm.getLong(1)) - BigInt(lo)) / targetBlocks + 1).toLong
-    val blocked = base.withColumn("_blk", expr(s"(id - ${lo}L) div ${blockSize}L"))
+    // parenthesized literal: a negative lo must render as (id - (-5L)),
+    // never the parse-hostile `id - -5L`
+    val blocked = base.withColumn("_blk", expr(s"(id - (${lo}L)) div ${blockSize}L"))
     val inBlock = Window.partitionBy("_blk").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = blocked.withColumn("_cum", sum(col("weight")).over(inBlock))

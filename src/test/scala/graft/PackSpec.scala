@@ -47,6 +47,11 @@ class PackSpec extends SparkSpec {
     assert(packed(rows, budget = 25) == reference(rows, 25))
   }
 
+  test("negative ids pack in id order (block arithmetic handles lo < 0)") {
+    val rows = Seq(-100L -> 10L, -5L -> 10L, 0L -> 10L, 42L -> 10L)
+    assert(packed(rows, budget = 15) == reference(rows, 15))
+  }
+
   test("a doc larger than the budget occupies its own shard; ids skip") {
     // pre: 0, 5000, 5010 → shards 0, 5, 5
     val rows = Seq(1L -> 5000L, 2L -> 10L, 3L -> 10L)
