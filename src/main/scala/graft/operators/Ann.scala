@@ -312,8 +312,59 @@ object Ann {
       return probes.select(col("probe_id"), lit(0L).as("neighbor_id"),
         lit(0.0).as("sim"), lit(0).as("rank")).where(lit(false))
     }
-    val top = pqCandidates(cb, df, id, vec, probes, rerank)
-    val sims = top
+    exactRerank(pqCandidates(cb, df, id, vec, probes, rerank), df, id, vec, probes, k)
+  }
+
+  /** IVF×PQ composition — the standard massive-corpus shape (a coarse
+    * quantizer prunes which inverted lists are scanned, PQ codes make
+    * the scan itself cheap): candidates come from the probe's `nProbe`
+    * inverted lists (equi-join on the centroid id, scan fraction ≈
+    * nProbe/nClusters), are scored by ADC (O(m) per pair) instead of
+    * full-precision cosine, and only the top-`rerank` fetch true
+    * vectors for the exact top-`k`. Codes quantize the raw normalized
+    * vectors (IVF-Flat coarse + one global PQ codebook) — simpler than
+    * FAISS's per-list residual encoding, at slightly lower ADC
+    * fidelity; the exact rerank absorbs the difference. With
+    * `nProbe = nClusters` this degrades exactly to [[topKPqWith]]
+    * (spec-pinned). */
+  def topKIvfPqWith(
+      unit: Array[Array[Double]], cb: PqCodebooks, df: DataFrame,
+      id: Column, vec: Column, probes: DataFrame, k: Int,
+      nProbe: Int = 4, rerank: Int = 50): DataFrame = {
+    if (unit.isEmpty || cb.isEmpty) {
+      return probes.select(col("probe_id"), lit(0L).as("neighbor_id"),
+        lit(0.0).as("sim"), lit(0).as("rank")).where(lit(false))
+    }
+    val dim = unit.head.length
+    def topc(v: Column, top: Int): Column =
+      Bridge.column(CentroidIdsExpr(Bridge.expr(v),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(unit.flatten), dim, top))
+    def enc(v: Column): Column =
+      Bridge.column(PqEncodeExpr(Bridge.expr(v), cb.flat, cb.m, cb.subDim, cb.k))
+    def lutc(v: Column): Column =
+      Bridge.column(PqLutExpr(Bridge.expr(v), cb.flat, cb.m, cb.subDim, cb.k))
+    def adc(codes: Column, l: Column): Column =
+      Bridge.column(PqAdcExpr(Bridge.expr(codes), Bridge.expr(l), cb.k))
+    // at 100 TB both columns are written once, offline: the search scan
+    // reads (id, cid, m codes) — never the raw vectors
+    val data = df.select(id.as("neighbor_id"), topc(vec, 1)(0).as("cid"), enc(vec).as("_codes"))
+      .where(size(col("_codes")) > 0)
+    val probed = probes.select(col("probe_id"), lutc(col("probe_vec")).as("_lut"),
+        explode(topc(col("probe_vec"), nProbe)).as("cid"))
+      .where(size(col("_lut")) > 0)
+    val scored = data.join(broadcast(probed), Seq("cid"))
+      .where(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"), adc(col("_codes"), col("_lut")).as("sim"))
+    exactRerank(topKPerProbe(scored, rerank).select("probe_id", "neighbor_id"),
+      df, id, vec, probes, k)
+  }
+
+  /** Exact cosine top-`k` over an already-pruned candidate set: fetch
+    * true vectors by id (narrow join), score, partial top-k. */
+  private def exactRerank(
+      cand: DataFrame, df: DataFrame, id: Column, vec: Column,
+      probes: DataFrame, k: Int): DataFrame = {
+    val sims = cand
       .join(df.select(id.as("neighbor_id"), vec.as("_v")), Seq("neighbor_id"))
       .join(broadcast(probes.select(col("probe_id"), col("probe_vec").as("_pv"))), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"), round(Vec.cosine(col("_v"), col("_pv")), 6).as("sim"))

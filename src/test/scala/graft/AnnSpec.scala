@@ -172,6 +172,28 @@ class AnnSpec extends SparkSpec {
     assert(viaLoaded == direct && viaLoaded.nonEmpty)
   }
 
+  test("topKIvfPq recovers the brute-force top-4; nProbe=nClusters degrades to pure PQ") {
+    val (e, probes) = frames
+    val unit = Ann.trainIvf(e, col("embedding"), dim, nClusters = 4)
+    val cb = Ann.trainPq(e, col("embedding"), dim, m = 4, codes = 8)
+    val brute = localTopK(4).view.mapValues(_.map(_._1).toSet).toMap
+    val ivfpq = Ann.topKIvfPqWith(unit, cb, e, col("vec_id"), col("embedding"), probes,
+        k = 4, nProbe = 2, rerank = 8)
+      .collect()
+      .map(r => r.getAs[Long]("probe_id") -> r.getAs[Long]("neighbor_id"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(ivfpq == brute)
+    // searching ALL lists must equal the pure-PQ search with the same
+    // codebooks and rerank breadth — the composition law
+    val all = Ann.topKIvfPqWith(unit, cb, e, col("vec_id"), col("embedding"), probes,
+        k = 4, nProbe = 4, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val purePq = Ann.topKPqWith(cb, e, col("vec_id"), col("embedding"), probes,
+        k = 4, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(all == purePq && all.nonEmpty)
+  }
+
   test("PQ kernels: self-similarity ≈ 1 after encode+ADC; degenerate vectors drop out") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import graft.hashing.VecUtil

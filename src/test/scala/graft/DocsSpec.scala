@@ -149,6 +149,10 @@ class DocsSpec extends SparkSpec {
     val pq = Ann.topKPqWith(loadedPq, table, col("vec_id"), col("embedding"), probes,
       k = 5, rerank = 10)
     assert(pq.count() > 0L)
+
+    val ivfpq = Ann.topKIvfPqWith(unit, loadedPq, table, col("vec_id"), col("embedding"),
+      probes, k = 5, nProbe = 2, rerank = 10)
+    assert(ivfpq.count() > 0L)
   }
 
   // --- training-data-prep.md -------------------------------------------
