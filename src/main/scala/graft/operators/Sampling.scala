@@ -60,7 +60,9 @@ object Sampling {
     else hashDraw(key, seed) < lit(thresholdHex(rate))
   }
 
-  /** Deterministic Bernoulli(rate) sample keyed on `key`. */
+  /** Deterministic Bernoulli(rate) sample keyed on `key`. Rows with a
+    * NULL key are dropped (their draw is NULL, and NULL never passes a
+    * filter) — the convention every sampler here shares. */
   def sampleHash(df: DataFrame, key: Column, rate: Double, seed: Int = 0): DataFrame =
     df.where(keepPredicate(key, rate, seed))
 
@@ -102,11 +104,14 @@ object Sampling {
     require(total <= 1.0 + 1e-9, s"split weights must sum to <= 1, got $total")
     val draw = hashDraw(key, seed)
     val cuts = splits.scanLeft(0.0)(_ + _._2).tail // cumulative upper bounds
-    val expr = splits.init.zip(cuts.init).foldRight(lit(splits.last._1)) {
+    val chain = splits.init.zip(cuts.init).foldRight(lit(splits.last._1)) {
       case (((name, _), cut), elseCol) =>
         when(draw < lit(thresholdHex(cut)), name).otherwise(elseCol)
     }
-    df.withColumn(out, expr)
+    // a NULL key must yield a NULL split, not silently fall through the
+    // CASE into the last label (all null-key docs landing in 'test'
+    // would be a leakage trap, not a default)
+    df.withColumn(out, when(key.isNotNull, chain))
   }
 
   /** Exactly `min(n, |stratum|)` rows per stratum — the FIXED-BUDGET
@@ -127,9 +132,13 @@ object Sampling {
       df: DataFrame, key: Column, strata: Column, n: Int, seed: Int = 0): DataFrame = {
     require(n >= 0, s"n must be non-negative, got $n")
     if (n == 0) return df.where(lit(false))
+    // null keys are excluded up front (the same fate sampleHash gives
+    // them): their null draw would otherwise sort FIRST under Spark's
+    // nulls-first ascending default and silently eat the budget
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strata).orderBy(hashDraw(key, seed), key)
-    df.withColumn("_graft_rn", row_number().over(w))
+    df.where(key.isNotNull)
+      .withColumn("_graft_rn", row_number().over(w))
       .where(col("_graft_rn") <= n)
       .drop("_graft_rn")
   }

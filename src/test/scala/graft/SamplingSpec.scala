@@ -139,6 +139,22 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleExactPerStratum(df, col("k"), col("g"), 0).count() == 0)
   }
 
+  test("null keys: dropped by samplers, NULL split from withSplit — never a real label") {
+    val df = (Seq((Some(1L), "x"), (Some(2L), "x"), (None, "x"), (None, "x")))
+      .toDF("k", "g")
+    assert(Sampling.sampleHash(df, col("k"), 0.99999, seed = 1).count() <= 2)
+    // a null draw must not consume the exact-n budget nor rank first
+    val ex = Sampling.sampleExactPerStratum(df, col("k"), col("g"), n = 3)
+    assert(ex.collect().forall(!_.isNullAt(0)))
+    assert(ex.count() == 2)
+    val sp = Sampling.withSplit(df, col("k"), "split", Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => Option(r.get(0)) -> r.getAs[String]("split"))
+    sp.foreach { case (k, s) =>
+      if (k.isEmpty) assert(s == null, "null key must get a NULL split, not the last label")
+      else assert(s == "train" || s == "test")
+    }
+  }
+
   test("same key+seed decides identically across tables (aligned samples)") {
     val left = (1L to 1000L).toDF("k")
     val right = (501L to 1500L).toDF("k")
