@@ -176,6 +176,16 @@ class DocsSpec extends SparkSpec {
     assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("prep recipe: sketch-based cross-corpus overlap audit") {
+    import spark.implicits._
+    val corpus = (1L to 2000L).toDF("doc_fp")
+    val crawl = (1001L to 3000L).toDF("doc_fp")
+    val r = graft.operators.Sketch.overlapEstimate(
+      corpus, col("doc_fp"), crawl, col("doc_fp")).head()
+    val overlap = r.getAs[Long]("n_overlap")
+    assert(overlap > 800 && overlap < 1200, s"expected ~1000, got $overlap")
+  }
+
   test("prep recipe: deterministic flat and stratified sampling") {
     import spark.implicits._
     val docs = (1L to 500L).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("doc_id", "lang")
