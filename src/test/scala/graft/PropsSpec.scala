@@ -385,3 +385,73 @@ object SamplingProps extends Properties("hash-sampling") {
         kept(df.repartition(7), lo) == a && a.subsetOf(kept(df, hi))
     }
 }
+
+/** `contaminationStats` against an independent local reference on
+  * GENERATED corpora/bench sets (ContaminationSpec pins fixed planted
+  * cases): same normalization, same whole-text-shingle convention for
+  * short docs, multiplicity counting. */
+object ContaminationProps extends Properties("contamination") {
+  import org.scalacheck.Test
+  import org.apache.spark.sql.functions.col
+  import graft.operators.Dedup
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private val vocab = Vector("the", "quick", "brown", "fox", "jumps",
+    "over", "lazy", "dog", "data", "pipeline")
+  private val docGen: Gen[String] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab))).map(_.mkString(" "))
+
+  private def shingles(text: String, k: Int): Seq[String] = {
+    val toks = text.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").toSeq
+    if (toks.length >= k) toks.sliding(k).map(_.mkString(" ")).toSeq
+    else Seq(toks.mkString(" "))
+  }
+
+  property("per-doc window and hit counts equal the local reference") =
+    forAll(Gen.listOf(docGen), Gen.listOf(docGen), Gen.choose(2, 5)) { (corpus, bench, k) =>
+      val s = TestSession.spark
+      import s.implicits._
+      val corpusDf = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val benchDf = bench.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = Dedup.contaminationStats(
+          corpusDf, col("doc_id"), col("text"), benchDf, col("text"), k)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val benchGrams = bench.flatMap(shingles(_, k)).toSet
+      val expected = corpus.zipWithIndex.map { case (t, i) =>
+        val ws = shingles(t, k)
+        i.toLong -> ((ws.size.toLong, ws.count(benchGrams.contains).toLong))
+      }.toMap
+      got == expected
+    }
+}
+
+/** `withSplit` totality on generated keys: every non-null key gets
+  * exactly one declared label, deterministically. */
+object SplitProps extends Properties("with-split") {
+  import org.scalacheck.Test
+  import org.apache.spark.sql.functions.col
+  import graft.operators.Sampling
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private val keysGen: Gen[List[Long]] =
+    Gen.choose(0, 200).flatMap(n => Gen.listOfN(n, Gen.choose(0L, 100000L))).map(_.distinct)
+
+  property("every key gets exactly one declared label; assignment is deterministic") =
+    forAll(keysGen, Gen.choose(1, 98), Gen.choose(0, 500)) { (ks, pct, seed) =>
+      val s = TestSession.spark
+      import s.implicits._
+      val weights = Seq("a" -> pct / 100.0, "b" -> (99 - pct) / 100.0, "c" -> 0.01)
+      val df = ks.toDF("k")
+      def assign: Map[Long, String] =
+        Sampling.withSplit(df, col("k"), "split", weights, seed)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val m = assign
+      m.keySet == ks.toSet &&
+        m.values.forall(Set("a", "b", "c")) &&
+        assign == m
+    }
+}
