@@ -56,6 +56,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch.map(x => (x._2, x._3)) == Set(("a", 2L), ("b", 1L), ("a", 1L)))
   }
 
+  test("ST1: deterministic sampling and splits apply to streams, stream == batch") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Sampling
+    // stateless narrow ops: the same rows survive (and get the same
+    // split) whether the data arrives as a stream or a batch
+    val docs = (1L to 200L).map(i => Doc(i, s"doc number $i body"))
+    val input = MemoryStream(Encoders.product[Doc], spark)
+    val sampled = Sampling.withSplit(
+      Sampling.sampleHash(input.toDF(), col("doc_id"), 0.5, seed = 3),
+      col("doc_id"), "split", Seq("train" -> 0.9, "val" -> 0.1), seed = 3)
+    val q = sampled.writeStream
+      .format("memory").queryName("st1_sample_out").outputMode("append").start()
+    try {
+      input.addData(docs.take(100)); q.processAllAvailable()
+      input.addData(docs.drop(100)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st1_sample_out")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    import spark.implicits._
+    val batch = Sampling.withSplit(
+        Sampling.sampleHash(docs.toDF(), col("doc_id"), 0.5, seed = 3),
+        col("doc_id"), "split", Seq("train" -> 0.9, "val" -> 0.1), seed = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("ST1: MemoryStream sliding window agg == identical batch agg, with overlap") {
     val events = Seq(
       SEvent(1L, t("2024-01-01T10:05:00Z"), "a"),
