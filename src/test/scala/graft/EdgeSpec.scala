@@ -42,6 +42,36 @@ class EdgeSpec extends SparkSpec {
     assert(ic.columns.toSeq == Seq("probe_id", "neighbor_id") && ic.count() == 0L)
   }
 
+  test("round-9 operators on empty frames return empty, not errors") {
+    import spark.implicits._
+    val d = docs(Nil)
+    assert(graft.operators.Dedup.contaminationStats(
+      d, col("doc_id"), col("text"), d, col("text"), k = 5).count() == 0L)
+    assert(graft.operators.Dedup.decontaminatedKeep(
+      d, col("doc_id"), col("text"), d, col("text"), k = 5).count() == 0L)
+    assert(graft.operators.Sampling.sampleHash(d, col("doc_id"), 0.5).count() == 0L)
+    assert(graft.operators.Sampling.sampleStratified(
+      d, col("doc_id"), col("text"), Map("x" -> 0.5), 0.1).count() == 0L)
+    assert(graft.operators.Sampling.sampleExactPerStratum(
+      d, col("doc_id"), col("text"), n = 3).count() == 0L)
+    assert(graft.operators.Sampling.withSplit(
+      d, col("doc_id"), "split", Seq("a" -> 0.5, "b" -> 0.5)).count() == 0L)
+    // empty PQ quantizer (untrainable corpus) → empty candidates/results
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val emptyProbes = Seq.empty[(Long, Seq[Float])].toDF("probe_id", "probe_vec")
+    val cb = graft.operators.Ann.trainPq(emptyVecs, col("embedding"), dim = 8, m = 4)
+    assert(cb.isEmpty)
+    val pc = graft.operators.Ann.pqCandidates(
+      cb, emptyVecs, col("vec_id"), col("embedding"), emptyProbes, rerank = 5)
+    assert(pc.columns.toSeq == Seq("probe_id", "neighbor_id") && pc.count() == 0L)
+    assert(graft.operators.Ann.topKIvfPqWith(Array.empty, cb, emptyVecs,
+      col("vec_id"), col("embedding"), emptyProbes, k = 3).count() == 0L)
+    // and the empty quantizer persists through save/load to the same path
+    val p = java.nio.file.Files.createTempDirectory("graft-pq-empty").toString + "/q"
+    graft.operators.Ann.savePq(spark, cb, p)
+    assert(graft.operators.Ann.loadPq(spark, p).isEmpty)
+  }
+
   test("single-row and empty-string documents flow through text kernels") {
     val d = docs(Seq(Doc(1L, ""), Doc(2L, "   "), Doc(3L, "one")))
     val out = d.select(
