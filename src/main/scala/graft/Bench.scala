@@ -3,30 +3,46 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query at SPARK_GRAFT_SF_DIR,
-  * one JSON line on stdout. A full warmup pass first (JIT + codegen +
-  * file-listing caches), then a timed steady-state pass — the driver
-  * compares steady-state throughput against BASELINE, not JVM warmup.
-  * The action is `queryExecution.toRdd.count()` so every output column
-  * is materialized (a plain count() lets Catalyst prune the projection
-  * and would under-report the real work).
+  * one COMPACT JSON line as the LAST line of stdout. A full warmup pass
+  * first (JIT + codegen + file-listing caches), then timed steady-state
+  * passes — the driver compares steady-state throughput against
+  * BASELINE, not JVM warmup. The action is
+  * `queryExecution.toRdd.count()` so every output column is
+  * materialized (a plain count() lets Catalyst prune the projection and
+  * would under-report the real work).
+  *
+  * Artifact contract (round 10): the driver tail-captures stdout and
+  * parses the LAST JSON line, which therefore carries ONLY the compact
+  * summary — total, per-query mins, n_failed, sf. Round 9's per-pass
+  * telemetry made the line outgrow the tail capture and the official
+  * artifact landed `parsed: null`; the telemetry (every per-pass
+  * sample, load averages, core count, pass orders + seed) now goes to
+  * a SIDECAR file instead (`bench_passes.json`, or
+  * $SPARK_GRAFT_BENCH_SIDECAR), so diagnosability is kept without
+  * risking the machine-readable record.
+  *
+  * Pass hygiene: three passes, each a SEEDED random permutation of the
+  * query list (seed recorded in the sidecar; override with
+  * $SPARK_GRAFT_BENCH_SEED to reproduce an order). Fixed interleaved
+  * order (rounds 5–9) spaced a query's samples a full pass apart — good
+  * against a sustained noisy window — but late-run ambient contention
+  * still hit the SAME tail queries every pass, biasing their min.
+  * Random per-pass order makes the contention-vs-query assignment
+  * independent across passes, so a query's min-of-3 escapes a biased
+  * tail with high probability.
   *
   * Failure hygiene: a query that throws is recorded as -1.0 (never a
   * small elapsed time — a regression must not look like a speedup), the
   * error goes to stderr, and the process exits nonzero if anything
   * failed. The JSON line still prints so partial results are usable.
-  *
-  * Self-identification: the line also carries the OS load average
-  * before/after the run, the core count, and EVERY per-pass sample
-  * (`passes`), not just the per-query min — so a machine-contention-
-  * poisoned run (round 8: official 37.3 s vs 23.2 s re-run of the same
-  * binary) is diagnosable from the artifact itself: high/rising load
-  * plus large pass-to-pass spread means environment noise, not a code
-  * regression.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val sidecarPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "bench_passes.json")
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+      .getOrElse(System.nanoTime())
     val spark = GraftSession.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -38,21 +54,16 @@ object Bench {
       try run(fn)
       catch { case e: Throwable => System.err.println(s"[bench warmup] $name: ${e.getMessage}") }
     }
-    // Three INTERLEAVED round-robin passes over all queries, per-query
-    // min: consecutive min-of-3 (rounds 3 and 4) had no defense against
-    // a contention window outlasting one query's three back-to-back
-    // runs — all three samples landed inside it and a judge re-run of
-    // the identical binary was up to 11× faster. Interleaving spaces a
-    // query's samples a full pass apart, so a sustained noisy window
-    // poisons at most one sample of each query, never all three of one.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def load: Double = osBean.getSystemLoadAverage // 1-min avg; -1 if unsupported
     val loadBefore = load
 
     var failed = Set.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    (1 to 3).foreach { _ =>
-      qs.foreach { case (name, fn) =>
+    val orders = (1 to 3).map { pass =>
+      val rnd = new scala.util.Random(seed + pass)
+      val order = rnd.shuffle(qs)
+      order.foreach { case (name, fn) =>
         if (!failed(name)) {
           val t0 = System.nanoTime()
           try {
@@ -66,6 +77,7 @@ object Bench {
           }
         }
       }
+      order.map(_._1)
     }
     val loadAfter = load
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
@@ -74,12 +86,24 @@ object Bench {
     }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+
+    // Telemetry sidecar: everything a human needs to judge whether a
+    // bad number is contention or code — never on the parsed line.
     val pjson = qs.map { case (name, _) =>
       s"\"" + name + "\":" + samples.getOrElse(name, Nil).map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"cpus_jvm":${Runtime.getRuntime.availableProcessors},"passes":$pjson}""")
+    val ojson = orders.map(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val sidecar =
+      s"""{"seed":$seed,"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"cpus_jvm":${Runtime.getRuntime.availableProcessors},"pass_orders":$ojson,"passes":$pjson}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecarPath), sidecar)
+    catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
+    System.err.println(s"[bench] telemetry sidecar: $sidecarPath (seed=$seed)")
+
     spark.stop()
+    // LAST stdout line, compact: the driver's machine-readable record.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size}}""")
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.toSeq.sorted.mkString(", ")}")
       sys.exit(2)
