@@ -521,6 +521,25 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     },
 
+    // L7b (IVF×PQ composition): the flagship big-corpus configuration —
+    // coarse quantizer prunes which inverted lists are scanned (nProbe/
+    // nClusters of the data), PQ codes make the scan itself cheap (ADC,
+    // O(m) per pair), exact rerank on the top-`rerank` only. PARTIAL
+    // oracle like the standalone halves (_aux/ann_ivfpq_cand): training
+    // + ADC stay under AnnSpec's recall/composition gates, the rerank is
+    // driver-checked in DuckDB.
+    "ann_ivfpq" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Ann.topKIvfPqWith(
+          Ann.trainIvf(e, col("embedding"), dim = 64, nClusters = 16),
+          Ann.trainPq(e, col("embedding"), dim = 64, m = 8, codes = 16),
+          e, col("vec_id"), col("embedding"), probes, k = 10,
+          nProbe = 4, rerank = 50)
+        .orderBy("probe_id", "rank")
+    },
+
     // L12: multimodal metadata decode over binary payloads. Text bytes
     // stand in for media bytes; the deterministic fake codec makes the
     // gate SQL-oracle-able while the mapPartitions plumbing stays real.
@@ -575,6 +594,17 @@ object SparkEntry {
         Ann.trainPq(e, col("embedding"), dim = 64, m = 8, codes = 16),
         e, col("vec_id"), col("embedding"), probes, rerank = 50)
     },
+    // ann_ivfpq upstream: the composed path's ADC candidates from the
+    // identically-trained coarse + product quantizers.
+    "ann_ivfpq_cand" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Ann.ivfPqCandidates(
+        Ann.trainIvf(e, col("embedding"), dim = 64, nClusters = 16),
+        Ann.trainPq(e, col("embedding"), dim = 64, m = 8, codes = 16),
+        e, col("vec_id"), col("embedding"), probes, nProbe = 4, rerank = 50)
+    },
   )
 
   /** The shared exact-rerank oracle over an exported ANN candidate set:
@@ -607,6 +637,7 @@ object SparkEntry {
     "ann_lsh"         -> "ann_lsh_cand",
     "ann_ivf"         -> "ann_ivf_cand",
     "ann_pq"          -> "ann_pq_cand",
+    "ann_ivfpq"       -> "ann_ivfpq_cand",
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly).
@@ -791,9 +822,10 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= 0.4
         |ORDER BY 1, 2""".stripMargin,
 
-    "ann_lsh" -> annRerankSql("ann_lsh_cand"),
-    "ann_ivf" -> annRerankSql("ann_ivf_cand"),
-    "ann_pq"  -> annRerankSql("ann_pq_cand"),
+    "ann_lsh"    -> annRerankSql("ann_lsh_cand"),
+    "ann_ivf"    -> annRerankSql("ann_ivf_cand"),
+    "ann_pq"     -> annRerankSql("ann_pq_cand"),
+    "ann_ivfpq"  -> annRerankSql("ann_ivfpq_cand"),
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),

@@ -335,6 +335,23 @@ object Ann {
       return probes.select(col("probe_id"), lit(0L).as("neighbor_id"),
         lit(0.0).as("sim"), lit(0).as("rank")).where(lit(false))
     }
+    exactRerank(ivfPqCandidates(unit, cb, df, id, vec, probes, nProbe, rerank),
+      df, id, vec, probes, k)
+  }
+
+  /** The top-`rerank` ADC candidates per probe `(probe_id, neighbor_id)`
+    * a [[topKIvfPqWith]] search reranks — public and exportable so the
+    * driver's DuckDB oracle can re-derive the exact rerank (as
+    * [[pqCandidates]]/[[ivfCandidates]] do for the standalone paths,
+    * leaving coarse assignment + codebooks + ADC to AnnSpec's recall and
+    * composition gates). Deterministic: seeded training, tie-breaks by
+    * id everywhere. */
+  def ivfPqCandidates(
+      unit: Array[Array[Double]], cb: PqCodebooks, df: DataFrame,
+      id: Column, vec: Column, probes: DataFrame,
+      nProbe: Int = 4, rerank: Int = 50): DataFrame = {
+    if (unit.isEmpty || cb.isEmpty)
+      return probes.select(col("probe_id"), lit(0L).as("neighbor_id")).where(lit(false))
     val dim = unit.head.length
     def topc(v: Column, top: Int): Column =
       Bridge.column(CentroidIdsExpr(Bridge.expr(v),
@@ -355,8 +372,7 @@ object Ann {
     val scored = data.join(broadcast(probed), Seq("cid"))
       .where(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), adc(col("_codes"), col("_lut")).as("sim"))
-    exactRerank(topKPerProbe(scored, rerank).select("probe_id", "neighbor_id"),
-      df, id, vec, probes, k)
+    topKPerProbe(scored, rerank).select("probe_id", "neighbor_id")
   }
 
   /** Exact cosine top-`k` over an already-pruned candidate set: fetch
@@ -403,19 +419,19 @@ object Ann {
 
   /** L7 — LSH-bucketed ANN: candidates are rows sharing a hyperplane
     * bucket with the probe in ANY table (equi-join on (tbl, bucket)),
-    * then exact cosine rerank of candidates only. Same output shape as
+    * deduplicated to distinct pairs, then exact cosine rerank of each
+    * candidate ONCE ([[exactRerank]] — the score-once shape the PQ/IVF
+    * paths share; scoring before dedup would evaluate the cosine t
+    * times for a pair colliding in t tables and drag the data-side
+    * vector through the ×tables exploded stream). Same output shape as
     * [[topKBrute]]; recall < 1 by design — AnnSpec pins recall vs brute
     * force. At 100 TB the candidate join replaces the full scan per
     * probe-set with a bucket-pruned fraction ~ tables/2^bits. */
   def topKLsh(
       df: DataFrame, id: Column, vec: Column, probes: DataFrame, k: Int,
-      dim: Int, tables: Int = 8, bits: Int = 8, seed: Long = 7L): DataFrame = {
-    val sims = lshCandJoin(df, id, vec, probes, dim, tables, bits, seed)
-      .select(col("probe_id"), col("neighbor_id"),
-        round(Vec.cosine(col("_v"), col("_pv")), 6).as("sim"))
-      .distinct()
-    topKPerProbe(sims, k)
-  }
+      dim: Int, tables: Int = 8, bits: Int = 8, seed: Long = 7L): DataFrame =
+    exactRerank(lshCandidates(df, id, vec, probes, dim, tables, bits, seed),
+      df, id, vec, probes, k)
 
   /** The candidate stage of [[topKLsh]]: `(probe_id, neighbor_id, _v,
     * _pv)` — one row per shared (tbl, bucket), NOT yet deduplicated

@@ -194,6 +194,27 @@ class AnnSpec extends SparkSpec {
     assert(all == purePq && all.nonEmpty)
   }
 
+  test("ivfPqCandidates with nProbe=nClusters equals pqCandidates (candidate-level composition law)") {
+    val (e, probes) = frames
+    val unit = Ann.trainIvf(e, col("embedding"), dim, nClusters = 4)
+    val cb = Ann.trainPq(e, col("embedding"), dim, m = 4, codes = 8)
+    val composed = Ann.ivfPqCandidates(unit, cb, e, col("vec_id"), col("embedding"),
+        probes, nProbe = 4, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pure = Ann.pqCandidates(cb, e, col("vec_id"), col("embedding"), probes, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(composed == pure && composed.nonEmpty)
+    // and the exported candidates are exactly what the search reranks:
+    // every result pair of the nProbe=2 search appears in its candidates
+    val cand2 = Ann.ivfPqCandidates(unit, cb, e, col("vec_id"), col("embedding"),
+        probes, nProbe = 2, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val search2 = Ann.topKIvfPqWith(unit, cb, e, col("vec_id"), col("embedding"), probes,
+        k = 4, nProbe = 2, rerank = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(search2.subsetOf(cand2))
+  }
+
   test("PQ kernels: self-similarity ≈ 1 after encode+ADC; degenerate vectors drop out") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import graft.hashing.VecUtil

@@ -87,6 +87,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"rerank joins must stay broadcast/hash:\n$plan")
   }
 
+  test("ann_ivfpq: LUTs broadcast, ADC candidates partial top-k, no window, no sort-merge") {
+    val plan = q("ann_ivfpq")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"inverted-list probe side must broadcast:\n$plan")
+    assert(plan.contains("partial_top_k_by_score") || plan.contains("functions=[partial"),
+      s"ADC top-rerank must be a partial-merge aggregate:\n$plan")
+    assert(!plan.contains("Window"), s"no window function anywhere in the IVF×PQ path:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"rerank joins must stay broadcast/hash:\n$plan")
+  }
+
+  test("ann_lsh: candidates dedup BEFORE scoring; no window, no sort-merge") {
+    val plan = q("ann_lsh")
+    // the distinct-pairs aggregate must sit upstream of the cosine
+    // projection: after round 10's dedupe-then-score fix a pair
+    // colliding in t tables is scored once, and the data-side vector
+    // never rides the ×tables exploded stream (it is re-fetched by a
+    // narrow id join for the rerank)
+    assert(plan.contains("HashAggregate"), s"expected the distinct-pairs aggregate:\n$plan")
+    assert(plan.contains("cosine_sim"), s"expected the exact-rerank cosine:\n$plan")
+    assert(plan.indexOf("cosine_sim") < plan.lastIndexOf("HashAggregate"),
+      s"cosine must be computed above (after) a dedup aggregate, not inside the exploded join:\n$plan")
+    assert(!plan.contains("Window"), s"no window function in the LSH path:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"rerank joins must stay broadcast/hash:\n$plan")
+  }
+
   test("dedup_contamination: bench fingerprints broadcast; corpus never shuffles grams wide") {
     val plan = q("dedup_contamination")
     assert(plan.contains("BroadcastHashJoin"),
