@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, max, when}
 import graft.functions.TextFns
-import graft.operators.{Ann, Dedup, Media, Pack, Sampling}
+import graft.operators.{Ann, Dedup, Media, Pack, Sampling, Sketch}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -403,6 +403,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L15 (keep variant): the decontaminated corpus itself — the API a
+    // pipeline actually runs after reading the stats. Drop-list +
+    // left-anti; NULL-text/zero-window docs are kept by definition.
+    "dedup_decontam_keep" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      Dedup.decontaminatedKeep(
+          docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+          docs.where(col("doc_id") % 10 === 0), col("text"), k = 5)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // L16: deterministic hash sample — keep iff the first 8 hex chars of
     // md5(key:seed) fall below rate·2^32. Reproducible under ANY
     // repartitioning (unlike df.sample), pure narrow filter, and the
@@ -521,6 +532,17 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     },
 
+    // L18 (exact twin): cross-corpus key overlap, exactly — the honest
+    // tool Sketch.overlapEstimate approximates. One distinct-key
+    // shuffle + one global agg; gates the semantics the sketch's
+    // tolerance is measured against (SketchSpec pins estimate ≈ this).
+    "overlap_exact" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      Sketch.overlapExact(
+        docs.where(col("doc_id") % 2 === 0), TextFns.fingerprintMd5(col("text")),
+        docs.where(col("doc_id") % 2 =!= 0), TextFns.fingerprintMd5(col("text")))
+    },
+
     // L7b (IVF×PQ composition): the flagship big-corpus configuration —
     // coarse quantizer prunes which inverted lists are scanned (nProbe/
     // nClusters of the data), PQ codes make the scan itself cheap (ADC,
@@ -545,6 +567,23 @@ object SparkEntry {
     // gate SQL-oracle-able while the mapPartitions plumbing stays real.
     "multimodal_meta" -> { (s, dir) =>
       Media.decodeMeta(documents(s, dir).toNative, col("doc_id"), col("text"))
+        .orderBy("media_id")
+    },
+
+    // L12 (real parser): HeaderDecoder against well-formed PNG/JPEG/GIF
+    // container bytes built deterministically from each doc_id
+    // (Media.syntheticContainer — dims are arithmetic in the id, so the
+    // oracle states the expected metadata without parsing a byte). The
+    // decode itself is the REAL byte-level parser, same mapPartitions
+    // boundary a library-backed codec uses.
+    "multimodal_real" -> { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      val payloads = documents(s, dir).toNative.select(col("doc_id"))
+        .as[Long](Encoders.scalaLong)
+        .mapPartitions(it => it.map(id =>
+          Media.MediaRow(id, Media.syntheticContainer(id))))(Encoders.product[Media.MediaRow])
+        .toDF()
+      Media.decodeMeta(payloads, col("media_id"), col("content"), Media.HeaderDecoder)
         .orderBy("media_id")
     },
   )
@@ -950,6 +989,22 @@ object SparkEntry {
         |  CAST(sum(hit) AS DOUBLE) / count(*) AS contamination_ratio
         |FROM corp GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Keep twin of dedup_contamination: corpus docs with NO window in
+    // the bench gram set (docs the stats never see — zero windows —
+    // are kept, which NOT IN over the flagged list preserves).
+    "dedup_decontam_keep" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 5
+        |  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |flagged AS (SELECT DISTINCT g.doc_id FROM g JOIN bench b ON g.gram = b.gram
+        |            WHERE g.doc_id % 10 <> 0)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
+
     // The keep-predicate is the IDENTICAL ANSI expression the engine
     // runs: fixed-width lowercase hex compares lexicographically like
     // the 32-bit number it encodes.
@@ -1002,12 +1057,33 @@ object SparkEntry {
         |SELECT probe_id, neighbor_id, sim, rank FROM ranked
         |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin,
 
+    // Same normalization + md5 as text_fingerprint; sides split on
+    // doc_id parity, membership via per-key max-flags (no join).
+    "overlap_exact" ->
+      """WITH t AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS k FROM documents),
+        |m AS (SELECT k, max(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS ina,
+        |             max(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS inb
+        |      FROM t WHERE k IS NOT NULL GROUP BY k)
+        |SELECT CAST(sum(ina) AS BIGINT) AS n_a, CAST(sum(inb) AS BIGINT) AS n_b,
+        |  count(*) AS n_union, CAST(sum(ina * inb) AS BIGINT) AS n_overlap
+        |FROM m""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(16 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
         |  CAST(16 + (octet_length(encode(text)) * 7) % 480 AS INTEGER) AS height,
         |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    // The arithmetic mirror of Media.syntheticContainer: what the real
+    // header parser must read back out of the constructed containers.
+    "multimodal_real" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 600 AS INTEGER) AS width,
+        |  CAST(16 + (doc_id * 3) % 400 AS INTEGER) AS height,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 12 ELSE 13 END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY 1""".stripMargin,
   )
 }

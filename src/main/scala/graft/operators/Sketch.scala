@@ -21,10 +21,40 @@ import org.apache.spark.sql.functions._
   * Not oracle-gated: DuckDB's approx_count_distinct uses a different
   * sketch, so cross-engine results agree only within tolerance, and
   * the driver's gate is exact-hash. SketchSpec pins estimates against
-  * exact counts instead. For exact overlap on gate-sized data, a
-  * left-semi join + count is the honest tool.
+  * exact counts instead. For exact overlap, [[overlapExact]] is the
+  * honest tool — it IS oracle-gated (`overlap_exact`), and SketchSpec
+  * additionally pins the estimate within tolerance of it on the gate
+  * shape.
   */
 object Sketch {
+
+  /** Exact twin of [[overlapEstimate]] — identical one-row output
+    * schema `(n_a, n_b, n_union, n_overlap)`, exact counts. The cost
+    * the sketch avoids, paid honestly: group the tagged union by key
+    * (ONE shuffle whose payload is the distinct keys — map-side
+    * combine collapses duplicates before the exchange, and per-side
+    * membership is two max-flags, not a join), then one global
+    * partial-merge agg over the distinct-key frame. No join, no
+    * second pass. NULL keys are ignored on both sides, matching the
+    * sketch (HLL aggregates skip null inputs). At 100 TB prefer the
+    * sketch unless the answer feeds an exact billing/dedup decision:
+    * shuffling every distinct key once is the floor for exactness. */
+  def overlapExact(
+      a: DataFrame, keyA: Column, b: DataFrame, keyB: Column): DataFrame = {
+    val tagged = a.select(keyA.cast("string").as("_k")).withColumn("_sa", lit(true))
+      .unionAll(b.select(keyB.cast("string").as("_k")).withColumn("_sa", lit(false)))
+    tagged
+      .where(col("_k").isNotNull)
+      .groupBy("_k")
+      .agg(
+        max(when(col("_sa"), 1L).otherwise(0L)).as("_ina"),
+        max(when(!col("_sa"), 1L).otherwise(0L)).as("_inb"))
+      .agg(
+        coalesce(sum(col("_ina")), lit(0L)).as("n_a"),
+        coalesce(sum(col("_inb")), lit(0L)).as("n_b"),
+        count(lit(1)).as("n_union"),
+        coalesce(sum(col("_ina") * col("_inb")), lit(0L)).as("n_overlap"))
+  }
 
   /** One-row frame `(n_a, n_b, n_union, n_overlap)` — estimated
     * distinct key counts of each side, their union, and (by

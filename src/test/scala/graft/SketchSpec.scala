@@ -43,6 +43,39 @@ class SketchSpec extends SparkSpec {
     assert(within(r.getLong(0), 100, 0.05))
   }
 
+  test("overlapExact returns exact counts on planted overlaps, duplicates and all") {
+    val a = ((1L to 1000L) ++ (1L to 1000L)).toDF("k") // dups must not inflate
+    val b = (501L to 1500L).toDF("k")
+    val r = Sketch.overlapExact(a, col("k"), b, col("k")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == ((1000L, 1000L, 1500L, 500L)))
+    // empty side: zeros, not nulls — and output schema matches the sketch
+    val empty = a.where(col("k") < 0)
+    val r2 = Sketch.overlapExact(a, col("k"), empty, col("k")).head()
+    assert(!r2.anyNull)
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(3)) == ((1000L, 0L, 0L)))
+    assert(Sketch.overlapExact(a, col("k"), b, col("k")).columns.toSeq ==
+      Sketch.overlapEstimate(a, col("k"), b, col("k")).columns.toSeq)
+    // null keys ignored on both sides, matching HLL's skip-null input
+    val withNull = spark.sql("SELECT CAST(NULL AS BIGINT) AS k").unionAll((1L to 10L).toDF("k"))
+    val r3 = Sketch.overlapExact(withNull, col("k"), withNull, col("k")).head()
+    assert((r3.getLong(0), r3.getLong(2), r3.getLong(3)) == ((10L, 10L, 10L)))
+  }
+
+  test("the estimate falls within tolerance of overlapExact on the gate shape (documents halves)") {
+    // the same split + key the overlap_exact driver query uses
+    import org.apache.spark.sql.functions.col
+    val docs = graft.tables.documents(spark, "/root/testdata/sf0.001").toNative
+    val fp = graft.functions.TextFns.fingerprintMd5(col("text"))
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 =!= 0)
+    val ex = Sketch.overlapExact(a, fp, b, fp).head()
+    val es = Sketch.overlapEstimate(a, fp, b, fp).head()
+    for (i <- 0 to 2)
+      assert(within(es.getLong(i), ex.getLong(i), 0.05), s"col $i: ${es.getLong(i)} vs ${ex.getLong(i)}")
+    assert(within(es.getLong(3), ex.getLong(3), 0.10),
+      s"overlap: ${es.getLong(3)} vs exact ${ex.getLong(3)}")
+  }
+
   test("duplicates do not inflate the distinct estimates") {
     val a = ((1L to 1000L) ++ (1L to 1000L) ++ (1L to 1000L)).toDF("k")
     val b = (501L to 1500L).toDF("k")
