@@ -509,16 +509,25 @@ object Dedup {
   }
 
   /** Corpus rows with ZERO benchmark-overlapping windows — the actual
-    * decontaminated training set. Keep-list + left-semi (the
-    * [[exactKeep]] shape): full rows never ride the stats shuffle. */
+    * decontaminated training set. Drop-list + left-anti: the flagged
+    * set (docs with ≥1 contaminated window) is the join side, so full
+    * rows never ride the stats shuffle AND the anti side is the small
+    * one (contamination is the exception, not the rule). Rows whose
+    * text is NULL (or yields no windows) are KEPT: they have zero
+    * benchmark-overlapping windows by definition — under the round-9
+    * keep-list formulation they silently vanished, because
+    * `explode(shingles(NULL))` eliminates them from
+    * [[contaminationStats]] (which still reports no row for them —
+    * the stats convention; the KEEP decision is what must not drop
+    * them). */
   def decontaminatedKeep(
       corpus: DataFrame, corpusId: Column, corpusText: Column,
       bench: DataFrame, benchText: Column,
       k: Int = 8, broadcastBench: Boolean = true): DataFrame = {
-    val clean = contaminationStats(corpus, corpusId, corpusText, bench, benchText, k, broadcastBench)
-      .where(col("n_contaminated") === 0L)
-      .select(col("doc_id").as("_keep_id"))
-    corpus.join(clean, corpusId === col("_keep_id"), "left_semi")
+    val flagged = contaminationStats(corpus, corpusId, corpusText, bench, benchText, k, broadcastBench)
+      .where(col("n_contaminated") > 0L)
+      .select(col("doc_id").as("_drop_id"))
+    corpus.join(flagged, corpusId === col("_drop_id"), "left_anti")
   }
 
   // ----------------------------------------------------------------- L13

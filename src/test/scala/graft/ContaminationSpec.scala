@@ -50,6 +50,22 @@ class ContaminationSpec extends SparkSpec {
     assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
   }
 
+  test("NULL-text corpus rows are KEPT (zero windows = clean), though absent from stats") {
+    val withNull = corpus.unionAll(
+      Seq((4L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    // stats convention: explode(shingles(NULL)) yields no rows, so doc 4
+    // has no stats row — documented, and the keep decision must not
+    // inherit the drop
+    val stats = Dedup.contaminationStats(
+        withNull, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(!stats.contains(4L))
+    val kept = Dedup.decontaminatedKeep(
+        withNull, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L), s"NULL-text doc must be kept as clean, got $kept")
+  }
+
   test("shuffled-join path (broadcastBench = false) agrees with broadcast") {
     val a = Dedup.contaminationStats(
         corpus, col("doc_id"), col("text"), bench, col("text"), k = 5, broadcastBench = true)
