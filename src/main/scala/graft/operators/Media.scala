@@ -112,6 +112,44 @@ object Media {
       m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC // not DHT/JPG/DAC
   }
 
+  /** Deterministic, VALID container bytes for gating [[HeaderDecoder]]
+    * without shipping binary fixtures: a minimal-but-well-formed PNG
+    * (signature + complete IHDR chunk), JPEG (SOI + SOF0 frame header)
+    * or GIF (GIF89a logical screen descriptor), chosen by `id % 3`,
+    * whose dimensions are pure arithmetic in `id` — so a SQL oracle
+    * can state the expected metadata without parsing a byte. Sizes are
+    * fixed per format (png 33 B, jpeg 12 B, gif 13 B). */
+  def syntheticContainer(id: Long): Array[Byte] = {
+    val w = (16L + id % 600L).toInt
+    val h = (16L + (id * 3L) % 400L).toInt
+    (id % 3L) match {
+      case 0L =>
+        // sig(8) + len=13(4) + "IHDR"(4) + w(4) + h(4) + bitdepth/color/
+        // compression/filter/interlace(5) + crc placeholder(4) = 33
+        val b = java.nio.ByteBuffer.allocate(33)
+        b.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+        b.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+        b.put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        b.putInt(0)
+        b.array()
+      case 1L =>
+        // SOI(2) + SOF0 marker(2) + len=8(2) + precision(1) + h(2) +
+        // w(2) + nComponents=0(1) = 12
+        val b = java.nio.ByteBuffer.allocate(12)
+        b.put(Array(0xFF, 0xD8, 0xFF, 0xC0).map(_.toByte))
+        b.putShort(8.toShort).put(8.toByte)
+        b.putShort(h.toShort).putShort(w.toShort).put(0.toByte)
+        b.array()
+      case _ =>
+        // "GIF89a"(6) + w,h little-endian(4) + flags/bg/aspect(3) = 13
+        val b = new Array[Byte](13)
+        "GIF89a".getBytes("US-ASCII").copyToArray(b)
+        b(6) = (w & 0xFF).toByte; b(7) = ((w >> 8) & 0xFF).toByte
+        b(8) = (h & 0xFF).toByte; b(9) = ((h >> 8) & 0xFF).toByte
+        b
+    }
+  }
+
   final case class MediaRow(media_id: Long, content: Array[Byte])
   final case class MediaMetaRow(media_id: Long, width: Int, height: Int, format: String, n_bytes: Long)
 

@@ -79,6 +79,24 @@ class MultimodalSpec extends SparkSpec {
       3L -> ((320, 200, "gif"))))
   }
 
+  test("syntheticContainer round-trips through HeaderDecoder for all three formats") {
+    import Media.{DecodedMedia, HeaderDecoder, syntheticContainer}
+    // ids covering each format branch and the modular dim wrap
+    for (id <- Seq(0L, 1L, 2L, 3L, 599L, 601L, 1202L, 123456L)) {
+      val expW = (16L + id % 600L).toInt
+      val expH = (16L + (id * 3L) % 400L).toInt
+      val expFmt = (id % 3L) match { case 0L => "png"; case 1L => "jpeg"; case _ => "gif" }
+      val bytes = syntheticContainer(id)
+      assert(HeaderDecoder.decode(bytes) == DecodedMedia(expW, expH, expFmt, bytes.length.toLong),
+        s"id=$id")
+    }
+    // truncating any synthetic container degrades, never throws
+    for (id <- 0L to 2L; cut <- Seq(1, 5, 9)) {
+      val d = HeaderDecoder.decode(syntheticContainer(id).take(cut))
+      assert(d.nBytes == cut.toLong)
+    }
+  }
+
   test("a custom decoder plugs in behind the MediaDecoder trait") {
     object UpperBound extends Media.MediaDecoder {
       def decode(b: Array[Byte]): Media.DecodedMedia =
