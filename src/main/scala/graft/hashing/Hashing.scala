@@ -280,16 +280,21 @@ object VecUtil {
     new GenericArrayData(lut)
   }
 
-  /** ADC score: Σ_s lut[s·k + codes_s]. Empty codes or a LUT of the
-    * wrong shape yield NaN (the expression maps it to SQL NULL, which
-    * can never outrank real scores — same contract as [[cosine]]). */
+  /** ADC score: Σ_s lut[s·k + codes_s]. Empty codes, a LUT of the
+    * wrong shape, or a code value outside [0, k) — codes written by a
+    * quantizer with a different k whose LUT is size-coincident — all
+    * yield NaN (the expression maps it to SQL NULL, which can never
+    * outrank real scores — same contract as [[cosine]]), never an
+    * executor ArrayIndexOutOfBoundsException. */
   def pqAdc(codes: ArrayData, lut: ArrayData, k: Int): Double = {
     val m = codes.numElements()
     if (m == 0 || lut.numElements() != m * k) return Double.NaN
     var acc = 0.0
     var s = 0
     while (s < m) {
-      acc += lut.getDouble(s * k + codes.getInt(s))
+      val c = codes.getInt(s)
+      if (c < 0 || c >= k) return Double.NaN
+      acc += lut.getDouble(s * k + c)
       s += 1
     }
     acc

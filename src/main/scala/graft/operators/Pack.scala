@@ -53,11 +53,21 @@ object Pack {
     if (mm.isNullAt(0)) // empty input: keep the output schema, no rows
       return base.withColumn("shard_id", lit(0L)).where(lit(false))
     val lo = mm.getLong(0)
-    // BigInt: (max - min) must not overflow for adversarial id ranges
-    val blockSize = ((BigInt(mm.getLong(1)) - BigInt(lo)) / targetBlocks + 1).toLong
-    // parenthesized literal: a negative lo must render as (id - (-5L)),
-    // never the parse-hostile `id - -5L`
-    val blocked = base.withColumn("_blk", expr(s"(id - (${lo}L)) div ${blockSize}L"))
+    // BigInt end to end: (max - min) can reach 2^64-1, and span/blocks+1
+    // can reach 2^63 (e.g. targetBlocks=2 over the full Long range) —
+    // BOTH overflow a Long (.toLong of 2^63 wraps NEGATIVE, reversing
+    // every block id, which round 10's adversarial-span test caught).
+    val blockSize = (BigInt(mm.getLong(1)) - BigInt(lo)) / targetBlocks + 1
+    // DECIMAL(38,0) arithmetic in the SQL for the same reason: a Long
+    // `id - lo` wraps silently in non-ANSI mode when lo is a large
+    // negative and id a large positive; decimal holds the full span
+    // exactly and `div` on decimals still yields BIGINT. The string
+    // casts also sidestep unparseable literals (there is no
+    // `9223372036854775808L` token to negate, and blockSize may exceed
+    // Long.MaxValue).
+    val blocked = base.withColumn("_blk",
+      expr(s"(CAST(id AS DECIMAL(38,0)) - CAST('$lo' AS DECIMAL(38,0)))" +
+        s" div CAST('$blockSize' AS DECIMAL(38,0))"))
     val inBlock = Window.partitionBy("_blk").orderBy("id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = blocked.withColumn("_cum", sum(col("weight")).over(inBlock))

@@ -28,9 +28,14 @@ import org.apache.spark.sql.functions._
   *    join key with the same seed keeps ALIGNED subsets, so joins of
   *    samples are samples of the join (the classic hash-sampling
   *    coordination trick).
-  *  - **Nested rates compose**: a rate-0.5 sample of a rate-0.5 sample
-  *    (same seed) equals a rate-0.25 sample, because the decision
-  *    threshold just tightens.
+  *  - **Same-seed nesting composes by MIN, not by product**: a rate-r2
+  *    sample of a rate-r1 sample with the SAME seed equals a
+  *    rate-min(r1, r2) sample — each key has ONE draw per seed, so the
+  *    tighter threshold selects a subset of the looser one (this is
+  *    what makes re-sampling a sample safe: it can only shrink it
+  *    deterministically). For multiplicative composition (an
+  *    independent r1·r2 thinning), use DIFFERENT seeds — different
+  *    seeds give independent draws.
   *
   * The 32-bit threshold comparison is done on the HEX STRING (8
   * fixed-width lowercase chars compare lexicographically exactly like

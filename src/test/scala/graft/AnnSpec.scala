@@ -232,6 +232,13 @@ class AnnSpec extends SparkSpec {
     assert(VecUtil.pqLut(nan, cbArr, cb.m, cb.subDim, cb.k, false).numElements() == 0)
     assert(java.lang.Double.isNaN(VecUtil.pqAdc(
       new GenericArrayData(Array.empty[Int]), lut, cb.k)))
+    // codes from a quantizer with a different k, size-coincident LUT:
+    // out-of-range code values follow the NaN degrade contract, never
+    // an executor ArrayIndexOutOfBoundsException
+    assert(java.lang.Double.isNaN(VecUtil.pqAdc(
+      new GenericArrayData(Array(0, cb.k, 0, 0)), lut, cb.k)))
+    assert(java.lang.Double.isNaN(VecUtil.pqAdc(
+      new GenericArrayData(Array(0, -1, 0, 0)), lut, cb.k)))
   }
 
   test("empty table yields an empty, correctly-shaped PQ result") {

@@ -52,6 +52,16 @@ class PackSpec extends SparkSpec {
     assert(packed(rows, budget = 15) == reference(rows, 15))
   }
 
+  test("adversarial id span: Long.MinValue to Long.MaxValue does not overflow the block math") {
+    // (id - lo) overflows Long when lo = MinValue and id > 0 — the
+    // DECIMAL(38,0) block arithmetic must keep blocks monotone (and the
+    // MinValue literal itself must render parseable)
+    val rows = Seq(Long.MinValue -> 10L, -1L -> 10L, 0L -> 10L,
+      1234567L -> 10L, Long.MaxValue -> 10L)
+    assert(packed(rows, budget = 25) == reference(rows, 25))
+    assert(packed(rows, budget = 25, blocks = 2) == reference(rows, 25))
+  }
+
   test("a doc larger than the budget occupies its own shard; ids skip") {
     // pre: 0, 5000, 5010 → shards 0, 5, 5
     val rows = Seq(1L -> 5000L, 2L -> 10L, 3L -> 10L)

@@ -49,12 +49,20 @@ class SamplingSpec extends SparkSpec {
     assert(overlap > 0.15 && overlap < 0.35, s"overlap fraction $overlap")
   }
 
-  test("nested rates compose: 0.5-sample of a 0.5-sample == 0.25-sample") {
+  test("same-seed nesting composes by MIN: 0.25-sample of a 0.5-sample == 0.25-sample") {
     val df = (1L to 2000L).toDF("k")
     val nested = keys(Sampling.sampleHash(
       Sampling.sampleHash(df, col("k"), 0.5, seed = 9), col("k"), 0.25, seed = 9))
     val direct = keys(Sampling.sampleHash(df, col("k"), 0.25, seed = 9))
     assert(nested == direct) // min(0.5, 0.25): thresholds nest, not multiply across same seed
+    // and the order does not matter: the looser re-sample is a no-op
+    val reversed = keys(Sampling.sampleHash(
+      Sampling.sampleHash(df, col("k"), 0.25, seed = 9), col("k"), 0.5, seed = 9))
+    assert(reversed == direct)
+    // multiplicative thinning needs DIFFERENT seeds: 0.5 of 0.5 ≈ 0.25
+    val twoSeeds = keys(Sampling.sampleHash(
+      Sampling.sampleHash(df, col("k"), 0.5, seed = 9), col("k"), 0.5, seed = 10))
+    assert(twoSeeds.size > 380 && twoSeeds.size < 620, s"independent thinning gave ${twoSeeds.size}")
   }
 
   test("rate 0 keeps nothing; rate 1 keeps everything") {
