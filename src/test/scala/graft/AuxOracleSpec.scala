@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Vec
 
-/** Local mirror of the driver's PARTIAL oracles: for each of the four
+/** Local mirror of the driver's PARTIAL oracles: for each of the
   * queries whose hash kernel is not SQL-expressible, re-derive the
   * final result from the corresponding `SparkEntry.auxExports` frame —
   * exactly the computation the DuckDB oracle runs over the `_aux/`
@@ -87,5 +87,13 @@ class AuxOracleSpec extends SparkSpec {
 
   test("ann_ivf == exact rerank re-derived from ann_ivf_cand") {
     assert(rows(q("ann_ivf")) == rows(rerank("ann_ivf_cand")))
+  }
+
+  test("ann_pq == exact rerank re-derived from ann_pq_cand") {
+    assert(rows(q("ann_pq")) == rows(rerank("ann_pq_cand")))
+  }
+
+  test("ann_ivfpq == exact rerank re-derived from ann_ivfpq_cand") {
+    assert(rows(q("ann_ivfpq")) == rows(rerank("ann_ivfpq_cand")))
   }
 }
