@@ -120,6 +120,29 @@ class PlanAuditSpec extends SparkSpec {
       s"the gram probe must not sort-merge at gate scale:\n$plan")
   }
 
+  test("dedup_decontam_keep: bench fps broadcast; the drop-list anti-join stays broadcast/hash") {
+    val plan = q("dedup_decontam_keep")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench fingerprint set must broadcast-probe the corpus:\n$plan")
+    // the final keep is a left-anti join against the (small) flagged
+    // set — it must not sort-merge the corpus at gate scale
+    assert(plan.contains("LeftAnti"), s"expected the drop-list anti-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"anti-join must stay broadcast/hash at gate scale:\n$plan")
+  }
+
+  test("overlap_exact: one distinct-key aggregate, one global partial-merge agg, no join") {
+    val plan = q("overlap_exact")
+    assert(!plan.contains("Join"), s"exact overlap must not join the key sets:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation:\n$plan")
+    assert(plan.contains("partial_") || plan.contains("functions=[partial"),
+      s"the global counts must partial-aggregate map-side:\n$plan")
+    // two aggregation layers (per-key flags, then global counts) =
+    // exactly two exchanges: the key shuffle and the 1-row final
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges:\n$plan")
+  }
+
   test("sample queries stay a pure narrow filter: no shuffle, no join") {
     for (name <- Seq("sample_hash", "sample_stratified")) {
       val plan = q(name)
