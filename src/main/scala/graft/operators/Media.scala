@@ -118,11 +118,13 @@ object Media {
     * or GIF (GIF89a logical screen descriptor), chosen by `id % 3`,
     * whose dimensions are pure arithmetic in `id` — so a SQL oracle
     * can state the expected metadata without parsing a byte. Sizes are
-    * fixed per format (png 33 B, jpeg 12 B, gif 13 B). */
+    * fixed per format (png 33 B, jpeg 12 B, gif 13 B). Total over ALL
+    * Long ids — floorMod keeps dims positive and the format selector in
+    * range for negative ids (a plain % would emit negative dimensions). */
   def syntheticContainer(id: Long): Array[Byte] = {
-    val w = (16L + id % 600L).toInt
-    val h = (16L + (id * 3L) % 400L).toInt
-    (id % 3L) match {
+    val w = (16L + java.lang.Math.floorMod(id, 600L)).toInt
+    val h = (16L + java.lang.Math.floorMod(id * 3L, 400L)).toInt
+    java.lang.Math.floorMod(id, 3L) match {
       case 0L =>
         // sig(8) + len=13(4) + "IHDR"(4) + w(4) + h(4) + bitdepth/color/
         // compression/filter/interlace(5) + crc placeholder(4) = 33

@@ -72,6 +72,23 @@ class EdgeSpec extends SparkSpec {
     assert(graft.operators.Ann.loadPq(spark, p).isEmpty)
   }
 
+  test("round-10 operators on empty frames degrade cleanly") {
+    import spark.implicits._
+    val emptyKeys = Seq.empty[Long].toDF("k")
+    // exact overlap of two empty sides: one row of zeros, sketch schema
+    val r = graft.operators.Sketch.overlapExact(
+      emptyKeys, col("k"), emptyKeys, col("k")).head()
+    assert(!r.anyNull)
+    assert((0 to 3).map(r.getLong(_)).forall(_ == 0L))
+    // empty composed quantizers → empty candidates with the export schema
+    val emptyVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val emptyProbes = Seq.empty[(Long, Seq[Float])].toDF("probe_id", "probe_vec")
+    val cb = graft.operators.Ann.trainPq(emptyVecs, col("embedding"), dim = 8, m = 4)
+    val ipc = graft.operators.Ann.ivfPqCandidates(Array.empty, cb, emptyVecs,
+      col("vec_id"), col("embedding"), emptyProbes)
+    assert(ipc.columns.toSeq == Seq("probe_id", "neighbor_id") && ipc.count() == 0L)
+  }
+
   test("single-row and empty-string documents flow through text kernels") {
     val d = docs(Seq(Doc(1L, ""), Doc(2L, "   "), Doc(3L, "one")))
     val out = d.select(

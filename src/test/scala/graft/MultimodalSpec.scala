@@ -81,11 +81,13 @@ class MultimodalSpec extends SparkSpec {
 
   test("syntheticContainer round-trips through HeaderDecoder for all three formats") {
     import Media.{DecodedMedia, HeaderDecoder, syntheticContainer}
-    // ids covering each format branch and the modular dim wrap
-    for (id <- Seq(0L, 1L, 2L, 3L, 599L, 601L, 1202L, 123456L)) {
-      val expW = (16L + id % 600L).toInt
-      val expH = (16L + (id * 3L) % 400L).toInt
-      val expFmt = (id % 3L) match { case 0L => "png"; case 1L => "jpeg"; case _ => "gif" }
+    // ids covering each format branch, the modular dim wrap, and
+    // negative ids (floorMod keeps dims positive and formats in range)
+    for (id <- Seq(0L, 1L, 2L, 3L, 599L, 601L, 1202L, 123456L, -1L, -599L, Long.MinValue)) {
+      val expW = (16L + java.lang.Math.floorMod(id, 600L)).toInt
+      val expH = (16L + java.lang.Math.floorMod(id * 3L, 400L)).toInt
+      val expFmt = java.lang.Math.floorMod(id, 3L) match {
+        case 0L => "png"; case 1L => "jpeg"; case _ => "gif" }
       val bytes = syntheticContainer(id)
       assert(HeaderDecoder.decode(bytes) == DecodedMedia(expW, expH, expFmt, bytes.length.toLong),
         s"id=$id")
