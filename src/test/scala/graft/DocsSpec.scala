@@ -184,6 +184,10 @@ class DocsSpec extends SparkSpec {
       corpus, col("doc_fp"), crawl, col("doc_fp")).head()
     val overlap = r.getAs[Long]("n_overlap")
     assert(overlap > 800 && overlap < 1200, s"expected ~1000, got $overlap")
+    // exact twin, same schema, for when the answer must be exact
+    val exact = graft.operators.Sketch.overlapExact(
+      corpus, col("doc_fp"), crawl, col("doc_fp")).head()
+    assert(exact.getAs[Long]("n_overlap") == 1000L)
   }
 
   test("prep recipe: deterministic flat and stratified sampling") {
