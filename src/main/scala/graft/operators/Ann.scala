@@ -376,12 +376,17 @@ object Ann {
   }
 
   /** Exact cosine top-`k` over an already-pruned candidate set: fetch
-    * true vectors by id (narrow join), score, partial top-k. */
+    * true vectors by id, score, partial top-k. The candidate set is
+    * bounded by the probe count (× rerank breadth / bucket width — the
+    * module contract that probes are the SMALL side), so it BROADCASTS
+    * explicitly: the vector table streams through the join without a
+    * shuffle ever being planned — at 100 TB an AQE-rescued sort-merge
+    * would still map-stage the full table. */
   private def exactRerank(
       cand: DataFrame, df: DataFrame, id: Column, vec: Column,
       probes: DataFrame, k: Int): DataFrame = {
-    val sims = cand
-      .join(df.select(id.as("neighbor_id"), vec.as("_v")), Seq("neighbor_id"))
+    val sims = df.select(id.as("neighbor_id"), vec.as("_v"))
+      .join(broadcast(cand), Seq("neighbor_id"))
       .join(broadcast(probes.select(col("probe_id"), col("probe_vec").as("_pv"))), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"), round(Vec.cosine(col("_v"), col("_pv")), 6).as("sim"))
     topKPerProbe(sims, k)
