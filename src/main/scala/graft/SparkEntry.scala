@@ -570,8 +570,9 @@ object SparkEntry {
         .orderBy("media_id")
     },
 
-    // L12 (real parser): HeaderDecoder against well-formed PNG/JPEG/GIF
-    // container bytes built deterministically from each doc_id
+    // L12 (real parser): HeaderDecoder against well-formed
+    // PNG/JPEG/GIF/WEBP/BMP container bytes built deterministically
+    // from each doc_id
     // (Media.syntheticContainer — dims are arithmetic in the id, so the
     // oracle states the expected metadata without parsing a byte). The
     // decode itself is the REAL byte-level parser, same mapPartitions
@@ -1078,12 +1079,17 @@ object SparkEntry {
 
     // The arithmetic mirror of Media.syntheticContainer: what the real
     // header parser must read back out of the constructed containers.
+    // `((x % m) + m) % m` is the floorMod the container builder uses —
+    // plain SQL % returns negative remainders, so spelling it out keeps
+    // the gate total if a dataset ever carries negative doc_ids.
     "multimodal_real" ->
       """SELECT doc_id AS media_id,
-        |  CAST(16 + doc_id % 600 AS INTEGER) AS width,
-        |  CAST(16 + (doc_id * 3) % 400 AS INTEGER) AS height,
-        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
-        |  CAST(CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 12 ELSE 13 END AS BIGINT) AS n_bytes
+        |  CAST(16 + ((doc_id % 600) + 600) % 600 AS INTEGER) AS width,
+        |  CAST(16 + (((doc_id * 3) % 400) + 400) % 400 AS INTEGER) AS height,
+        |  CASE ((doc_id % 5) + 5) % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |       WHEN 3 THEN 'webp' ELSE 'bmp' END AS format,
+        |  CAST(CASE ((doc_id % 5) + 5) % 5 WHEN 0 THEN 33 WHEN 1 THEN 12 WHEN 2 THEN 13
+        |       WHEN 3 THEN 25 ELSE 54 END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY 1""".stripMargin,
   )
 }

@@ -47,20 +47,30 @@ object Media {
   }
 
   /** Real image-container header parser — PNG IHDR, JPEG SOFn frame
-    * header, GIF logical screen descriptor. Pure public-format byte
-    * parsing (PNG spec §11.2.2, JPEG/JFIF marker segments, GIF89a
-    * spec), no codec library, so it runs in this dependency-free
-    * container and on any executor. Payloads matching no signature
-    * decode as (0, 0, "unknown") rather than throwing — a corrupt blob
-    * in 100 TB of crawl data must not kill the job. Full pixel decode
-    * still belongs to a library-backed [[MediaDecoder]] swapped in at
-    * deployment; dimension/format metadata is what the pipeline
-    * filters and routes on. */
+    * header, GIF logical screen descriptor, WEBP (RIFF container with
+    * VP8 lossy / VP8L lossless / VP8X extended chunks) and BMP
+    * (BITMAPINFOHEADER and the legacy BITMAPCOREHEADER). Pure
+    * public-format byte parsing (PNG spec §11.2.2, JPEG/JFIF marker
+    * segments, GIF89a spec, the WebP container + VP8/VP8L bitstream
+    * specs, Windows BMP header layout), no codec library, so it runs
+    * in this dependency-free container and on any executor. Payloads
+    * matching no signature decode as (0, 0, "unknown") rather than
+    * throwing — a corrupt blob in 100 TB of crawl data must not kill
+    * the job. Full pixel decode still belongs to a library-backed
+    * [[MediaDecoder]] swapped in at deployment; dimension/format
+    * metadata is what the pipeline filters and routes on. */
   object HeaderDecoder extends MediaDecoder {
     private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
     private def be32(b: Array[Byte], i: Int): Int =
       ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) | ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
     private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    private def le24(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16)
+    private def le32(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
+    private def fourcc(b: Array[Byte], i: Int, s: String): Boolean =
+      b(i) == s.charAt(0).toByte && b(i + 1) == s.charAt(1).toByte &&
+        b(i + 2) == s.charAt(2).toByte && b(i + 3) == s.charAt(3).toByte
 
     private val PngSig: Array[Byte] =
       Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -79,7 +89,51 @@ object Media {
         jpegSof(c, n)
       else if (c.length >= 10 && c(0) == 'G' && c(1) == 'I' && c(2) == 'F' && c(3) == '8')
         DecodedMedia(le16(c, 6), le16(c, 8), "gif", n) // screen descriptor, little-endian
+      else if (c.length >= 16 && fourcc(c, 0, "RIFF") && fourcc(c, 8, "WEBP"))
+        webp(c, n)
+      else if (c.length >= 2 && c(0) == 'B' && c(1) == 'M')
+        bmp(c, n)
       else DecodedMedia(0, 0, "unknown", n)
+    }
+
+    /** WEBP: the RIFF payload's first chunk names the bitstream.
+      * VP8 (lossy): 3-byte frame tag, 0x9D012A start code, then
+      * 14-bit LE width/height. VP8L (lossless): 0x2F signature, then
+      * width-1 / height-1 as two 14-bit fields of an LE32. VP8X
+      * (extended): canvas width-1 / height-1 as 24-bit LE fields.
+      * A RIFF/WEBP payload too short or mis-signed for its declared
+      * chunk keeps format "webp" with (0, 0) — the container was
+      * identified even when the bitstream is corrupt. */
+    private def webp(c: Array[Byte], n: Long): DecodedMedia = {
+      if (fourcc(c, 12, "VP8 ")) {
+        if (c.length >= 30 && (c(23) & 0xFF) == 0x9D && (c(24) & 0xFF) == 0x01 && (c(25) & 0xFF) == 0x2A)
+          DecodedMedia(le16(c, 26) & 0x3FFF, le16(c, 28) & 0x3FFF, "webp", n)
+        else DecodedMedia(0, 0, "webp", n)
+      } else if (fourcc(c, 12, "VP8L")) {
+        if (c.length >= 25 && (c(20) & 0xFF) == 0x2F) {
+          val bits = le32(c, 21)
+          DecodedMedia((bits & 0x3FFF) + 1, ((bits >>> 14) & 0x3FFF) + 1, "webp", n)
+        } else DecodedMedia(0, 0, "webp", n)
+      } else if (fourcc(c, 12, "VP8X")) {
+        if (c.length >= 30) DecodedMedia(le24(c, 24) + 1, le24(c, 27) + 1, "webp", n)
+        else DecodedMedia(0, 0, "webp", n)
+      } else DecodedMedia(0, 0, "webp", n)
+    }
+
+    /** BMP: DIB header size at offset 14 picks the layout.
+      * BITMAPINFOHEADER (≥40): signed LE32 width/height at 18/22 — a
+      * negative height is a legal top-down bitmap (report |h|), a
+      * negative width is corrupt. BITMAPCOREHEADER (12): unsigned
+      * LE16 width/height at 18/20. */
+    private def bmp(c: Array[Byte], n: Long): DecodedMedia = {
+      if (c.length >= 26 && le32(c, 14) >= 40) {
+        val (w, h) = (le32(c, 18), le32(c, 22))
+        if (w < 0 || h == Int.MinValue) DecodedMedia(0, 0, "bmp", n)
+        else DecodedMedia(w, math.abs(h), "bmp", n)
+      }
+      else if (c.length >= 22 && le32(c, 14) == 12)
+        DecodedMedia(le16(c, 18), le16(c, 20), "bmp", n)
+      else DecodedMedia(0, 0, "bmp", n)
     }
 
     /** Walk the marker segments for the first SOFn frame header:
@@ -114,17 +168,20 @@ object Media {
 
   /** Deterministic, VALID container bytes for gating [[HeaderDecoder]]
     * without shipping binary fixtures: a minimal-but-well-formed PNG
-    * (signature + complete IHDR chunk), JPEG (SOI + SOF0 frame header)
-    * or GIF (GIF89a logical screen descriptor), chosen by `id % 3`,
-    * whose dimensions are pure arithmetic in `id` — so a SQL oracle
-    * can state the expected metadata without parsing a byte. Sizes are
-    * fixed per format (png 33 B, jpeg 12 B, gif 13 B). Total over ALL
-    * Long ids — floorMod keeps dims positive and the format selector in
-    * range for negative ids (a plain % would emit negative dimensions). */
+    * (signature + complete IHDR chunk), JPEG (SOI + SOF0 frame
+    * header), GIF (GIF89a logical screen descriptor), WEBP
+    * (RIFF + VP8L lossless bitstream header) or BMP
+    * (BITMAPINFOHEADER), chosen by `id % 5`, whose dimensions are
+    * pure arithmetic in `id` — so a SQL oracle can state the expected
+    * metadata without parsing a byte. Sizes are fixed per format
+    * (png 33 B, jpeg 12 B, gif 13 B, webp 25 B, bmp 54 B). Total over
+    * ALL Long ids — floorMod keeps dims positive and the format
+    * selector in range for negative ids (a plain % would emit
+    * negative dimensions). */
   def syntheticContainer(id: Long): Array[Byte] = {
     val w = (16L + java.lang.Math.floorMod(id, 600L)).toInt
     val h = (16L + java.lang.Math.floorMod(id * 3L, 400L)).toInt
-    java.lang.Math.floorMod(id, 3L) match {
+    java.lang.Math.floorMod(id, 5L) match {
       case 0L =>
         // sig(8) + len=13(4) + "IHDR"(4) + w(4) + h(4) + bitdepth/color/
         // compression/filter/interlace(5) + crc placeholder(4) = 33
@@ -142,13 +199,30 @@ object Media {
         b.putShort(8.toShort).put(8.toByte)
         b.putShort(h.toShort).putShort(w.toShort).put(0.toByte)
         b.array()
-      case _ =>
+      case 2L =>
         // "GIF89a"(6) + w,h little-endian(4) + flags/bg/aspect(3) = 13
         val b = new Array[Byte](13)
         "GIF89a".getBytes("US-ASCII").copyToArray(b)
         b(6) = (w & 0xFF).toByte; b(7) = ((w >> 8) & 0xFF).toByte
         b(8) = (h & 0xFF).toByte; b(9) = ((h >> 8) & 0xFF).toByte
         b
+      case 3L =>
+        // RIFF(4) + fileSize(4) + WEBP(4) + VP8L(4) + chunkLen=5(4) +
+        // 0x2F signature(1) + (w-1 | (h-1)<<14) LE32(4) = 25. Dims fit
+        // the 14-bit VP8L fields (w ≤ 615, h ≤ 415).
+        val b = java.nio.ByteBuffer.allocate(25).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(17)
+        b.put("WEBP".getBytes("US-ASCII")).put("VP8L".getBytes("US-ASCII")).putInt(5)
+        b.put(0x2F.toByte).putInt((w - 1) | ((h - 1) << 14))
+        b.array()
+      case _ =>
+        // "BM"(2) + fileSize(4) + reserved(4) + dataOffset(4) +
+        // BITMAPINFOHEADER: size=40(4) + w(4) + h(4) + planes=1(2) +
+        // bpp=24(2) + 24 zero bytes = 54
+        val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+        b.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+        b.array()
     }
   }
 

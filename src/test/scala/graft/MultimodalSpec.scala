@@ -54,6 +54,46 @@ class MultimodalSpec extends SparkSpec {
     0xC8, 0x00                                             // height = 200 (LE)
   ).map(_.toByte)
 
+  // RIFF + VP8 lossy: 3-byte frame tag, 0x9D012A start code, 14-bit
+  // LE dims (w=550, h=368)
+  private val webpVp8Bytes = Array[Int](
+    'R', 'I', 'F', 'F', 22, 0, 0, 0, 'W', 'E', 'B', 'P',
+    'V', 'P', '8', ' ', 10, 0, 0, 0,
+    0x30, 0x01, 0x00,                                      // frame tag
+    0x9D, 0x01, 0x2A,                                      // start code
+    0x26, 0x02,                                            // width 550
+    0x70, 0x01                                             // height 368
+  ).map(_.toByte)
+
+  // RIFF + VP8L lossless: 0x2F signature, (w-1)|((h-1)<<14) LE32
+  // (w=800, h=600)
+  private val webpVp8lBytes = {
+    val b = java.nio.ByteBuffer.allocate(25).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(17)
+    b.put("WEBPVP8L".getBytes("US-ASCII")).putInt(5)
+    b.put(0x2F.toByte).putInt(799 | (599 << 14))
+    b.array()
+  }
+
+  // RIFF + VP8X extended: canvas w-1 / h-1 as 24-bit LE at 24/27
+  // (w=1920, h=1080)
+  private val webpVp8xBytes = {
+    val b = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(22)
+    b.put("WEBPVP8X".getBytes("US-ASCII")).putInt(10)
+    b.putInt(0x00000002)                                   // flags + reserved
+    b.put((1919 & 0xFF).toByte).put(((1919 >> 8) & 0xFF).toByte).put(0.toByte)
+    b.put((1079 & 0xFF).toByte).put(((1079 >> 8) & 0xFF).toByte).put(0.toByte)
+    b.array()
+  }
+
+  private def bmpInfo(w: Int, h: Int) = {
+    val b = java.nio.ByteBuffer.allocate(54).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+    b.array()
+  }
+
   test("HeaderDecoder parses real PNG/JPEG/GIF headers and tolerates junk") {
     import Media.{DecodedMedia, HeaderDecoder}
     assert(HeaderDecoder.decode(pngBytes) == DecodedMedia(640, 480, "png", pngBytes.length.toLong))
@@ -64,6 +104,35 @@ class MultimodalSpec extends SparkSpec {
     // truncated JPEG (SOI only) degrades gracefully, no exception
     assert(HeaderDecoder.decode(Array(0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xC0.toByte)).format == "jpeg")
     assert(HeaderDecoder.decode(Array.emptyByteArray).format == "unknown")
+  }
+
+  test("HeaderDecoder parses WEBP VP8/VP8L/VP8X and BMP headers") {
+    import Media.{DecodedMedia, HeaderDecoder}
+    assert(HeaderDecoder.decode(webpVp8Bytes) == DecodedMedia(550, 368, "webp", webpVp8Bytes.length.toLong))
+    assert(HeaderDecoder.decode(webpVp8lBytes) == DecodedMedia(800, 600, "webp", 25L))
+    assert(HeaderDecoder.decode(webpVp8xBytes) == DecodedMedia(1920, 1080, "webp", 30L))
+    assert(HeaderDecoder.decode(bmpInfo(1024, 768)) == DecodedMedia(1024, 768, "bmp", 54L))
+    // top-down BMP stores a negative height — a legal file, |h| reported
+    assert(HeaderDecoder.decode(bmpInfo(1024, -768)) == DecodedMedia(1024, 768, "bmp", 54L))
+    // negative width is corrupt, degrades to (0, 0) but keeps the format
+    assert(HeaderDecoder.decode(bmpInfo(-5, 10)) == DecodedMedia(0, 0, "bmp", 54L))
+    // legacy BITMAPCOREHEADER: 12-byte DIB header, LE16 dims
+    val core = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    core.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+    core.putInt(12).putShort(320.toShort).putShort(240.toShort)
+    assert(HeaderDecoder.decode(core.array()) == DecodedMedia(320, 240, "bmp", 26L))
+    // a RIFF that is not WEBP (e.g. WAVE audio) is not an image
+    val wave = "RIFF1234WAVEfmt ".getBytes("US-ASCII")
+    assert(HeaderDecoder.decode(wave).format == "unknown")
+    // truncation degrades to (0, 0) with the format kept, never throws
+    for (bytes <- Seq(webpVp8Bytes, webpVp8lBytes, webpVp8xBytes); cut <- Seq(16, 20, 22)) {
+      val d = HeaderDecoder.decode(bytes.take(cut))
+      assert(d == DecodedMedia(0, 0, "webp", cut.toLong), s"cut=$cut")
+    }
+    assert(HeaderDecoder.decode(bmpInfo(64, 64).take(20)) == DecodedMedia(0, 0, "bmp", 20L))
+    // an unknown future RIFF/WEBP chunk keeps the container format
+    val odd = "RIFF1234WEBPXYZW".getBytes("US-ASCII")
+    assert(HeaderDecoder.decode(odd) == DecodedMedia(0, 0, "webp", 16L))
   }
 
   test("HeaderDecoder runs through the distributed decodeMeta path") {
@@ -79,21 +148,21 @@ class MultimodalSpec extends SparkSpec {
       3L -> ((320, 200, "gif"))))
   }
 
-  test("syntheticContainer round-trips through HeaderDecoder for all three formats") {
+  test("syntheticContainer round-trips through HeaderDecoder for all five formats") {
     import Media.{DecodedMedia, HeaderDecoder, syntheticContainer}
     // ids covering each format branch, the modular dim wrap, and
     // negative ids (floorMod keeps dims positive and formats in range)
-    for (id <- Seq(0L, 1L, 2L, 3L, 599L, 601L, 1202L, 123456L, -1L, -599L, Long.MinValue)) {
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 599L, 601L, 1203L, 123456L, -1L, -599L, Long.MinValue)) {
       val expW = (16L + java.lang.Math.floorMod(id, 600L)).toInt
       val expH = (16L + java.lang.Math.floorMod(id * 3L, 400L)).toInt
-      val expFmt = java.lang.Math.floorMod(id, 3L) match {
-        case 0L => "png"; case 1L => "jpeg"; case _ => "gif" }
+      val expFmt = java.lang.Math.floorMod(id, 5L) match {
+        case 0L => "png"; case 1L => "jpeg"; case 2L => "gif"; case 3L => "webp"; case _ => "bmp" }
       val bytes = syntheticContainer(id)
       assert(HeaderDecoder.decode(bytes) == DecodedMedia(expW, expH, expFmt, bytes.length.toLong),
         s"id=$id")
     }
     // truncating any synthetic container degrades, never throws
-    for (id <- 0L to 2L; cut <- Seq(1, 5, 9)) {
+    for (id <- 0L to 4L; cut <- Seq(1, 5, 9, 11)) {
       val d = HeaderDecoder.decode(syntheticContainer(id).take(cut))
       assert(d.nBytes == cut.toLong)
     }

@@ -112,6 +112,12 @@ object HeaderDecoderProps extends Properties("header-decoder") {
     Array[Int](0xFF, 0xD8).map(_.toByte),             // JPEG SOI
     Array[Int](0xFF, 0xD8, 0xFF, 0xFF).map(_.toByte), // SOI + fill-byte run
     "GIF89a".getBytes("ISO-8859-1"),
+    "RIFF".getBytes("ISO-8859-1"),                    // RIFF, random payload
+    "RIFF1234WEBP".getBytes("ISO-8859-1"),   // WEBP, random chunk
+    "RIFF1234WEBPVP8 ".getBytes("ISO-8859-1"), // lossy: random tag/dims
+    "RIFF1234WEBPVP8L".getBytes("ISO-8859-1"), // lossless: random stream
+    "RIFF1234WEBPVP8X".getBytes("ISO-8859-1"), // extended: random canvas
+    "BM".getBytes("ISO-8859-1"),                      // BMP, random DIB header
     Array.emptyByteArray)
 
   property("decode never throws and always reports the true byte count") =
@@ -119,7 +125,7 @@ object HeaderDecoderProps extends Properties("header-decoder") {
       val payload = sig ++ tail.toArray
       val d = HeaderDecoder.decode(payload) // must not throw
       d.nBytes == payload.length.toLong && d.width >= 0 && d.height >= 0 &&
-        Set("png", "jpeg", "gif", "unknown").contains(d.format)
+        Set("png", "jpeg", "gif", "webp", "bmp", "unknown").contains(d.format)
     }
 }
 
