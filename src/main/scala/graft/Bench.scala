@@ -88,6 +88,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
+    // dedup_incremental phase attribution (sidecar-only): the official
+    // per-query number gates the full production flow (cut + index
+    // write + query) as one time; these split timings make
+    // round-over-round deltas attributable to the phase that moved.
+    val incrPhases: String =
+      try {
+        val (cut, writeIndex, query) = SparkEntry.incrementalPhases(spark, sfDir)
+        def timed(fn: () => Unit): Double = {
+          val t0 = System.nanoTime(); fn(); (System.nanoTime() - t0) / 1e9
+        }
+        val tCut = timed(() => { cut(); () })
+        val tWrite = timed(writeIndex)
+        val tQuery = timed(() => { query().queryExecution.toRdd.count(); () })
+        s"""{"cut":${f(tCut)},"index_write":${f(tWrite)},"query":${f(tQuery)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] incremental phase split failed: ${e.getMessage}")
+        "null"
+      }
+
     // Telemetry sidecar: everything a human needs to judge whether a
     // bad number is contention or code — never on the parsed line.
     val pjson = qs.map { case (name, _) =>
@@ -96,12 +115,15 @@ object Bench {
     val ojson = orders.map(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val sidecar =
-      s"""{"seed":$seed,"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"cpus_jvm":${Runtime.getRuntime.availableProcessors},"pass_orders":$ojson,"passes":$pjson}"""
+      s"""{"seed":$seed,"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"cpus_jvm":${Runtime.getRuntime.availableProcessors},"incremental_phases":$incrPhases,"pass_orders":$ojson,"passes":$pjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecarPath), sidecar)
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     System.err.println(s"[bench] telemetry sidecar: $sidecarPath (seed=$seed)")
 
-    spark.stop()
+    // A stop() failure must never cost the artifact: a fully completed
+    // run still prints its machine-readable line below.
+    try spark.stop()
+    catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     // LAST stdout line, compact: the driver's machine-readable record.
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size}}""")
     if (failed.nonEmpty) {

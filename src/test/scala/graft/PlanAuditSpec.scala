@@ -167,16 +167,21 @@ class PlanAuditSpec extends SparkSpec {
     val plan = q("pack_shards")
     assert(plan.contains("BroadcastHashJoin"),
       s"block offsets must broadcast-join back:\n$plan")
-    // two Window nodes exist: the per-block cumsum (partitioned by _blk)
-    // and the tiny offsets cumsum; neither may be an unpartitioned
-    // window over the full data — the offsets window input is the
-    // ≤targetBlocks-row aggregate, which the plan shows under a
-    // single-partition exchange AFTER the block totals HashAggregate.
+    // exactly one Window node: the per-block cumsum (partitioned by
+    // _blk). The offsets cumsum is a driver-side prefix sum over the
+    // collected ≤targetBlocks block totals (bound asserted in Pack), so
+    // no unpartitioned window — and no single-partition exchange —
+    // appears anywhere in the plan.
     val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
     assert(winLines.exists(_.contains("_blk")),
       s"per-block cumsum must partition by the block key:\n$plan")
-    assert(plan.contains("HashAggregate"),
-      s"block totals must be a (map-side combined) aggregate:\n$plan")
+    assert(!plan.contains("WindowExec: No Partition") && winLines.size <= 2,
+      s"no unpartitioned window may survive the offsets restructure:\n$plan")
+    // the broadcast side is the driver-computed offsets table (block
+    // totals aggregate runs in its own bounded collect job, so it does
+    // not appear in this plan)
+    assert(plan.contains("LocalTableScan"),
+      s"offsets must enter as a local (driver-built) table:\n$plan")
   }
 
   test("text kernels stay inside whole-stage codegen in one pruned scan") {
