@@ -583,15 +583,6 @@ object SparkEntry {
     },
   )
 
-  /** Deterministic intermediate stages backing the PARTIAL oracles of
-    * the four queries whose full pipeline is not ANSI-SQL-expressible.
-    * Verify writes each to `outDir/_aux/<name>` so the corresponding
-    * [[oracleSql]] entry (with `{OUT}` substituted to the absolute
-    * outDir) can `read_parquet` it and re-derive the downstream stage
-    * in DuckDB. Every export is a pure function of the input tables
-    * (fixed seeds, deterministic hashing — trainIvf's `orderBy(rand(
-    * seed))` sample included), so re-computing it here yields exactly
-    * the candidates the query itself reranked/verified. */
   /** The dedup_incremental flow split into its named phases — (cut,
     * index write, query) — so Bench's sidecar can attribute time to
     * each (the official per-query number still gates the full flow).
@@ -609,6 +600,17 @@ object SparkEntry {
        docs0.where(col("doc_id") > cut), col("doc_id"), col("text"), idx, 0.5))
   }
 
+  /** Deterministic intermediate stages backing the PARTIAL oracles of
+    * the four queries whose full pipeline is not ANSI-SQL-expressible.
+    * Verify writes each to a SIBLING of the query output dir
+    * (`<outDir>_aux/<name>`) so the driver's per-query result glob
+    * over outDir can never mistake the export tree for a query; the
+    * corresponding [[oracleSql]] entry (with `{AUX}` substituted to
+    * that absolute sibling path) `read_parquet`s it and re-derives the
+    * downstream stage in DuckDB. Every export is a pure function of
+    * the input tables (fixed seeds, deterministic hashing — trainIvf's
+    * `orderBy(rand(seed))` sample included), so re-computing it here
+    * yields exactly the candidates the query itself reranked/verified. */
   def auxExports: Map[String, (SparkSession, String) => DataFrame] = Map(
     // dedup_simhash upstream: per-doc 64-bit signatures.
     "simhash_sigs" -> { (s, dir) =>
@@ -664,7 +666,7 @@ object SparkEntry {
     * for ann_lsh and ann_ivf, which differ only in where their
     * candidates came from. */
   private def annRerankSql(candExport: String): String =
-    s"""WITH cand AS (SELECT probe_id, neighbor_id FROM '{OUT}/_aux/$candExport/*.parquet'),
+    s"""WITH cand AS (SELECT probe_id, neighbor_id FROM '{AUX}/$candExport/*.parquet'),
        |probes AS (SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
        |           FROM embeddings WHERE vec_id < 5),
        |sims AS (SELECT c.probe_id, c.neighbor_id,
@@ -692,8 +694,9 @@ object SparkEntry {
   )
 
   /** DuckDB-equivalent SQL per query (column names must match exactly).
-    * `{OUT}` is substituted by Verify with the absolute output dir, so
-    * partial oracles can read the [[auxExports]] parquet. */
+    * `{AUX}` is substituted by Verify with the absolute aux-export
+    * sibling dir, so partial oracles can read the [[auxExports]]
+    * parquet. */
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -852,7 +855,7 @@ object SparkEntry {
     // the non-SQL-expressible hash kernels stay under their specs, and
     // everything downstream is re-derived in DuckDB.
     "dedup_simhash" ->
-      s"""WITH sig AS (SELECT doc_id, sig FROM '{OUT}/_aux/simhash_sigs/*.parquet'),
+      s"""WITH sig AS (SELECT doc_id, sig FROM '{AUX}/simhash_sigs/*.parquet'),
          |banded AS (SELECT doc_id, sig, c.chunk, (sig >> (c.chunk * 16)) & 65535 AS ckey
          |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk) c),
          |capped AS (SELECT * FROM
@@ -866,7 +869,7 @@ object SparkEntry {
          |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
 
     "dedup_embedding" ->
-      """WITH cand AS (SELECT id_a, id_b FROM '{OUT}/_aux/emb_cand/*.parquet'),
+      """WITH cand AS (SELECT id_a, id_b FROM '{AUX}/emb_cand/*.parquet'),
         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
         |SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.ev, b.ev), 6) AS sim
         |FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
@@ -1013,9 +1016,10 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
         |flagged AS (SELECT DISTINCT g.doc_id FROM g JOIN bench b ON g.gram = b.gram
         |            WHERE g.doc_id % 10 <> 0)
-        |SELECT doc_id FROM documents
-        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
-        |ORDER BY doc_id""".stripMargin,
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 10 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The keep-predicate is the IDENTICAL ANSI expression the engine
     // runs: fixed-width lowercase hex compares lexicographically like

@@ -22,11 +22,15 @@ object Verify {
       }
     }
     // Aux exports backing the partial oracles (see SparkEntry.auxExports)
-    // — under _aux/ so the driver's query-result glob never sees them.
+    // — written to a SIBLING of outDir so the driver's query-result
+    // glob (every directory under outDir = one query) can never pick
+    // the export tree up as a pseudo-query row (r10's `_aux no_oracle`
+    // row in CORRECTNESS was exactly that miscount).
+    val auxDir = s"${outDir}_aux"
     val failedAux = SparkEntry.auxExports.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/_aux/$name")
+          .parquet(s"$auxDir/$name")
         None
       } catch { case e: Throwable =>
         System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
@@ -45,18 +49,18 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Partial oracles read the _aux exports by path: resolve {OUT} to
-    // the absolute output dir HERE (only Verify knows it) so the dumped
-    // SQL is runnable verbatim by the driver's DuckDB, whatever its cwd.
-    // An oracle whose aux export failed to write is DROPPED (the query
-    // degrades to the driver's rows-only check) — emitting SQL that
-    // points at missing parquet would crash the whole compare loop.
-    val absOut = new java.io.File(outDir).getAbsolutePath
+    // Partial oracles read the aux exports by path: resolve {AUX} to
+    // the absolute sibling dir HERE (only Verify knows it) so the
+    // dumped SQL is runnable verbatim by the driver's DuckDB, whatever
+    // its cwd. An oracle whose aux export failed to write is DROPPED
+    // (the query degrades to the driver's rows-only check) — emitting
+    // SQL that points at missing parquet would crash the compare loop.
+    val absAux = new java.io.File(auxDir).getAbsolutePath
     val json = SparkEntry.oracleSql
       .filter { case (k, _) =>
         !SparkEntry.auxBackedOracles.get(k).exists(failedAux.contains)
       }
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{OUT}", absOut))}" }
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", absAux))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

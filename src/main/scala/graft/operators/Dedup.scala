@@ -519,7 +519,11 @@ object Dedup {
     * `explode(shingles(NULL))` eliminates them from
     * [[contaminationStats]] (which still reports no row for them —
     * the stats convention; the KEEP decision is what must not drop
-    * them). */
+    * them). NULL-ID rows are likewise KEPT (a null anti-join key
+    * never matches the drop list) — note this is the SQL `NOT
+    * EXISTS` semantics, not `NOT IN` (which drops every row when any
+    * id is NULL); the module-wide convention remains unique non-null
+    * ids, under which the two are identical. */
   def decontaminatedKeep(
       corpus: DataFrame, corpusId: Column, corpusText: Column,
       bench: DataFrame, benchText: Column,

@@ -84,3 +84,42 @@ class SketchSpec extends SparkSpec {
     assert(within(r.getLong(3), 500, 0.10), s"overlap ${r.getLong(3)}")
   }
 }
+
+/** The estimate's error contract as a CURVE, not one pinned shape:
+  * for generated lgK and planted overlap geometries, each estimated
+  * count stays within 3× the HLL standard error 1.04/√2^lgK of the
+  * exact twin, and n_overlap — three estimates composed by
+  * inclusion-exclusion — within the sum of the three absolute
+  * envelopes. Case count kept small (each evaluation runs two Spark
+  * aggregations on the shared session), matching ClusterProps. */
+object OverlapErrorProps extends org.scalacheck.Properties("overlap-error-contract") {
+  import org.scalacheck.{Gen, Test}
+  import org.scalacheck.Prop.forAll
+  import graft.operators.Sketch
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private val genCase = for {
+    lgK <- Gen.oneOf(12, 14, 16)
+    nA  <- Gen.choose(500, 3000)
+    nB  <- Gen.choose(500, 3000)
+    ov  <- Gen.choose(0, math.min(nA, nB))
+  } yield (lgK, nA, nB, ov)
+
+  property("estimates within 3*1.04/sqrt(2^lgK) of overlapExact, overlap within the composed envelope") =
+    forAll(genCase) { case (lgK, nA, nB, ov) =>
+      val s = TestSession.spark
+      import s.implicits._
+      val a = (1L to nA.toLong).toDF("k")
+      val b = ((nA - ov + 1).toLong to (nA - ov + nB).toLong).toDF("k")
+      val ex = Sketch.overlapExact(a, col("k"), b, col("k")).head()
+      val es = Sketch.overlapEstimate(a, col("k"), b, col("k"), lgK).head()
+      val eps = 3.0 * 1.04 / math.sqrt(math.pow(2.0, lgK))
+      def side(i: Int): Boolean =
+        math.abs(es.getLong(i) - ex.getLong(i)) <= math.max(1.0, eps * ex.getLong(i))
+      val composedEnv = eps * (ex.getLong(0) + ex.getLong(1) + ex.getLong(2))
+      side(0) && side(1) && side(2) &&
+        math.abs(es.getLong(3) - ex.getLong(3)) <= math.max(1.0, composedEnv)
+    }
+}
