@@ -434,8 +434,10 @@ object Ann {
     * probe-set with a bucket-pruned fraction ~ tables/2^bits. */
   def topKLsh(
       df: DataFrame, id: Column, vec: Column, probes: DataFrame, k: Int,
-      dim: Int, tables: Int = 8, bits: Int = 8, seed: Long = 7L): DataFrame =
-    exactRerank(lshCandidates(df, id, vec, probes, dim, tables, bits, seed),
+      dim: Int, tables: Int = 8, bits: Int = 8, seed: Long = 7L,
+      maxCandidatesPerProbe: Int = DefaultMaxLshCandidates): DataFrame =
+    exactRerank(
+      lshCandidates(df, id, vec, probes, dim, tables, bits, seed, maxCandidatesPerProbe),
       df, id, vec, probes, k)
 
   /** The candidate stage of [[topKLsh]]: `(probe_id, neighbor_id, _v,
@@ -452,15 +454,38 @@ object Ann {
       .where(col("probe_id") =!= col("neighbor_id"))
   }
 
+  /** Per-probe candidate ceiling for [[topKLsh]] — a safety valve, not
+    * a recall knob. At healthy parameters candidates/probe ≈
+    * tables·n/2^bits and the exactRerank broadcast is small; but a hot
+    * bucket (many identical or zero vectors hashing together) makes
+    * the candidate set proportional to bucket occupancy, and
+    * BROADCASTING an unbounded set is how a skewed corpus kills the
+    * driver at 100 TB. The cap keeps the `maxCandidatesPerProbe`
+    * pairs with the MOST table collisions (collision count is the LSH
+    * proximity signal — a pair colliding in more tables is closer in
+    * expectation), ties broken by smallest id, via the same
+    * partial-merge top-k aggregate the rerank uses — no window, and
+    * the per-group state is bounded by the cap. */
+  val DefaultMaxLshCandidates: Int = 65536
+
   /** The distinct LSH candidate pairs `(probe_id, neighbor_id)` a
     * [[topKLsh]] search with the same params reranks — public and
     * exportable so an external engine can re-derive the exact rerank
     * from the candidates plus the raw vectors (the driver's DuckDB
     * oracle reruns it with `list_cosine_similarity`), leaving only the
-    * hyperplane hashing to AnnSpec's recall gate. */
+    * hyperplane hashing to AnnSpec's recall gate. Deduplication is a
+    * collision-count aggregate (same shuffle as a distinct) feeding
+    * the bounded per-probe cap — see [[DefaultMaxLshCandidates]]. */
   def lshCandidates(
       df: DataFrame, id: Column, vec: Column, probes: DataFrame,
-      dim: Int, tables: Int = 8, bits: Int = 8, seed: Long = 7L): DataFrame =
-    lshCandJoin(df, id, vec, probes, dim, tables, bits, seed)
-      .select("probe_id", "neighbor_id").distinct()
+      dim: Int, tables: Int = 8, bits: Int = 8, seed: Long = 7L,
+      maxCandidatesPerProbe: Int = DefaultMaxLshCandidates): DataFrame = {
+    require(maxCandidatesPerProbe > 0 && maxCandidatesPerProbe <= (1 << 20),
+      s"maxCandidatesPerProbe must be in (0, 2^20], got $maxCandidatesPerProbe" +
+        " (the cap is TopKByScore per-group state — see its k bound)")
+    val coll = lshCandJoin(df, id, vec, probes, dim, tables, bits, seed)
+      .groupBy("probe_id", "neighbor_id")
+      .agg(count(lit(1)).cast("double").as("sim")) // collision count = LSH proximity proxy
+    topKPerProbe(coll, maxCandidatesPerProbe).select("probe_id", "neighbor_id")
+  }
 }

@@ -85,6 +85,36 @@ class AnnSpec extends SparkSpec {
     }
   }
 
+  test("lshCandidates bounds a hot bucket at maxCandidatesPerProbe, keeping most-collision pairs") {
+    import spark.implicits._
+    // adversarial skew: 60 IDENTICAL vectors — every LSH table hashes
+    // them to one bucket, so an uncapped candidate set is the full 60
+    // per probe (the unbounded-broadcast hazard at scale)
+    val hot = (0L until 60L).map(i => Emb(i, Seq.fill(dim)(1.0f)))
+    val e = Tio.fromRows(spark, Embs, hot).toNative
+    val probes = e.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val capped = Ann.lshCandidates(e, col("vec_id"), col("embedding"), probes,
+      dim = dim, maxCandidatesPerProbe = 10).collect()
+    assert(capped.length == 10)
+    // all pairs collide in all tables, so the tie-break keeps the
+    // smallest neighbor ids — deterministic under the cap
+    assert(capped.map(_.getAs[Long]("neighbor_id")).sorted.toSeq == (1L to 10L))
+    // and the capped search still returns a full, well-formed top-k
+    val out = Ann.topKLsh(e, col("vec_id"), col("embedding"), probes, k = 4,
+      dim = dim, maxCandidatesPerProbe = 10).collect()
+    assert(out.length == 4 && out.forall(_.getAs[Double]("sim") > 0.999))
+    // default cap leaves healthy workloads untouched: same result as
+    // an explicitly uncapped-equivalent run
+    val (e2, probes2) = frames
+    val dflt = Ann.lshCandidates(e2, col("vec_id"), col("embedding"), probes2, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val loose = Ann.lshCandidates(e2, col("vec_id"), col("embedding"), probes2,
+      dim = dim, maxCandidatesPerProbe = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt == loose)
+  }
+
   test("topKIvf recovers the brute-force top-4 via inverted lists") {
     val (e, probes) = frames
     val brute = localTopK(4).view.mapValues(_.map(_._1).toSet).toMap
