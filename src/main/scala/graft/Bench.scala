@@ -43,6 +43,11 @@ object Bench {
     val sidecarPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR", "bench_passes.json")
     val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
       .getOrElse(System.nanoTime())
+    // Stress-run knobs (official driver runs use the defaults): pass
+    // count and warmup toggle, so a multi-minute-per-query stress SF
+    // can be probed in one timed pass instead of 4 full sweeps.
+    val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val doWarmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
     val spark = GraftSession.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -50,7 +55,7 @@ object Bench {
       fn(spark, sfDir).queryExecution.toRdd.count(): Unit
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    qs.foreach { case (name, fn) =>
+    if (doWarmup) qs.foreach { case (name, fn) =>
       try run(fn)
       catch { case e: Throwable => System.err.println(s"[bench warmup] $name: ${e.getMessage}") }
     }
@@ -60,7 +65,7 @@ object Bench {
 
     var failed = Set.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
-    val orders = (1 to 3).map { pass =>
+    val orders = (1 to nPasses).map { pass =>
       val rnd = new scala.util.Random(seed + pass)
       val order = rnd.shuffle(qs)
       order.foreach { case (name, fn) =>

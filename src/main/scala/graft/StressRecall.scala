@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Ann
+
+/** ANN recall telemetry at stress scale — the production-parameter
+  * answer to "how much does each approximate path actually miss?".
+  * AnnSpec pins recall on small planted clusters; this runs the SAME
+  * parameters the driver gate queries use (dim 64, LSH 8×8-bit
+  * tables, IVF 16 lists / 4 probes, PQ m=8 codes=16 rerank=50, 5
+  * probes, k=10) over a REAL embeddings table — the sf1 stress corpus
+  * by default — and reports recall@10 of every approximate variant
+  * against one extra brute-force pass.
+  *
+  * recall@10 = mean over probes of |ann top-10 ∩ brute top-10| / 10
+  * (macro-average; a probe returning fewer than 10 rows scores its
+  * hits against the brute 10, so truncation costs recall — there is
+  * no "graded on a curve" for a thin candidate set).
+  *
+  * Prints ONE JSON line
+  * `{"metric":"ann_recall","k":10,...,"recall":{"lsh":…,"ivf":…,
+  * "pq":…,"ivfpq":…}}`. Usage: `graft.StressRecall
+  * [sfDir=/tmp/graft_sf1]` (generate with tools/make_sf1.py first).
+  */
+object StressRecall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val k = 10
+    val spark = GraftSession.local(cpus, "graft-stress-recall")
+    spark.sparkContext.setLogLevel("WARN")
+
+    val e = tables.embeddings(spark, sfDir).toNative
+    val probes = e.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+
+    def topIds(df: DataFrame): Map[Long, Set[Long]] = df
+      .select("probe_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    val t0 = System.nanoTime()
+    val brute = topIds(Ann.topKBrute(e, col("vec_id"), col("embedding"), probes, k))
+    val bruteSec = (System.nanoTime() - t0) / 1e9
+
+    // train once, search many — the production flow both quantized
+    // paths share (training is the offline step, excluded from the
+    // per-variant timings below)
+    val ivf = Ann.trainIvf(e, col("embedding"), dim = 64, nClusters = 16)
+    val pq = Ann.trainPq(e, col("embedding"), dim = 64, m = 8, codes = 16)
+
+    val variants: Seq[(String, () => DataFrame)] = Seq(
+      "lsh" -> (() => Ann.topKLsh(e, col("vec_id"), col("embedding"), probes, k, dim = 64)),
+      "ivf" -> (() => Ann.topKIvfWith(ivf, e, col("vec_id"), col("embedding"), probes, k, nProbe = 4)),
+      "pq" -> (() => Ann.topKPqWith(pq, e, col("vec_id"), col("embedding"), probes, k, rerank = 50)),
+      "ivfpq" -> (() => Ann.topKIvfPqWith(ivf, pq, e, col("vec_id"), col("embedding"), probes, k,
+        nProbe = 4, rerank = 50)),
+    )
+
+    def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
+    val results = variants.map { case (name, fn) =>
+      val t = System.nanoTime()
+      val got = topIds(fn())
+      val sec = (System.nanoTime() - t) / 1e9
+      val recall = brute.keys.toSeq.map { p =>
+        got.getOrElse(p, Set.empty).intersect(brute(p)).size.toDouble / brute(p).size
+      }.sum / brute.size
+      (name, recall, sec)
+    }
+
+    val nVecs = e.count()
+    val rjson = results.map { case (n, r, _) => s"\"$n\":${f(r)}" }.mkString("{", ",", "}")
+    val tjson = results.map { case (n, _, s) => s"\"$n\":${f(s)}" }.mkString("{", ",", "}")
+    try spark.stop()
+    catch { case ex: Throwable => System.err.println(s"[recall] spark.stop failed: ${ex.getMessage}") }
+    println(s"""{"metric":"ann_recall","k":$k,"n_vectors":$nVecs,"n_probes":${brute.size},"brute_sec":${f(bruteSec)},"recall":$rjson,"variant_sec":$tjson,"sf":"$sfDir"}""")
+  }
+}

@@ -150,43 +150,135 @@ object Dedup {
       .toDF("_id", "band", "bucket")
   }
 
-  /** Candidate pairs `(id_a, id_b)`, id_a < id_b — the bucketed
-    * self-join. NEVER a cartesian: the join keys are (band, bucket),
-    * and buckets over `maxBucket` members are dropped (hot-bucket
-    * guard, see [[capBuckets]]). */
+  // ----------------------------------------------- exact-duplicate collapse
+  /** Membership map for [[collapseByText]]: `member` is `(_mid, _rid)`
+    * — every non-null-text row's id with its group REPRESENTATIVE (the
+    * min id among rows sharing the 128-bit normalized-text
+    * fingerprint); `reps` is the input restricted to representatives. */
+  private final case class Collapsed(member: DataFrame, reps: DataFrame)
+
+  private def collapseByText(df: DataFrame, id: Column, text: Column): Collapsed = {
+    val m = df.select(id.as("_mid"), TextFns.fingerprintMd5(text).as("_mfp"))
+      .where(col("_mfp").isNotNull)
+    val repOf = m.groupBy("_mfp").agg(min(col("_mid")).as("_rid"))
+    val member = m.join(repOf, "_mfp").select(col("_mid"), col("_rid"))
+    val reps = df.join(repOf.select(col("_rid")), id === col("_rid"), "left_semi")
+    Collapsed(member, reps)
+  }
+
+  /** Expand rep-level pairs `(id_a, id_b, carry…)` to member-level
+    * pairs: each (rep_a, rep_b) pair becomes every (a ∈ group_a,
+    * b ∈ group_b) pair, reordered so id_a < id_b, carrying the rep
+    * pair's extra columns verbatim (equal texts ⇒ equal scores). */
+  private def expandRepPairs(repPairs: DataFrame, member: DataFrame, carry: Seq[String]): DataFrame = {
+    val ma = member.select(col("_rid").as("id_a"), col("_mid").as("_ma"))
+    val mb = member.select(col("_rid").as("id_b"), col("_mid").as("_mb"))
+    repPairs.join(ma, "id_a").join(mb, "id_b")
+      .select(least(col("_ma"), col("_mb")).as("id_a") +:
+        greatest(col("_ma"), col("_mb")).as("id_b") +: carry.map(col): _*)
+  }
+
+  /** The within-group pair stream `(id_a, id_b)`, id_a < id_b — every
+    * same-fingerprint pair, an exact duplicate by construction. Keyed
+    * self-join on the rep id: per-group output is C(g,2), the answer's
+    * own size, with no band multiplier and no verify. */
+  private def withinGroupPairs(member: DataFrame): DataFrame = {
+    val wa = member.select(col("_rid").as("_g"), col("_mid").as("id_a"))
+    val wb = member.select(col("_rid").as("_g"), col("_mid").as("id_b"))
+    wa.join(wb, "_g").where(col("id_a") < col("id_b")).select("id_a", "id_b")
+  }
+
+  /** Candidate pairs `(id_a, id_b)`, id_a < id_b. NEVER a cartesian:
+    * the join keys are (band, bucket), and buckets over `maxBucket`
+    * members are dropped (hot-bucket guard, see [[capBuckets]]).
+    *
+    * `collapseExact` (default ON) routes the LSH stage through the
+    * exact-duplicate collapse: rows are grouped by the 128-bit
+    * normalized-text fingerprint, ONLY the min-id representative of
+    * each group is banded and self-joined, within-group pairs come
+    * straight from the fingerprint groups (duplicates by construction)
+    * and rep-level candidates expand back to member pairs. Equal
+    * normalized text ⇒ identical shingle sets ⇒ identical signatures
+    * and buckets, so the candidate set is the uncollapsed one wherever
+    * the cap does not fire — and strictly closer to complete where it
+    * does (g copies inflate member-level buckets past the cap that
+    * their ONE rep row never strains). The point is scale: a group of
+    * g copies in the uncollapsed join emits C(g,2)·bands pair-rows
+    * before the distinct (g=100, 64 bands → 316,800 rows per group;
+    * ~1.6 BILLION rows on the 100×-replicated sf10 stress corpus) just
+    * to rediscover that copies are copies — collapse makes that term
+    * C(g,2) exactly once, with no band multiplier. Set it false only
+    * to reproduce raw member-level bucket behavior (e.g. cap
+    * accounting of a known-degenerate corpus). */
   def minhashCandidates(
       df: DataFrame, id: Column, text: Column,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
-      maxBucket: Int = DefaultMaxBucket): DataFrame =
-    bucketSelfJoin(
-      capBuckets(minhashBuckets(df, id, text, shingleK, numHashes, bands),
-        Seq("band", "bucket"), maxBucket),
-      Seq("band", "bucket"))
+      maxBucket: Int = DefaultMaxBucket, collapseExact: Boolean = true): DataFrame =
+    if (!collapseExact)
+      bucketSelfJoin(
+        capBuckets(minhashBuckets(df, id, text, shingleK, numHashes, bands),
+          Seq("band", "bucket"), maxBucket),
+        Seq("band", "bucket"))
+    else {
+      val c = collapseByText(df, id, text)
+      val repCand = bucketSelfJoin(
+        capBuckets(minhashBuckets(c.reps, id, text, shingleK, numHashes, bands),
+          Seq("band", "bucket"), maxBucket),
+        Seq("band", "bucket"))
+      expandRepPairs(repCand, c.member, Nil).unionAll(withinGroupPairs(c.member))
+    }
 
   // ------------------------------------------------------------------ L4
   /** LSH candidates verified by exact shingle-set Jaccard:
     * `(id_a, id_b, jaccard)` for pairs ≥ `threshold`. Intersection and
     * union are integer set sizes, so the double ratio is bit-identical
     * across engines. The candidate set is typically tiny relative to n;
-    * AQE broadcast-joins it against the shingle sets at runtime. */
+    * AQE broadcast-joins it against the shingle sets at runtime.
+    *
+    * With `collapseExact` (default ON, see [[minhashCandidates]]) the
+    * exact verify runs at REP level only: within-group pairs are J = 1
+    * exactly (identical sets — no verify needed, emitted directly) and
+    * each cross-group member pair carries its rep pair's verified
+    * Jaccard (equal sets ⇒ equal scores). Output is identical to the
+    * uncollapsed path wherever the hot-bucket cap does not fire. */
   def jaccardPairs(
       df: DataFrame, id: Column, text: Column, threshold: Double,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sets = shingleSets(df, id, text, shingleK)
-    jaccardVerify(
-      minhashCandidates(df, id, text, shingleK, numHashes, bands, maxBucket),
-      sets, sets, threshold)
-  }
+      maxBucket: Int = DefaultMaxBucket, collapseExact: Boolean = true): DataFrame =
+    if (!collapseExact) {
+      val sets = shingleSets(df, id, text, shingleK)
+      jaccardVerify(
+        minhashCandidates(df, id, text, shingleK, numHashes, bands, maxBucket,
+          collapseExact = false),
+        sets, sets, threshold)
+    } else {
+      val c = collapseByText(df, id, text)
+      val repSets = shingleSets(c.reps, id, text, shingleK)
+      val repPairs = jaccardVerify(
+        bucketSelfJoin(
+          capBuckets(minhashBuckets(c.reps, id, text, shingleK, numHashes, bands),
+            Seq("band", "bucket"), maxBucket),
+          Seq("band", "bucket")),
+        repSets, repSets, threshold)
+      val within = withinGroupPairs(c.member)
+        .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+        .where(lit(1.0) >= threshold)
+      expandRepPairs(repPairs, c.member, Seq("jaccard")).unionAll(within)
+    }
 
   /** Near-dedup keep-list: drop every doc that duplicates (Jaccard ≥
     * threshold) a smaller-id doc — the min-id-representative rule,
-    * applied as an anti-join against the verified pairs. */
+    * applied as an anti-join against the verified pairs. The drop set
+    * is identical with [[jaccardPairs]]' collapse on or off (a doc has
+    * a smaller-id duplicate among members iff its rep pair says so —
+    * group reps ARE the group minimums), so the scalable path is the
+    * default here too. */
   def minhashKeep(
       df: DataFrame, id: Column, text: Column, threshold: Double,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val dups = jaccardPairs(df, id, text, threshold, shingleK, numHashes, bands, maxBucket)
+      maxBucket: Int = DefaultMaxBucket, collapseExact: Boolean = true): DataFrame = {
+    val dups = jaccardPairs(df, id, text, threshold, shingleK, numHashes, bands,
+        maxBucket, collapseExact)
       .select(col("id_b").as("_drop_id"))
     df.join(dups, id === col("_drop_id"), "left_anti")
   }
@@ -195,18 +287,36 @@ object Dedup {
     * skipped — the default for production runs, where capped buckets
     * must be logged, not silently lost. One extra pass over the narrow
     * bucket stream (see [[capWithReport]]); use [[oversizedBuckets]]
-    * for a detailed per-bucket breakdown. */
+    * for a detailed per-bucket breakdown. With `collapseExact` the
+    * report counts REP-level buckets (exact copies collapse before
+    * banding, so they can no longer inflate a bucket past the cap —
+    * a corpus whose only degeneracy is exact duplication reports
+    * ZERO skips and dedups fully). */
   def minhashKeepReported(
       df: DataFrame, id: Column, text: Column, threshold: Double,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
-      maxBucket: Int = DefaultMaxBucket): (DataFrame, SkippedBuckets) = {
-    val (capped, report) = capWithReport(
-      minhashBuckets(df, id, text, shingleK, numHashes, bands),
-      Seq("band", "bucket"), maxBucket)
-    val sets = shingleSets(df, id, text, shingleK)
-    val dups = jaccardVerify(bucketSelfJoin(capped, Seq("band", "bucket")), sets, sets, threshold)
-      .select(col("id_b").as("_drop_id"))
-    (df.join(dups, id === col("_drop_id"), "left_anti"), report)
+      maxBucket: Int = DefaultMaxBucket, collapseExact: Boolean = true): (DataFrame, SkippedBuckets) = {
+    if (!collapseExact) {
+      val (capped, report) = capWithReport(
+        minhashBuckets(df, id, text, shingleK, numHashes, bands),
+        Seq("band", "bucket"), maxBucket)
+      val sets = shingleSets(df, id, text, shingleK)
+      val dups = jaccardVerify(bucketSelfJoin(capped, Seq("band", "bucket")), sets, sets, threshold)
+        .select(col("id_b").as("_drop_id"))
+      (df.join(dups, id === col("_drop_id"), "left_anti"), report)
+    } else {
+      val c = collapseByText(df, id, text)
+      val (capped, report) = capWithReport(
+        minhashBuckets(c.reps, id, text, shingleK, numHashes, bands),
+        Seq("band", "bucket"), maxBucket)
+      val repSets = shingleSets(c.reps, id, text, shingleK)
+      val repPairs = jaccardVerify(bucketSelfJoin(capped, Seq("band", "bucket")),
+        repSets, repSets, threshold)
+      val dups = expandRepPairs(repPairs, c.member, Nil).select("id_b")
+        .unionAll(withinGroupPairs(c.member).select("id_b"))
+        .select(col("id_b").as("_drop_id"))
+      (df.join(dups, id === col("_drop_id"), "left_anti"), report)
+    }
   }
 
   // ------------------------------------------------- persisted index (L2+)

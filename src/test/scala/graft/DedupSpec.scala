@@ -67,6 +67,18 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("collapseExact is a pure optimization: pairs and keeps match the raw path on real data") {
+    val d = graft.tables.documents(spark, "/root/testdata/sf0.001").toNative
+    def pairs(collapse: Boolean) =
+      Dedup.jaccardPairs(d, col("doc_id"), col("text"), 0.5, collapseExact = collapse)
+        .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9))).toSet
+    assert(pairs(collapse = true) == pairs(collapse = false))
+    def keeps(collapse: Boolean) =
+      Dedup.minhashKeep(d, col("doc_id"), col("text"), 0.5, collapseExact = collapse)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keeps(collapse = true) == keeps(collapse = false))
+  }
+
   test("simhashPairs finds hamming-0 twins and nothing across content") {
     val pairs = Dedup.simhashPairs(df, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Int]("hamming")).toMap
@@ -284,7 +296,10 @@ class DedupSpec extends SparkSpec {
     val template = (100L until 1100L).map(i =>
       Doc(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"))
     val all = Tio.fromRows(spark, Docs, docs ++ template).toNative
-    val cands = Dedup.minhashCandidates(all, col("doc_id"), col("text"), maxBucket = 50)
+    // raw member-level banding (collapseExact = false): the guard is
+    // what stands between a degenerate bucket and O(b²) pair rows
+    val cands = Dedup.minhashCandidates(all, col("doc_id"), col("text"), maxBucket = 50,
+        collapseExact = false)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // the template bucket is dropped; the planted true pairs survive
     assert(cands == Set((1L, 2L), (1L, 3L), (2L, 3L)))
@@ -293,6 +308,11 @@ class DedupSpec extends SparkSpec {
       Dedup.minhashBuckets(all, col("doc_id"), col("text")),
       Seq("band", "bucket"), 50).collect()
     assert(over.nonEmpty && over.forall(_.getAs[Long]("bucket_size") == 1000L))
+    // DEFAULT path: the exact-duplicate collapse bands ONE rep for the
+    // whole clique, so the cap never fires and the clique's pairs come
+    // from the fingerprint groups directly — complete, not capped
+    val collapsed = Dedup.minhashCandidates(all, col("doc_id"), col("text"), maxBucket = 50)
+    assert(collapsed.count() == 999L * 1000L / 2 + 3) // C(1000,2) within + 3 planted
     // at gate scale (no degenerate bucket) the default cap never fires
     val uncapped = Dedup.minhashCandidates(df, col("doc_id"), col("text"), maxBucket = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -325,16 +345,28 @@ class DedupSpec extends SparkSpec {
   test("reported variants surface exactly what the hot-bucket guard skipped") {
     import spark.implicits._
     // 1000 identical template docs: every one of the 64 bands puts all
-    // 1000 in one bucket → 64 skipped groups, 64·1000 skipped rows.
+    // 1000 in one bucket → 64 skipped groups, 64·1000 skipped rows —
+    // under raw member-level banding (collapseExact = false).
     val template = (100L until 1100L).map(i =>
       Doc(i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"))
     val all = Tio.fromRows(spark, Docs, docs ++ template).toNative
-    val (kept, rep) = Dedup.minhashKeepReported(all, col("doc_id"), col("text"), 0.5, maxBucket = 50)
+    val (kept, rep) = Dedup.minhashKeepReported(all, col("doc_id"), col("text"), 0.5,
+      maxBucket = 50, collapseExact = false)
     assert(rep == Dedup.SkippedBuckets(64L, 64000L))
     val keptIds = kept.collect().map(_.getAs[Long]("doc_id")).toSet
     assert(keptIds.contains(1L) && keptIds.contains(4L))
     assert(!keptIds.contains(2L) && !keptIds.contains(3L)) // true pairs still dropped
     assert(template.forall(d => keptIds.contains(d.doc_id))) // capped bucket: reported, not deduped
+
+    // DEFAULT path: exact copies collapse before banding, so the same
+    // corpus reports ZERO skips and the clique dedups fully to its min
+    // id — the guard is left for buckets that are hot WITHOUT being
+    // exact copies
+    val (keptC, repC) = Dedup.minhashKeepReported(all, col("doc_id"), col("text"), 0.5,
+      maxBucket = 50)
+    assert(repC == Dedup.SkippedBuckets(0L, 0L))
+    val keptCIds = keptC.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptCIds == Set(1L, 4L, 100L)) // template clique → its min id
 
     // without a degenerate bucket the report is zero and the result
     // matches the plain API exactly

@@ -6,11 +6,14 @@ physical type survives. NOT a correctness input — correctness gates run
 on the driver's sf0.01 parquet + DuckDB oracles; this exists to measure
 scaling behavior (see STRESS_sf1.md).
 
-Usage: python3 tools/make_sf1.py [src=/root/testdata/sf0.1] [dst=/tmp/graft_sf1]
+Usage: python3 tools/make_sf1.py [src=/root/testdata/sf0.1] [dst=/tmp/graft_sf1] [repl=10]
 
-Side effect of replication, by design: every document/embedding gains 10
-exact copies, so duplicate-pair density is ~9000x the sf0.1 corpus --
-the dedup stress is deliberately super-linear in pairs.
+repl=10 is the sf1 (10x) dataset; repl=100 is the sf10 memory-ceiling
+probe (60M lineitem / 500k docs / 2M vectors -- still a few GB of
+parquet, but the dedup workload grows QUADRATICALLY in repl: every doc
+gains repl exact copies, so duplicate pairs per group go C(repl,2),
+i.e. 110x the sf1 pair count at only 10x its rows. Read stress ratios
+against that expected workload growth, not against row count).
 """
 import sys
 import pyarrow as pa
@@ -18,7 +21,7 @@ import pyarrow.parquet as pq
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
-REPL = 10
+REPL = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 
 import os
 os.makedirs(dst, exist_ok=True)
