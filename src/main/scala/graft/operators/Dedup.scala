@@ -486,10 +486,27 @@ object Dedup {
     * [[graft.streaming.GStream.dedupStream]] relies on. */
   def minhashKeepIncremental(
       newDocs: DataFrame, id: Column, text: Column, indexPath: String,
-      threshold: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      threshold: Double, maxBucket: Int = DefaultMaxBucket,
+      collapseExact: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     val (shingleK, numHashes, bands) = readIndexParams(spark, indexPath).getOrElse(
       throw new IllegalArgumentException(s"no MinHash index found at $indexPath"))
+    // Batch-side exact-duplicate collapse (see [[minhashCandidates]]):
+    // only min-id representatives are shingled, banded, and verified —
+    // non-rep members are dropped directly (their rep is a smaller-id
+    // exact duplicate in the same batch). The INDEX side is never
+    // collapsed: a rep is checked against every indexed doc
+    // individually, so equivalence does not depend on the index being
+    // duplicate-free. The replay guard below stays on ALL batch ids —
+    // a replayed batch's stale index copies must be excluded whether
+    // or not the copy was a representative.
+    val (bandDocs, nonRepDrops) =
+      if (!collapseExact) (newDocs, None)
+      else {
+        val c = collapseByText(newDocs, id, text)
+        (c.reps, Some(c.member.where(col("_mid") =!= col("_rid"))
+          .select(col("_mid").as("_drop_id"))))
+      }
     // ONE normalization+shingling pass over the batch text (the dominant
     // per-batch cost): materialize the shingle sets via localCheckpoint
     // and derive BOTH the bucket stream and the verify side from the
@@ -505,7 +522,7 @@ object Dedup {
     // which is cheap because the batch is the small side and safe
     // because this function is replay-idempotent (the contract
     // [[GStream.dedupStream]]'s foreachBatch retries already rely on).
-    val newSets = shingleSets(newDocs, id, text, shingleK).localCheckpoint(eager = true)
+    val newSets = shingleSets(bandDocs, id, text, shingleK).localCheckpoint(eager = true)
     val newIds = newDocs.select(id.as("_nid"))
     val newBk = newSets.select(col("_jid").as("_id"),
         posexplode(TextFns.minhashBands(col("_set"), numHashes, bands)))
@@ -534,9 +551,10 @@ object Dedup {
       .join(newIds, col("id") === col("_nid"), "left_anti") // mirror the bucket-side exclusion
       .select(col("id").as("_jid"), col("shingles").as("_set"))
       .union(newSets)
-    val drops = jaccardVerify(cands, aSets, newSets, threshold)
+    val repDrops = jaccardVerify(cands, aSets, newSets, threshold)
       .select(col("id_b").as("_drop_id"))
       .distinct()
+    val drops = nonRepDrops.map(repDrops.unionAll).getOrElse(repDrops)
     newDocs.join(drops, id === col("_drop_id"), "left_anti")
   }
 

@@ -201,6 +201,33 @@ class DedupSpec extends SparkSpec {
     assert(run() == first)
   }
 
+  test("incremental collapseExact is a pure optimization: keeps match the raw path, replay included") {
+    import spark.implicits._
+    val old = Seq(Doc(1L, "the quick brown fox jumps over the lazy dog"))
+    val batch = Seq(
+      Doc(10L, "an entirely fresh document about training data pipelines"),
+      Doc(11L, "an entirely fresh  DOCUMENT about training data pipelines"), // exact dup of 10 (normText)
+      Doc(12L, "an entirely fresh document about training data pipelines"), // exact dup of 10
+      Doc(13L, "The quick  brown fox jumps over the lazy dog"),  // exact dup of indexed 1 — a REP that drops
+      Doc(14L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 13: non-rep whose rep drops
+      Doc(15L, "unrelated third text mentioning neither foxes nor sparks today"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-mh-collapse").toString + "/idx"
+    Dedup.writeMinHashIndex(Tio.fromRows(spark, Docs, old).toNative, col("doc_id"), col("text"), idx)
+    val newDf = Tio.fromRows(spark, Docs, batch).toNative
+    def run(collapse: Boolean) =
+      Dedup.minhashKeepIncremental(newDf, col("doc_id"), col("text"), idx, 0.5,
+          collapseExact = collapse)
+        .collect().map(_.getAs[Long]("doc_id")).toSet
+    val kept = run(collapse = true)
+    assert(kept == Set(10L, 15L)) // 11,12 dup 10 in-batch; 13 dups indexed 1; 14 dups 13
+    assert(kept == run(collapse = false))
+    // replay: whole batch (reps AND non-reps) already appended — the
+    // guard must exclude stale self-copies for every member id
+    Dedup.writeMinHashIndex(newDf, col("doc_id"), col("text"), idx, mode = "append")
+    assert(run(collapse = true) == kept)
+    assert(run(collapse = false) == kept)
+  }
+
   test("index audit finds a crashed append's bucket-less ids; param-less data refuses appends") {
     import spark.implicits._
     import org.apache.spark.sql.functions.array_distinct
