@@ -48,6 +48,12 @@ object Bench {
     // can be probed in one timed pass instead of 4 full sweeps.
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val doWarmup = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1") != "0"
+    // Comma-separated query filter for stress iteration (e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q1_agg,q14_agg_global probes one change
+    // against the two scan-bound queries without a 9-minute sweep).
+    // Official driver runs leave it unset = all queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val spark = GraftSession.local(cpus, "graft-bench")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -55,6 +61,7 @@ object Bench {
       fn(spark, sfDir).queryExecution.toRdd.count(): Unit
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
     if (doWarmup) qs.foreach { case (name, fn) =>
       try run(fn)
       catch { case e: Throwable => System.err.println(s"[bench warmup] $name: ${e.getMessage}") }

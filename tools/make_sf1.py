@@ -73,5 +73,14 @@ for table, shifts in SHIFTS.items():
     out = pa.concat_tables(copies)
     # preserve the physical schema (events: TIMESTAMP(NANOS)) exactly
     out = out.cast(t.schema)
-    pq.write_table(out, f"{dst}/{table}.parquet")
-    print(f"{table}: {t.num_rows} -> {out.num_rows}")
+    # Write ~4MB (arrow-bytes) row groups. A single-row-group file is
+    # effectively unsplittable for Spark (every byte-range split reads
+    # the row groups whose MIDPOINT it contains), which serialized the
+    # whole CPU-bound text tier onto ONE task at repl=100 regardless of
+    # split config — an unrepresentative layout; production corpora are
+    # many files/groups. Spark's scan split sizing already adapts down
+    # to openCostInBytes (4MB) via bytesPerCore when files are small vs
+    # cores, so groups ≈ that floor let a 55MB documents file fan out.
+    rg_rows = max(4096, int(out.num_rows * (4 << 20) / max(out.nbytes, 1)))
+    pq.write_table(out, f"{dst}/{table}.parquet", row_group_size=rg_rows)
+    print(f"{table}: {t.num_rows} -> {out.num_rows} (rg_rows={rg_rows})")
