@@ -581,6 +581,23 @@ object SparkEntry {
       Media.decodeMeta(payloads, col("media_id"), col("content"), Media.HeaderDecoder)
         .orderBy("media_id")
     },
+
+    // L12 (audio/video): AvHeaderDecoder against well-formed
+    // WAV/FLAC/MP3/OGG/MP4 container bytes (Media.syntheticAvContainer —
+    // every field is arithmetic in the doc_id, so the oracle states the
+    // expected metadata without parsing a byte). Same real byte-level
+    // parsing + mapPartitions boundary as multimodal_real, over the
+    // audio/video half of a mixed crawl bucket.
+    "multimodal_av" -> { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      val payloads = documents(s, dir).toNative.select(col("doc_id"))
+        .as[Long](Encoders.scalaLong)
+        .mapPartitions(it => it.map(id =>
+          Media.MediaRow(id, Media.syntheticAvContainer(id))))(Encoders.product[Media.MediaRow])
+        .toDF()
+      Media.decodeAvMeta(payloads, col("media_id"), col("content"))
+        .orderBy("media_id")
+    },
   )
 
   /** The dedup_incremental flow split into its named phases — (cut,
@@ -1105,6 +1122,37 @@ object SparkEntry {
         |       WHEN 3 THEN 'webp' ELSE 'bmp' END AS format,
         |  CAST(CASE ((doc_id % 5) + 5) % 5 WHEN 0 THEN 33 WHEN 1 THEN 12 WHEN 2 THEN 13
         |       WHEN 3 THEN 25 ELSE 54 END AS BIGINT) AS n_bytes
+        |FROM documents ORDER BY 1""".stripMargin,
+
+    // The arithmetic mirror of Media.syntheticAvContainer: every field
+    // AvHeaderDecoder must parse back out of the constructed WAV / FLAC /
+    // MP3 / OGG / MP4 containers. Same floorMod spelling as
+    // multimodal_real; fields outside a format's modality are 0 by the
+    // unified-record contract. MP3's rate is the header's 2-bit table
+    // index ({44100,48000,32000}), its channel count the mono/stereo
+    // mode bit; container sizes are fixed per format.
+    "multimodal_av" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN ((doc_id % 5) + 5) % 5 = 4
+        |       THEN 16 + ((doc_id % 600) + 600) % 600 ELSE 0 END AS INTEGER) AS width,
+        |  CAST(CASE WHEN ((doc_id % 5) + 5) % 5 = 4
+        |       THEN 16 + (((doc_id * 3) % 400) + 400) % 400 ELSE 0 END AS INTEGER) AS height,
+        |  CAST(CASE ((doc_id % 5) + 5) % 5
+        |       WHEN 2 THEN CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+        |       WHEN 4 THEN 0
+        |       ELSE 8000 + ((doc_id % 40000) + 40000) % 40000 END AS INTEGER) AS sample_rate,
+        |  CAST(CASE ((doc_id % 5) + 5) % 5
+        |       WHEN 1 THEN 1 + ((doc_id % 8) + 8) % 8
+        |       WHEN 2 THEN CASE ((doc_id % 2) + 2) % 2 WHEN 0 THEN 2 ELSE 1 END
+        |       WHEN 4 THEN 0
+        |       ELSE 1 + ((doc_id % 2) + 2) % 2 END AS INTEGER) AS channels,
+        |  CAST(CASE ((doc_id % 5) + 5) % 5
+        |       WHEN 0 THEN 8 * (1 + ((doc_id % 3) + 3) % 3)
+        |       WHEN 1 THEN 16 ELSE 0 END AS INTEGER) AS bits,
+        |  CASE ((doc_id % 5) + 5) % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
+        |       WHEN 3 THEN 'ogg' ELSE 'mp4' END AS format,
+        |  CAST(CASE ((doc_id % 5) + 5) % 5 WHEN 0 THEN 44 WHEN 1 THEN 42 WHEN 2 THEN 4
+        |       WHEN 3 THEN 58 ELSE 124 END AS BIGINT) AS n_bytes
         |FROM documents ORDER BY 1""".stripMargin,
   )
 }

@@ -59,18 +59,25 @@ object Media {
     * the job. Full pixel decode still belongs to a library-backed
     * [[MediaDecoder]] swapped in at deployment; dimension/format
     * metadata is what the pipeline filters and routes on. */
-  object HeaderDecoder extends MediaDecoder {
-    private def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
-    private def be32(b: Array[Byte], i: Int): Int =
+  /** Endian/byte helpers shared by the header parsers. */
+  private object B {
+    def be16(b: Array[Byte], i: Int): Int = ((b(i) & 0xFF) << 8) | (b(i + 1) & 0xFF)
+    def be24(b: Array[Byte], i: Int): Int =
+      ((b(i) & 0xFF) << 16) | ((b(i + 1) & 0xFF) << 8) | (b(i + 2) & 0xFF)
+    def be32(b: Array[Byte], i: Int): Int =
       ((b(i) & 0xFF) << 24) | ((b(i + 1) & 0xFF) << 16) | ((b(i + 2) & 0xFF) << 8) | (b(i + 3) & 0xFF)
-    private def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
-    private def le24(b: Array[Byte], i: Int): Int =
+    def le16(b: Array[Byte], i: Int): Int = (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8)
+    def le24(b: Array[Byte], i: Int): Int =
       (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16)
-    private def le32(b: Array[Byte], i: Int): Int =
+    def le32(b: Array[Byte], i: Int): Int =
       (b(i) & 0xFF) | ((b(i + 1) & 0xFF) << 8) | ((b(i + 2) & 0xFF) << 16) | ((b(i + 3) & 0xFF) << 24)
-    private def fourcc(b: Array[Byte], i: Int, s: String): Boolean =
+    def fourcc(b: Array[Byte], i: Int, s: String): Boolean =
       b(i) == s.charAt(0).toByte && b(i + 1) == s.charAt(1).toByte &&
         b(i + 2) == s.charAt(2).toByte && b(i + 3) == s.charAt(3).toByte
+  }
+
+  object HeaderDecoder extends MediaDecoder {
+    import B._
 
     private val PngSig: Array[Byte] =
       Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
@@ -166,6 +173,151 @@ object Media {
       m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC // not DHT/JPG/DAC
   }
 
+  /** Unified audio/video/image metadata — the routing record a mixed
+    * crawl bucket needs: video/image rows carry (width, height), audio
+    * rows carry (sampleRate, channels, bits); fields outside a payload's
+    * modality are 0. */
+  final case class DecodedAv(width: Int, height: Int, sampleRate: Int,
+      channels: Int, bits: Int, format: String, nBytes: Long)
+
+  /** Probe boundary for mixed-modality payloads: bytes in, unified
+    * [[DecodedAv]] out. Serializable + deterministic, same contract as
+    * [[MediaDecoder]]. */
+  trait AvDecoder extends Serializable {
+    def decodeAv(content: Array[Byte]): DecodedAv
+  }
+
+  /** Real audio/video container header parser, unifying with the image
+    * formats of [[HeaderDecoder]]: WAV (RIFF/WAVE `fmt ` chunk walk),
+    * FLAC (STREAMINFO block), MP3 (MPEG audio frame header, ID3v2 tag
+    * skipped), OGG (first-page Vorbis identification header or
+    * OpusHead), MP4/ISO-BMFF (`ftyp` brand + `moov`→`trak`→`tkhd` box
+    * walk for track dimensions). Pure public-format byte parsing (RIFF
+    * spec, FLAC format spec, MPEG-1/2 audio frame header layout, Ogg
+    * RFC 3533 + Vorbis I / RFC 7845 id headers, ISO/IEC 14496-12 box
+    * structure) — no codec library, so it runs in this dependency-free
+    * container and on any executor. Anything else falls through to the
+    * image parser; corrupt/truncated payloads keep their identified
+    * container format with zeroed fields, unknown signatures decode as
+    * "unknown" — a 100 TB crawl partition must never die on one blob. */
+  object AvHeaderDecoder extends AvDecoder {
+    import B._
+
+    def decodeAv(c: Array[Byte]): DecodedAv = {
+      val n = c.length.toLong
+      if (c.length >= 12 && fourcc(c, 0, "RIFF") && fourcc(c, 8, "WAVE")) wav(c, n)
+      else if (c.length >= 4 && fourcc(c, 0, "fLaC")) flac(c, n)
+      else if (c.length >= 4 && fourcc(c, 0, "OggS")) ogg(c, n)
+      else if (c.length >= 12 && fourcc(c, 4, "ftyp")) mp4(c, n)
+      else if (c.length >= 3 && c(0) == 'I' && c(1) == 'D' && c(2) == '3') mp3Id3(c, n)
+      // frame-sync mask 0xE0 cannot match JPEG's SOI second byte (0xD8),
+      // so a bare MPEG frame never shadows the image branch below
+      else if (c.length >= 4 && (c(0) & 0xFF) == 0xFF && (c(1) & 0xE0) == 0xE0)
+        mp3Frame(c, 0, n)
+      else { // not an AV container — delegate to the image header parser
+        val d = HeaderDecoder.decode(c)
+        DecodedAv(d.width, d.height, 0, 0, 0, d.format, n)
+      }
+    }
+
+    /** RIFF chunk walk for `fmt `: channels LE16 @+10, sample rate LE32
+      * @+12, bits/sample LE16 @+22 (PCM layout). Chunks pad to even. */
+    private def wav(c: Array[Byte], n: Long): DecodedAv = {
+      var i = 12
+      while (i + 8 <= c.length) {
+        val size = le32(c, i + 4)
+        if (fourcc(c, i, "fmt ") && size >= 16 && i + 24 <= c.length)
+          return DecodedAv(0, 0, le32(c, i + 12), le16(c, i + 10), le16(c, i + 22), "wav", n)
+        if (size < 0 || size > c.length - i - 8) return DecodedAv(0, 0, 0, 0, 0, "wav", n)
+        i += 8 + size + (size & 1)
+      }
+      DecodedAv(0, 0, 0, 0, 0, "wav", n)
+    }
+
+    /** FLAC: the mandatory first metadata block is STREAMINFO (type 0);
+      * at its byte 10 (absolute 18): sample rate 20 bits, channels-1
+      * 3 bits, bits-per-sample-1 5 bits, big-endian packed. */
+    private def flac(c: Array[Byte], n: Long): DecodedAv = {
+      if (c.length >= 22 && (c(4) & 0x7F) == 0 && be24(c, 5) >= 18) {
+        val sr = ((c(18) & 0xFF) << 12) | ((c(19) & 0xFF) << 4) | ((c(20) & 0xFF) >>> 4)
+        val ch = ((c(20) >> 1) & 0x7) + 1
+        val bits = (((c(20) & 1) << 4) | ((c(21) & 0xFF) >>> 4)) + 1
+        DecodedAv(0, 0, sr, ch, bits, "flac", n)
+      } else DecodedAv(0, 0, 0, 0, 0, "flac", n)
+    }
+
+    /** OGG: page header is 27 bytes + segment table; the first packet of
+      * the first page identifies the codec — `\x01vorbis` (channels u8
+      * @+11, rate LE32 @+12) or `OpusHead` (channels u8 @+9, input rate
+      * LE32 @+12). Other codecs keep format "ogg" with zeroed fields. */
+    private def ogg(c: Array[Byte], n: Long): DecodedAv = {
+      if (c.length < 27) return DecodedAv(0, 0, 0, 0, 0, "ogg", n)
+      val p = 27 + (c(26) & 0xFF)
+      if (p + 16 <= c.length && (c(p) & 0xFF) == 1 && c(p + 1) == 'v' && c(p + 2) == 'o' &&
+          c(p + 3) == 'r' && c(p + 4) == 'b' && c(p + 5) == 'i' && c(p + 6) == 's')
+        DecodedAv(0, 0, le32(c, p + 12), c(p + 11) & 0xFF, 0, "ogg", n)
+      else if (p + 16 <= c.length && fourcc(c, p, "Opus") && fourcc(c, p + 4, "Head"))
+        DecodedAv(0, 0, le32(c, p + 12), c(p + 9) & 0xFF, 0, "ogg", n)
+      else DecodedAv(0, 0, 0, 0, 0, "ogg", n)
+    }
+
+    /** ID3v2 tag: synchsafe 28-bit size at bytes 6–9, frame follows. */
+    private def mp3Id3(c: Array[Byte], n: Long): DecodedAv = {
+      if (c.length < 10) return DecodedAv(0, 0, 0, 0, 0, "mp3", n)
+      val size = ((c(6) & 0x7F) << 21) | ((c(7) & 0x7F) << 14) | ((c(8) & 0x7F) << 7) | (c(9) & 0x7F)
+      val off = 10 + size
+      if (off + 4 <= c.length && (c(off) & 0xFF) == 0xFF && (c(off + 1) & 0xE0) == 0xE0)
+        mp3Frame(c, off, n)
+      else DecodedAv(0, 0, 0, 0, 0, "mp3", n)
+    }
+
+    /** MPEG audio frame header: version bits pick the sample-rate table
+      * (MPEG1 / MPEG2 = half / MPEG2.5 = quarter), 2-bit rate index,
+      * channel mode 3 = mono. Reserved version/layer/rate-index values
+      * are corrupt, not a frame. */
+    private def mp3Frame(c: Array[Byte], off: Int, n: Long): DecodedAv = {
+      val ver = (c(off + 1) >> 3) & 0x3
+      val layer = (c(off + 1) >> 1) & 0x3
+      val srIdx = (c(off + 2) >> 2) & 0x3
+      if (ver == 1 || layer == 0 || srIdx == 3) return DecodedAv(0, 0, 0, 0, 0, "mp3", n)
+      val base = srIdx match { case 0 => 44100; case 1 => 48000; case _ => 32000 }
+      val sr = ver match { case 3 => base; case 2 => base / 2; case _ => base / 4 }
+      val ch = if (((c(off + 3) >> 6) & 0x3) == 3) 1 else 2
+      DecodedAv(0, 0, sr, ch, 0, "mp3", n)
+    }
+
+    /** Scan sibling boxes `[from, end)` for `name`; -1 if absent. Box =
+      * BE32 size + fourcc; size < 8 (includes the 64-bit `largesize`
+      * escape and size-0 "to end of file") stops the walk — corrupt or
+      * beyond this parser's scope, degrade rather than guess. */
+    private def findBox(c: Array[Byte], from: Int, end: Int, name: String): Int = {
+      var i = from
+      while (i + 8 <= end) {
+        val size = be32(c, i)
+        if (size < 8 || size > end - i) return -1
+        if (fourcc(c, i + 4, name)) return i
+        i += size
+      }
+      -1
+    }
+
+    /** ISO-BMFF: `moov`→`trak`→`tkhd`; tkhd width/height are 16.16
+      * fixed-point at +84 (version 0) / +96 (version 1). */
+    private def mp4(c: Array[Byte], n: Long): DecodedAv = {
+      val none = DecodedAv(0, 0, 0, 0, 0, "mp4", n)
+      val moov = findBox(c, 0, c.length, "moov")
+      if (moov < 0) return none
+      val trak = findBox(c, moov + 8, moov + be32(c, moov), "trak")
+      if (trak < 0) return none
+      val tkhd = findBox(c, trak + 8, trak + be32(c, trak), "tkhd")
+      if (tkhd < 0 || be32(c, tkhd) < 12) return none // need room for version+flags
+      val v = c(tkhd + 8) & 0xFF
+      val at = if (v == 1) tkhd + 96 else tkhd + 84
+      if (v > 1 || at + 8 > tkhd + be32(c, tkhd)) none
+      else DecodedAv(be32(c, at) >>> 16, be32(c, at + 4) >>> 16, 0, 0, 0, "mp4", n)
+    }
+  }
+
   /** Deterministic, VALID container bytes for gating [[HeaderDecoder]]
     * without shipping binary fixtures: a minimal-but-well-formed PNG
     * (signature + complete IHDR chunk), JPEG (SOI + SOF0 frame
@@ -226,8 +378,93 @@ object Media {
     }
   }
 
+  /** Deterministic, VALID audio/video container bytes for gating
+    * [[AvHeaderDecoder]], the AV twin of [[syntheticContainer]]: a
+    * minimal-but-well-formed WAV (RIFF/WAVE + complete `fmt ` chunk),
+    * FLAC (magic + STREAMINFO), MP3 (one MPEG1 Layer III frame header),
+    * OGG (one page wrapping a Vorbis identification header) or MP4
+    * (`ftyp` + `moov`/`trak`/`tkhd`), chosen by `id % 5`, whose
+    * metadata is pure arithmetic in `id` — a SQL oracle states the
+    * expected fields without parsing a byte. Sizes are fixed per format
+    * (wav 44 B, flac 42 B, mp3 4 B, ogg 58 B, mp4 124 B). floorMod
+    * keeps every field in its format's legal range over ALL Long ids.
+    * MP3's sample rate comes from the header's 2-bit table index, so it
+    * cycles {44100, 48000, 32000} rather than a continuous range. */
+  def syntheticAvContainer(id: Long): Array[Byte] = {
+    import java.lang.Math.floorMod
+    val rate = (8000L + floorMod(id, 40000L)).toInt
+    val ch2 = (1L + floorMod(id, 2L)).toInt   // 1–2 channels (wav/ogg)
+    floorMod(id, 5L) match {
+      case 0L =>
+        // RIFF(4) size(4) WAVE(4) + "fmt "(4) len=16(4) + audioFormat=1
+        // ch rate byteRate blockAlign bits(16) + "data"(4) len=0(4) = 44
+        val bits = (8L * (1L + floorMod(id, 3L))).toInt // 8/16/24
+        val block = ch2 * bits / 8
+        val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes("US-ASCII")).putInt(36).put("WAVE".getBytes("US-ASCII"))
+        b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        b.putShort(1.toShort).putShort(ch2.toShort).putInt(rate)
+        b.putInt(rate * block).putShort(block.toShort).putShort(bits.toShort)
+        b.put("data".getBytes("US-ASCII")).putInt(0)
+        b.array()
+      case 1L =>
+        // fLaC(4) + block header type=0/len=34(4) + STREAMINFO(34) = 42;
+        // rate 20 bits, ch-1 3 bits, bits-1 5 bits packed BE at bytes 10–13
+        val ch = (1L + floorMod(id, 8L)).toInt // 3-bit field: 1–8
+        val bits = 16
+        val b = new Array[Byte](42)
+        "fLaC".getBytes("US-ASCII").copyToArray(b)
+        b(4) = 0; b(5) = 0; b(6) = 0; b(7) = 34
+        b(18) = ((rate >> 12) & 0xFF).toByte
+        b(19) = ((rate >> 4) & 0xFF).toByte
+        b(20) = (((rate & 0xF) << 4) | ((ch - 1) << 1) | ((bits - 1) >> 4)).toByte
+        b(21) = (((bits - 1) & 0xF) << 4).toByte
+        b
+      case 2L =>
+        // One MPEG1 Layer III header: sync, version=3 layer=1 noCRC,
+        // bitrate index 9, 2-bit rate table index, channel mode 0/3
+        val srIdx = floorMod(id, 3L).toInt // 44100 / 48000 / 32000
+        val mode = if (floorMod(id, 2L) == 0L) 0 else 3 // stereo / mono
+        Array(0xFF.toByte, 0xFB.toByte,
+          (0x90 | (srIdx << 2)).toByte, (mode << 6).toByte)
+      case 3L =>
+        // OggS page: 27-byte header + 1-entry segment table + 30-byte
+        // Vorbis identification packet = 58
+        val b = java.nio.ByteBuffer.allocate(58).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(2.toByte) // version, BOS flag
+        b.putLong(0L).putInt(1).putInt(0).putInt(0)                    // granule serial seq crc
+        b.put(1.toByte).put(30.toByte)                                 // nsegs, segment length
+        b.put(1.toByte).put("vorbis".getBytes("US-ASCII")).putInt(0)   // packet type, tag, version
+        b.put(ch2.toByte).putInt(rate)
+        b.putInt(0).putInt(0).putInt(0).put(0xB8.toByte).put(1.toByte) // bitrates, blocksizes, framing
+        b.array()
+      case _ =>
+        // ftyp(16) + moov(8 + trak(8 + tkhd(92 v0))) = 124; tkhd dims are
+        // 16.16 fixed-point, same arithmetic as the image containers
+        val w = (16L + floorMod(id, 600L)).toInt
+        val h = (16L + floorMod(id * 3L, 400L)).toInt
+        val b = java.nio.ByteBuffer.allocate(124) // ISO-BMFF is big-endian
+        b.putInt(16).put("ftyp".getBytes("US-ASCII"))
+          .put("isom".getBytes("US-ASCII")).putInt(0)
+        b.putInt(108).put("moov".getBytes("US-ASCII"))
+        b.putInt(100).put("trak".getBytes("US-ASCII"))
+        b.putInt(92).put("tkhd".getBytes("US-ASCII"))
+        b.putInt(0)                       // version 0 + flags
+        b.putInt(0).putInt(0).putInt(1)   // ctime mtime trackId
+        b.putInt(0).putInt(0)             // reserved, duration
+        b.position(b.position() + 16)     // reserved(8) layer alt volume reserved
+        b.putInt(0x00010000).putInt(0).putInt(0) // unity matrix rows
+        b.putInt(0).putInt(0x00010000).putInt(0)
+        b.putInt(0).putInt(0).putInt(0x40000000)
+        b.putInt(w << 16).putInt(h << 16)
+        b.array()
+    }
+  }
+
   final case class MediaRow(media_id: Long, content: Array[Byte])
   final case class MediaMetaRow(media_id: Long, width: Int, height: Int, format: String, n_bytes: Long)
+  final case class AvMetaRow(media_id: Long, width: Int, height: Int,
+      sample_rate: Int, channels: Int, bits: Int, format: String, n_bytes: Long)
 
   /** Decode a binary media column to its metadata frame
     * `(media_id, width, height, format, n_bytes)`. Runs the decoder via
@@ -243,5 +480,23 @@ object Media {
           MediaMetaRow(r.media_id, d.width, d.height, d.format, d.nBytes)
         }
       }(Encoders.product[MediaMetaRow])
+      .toDF()
+
+  /** Decode a mixed audio/video/image binary column to the unified
+    * metadata frame `(media_id, width, height, sample_rate, channels,
+    * bits, format, n_bytes)` — same mapPartitions codec boundary as
+    * [[decodeMeta]], emitting only metadata (the payload never
+    * re-shuffles). */
+  def decodeAvMeta(df: DataFrame, id: Column, content: Column,
+      decoder: AvDecoder = AvHeaderDecoder): DataFrame =
+    df.select(id.cast("long").as("media_id"), content.cast("binary").as("content"))
+      .as[MediaRow](Encoders.product[MediaRow])
+      .mapPartitions { it =>
+        it.map { r =>
+          val d = decoder.decodeAv(r.content)
+          AvMetaRow(r.media_id, d.width, d.height, d.sampleRate, d.channels,
+            d.bits, d.format, d.nBytes)
+        }
+      }(Encoders.product[AvMetaRow])
       .toDF()
 }
