@@ -193,4 +193,25 @@ class PlanAuditSpec extends SparkSpec {
     val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans == 1, s"expected exactly one documents scan, got $scans:\n$plan")
   }
+
+  test("corpus_prep: pruned scans, broadcast keep/probe/drop joins, no cartesian, no global window") {
+    val plan = q("corpus_prep")
+    // the composed flow's joins (dedup semi, gram probe, decontam anti,
+    // pack offsets) are all broadcast-able small sides at every scale —
+    // none may degrade to a sort-merge or cartesian shape
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in the composed plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"sort-merge join of a broadcast-able side:\n$plan")
+    // every documents scan reads only (doc_id, text) — the unused
+    // lang/source/n_chars columns must be pruned in ALL branches
+    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(reads.nonEmpty, s"no ReadSchema lines:\n$plan")
+    for (r <- reads)
+      assert(!r.contains("source") && !r.contains("n_chars"), s"unpruned scan: $r")
+    // packing's prefix sum stays block-partitioned (no single-partition
+    // global window over the data)
+    assert(!plan.linesIterator.exists(l => l.contains("Window") && !l.contains("partitionBy")
+        && l.contains("ROWS BETWEEN") && !l.contains("_blk")),
+      s"global window in the pack stage:\n$plan")
+  }
 }
