@@ -467,13 +467,30 @@ object SparkEntry {
       val docs = documents(s, dir).toNative
       val bench = docs.where(col("doc_id") % 10 === 0)
       val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      // Stage boundary 1: the gate stage (regex tokenization + language
+      // scores) is the plan's expensive narrow chain, and the dedup
+      // semi-join + decontam anti-join reference their input subtree
+      // TWICE each — without a boundary the gates re-run 4x per action
+      // (and 12x across packByBudget's three passes; measured 10x slower
+      // end-to-end). Eager localCheckpoint materializes the filtered
+      // corpus once — exactly the stage materialization a production
+      // pipeline does between filter and dedup. On a real cluster use a
+      // reliable store for the boundary (same tradeoff as
+      // Dedup.duplicateClusters' checkpointDir).
       val gated = TextFns.withLangId(corpus, col("text"), "_lang")
         .where(TextFns.wordCount(col("text")) >= 8 && col("_lang") === "en")
-        .drop("_lang")
+        .select(col("doc_id"), col("text")) // prune BEFORE the boundary: the checkpoint and every downstream join carry only what packing needs
+        .localCheckpoint()
       val deduped = Dedup.exactKeep(gated, col("text"), col("doc_id"))
       val clean = Dedup.decontaminatedKeep(
         deduped, col("doc_id"), col("text"), bench, col("text"), k = 5)
-      Pack.packByBudget(clean, col("doc_id"), TextFns.tokenCountWs(col("text")), budget = 2000)
+      // Stage boundary 2: packByBudget drives three actions (id span,
+      // block totals, final assignment) over its input — hand it the
+      // narrow (id, weight) rows, materialized once, not the joins.
+      val weights = clean.select(col("doc_id"),
+          TextFns.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint()
+      Pack.packByBudget(weights, col("doc_id"), col("n_tokens"), budget = 2000)
         .select(col("id").as("doc_id"), col("weight").as("n_tokens"), col("shard_id"))
         .orderBy("doc_id")
     },

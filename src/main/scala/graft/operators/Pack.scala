@@ -43,6 +43,12 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
+  /** NOTE: drives THREE evaluations of `df`'s narrow (id, weight)
+    * projection — the id-span aggregate, the per-block totals, and the
+    * caller's final action. A trivially-scanned input is fine as-is;
+    * if `df` sits on an expensive plan (joins, regex chains), hand in
+    * a materialized stage (localCheckpoint / persisted parquet) or the
+    * upstream recomputes three times. */
   def packByBudget(
       df: DataFrame, id: Column, weight: Column, budget: Long,
       targetBlocks: Int = 1024): DataFrame = {

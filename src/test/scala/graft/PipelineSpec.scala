@@ -36,13 +36,19 @@ class PipelineSpec extends SparkSpec {
   private def prep(all: DataFrame, budget: Long): DataFrame = {
     val bench = all.where(col("doc_id") % 10 === 0)
     val corpus = all.where(col("doc_id") % 10 =!= 0)
+    // same stage boundaries as the driver query: gates materialize once,
+    // pack's three passes read the narrow (id, weight) stage
     val gated = TextFns.withLangId(corpus, col("text"), "_lang")
       .where(TextFns.wordCount(col("text")) >= 8 && col("_lang") === "en")
-      .drop("_lang")
+      .select(col("doc_id"), col("text")) // prune before the boundary
+      .localCheckpoint()
     val deduped = Dedup.exactKeep(gated, col("text"), col("doc_id"))
     val clean = Dedup.decontaminatedKeep(
       deduped, col("doc_id"), col("text"), bench, col("text"), k = 5)
-    Pack.packByBudget(clean, col("doc_id"), TextFns.tokenCountWs(col("text")), budget)
+    val weights = clean.select(col("doc_id"),
+        TextFns.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    Pack.packByBudget(weights, col("doc_id"), col("n_tokens"), budget)
   }
 
   test("each stage drops exactly its planted offender; survivors pack by prefix sum") {

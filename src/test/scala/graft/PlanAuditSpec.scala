@@ -194,24 +194,37 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected exactly one documents scan, got $scans:\n$plan")
   }
 
-  test("corpus_prep: pruned scans, broadcast keep/probe/drop joins, no cartesian, no global window") {
-    val plan = q("corpus_prep")
-    // the composed flow's joins (dedup semi, gram probe, decontam anti,
-    // pack offsets) are all broadcast-able small sides at every scale —
-    // none may degrade to a sort-merge or cartesian shape
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"cartesian in the composed plan:\n$plan")
-    assert(!plan.contains("SortMergeJoin"), s"sort-merge join of a broadcast-able side:\n$plan")
-    // every documents scan reads only (doc_id, text) — the unused
-    // lang/source/n_chars columns must be pruned in ALL branches
-    val reads = plan.linesIterator.filter(_.contains("ReadSchema")).toSeq
-    assert(reads.nonEmpty, s"no ReadSchema lines:\n$plan")
-    for (r <- reads)
-      assert(!r.contains("source") && !r.contains("n_chars"), s"unpruned scan: $r")
-    // packing's prefix sum stays block-partitioned (no single-partition
-    // global window over the data)
-    assert(!plan.linesIterator.exists(l => l.contains("Window") && !l.contains("partitionBy")
-        && l.contains("ROWS BETWEEN") && !l.contains("_blk")),
-      s"global window in the pack stage:\n$plan")
+  test("corpus_prep stages: pruned gate scan, broadcast keep/probe/drop joins, no cartesian") {
+    // the query's localCheckpoint stage boundaries split it into
+    // separate jobs, so each stage's plan is audited where it runs
+    import org.apache.spark.sql.functions.{col => c}
+    import graft.functions.TextFns
+    import graft.operators.Dedup
+    val docs = graft.tables.documents(spark, dir).toNative
+    val bench = docs.where(c("doc_id") % 10 === 0)
+    val corpus = docs.where(c("doc_id") % 10 =!= 0)
+    val gated = TextFns.withLangId(corpus, c("text"), "_lang")
+      .where(TextFns.wordCount(c("text")) >= 8 && c("_lang") === "en")
+      .select(c("doc_id"), c("text"))
+    // stage 1 (gates): ONE scan, pruned to exactly (doc_id, text)
+    val p1 = finalPlan(gated)
+    assert(p1.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"gate stage must be a single corpus scan:\n$p1")
+    val read = p1.linesIterator.find(_.contains("ReadSchema")).get
+    assert(read.contains("struct<doc_id:bigint,text:string>"), s"unpruned gate scan: $read")
+    // stage 2 (dedup keep + decontam): every join broadcast-able —
+    // keep-list, gram probe, and drop-list are all small sides
+    val deduped = Dedup.exactKeep(gated.localCheckpoint(), c("text"), c("doc_id"))
+    val clean = Dedup.decontaminatedKeep(
+      deduped, c("doc_id"), c("text"), bench, c("text"), k = 5)
+    val p2 = finalPlan(clean.select("doc_id"))
+    assert(p2.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p2")
+    assert(!p2.contains("CartesianProduct"), s"cartesian in the dedup/decontam stage:\n$p2")
+    assert(!p2.contains("SortMergeJoin"), s"sort-merge of a broadcast-able side:\n$p2")
+    // stage 3 (packing) plan shape is pinned by the pack_shards gate
+    // above; the assembled driver query must also stay broadcast-only
+    val pq = q("corpus_prep")
+    assert(pq.contains("BroadcastHashJoin") && !pq.contains("CartesianProduct")
+        && !pq.contains("SortMergeJoin"), s"composed query degraded:\n$pq")
   }
 }
