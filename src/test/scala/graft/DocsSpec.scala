@@ -233,4 +233,44 @@ class DocsSpec extends SparkSpec {
       org.apache.spark.sql.execution.FormattedMode)
     assert(plan.contains("PushedFilters") && plan.contains("ReadSchema"))
   }
+
+  test("multimodal recipe: mixed audio/video/image bucket decodes to one routing record") {
+    import spark.implicits._
+    import graft.operators.Media
+    val mediaDf = Seq(
+      (1L, Media.syntheticAvContainer(0L)),  // wav
+      (2L, Media.syntheticAvContainer(4L)),  // mp4
+      (3L, Media.syntheticContainer(0L)),    // png — image delegates
+      (4L, "not a media file".getBytes("UTF-8")),
+    ).toDF("media_id", "content")
+    val out = Media.decodeAvMeta(mediaDf, col("media_id"), col("content"))
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[String]("format")).toMap
+    assert(out == Map(1L -> "wav", 2L -> "mp4", 3L -> "png", 4L -> "unknown"))
+  }
+
+  test("prep recipe: the composed corpus-preparation pipeline") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    import graft.operators.{Dedup, Pack}
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog"),
+      (2L, "the quick brown fox jumps over a lazy dog"), // exact dup
+      (3L, "kurz"),                                      // under the word floor
+    ).toDF("doc_id", "text")
+    val benchmarks = Seq((9L, "completely separate evaluation text")).toDF("doc_id", "text")
+    // the README flow, at test-sized thresholds
+    val gated = TextFns.withLangId(corpus, col("text"), "_lang")
+      .where(TextFns.wordCount(col("text")) >= 8 && col("_lang") === "en")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    val deduped = Dedup.exactKeep(gated, col("text"), col("doc_id"))
+    val clean = Dedup.decontaminatedKeep(deduped, col("doc_id"), col("text"),
+      benchmarks, col("text"), k = 5)
+    val weights = clean.select(col("doc_id"),
+        TextFns.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      .localCheckpoint()
+    val assignment = Pack.packByBudget(weights, col("doc_id"), col("n_tokens"), budget = 100)
+    assert(assignment.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard_id")))
+      .toSeq == Seq((1L, 0L)))
+  }
 }
