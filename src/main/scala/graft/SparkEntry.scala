@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, max, when}
+import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, max, pmod, when}
 import graft.functions.TextFns
-import graft.operators.{Ann, Dedup, Media, Pack, Sampling, Sketch}
+import graft.operators.{Ann, Chunk, Dedup, Media, Pack, Sampling, Sketch}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -330,6 +330,43 @@ object SparkEntry {
       documents(s, dir).toNative
         .select(col("doc_id"), TextFns.fingerprintMd5(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    // L20: Gopher-style repetition signals — duplicate line/word/3-gram
+    // fractions as pure narrow array expressions (no explode, no
+    // shuffle: a quality filter is a map, not an aggregation).
+    "text_repetition" -> { (s, dir) =>
+      documents(s, dir).toNative.select(
+        col("doc_id"),
+        TextFns.dupLineFrac(col("text")).as("dup_line_frac"),
+        TextFns.dupWordFrac(col("text")).as("dup_word_frac"),
+        TextFns.dupTrigramFrac(col("text")).as("dup_3gram_frac"),
+      ).orderBy("doc_id")
+    },
+
+    // L21: PII scrubbing over deterministically planted addresses (the
+    // corpus text carries none, so each doc gets a synthetic email /
+    // IPv4 / phone appended — pure arithmetic in doc_id, same trick as
+    // the multimodal gates — and the oracle replays the identical
+    // plant + regex sequence).
+    "text_pii" -> { (s, dir) =>
+      val planted = concat_ws(" ", col("text"),
+        concat(lit("u"), col("doc_id"), lit("@example.com")),
+        concat(lit("10.0."), pmod(col("doc_id"), lit(256L)),
+          lit("."), pmod(col("doc_id") * 7, lit(256L))),
+        concat(lit("+1 555 20"), pmod(col("doc_id"), lit(10000L))))
+      val (nEmail, nIp, nPhone) = TextFns.piiCounts(planted)
+      documents(s, dir).toNative.select(
+        col("doc_id"),
+        nEmail.as("n_email"), nIp.as("n_ip"), nPhone.as("n_phone"),
+        TextFns.redactPii(planted).as("clean_text"),
+      ).orderBy("doc_id")
+    },
+
+    // L22: context-window chunking — one generator per row, no shuffle.
+    "text_chunks" -> { (s, dir) =>
+      Chunk.byTokens(documents(s, dir).toNative, col("doc_id"), col("text"), size = 64)
+        .orderBy("doc_id", "chunk_id")
     },
 
     // L1: exact dedup groups — min-id representative per fingerprint
@@ -977,6 +1014,64 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Same 3-gram windows as dedup_minhash's shingles, but WITHOUT
+    // list_distinct (the duplicate fraction is the point). chr(10)
+    // because DuckDB standard strings don't process '\n' escapes.
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  string_split(text, chr(10)) AS lines,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        |FROM documents),
+        |g AS (SELECT doc_id, text, lines, ws,
+        |  CASE WHEN len(ws) >= 3
+        |    THEN [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)]
+        |    ELSE NULL END AS grams FROM w)
+        |SELECT doc_id,
+        |  1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) AS dup_line_frac,
+        |  1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS dup_word_frac,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN len(ws) < 3 THEN 0.0
+        |       ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |  END AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    // Identical plant (floorMod-safe arithmetic per the r10 advisory)
+    // and the identical three-stage redaction order. DuckDB is RE2;
+    // the patterns live in the Java∩RE2 subset by construction.
+    "text_pii" ->
+      """WITH p AS (SELECT doc_id, concat_ws(' ', text,
+        |    'u' || doc_id || '@example.com',
+        |    '10.0.' || ((doc_id % 256) + 256) % 256 || '.' || (((doc_id * 7) % 256) + 256) % 256,
+        |    '+1 555 20' || ((doc_id % 10000) + 10000) % 10000) AS t
+        |  FROM documents),
+        |s AS (SELECT doc_id, t,
+        |  regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |FROM p),
+        |s2 AS (SELECT doc_id, t, t1,
+        |  regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |FROM s)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
+        |  CAST(len(regexp_extract_all(t2, '\+?\d[\d -]{7,}\d')) AS INTEGER) AS n_phone,
+        |  regexp_replace(t2, '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean_text
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+
+    // Generator-over-NULL-array yields no rows → WHERE text IS NOT NULL.
+    // DuckDB list slices are 1-based inclusive; chunk i covers tokens
+    // i*64+1 .. i*64+64. n_tokens re-splits the joined chunk exactly as
+    // the Spark side does (lossless for single-space tokenization).
+    "text_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, ws, unnest(range(0, (len(ws) + 63) // 64)) AS cid FROM w),
+        |t AS (SELECT doc_id, cid,
+        |  array_to_string(ws[cid * 64 + 1 : cid * 64 + 64], ' ') AS chunk_text FROM c)
+        |SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+        |  CAST(len(string_split(chunk_text, ' ')) AS INTEGER) AS n_tokens,
+        |  chunk_text
+        |FROM t ORDER BY doc_id, chunk_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(norm) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups

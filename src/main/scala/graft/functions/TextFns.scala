@@ -158,4 +158,66 @@ object TextFns {
     * faster, same dedup semantics). */
   def fingerprintMd5(c: Column): Column = md5(normText(c).cast("binary"))
   def fingerprint64(c: Column): Column = xxhash64(normText(c))
+
+  // --------------------------------------------------------------- L20
+  /** Gopher-style repetition signals (Rae et al. 2021, appendix A —
+    * public): the fraction of duplicate lines / words / 3-grams in a
+    * document, the standard filter for boilerplate and generation
+    * loops. Each is a pure narrow array expression over the row — a
+    * quality FILTER must not cost an explode+groupBy at 100 TB. The
+    * fraction is 1 - distinct/total; empty inputs score 0 (nothing
+    * repeats), NULL propagates. */
+  def dupLineFrac(c: Column): Column = {
+    val lines = split(c, "\n")
+    lit(1.0) - size(array_distinct(lines)).cast("double") / size(lines)
+  }
+
+  /** Duplicate-word fraction over normalized whitespace tokens. */
+  def dupWordFrac(c: Column): Column = {
+    val ws = wsTokens(normText(c))
+    lit(1.0) - size(array_distinct(ws)).cast("double") / size(ws)
+  }
+
+  /** Duplicate word-3-gram fraction — catches short-cycle repetition
+    * ("for the for the …") that word-level stats miss. Same 3-gram
+    * windows as the dedup shingles; docs under 3 words score 0. */
+  def dupTrigramFrac(c: Column): Column = {
+    val ws = wsTokens(normText(c))
+    val grams = transform(
+      sequence(lit(0), size(ws) - 3),
+      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
+    when(c.isNull, lit(null).cast("double"))
+      .when(size(ws) < 3, 0.0)
+      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+  }
+
+  // --------------------------------------------------------------- L21
+  /** Heuristic PII scrubbing — the redaction pass a training corpus
+    * runs before anything else sees the text. Patterns stay in the
+    * Java-regex ∩ RE2 common subset (no backrefs/lookaround) so the
+    * exact expressions run under any engine's matcher. Application
+    * order matters and is fixed: emails first (their local parts can
+    * contain digit runs), then IPv4 (dotted quads are not phone-like
+    * once gone), then phone-ish digit runs. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Match counts per category, staged exactly like [[redactPii]]
+    * (each pattern counts on the text with the EARLIER categories
+    * already redacted, so a digit never double-counts). */
+  def piiCounts(c: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(c, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    (size(regexp_extract_all(c, lit(EmailRe), lit(0))),
+     size(regexp_extract_all(afterEmail, lit(Ipv4Re), lit(0))),
+     size(regexp_extract_all(afterIp, lit(PhoneRe), lit(0))))
+  }
 }

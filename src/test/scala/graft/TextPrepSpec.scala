@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+
+import graft.functions.TextFns
+import graft.operators.Chunk
+
+/** Repetition signals (L20), PII scrubbing (L21) and context-window
+  * chunking (L22) — planted ground truth, hand-computed fractions. */
+class TextPrepSpec extends SparkSpec {
+
+  private def docs(rows: Doc*) = {
+    import spark.implicits._
+    rows.toDS.toDF
+  }
+
+  // ------------------------------------------------------- repetition
+
+  test("repetition fractions are 0 for an all-unique document") {
+    import spark.implicits._
+    val out = docs(Doc(1L, "one two three four five\nsix seven eight"))
+      .select(
+        TextFns.dupLineFrac(col("text")).as("l"),
+        TextFns.dupWordFrac(col("text")).as("w"),
+        TextFns.dupTrigramFrac(col("text")).as("g"))
+      .as[(Double, Double, Double)].head()
+    assert(out == ((0.0, 0.0, 0.0)))
+  }
+
+  test("duplicate words and short-cycle trigrams are counted exactly") {
+    import spark.implicits._
+    // 6 tokens, 2 distinct -> 1 - 2/6; 4 trigrams ("a b a","b a b")x2 -> 1 - 2/4
+    val (w, g) = docs(Doc(1L, "a b a b a b"))
+      .select(TextFns.dupWordFrac(col("text")).as("w"),
+        TextFns.dupTrigramFrac(col("text")).as("g"))
+      .as[(Double, Double)].head()
+    assert(math.abs(w - (1.0 - 2.0 / 6)) < 1e-12)
+    assert(g == 0.5)
+  }
+
+  test("duplicate lines: 3 lines 2 distinct -> 1/3") {
+    import spark.implicits._
+    val l = docs(Doc(1L, "x y\nz w\nx y"))
+      .select(TextFns.dupLineFrac(col("text")).as("l")).as[Double].head()
+    assert(math.abs(l - 1.0 / 3) < 1e-12)
+  }
+
+  test("under-3-word docs score trigram 0; empty text scores all 0; NULL propagates") {
+    val rows = docs(Doc(1L, "just two"), Doc(2L, ""), Doc(3L, null))
+      .select(col("doc_id"),
+        TextFns.dupLineFrac(col("text")).as("l"),
+        TextFns.dupWordFrac(col("text")).as("w"),
+        TextFns.dupTrigramFrac(col("text")).as("g"))
+      .orderBy("doc_id").collect()
+    assert(rows(0) == Row(1L, 0.0, 0.0, 0.0))
+    assert(rows(1) == Row(2L, 0.0, 0.0, 0.0))
+    assert(rows(2) == Row(3L, null, null, null))
+  }
+
+  // -------------------------------------------------------------- PII
+
+  test("pii: each category counted and redacted; order prevents double-counts") {
+    import spark.implicits._
+    val text = "mail u9@ex.com or 10.0.0.1 or +1 555 1234567 end"
+    val df = docs(Doc(1L, text))
+    val (ne, ni, np) = TextFns.piiCounts(col("text"))
+    val (e, i, p, clean) = df
+      .select(ne.as("e"), ni.as("i"), np.as("p"),
+        TextFns.redactPii(col("text")).as("c"))
+      .as[(Int, Int, Int, String)].head()
+    assert((e, i, p) == ((1, 1, 1)))
+    assert(clean == "mail <EMAIL> or <IP> or <PHONE> end")
+  }
+
+  test("pii: digit-run inside an email never counts as a phone (staging)") {
+    import spark.implicits._
+    val df = docs(Doc(1L, "write to u1234567890@example.com today"))
+    val (ne, ni, np) = TextFns.piiCounts(col("text"))
+    val (e, i, p) = df.select(ne.as("e"), ni.as("i"), np.as("p"))
+      .as[(Int, Int, Int)].head()
+    assert((e, i, p) == ((1, 0, 0)))
+  }
+
+  test("pii: clean text is untouched") {
+    import spark.implicits._
+    val text = "no addresses here at all"
+    val df = docs(Doc(1L, text))
+    val (ne, ni, np) = TextFns.piiCounts(col("text"))
+    val (e, i, p, clean) = df
+      .select(ne.as("e"), ni.as("i"), np.as("p"),
+        TextFns.redactPii(col("text")).as("c"))
+      .as[(Int, Int, Int, String)].head()
+    assert((e, i, p) == ((0, 0, 0)) && clean == text)
+  }
+
+  // ---------------------------------------------------------- chunking
+
+  test("chunking: 130 tokens at size 64 -> 64/64/2, lossless round-trip") {
+    import spark.implicits._
+    val toks = (1 to 130).map(i => s"t$i")
+    val out = Chunk.byTokens(docs(Doc(7L, toks.mkString(" "))),
+        col("doc_id"), col("text"), size = 64)
+      .orderBy("chunk_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(out.map(_._3).toSeq == Seq(64, 64, 2))
+    assert(out.map(_._4).mkString(" ") == toks.mkString(" "))
+    assert(out.forall(_._1 == 7L))
+  }
+
+  test("chunking: NULL text yields no rows; empty text yields one empty chunk") {
+    val out = Chunk.byTokens(docs(Doc(1L, null), Doc(2L, "")),
+        col("doc_id"), col("text"), size = 8)
+      .orderBy("doc_id").collect()
+    assert(out.toSeq == Seq(Row(2L, 0, 1, "")))
+  }
+
+  test("chunking: non-positive size is rejected") {
+    intercept[IllegalArgumentException] {
+      Chunk.byTokens(docs(Doc(1L, "a")), col("doc_id"), col("text"), size = 0)
+    }
+  }
+}
