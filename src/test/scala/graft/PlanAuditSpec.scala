@@ -194,6 +194,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(scans == 1, s"expected exactly one documents scan, got $scans:\n$plan")
   }
 
+  test("text_repetition/text_pii: pure narrow maps — one scan, no shuffle beyond the output sort") {
+    for (name <- Seq("text_repetition", "text_pii")) {
+      val plan = q(name)
+      val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans == 1, s"$name: expected one documents scan, got $scans:\n$plan")
+      assert(!plan.contains("Join"), s"$name must not join:\n$plan")
+      assert(!plan.contains("HashAggregate"), s"$name must not aggregate:\n$plan")
+      // the only exchange allowed is the orderBy's range partitioning
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name must not hash-shuffle:\n$plan")
+    }
+  }
+
+  test("text_chunks: one generator over one scan; no compute shuffle, no window") {
+    val plan = q("text_chunks")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one documents scan, got $scans:\n$plan")
+    val gens = plan.linesIterator.count(_.contains("Generate"))
+    assert(gens == 1, s"expected exactly one generator, got $gens:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"chunking must stay embarrassingly parallel:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"chunking must not hash-shuffle:\n$plan")
+  }
+
   test("corpus_prep stages: pruned gate scan, broadcast keep/probe/drop joins, no cartesian") {
     // the query's localCheckpoint stage boundaries split it into
     // separate jobs, so each stage's plan is audited where it runs
