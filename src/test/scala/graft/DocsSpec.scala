@@ -248,6 +248,28 @@ class DocsSpec extends SparkSpec {
     assert(out == Map(1L -> "wav", 2L -> "mp4", 3L -> "png", 4L -> "unknown"))
   }
 
+  test("prep recipe: repetition filters, PII scrubbing, and chunking") {
+    import spark.implicits._
+    import graft.functions.TextFns
+    import graft.operators.Chunk
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),        // dup words
+      (2L, "reach me at u@ex.com from 10.0.0.1 sometime soon please ok"),
+    ).toDF("doc_id", "text")
+    // the doc recipe, at test-sized thresholds
+    val kept = docs.where(
+      TextFns.dupLineFrac(col("text")) < 0.30 &&
+      TextFns.dupTrigramFrac(col("text")) < 0.50)
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(2L))
+    val scrubbed = kept.withColumn("text", TextFns.redactPii(col("text")))
+    assert(scrubbed.select("text").as[String].head() ==
+      "reach me at <EMAIL> from <IP> sometime soon please ok")
+    val chunks = Chunk.byTokens(scrubbed, col("doc_id"), col("text"), size = 4)
+    assert(chunks.orderBy("chunk_id").as[(Long, Int, Int, String)].collect().toSeq ==
+      Seq((2L, 0, 4, "reach me at <EMAIL>"), (2L, 1, 4, "from <IP> sometime soon"),
+        (2L, 2, 2, "please ok")))
+  }
+
   test("prep recipe: the composed corpus-preparation pipeline") {
     import spark.implicits._
     import graft.functions.TextFns
