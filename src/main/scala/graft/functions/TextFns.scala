@@ -180,15 +180,16 @@ object TextFns {
 
   /** Duplicate word-3-gram fraction — catches short-cycle repetition
     * ("for the for the …") that word-level stats miss. Same 3-gram
-    * windows as the dedup shingles; docs under 3 words score 0. */
+    * windows as the dedup shingles, via the same one-pass native
+    * [[ShinglesExpr]]: the lambda form
+    * (`transform(sequence(...), i => concat_ws(..., element_at(ws, i+k)...))`)
+    * re-evaluates the regex tokenization per gram element — O(len²)
+    * per document, measured 946 s vs 5 s for its tier at the 10×
+    * stress scale. Docs under 3 words score 0 (ShinglesExpr collapses
+    * them to ONE whole-text shingle, so 1 − 1/1); NULL propagates. */
   def dupTrigramFrac(c: Column): Column = {
-    val ws = wsTokens(normText(c))
-    val grams = transform(
-      sequence(lit(0), size(ws) - 3),
-      i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))
-    when(c.isNull, lit(null).cast("double"))
-      .when(size(ws) < 3, 0.0)
-      .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams))
+    val grams = shingles(c, 3)
+    lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
   }
 
   // --------------------------------------------------------------- L21

@@ -22,16 +22,33 @@ object Chunk {
     * `size`-token windows, last window ragged. NULL text yields no
     * rows (a generator over a NULL array); empty text yields one
     * empty chunk (consistent with [[graft.functions.TextFns.tokenCountWs]]'s
-    * ["" counts 1] convention). */
-  def byTokens(df: DataFrame, id: Column, text: Column, size: Int): DataFrame = {
+    * ["" counts 1] convention).
+    *
+    * `stride` (default `size`: non-overlapping) is the token distance
+    * between window starts — `stride < size` gives the overlapping
+    * windows long-document training uses so no boundary-spanning
+    * context is lost. Windows start at 0, stride, 2·stride, … while
+    * the start is inside the document; a trailing window that merely
+    * re-covers the tail of the previous one is still emitted iff its
+    * start index is in range (same rule as Spark's own `sequence`
+    * bound — no special-casing, deterministic). */
+  def byTokens(df: DataFrame, id: Column, text: Column, size: Int): DataFrame =
+    byTokens(df, id, text, size, stride = size)
+
+  def byTokens(df: DataFrame, id: Column, text: Column, size: Int, stride: Int): DataFrame = {
     require(size > 0, s"chunk size must be positive, got $size")
+    require(stride > 0 && stride <= size,
+      s"stride must be in [1, size=$size], got $stride")
     val ws = col("_ws")
-    val nChunks = expr(s"(size(_ws) + ${size - 1}) div $size")
+    // number of window starts 0, stride, … strictly below size(_ws):
+    // ceil(size(_ws) / stride) — for stride == size this is the
+    // non-overlapping chunk count ceil(n / size).
+    val nChunks = expr(s"(size(_ws) + ${stride - 1}) div $stride")
     df.select(id.cast("long").as("doc_id"), split(text, " ").as("_ws"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(0L), nChunks - lit(1L)),
-          i => array_join(slice(ws, (i * size + 1).cast("int"), lit(size)), " "))))
+          i => array_join(slice(ws, (i * stride + 1).cast("int"), lit(size)), " "))))
       .select(col("doc_id"), col("pos").cast("int").as("chunk_id"),
         F.size(split(col("col"), " ")).as("n_tokens"),
         col("col").as("chunk_text"))

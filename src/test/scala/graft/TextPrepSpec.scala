@@ -121,4 +121,33 @@ class TextPrepSpec extends SparkSpec {
       Chunk.byTokens(docs(Doc(1L, "a")), col("doc_id"), col("text"), size = 0)
     }
   }
+
+  test("chunking: stride < size emits overlapping windows at every start") {
+    import spark.implicits._
+    // 10 tokens, size 4, stride 2 -> starts 0,2,4,6,8; last two ragged
+    val toks = (1 to 10).map(i => s"t$i")
+    val out = Chunk.byTokens(docs(Doc(3L, toks.mkString(" "))),
+        col("doc_id"), col("text"), size = 4, stride = 2)
+      .orderBy("chunk_id")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out.map(_._3).toSeq == Seq(4, 4, 4, 4, 2))
+    assert(out.map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t3 t4 t5 t6", "t5 t6 t7 t8", "t7 t8 t9 t10", "t9 t10"))
+  }
+
+  test("chunking: stride == size reproduces the non-overlapping split; bad strides rejected") {
+    import spark.implicits._
+    val text = (1 to 9).map(i => s"t$i").mkString(" ")
+    val a = Chunk.byTokens(docs(Doc(1L, text)), col("doc_id"), col("text"), size = 4)
+      .orderBy("chunk_id").as[(Long, Int, Int, String)].collect().toSeq
+    val b = Chunk.byTokens(docs(Doc(1L, text)), col("doc_id"), col("text"), size = 4, stride = 4)
+      .orderBy("chunk_id").as[(Long, Int, Int, String)].collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      Chunk.byTokens(docs(Doc(1L, "a")), col("doc_id"), col("text"), size = 4, stride = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Chunk.byTokens(docs(Doc(1L, "a")), col("doc_id"), col("text"), size = 4, stride = 5)
+    }
+  }
 }
