@@ -1054,8 +1054,8 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_email,
         |  CAST(len(regexp_extract_all(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ip,
-        |  CAST(len(regexp_extract_all(t2, '\+?\d[\d -]{7,}\d')) AS INTEGER) AS n_phone,
-        |  regexp_replace(t2, '\+?\d[\d -]{7,}\d', '<PHONE>', 'g') AS clean_text
+        |  CAST(len(regexp_extract_all(t2, '\+?\d(?:[ -]?\d){7,}')) AS INTEGER) AS n_phone,
+        |  regexp_replace(t2, '\+?\d(?:[ -]?\d){7,}', '<PHONE>', 'g') AS clean_text
         |FROM s2 ORDER BY doc_id""".stripMargin,
 
     // Generator-over-NULL-array yields no rows → WHERE text IS NOT NULL.

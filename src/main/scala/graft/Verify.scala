@@ -26,7 +26,10 @@ object Verify {
     // glob (every directory under outDir = one query) can never pick
     // the export tree up as a pseudo-query row (r10's `_aux no_oracle`
     // row in CORRECTNESS was exactly that miscount).
-    val auxDir = s"${outDir}_aux"
+    // Normalized before appending: a trailing "/" in the driver's
+    // outDir would otherwise turn the sibling into outDir/_aux INSIDE
+    // the output tree — the glob-miscount this sibling move fixed.
+    val auxDir = new java.io.File(outDir).getAbsolutePath + "_aux"
     val failedAux = SparkEntry.auxExports.flatMap { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

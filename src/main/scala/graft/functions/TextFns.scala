@@ -202,7 +202,16 @@ object TextFns {
     * once gone), then phone-ish digit runs. */
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhoneRe = "\\+?\\d[\\d -]{7,}\\d"
+  /** Phone-ish digit runs: >= 8 digits with AT MOST ONE space/hyphen
+    * between consecutive digits (so "2010  2011" and "2010 - 2011" no
+    * longer bridge), unbounded length (a leak-safe over-redaction:
+    * capping at E.164's 15 digits would leave the tail of a longer
+    * identifier exposed). KNOWN false-positive class, pinned in
+    * TextPrepSpec: consecutive SINGLE-space-separated digit groups
+    * totaling >= 8 digits — a year list like "2010 2011 2012" — still
+    * collapse to one <PHONE>; structurally indistinguishable from a
+    * grouped international number without NLP-level context. */
+  val PhoneRe = "\\+?\\d(?:[ -]?\\d){7,}"
 
   def redactPii(c: Column): Column =
     regexp_replace(

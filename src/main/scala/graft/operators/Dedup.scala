@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Observation}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFns
@@ -58,17 +57,25 @@ object Dedup {
     * practice: drop buckets over `maxBucket` members from candidate
     * generation. Members of an over-cap bucket are near-exact copies of
     * one another, which exact dedup (L1) already collapses without
-    * quadratic cost — run it first in production pipelines. The count is
-    * a window over the same keys the join shuffles on, so the rows are
-    * narrow (id + keys) and the partitioning is reused by the join.
-    * `maxBucket <= 0` disables the guard; [[oversizedBuckets]] surfaces
-    * what a given cap would skip. */
+    * quadratic cost — run it first in production pipelines. Sizing is a
+    * map-side-combined `groupBy(keys).count` semi-joined back — NOT a
+    * count-over-window: WindowExec materializes one task per key group,
+    * so the very hot bucket the guard exists for (10⁸⁺ members) would
+    * become a single-task straggler inside the guard itself. The
+    * groupBy partial-aggregates the hot key on every mapper and the
+    * semi-join's probe side is AQE-skew-splittable; semantics are
+    * identical. `maxBucket <= 0` disables the guard;
+    * [[oversizedBuckets]] surfaces what a given cap would skip. */
   private def capBuckets(bk: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
     if (maxBucket <= 0) bk
-    else bk
-      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
-      .where(col("_bsz") <= maxBucket)
-      .drop("_bsz")
+    else {
+      val small = bk.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bsz"))
+        .where(col("_bsz") <= maxBucket)
+        .select(keys.map(col): _*)
+      // re-select: the USING-join moves key columns first, and callers
+      // (bucketSelfJoin's positional toDF) depend on bk's column order
+      bk.join(small, keys, "left_semi").select(bk.columns.map(col): _*)
+    }
 
   /** Monitoring twin of the guard: bucket groups a cap of `maxBucket`
     * would drop, with sizes — `(keys…, bucket_size)`. Run over
@@ -93,13 +100,17 @@ object Dedup {
   private def capWithReport(
       bk: DataFrame, keys: Seq[String], maxBucket: Int): (DataFrame, SkippedBuckets) = {
     require(maxBucket > 0, "reported variants require a positive maxBucket")
-    val sized = bk
-      .withColumn("_bsz", count(lit(1)).over(Window.partitionBy(keys.map(col): _*)))
+    val mat = bk.localCheckpoint(true)
+    // Same skew-safe shape as [[capBuckets]]: sizes via map-side-combined
+    // groupBy (one row per bucket — tiny), never a per-key window task.
+    val sizes = mat.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bsz"))
       .localCheckpoint(true)
-    val r = sized.where(col("_bsz") > maxBucket)
-      .agg(count_distinct(struct(keys.map(col): _*)).as("g"), count(lit(1)).as("r"))
+    val r = sizes.where(col("_bsz") > maxBucket)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("g"),
+        coalesce(sum(col("_bsz")), lit(0L)).as("r"))
       .head()
-    (sized.where(col("_bsz") <= maxBucket).drop("_bsz"),
+    (mat.join(sizes.where(col("_bsz") <= maxBucket).select(keys.map(col): _*),
+        keys, "left_semi").select(mat.columns.map(col): _*),
       SkippedBuckets(r.getLong(0), r.getLong(1)))
   }
 
@@ -584,10 +595,15 @@ object Dedup {
       .select(id.as("doc_id"), explode(TextFns.shingles(text, k)).as("_gram"))
       .select(col("doc_id"), xxhash64(col("_gram")).as("_fp"))
     // one row per (window fp, doc): _n = occurrences of the window in
-    // the doc; the per-fp row count is then the DISTINCT doc count
+    // the doc; the per-fp row count is then the DISTINCT doc count.
+    // That count is a groupBy + equi-join back, NOT a count-over-window:
+    // a boilerplate fingerprint shared by 10⁸ docs would otherwise pin
+    // its whole group into one WindowExec task (AQE skew handling
+    // applies to joins, not windows). The join probe side skew-splits.
     val perDocGram = g.groupBy("_fp", "doc_id").agg(count(lit(1)).as("_n"))
+    val fpDocCount = perDocGram.groupBy("_fp").agg(count(lit(1)).as("_nd"))
     perDocGram
-      .withColumn("_nd", count(lit(1)).over(Window.partitionBy("_fp")))
+      .join(fpDocCount, "_fp")
       .groupBy("doc_id")
       .agg(
         sum(col("_n")).as("n_windows"),

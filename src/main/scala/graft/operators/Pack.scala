@@ -90,7 +90,10 @@ object Pack {
       s"block arithmetic bound violated: ${totals.length} blocks > $targetBlocks")
     var acc = 0L
     val offsetRows = totals.map { r =>
-      val off = acc; acc += r.getLong(1); (r.getLong(0), off)
+      // a block whose weights are ALL NULL sums to NULL — contribute 0
+      // to the running offset instead of NPE-ing the driver (the rows
+      // themselves still carry NULL cumsums, matching SQL semantics)
+      val off = acc; acc += (if (r.isNullAt(1)) 0L else r.getLong(1)); (r.getLong(0), off)
     }.toSeq
     val session = df.sparkSession
     import session.implicits._

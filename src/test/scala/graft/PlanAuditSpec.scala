@@ -57,7 +57,7 @@ class PlanAuditSpec extends SparkSpec {
       s"top-k must participate in partial aggregation:\n$plan")
   }
 
-  test("dedup_incremental: the stored index side is semi-join-pruned before the hot-bucket window") {
+  test("dedup_incremental: index side semi-join-pruned; hot-bucket guard is a join, not a window") {
     // Plan the incremental keep directly (the SparkEntry query also
     // writes the index; here we want the read path's shape).
     val idx = java.nio.file.Files.createTempDirectory("graft-plan-idx").toString + "/idx"
@@ -69,12 +69,27 @@ class PlanAuditSpec extends SparkSpec {
       docs.where(col("doc_id") >= 250), col("doc_id"), col("text"), idx, 0.5)
     val plan = finalPlan(inc)
     // a small increment must not shuffle the whole stored index: the
-    // index scan feeds a LeftSemi join on (band,bucket) and only then
-    // the capping window
+    // index scan feeds a LeftSemi join on (band,bucket), then the
+    // hot-bucket cap (a groupBy-sizes semi-join — a count-over-window
+    // here would make each hot bucket a single WindowExec task, the
+    // exact straggler the guard exists to prevent)
     assert(plan.contains("LeftSemi"), s"expected index-side semi-join prune:\n$plan")
-    assert(plan.contains("Window"), s"expected the hot-bucket window guard:\n$plan")
+    assert(!plan.contains("Window"),
+      s"hot-bucket guard must be groupBy+semi-join, never a per-key window:\n$plan")
     assert(plan.indexOf("LeftSemi") >= 0 &&
       plan.contains("buckets"), s"semi-join must apply to the stored bucket table:\n$plan")
+  }
+
+  test("dedup_minhash / dedup_spans: no per-key window anywhere in the dedup paths") {
+    // The hot-bucket guard and the span df-count are groupBy+join by
+    // design (VERDICT r11 advisory #2): WindowExec gives one task per
+    // key group, so a 10⁸-member template bucket/fingerprint would pin
+    // a single straggler task — AQE skew-splits joins, not windows.
+    for (name <- Seq("dedup_minhash", "dedup_spans")) {
+      val plan = q(name)
+      assert(!plan.contains("Window"),
+        s"$name: bucket/fp sizing must be groupBy+join, got a window:\n$plan")
+    }
   }
 
   test("ann_pq: LUTs broadcast, ADC candidates go through the partial top-k aggregate") {

@@ -82,6 +82,26 @@ class TextPrepSpec extends SparkSpec {
     assert((e, i, p) == ((1, 0, 0)))
   }
 
+  test("pii: separator runs >1 char break a phone match; single-space year lists still collapse") {
+    import spark.implicits._
+    // Tightened in r12 (VERDICT r11 advisory): at most ONE space/hyphen
+    // between consecutive digits. Double spaces and spaced hyphens no
+    // longer bridge unrelated digit groups…
+    val (ne, ni, np) = TextFns.piiCounts(col("text"))
+    def redact(text: String): (Int, String) =
+      docs(Doc(1L, text)).select(np.as("p"), TextFns.redactPii(col("text")).as("c"))
+        .as[(Int, String)].head()
+    assert(redact("totals 2010  2011  2012 end") == ((0, "totals 2010  2011  2012 end")))
+    assert(redact("range 2010 - 2011 - 2012 end") == ((0, "range 2010 - 2011 - 2012 end")))
+    // …but the documented residual false-positive class is PINNED: a
+    // SINGLE-space year list is structurally a grouped international
+    // number (>=8 digits, one separator per gap) and still collapses.
+    assert(redact("years 2010 2011 2012 end") == ((1, "years <PHONE> end")))
+    // 7 digits is below the 8-digit floor; 8 is on it
+    assert(redact("id 1234567 end")._1 == 0)
+    assert(redact("id 12345678 end") == ((1, "id <PHONE> end")))
+  }
+
   test("pii: clean text is untouched") {
     import spark.implicits._
     val text = "no addresses here at all"
