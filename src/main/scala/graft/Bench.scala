@@ -35,6 +35,14 @@ import org.apache.spark.sql.SparkSession
   * small elapsed time — a regression must not look like a speedup), the
   * error goes to stderr, and the process exits nonzero if anything
   * failed. The JSON line still prints so partial results are usable.
+  *
+  * Contention hygiene (round 12): if the 1-min system load average
+  * exceeds $SPARK_GRAFT_BENCH_LOAD_MAX (default 1.0) before the timed
+  * passes, the run backs off once ($SPARK_GRAFT_BENCH_LOAD_BACKOFF_S,
+  * default 90 s) and re-measures; persistent contention stamps
+  * "contended":true + the measured load onto the official line and the
+  * sidecar records load per pass. Non-default knobs (passes/warmup/
+  * filter) also stamp the line — a probe run self-identifies.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -68,11 +76,37 @@ object Bench {
     }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def load: Double = osBean.getSystemLoadAverage // 1-min avg; -1 if unsupported
+
+    // Contention guard (round 12): BENCH_r11's official artifact was
+    // taken under ambient load (load_avg 2.12 at start) and overstated
+    // cost ~1.3× vs a quiet same-HEAD run. An artifact that misstates
+    // the engine is worse than a late one — so if the 1-min load
+    // average exceeds the threshold before the timed passes, back off
+    // once and re-measure. If it is STILL hot, the run proceeds (the
+    // driver needs its artifact) but the contamination is recorded in
+    // the sidecar AND flagged on the official line, so a polluted
+    // number can never again read as a regression.
+    val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "1.0").toDouble
+    val backoffS = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_BACKOFF_S", "90").toInt
+    val loadFirst = load
+    val backedOff = loadFirst > loadMax
+    if (backedOff) {
+      System.err.println(
+        s"[bench] CONTENTION: load_avg ${"%.2f".format(loadFirst)} > $loadMax before timed passes; " +
+        s"backing off ${backoffS}s for the 1-min average to drain")
+      Thread.sleep(backoffS * 1000L)
+    }
     val loadBefore = load
+    val contended = loadBefore > loadMax
+    if (contended) System.err.println(
+      s"[bench] CONTENTION PERSISTS: load_avg ${"%.2f".format(loadBefore)} after backoff — " +
+      "artifact will carry \"contended\":true; treat totals as an upper bound")
 
     var failed = Set.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    val passLoads = scala.collection.mutable.ListBuffer.empty[Double]
     val orders = (1 to nPasses).map { pass =>
+      passLoads += load
       val rnd = new scala.util.Random(seed + pass)
       val order = rnd.shuffle(qs)
       order.foreach { case (name, fn) =>
@@ -119,6 +153,24 @@ object Bench {
         "null"
       }
 
+    // Sidecar-only A/B variants (e.g. collapseExact=false twins of the
+    // dedup queries) — one timed run each, never on the official line.
+    // Skipped for filtered probe runs: they exist to make the OFFICIAL
+    // artifact's round-over-round deltas attributable.
+    val variantJson: String =
+      if (only.isDefined) "null"
+      else {
+        val vs = SparkEntry.benchVariants.toSeq.sortBy(_._1).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          val v = try { run(fn); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] variant $name FAILED: ${e.getMessage}"); -1.0
+          }
+          s"\"" + name + "\":" + f(v)
+        }
+        vs.mkString("{", ",", "}")
+      }
+
     // Telemetry sidecar: everything a human needs to judge whether a
     // bad number is contention or code — never on the parsed line.
     val pjson = qs.map { case (name, _) =>
@@ -126,8 +178,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val ojson = orders.map(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
+    val loadsJson = passLoads.map(f).mkString("[", ",", "]")
     val sidecar =
-      s"""{"seed":$seed,"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"cpus_jvm":${Runtime.getRuntime.availableProcessors},"incremental_phases":$incrPhases,"pass_orders":$ojson,"passes":$pjson}"""
+      s"""{"seed":$seed,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"incremental_phases":$incrPhases,"variants":$variantJson,"pass_orders":$ojson,"passes":$pjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecarPath), sidecar)
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     System.err.println(s"[bench] telemetry sidecar: $sidecarPath (seed=$seed)")
@@ -137,7 +190,17 @@ object Bench {
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
     // LAST stdout line, compact: the driver's machine-readable record.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size}}""")
+    // Non-default knobs stamp themselves onto the line (a filtered or
+    // 1-pass probe run must be distinguishable from an official sweep
+    // without forensics on the query list — ADVICE r11), as does
+    // persistent ambient contention. A default quiet run's line keeps
+    // the exact round-11 shape.
+    val flags = new StringBuilder
+    if (nPasses != 3) flags ++= s""","passes":$nPasses"""
+    if (!doWarmup) flags ++= ""","warmup":false"""
+    only.foreach(o => flags ++= s""","filtered":${o.size}""")
+    if (contended) flags ++= s""","contended":true,"load_avg_before":${f(loadBefore)}"""
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size}$flags}""")
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.toSeq.sorted.mkString(", ")}")
       sys.exit(2)

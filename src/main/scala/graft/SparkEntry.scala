@@ -756,6 +756,28 @@ object SparkEntry {
     },
   )
 
+  /** Sidecar-only bench A/B variants: NOT driver queries, never on the
+    * official line — Bench times each once per run and records it in
+    * the telemetry sidecar. Round 12 purpose: the exact-dup collapse
+    * (Dedup.collapseByText, r11's sf10 fix) adds fingerprint-groupBy +
+    * member-expand stages that buy nothing at sf0.1's near-zero
+    * exact-dup rate; these off-variants price that overhead every
+    * round, so collapse cost vs ambient drift is attributable from the
+    * sidecar alone (VERDICT r11 advisory #3). */
+  def benchVariants: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_minhash_nocollapse" -> { (s, dir) =>
+      Dedup.minhashKeep(documents(s, dir).toNative, col("doc_id"), col("text"), 0.5,
+          collapseExact = false)
+        .select("doc_id").orderBy("doc_id")
+    },
+    "dedup_jaccard_nocollapse" -> { (s, dir) =>
+      Dedup.jaccardPairs(documents(s, dir).toNative, col("doc_id"), col("text"), 0.5,
+          collapseExact = false)
+        .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("jaccard"))
+        .orderBy("doc_id_a", "doc_id_b")
+    },
+  )
+
   /** The shared exact-rerank oracle over an exported ANN candidate set:
     * cosine against the same probes + row_number top-k with the
     * TopKByScore tie-break (sim desc, neighbor_id asc). One definition
