@@ -369,6 +369,18 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // L22→L17 composition: docs → 64-token chunks → ~256-token shards.
+    // The seam under test is the packable-id synthesis (doc_id·2³² +
+    // chunk_id — order-preserving, collision-free) plus the decode back
+    // to the (doc_id, chunk_id) pair; the oracle replays the chunking
+    // CTE and the greedy prefix-sum pack as one global window.
+    "chunk_pack" -> { (s, dir) =>
+      Chunk.packChunks(
+        Chunk.byTokens(documents(s, dir).toNative, col("doc_id"), col("text"), size = 64),
+        budget = 256)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // L1: exact dedup groups — min-id representative per fingerprint
     "dedup_exact" -> { (s, dir) =>
       Dedup.exactGroups(documents(s, dir).toNative, col("text"), col("doc_id"))
@@ -1094,6 +1106,26 @@ object SparkEntry {
         |  CAST(len(string_split(chunk_text, ' ')) AS INTEGER) AS n_tokens,
         |  chunk_text
         |FROM t ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // The same chunking CTE, then the greedy pack as ONE global running
+    // sum (the oracle may do what the engine must not): shard_id =
+    // floor(tokens_before / 256) in (doc_id, cid) order. DuckDB
+    // sum(INTEGER) is HUGEINT — cast the prefix to BIGINT so shard_id's
+    // type matches Spark's LONG div.
+    "chunk_pack" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT doc_id, ws, unnest(range(0, (len(ws) + 63) // 64)) AS cid FROM w),
+        |t AS (SELECT doc_id, cid, CAST(len(string_split(
+        |  array_to_string(ws[cid * 64 + 1 : cid * 64 + 64], ' '), ' ')) AS INTEGER) AS n_tokens
+        |  FROM c),
+        |o AS (SELECT doc_id, cid, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id, cid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT) AS pre
+        |  FROM t)
+        |SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id, n_tokens,
+        |  pre // 256 AS shard_id
+        |FROM o ORDER BY doc_id, chunk_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(norm) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -35,6 +35,41 @@ object Chunk {
   def byTokens(df: DataFrame, id: Column, text: Column, size: Int): DataFrame =
     byTokens(df, id, text, size, stride = size)
 
+  /** The Chunk→Pack composition seam (SURVEY L22's "feeds
+    * `Pack.packByBudget`"): pack [[byTokens]] output into ~`budget`-token
+    * shards, walking chunks in (doc_id, chunk_id) order.
+    *
+    * [[Pack.packByBudget]] takes ONE long id with contiguous-block
+    * arithmetic, while chunks are keyed by the (doc_id, chunk_id) pair —
+    * so the packable id is synthesized as `doc_id·2³² + chunk_id`:
+    * order-preserving (long comparison = lexicographic pair comparison)
+    * and collision-free (chunk_id is a non-negative Int < 2³²). Bounds
+    * this imposes: `0 <= doc_id < 2³¹` (the product must not overflow a
+    * Long) — ~2.1 B documents per pack call. A corpus beyond that packs
+    * per id-range partition (shard ids are relative to the call anyway);
+    * re-keying by `dense_rank` would lift the bound but costs a global
+    * sort, which this arithmetic form exists to avoid.
+    *
+    * The narrow (id, weight) frame is eagerly materialized here:
+    * [[Pack.packByBudget]] evaluates its input three times, and the
+    * upstream is a generator over the full corpus text — without the
+    * checkpoint the chunking regex/split work runs 3× (the same
+    * measured-recompute reasoning as corpus_prep's stage boundaries).
+    *
+    * Returns `(doc_id, chunk_id, n_tokens, shard_id)`. */
+  def packChunks(chunks: DataFrame, budget: Long, targetBlocks: Int = 1024): DataFrame = {
+    val synth = chunks.select(
+      (col("doc_id") * lit(1L << 32) + col("chunk_id")).as("_cid"),
+      col("n_tokens"))
+      .localCheckpoint(true)
+    Pack.packByBudget(synth, col("_cid"), col("n_tokens"), budget, targetBlocks)
+      .select(
+        expr("id div 4294967296").as("doc_id"),
+        expr("id % 4294967296").cast("int").as("chunk_id"),
+        col("weight").cast("int").as("n_tokens"),
+        col("shard_id"))
+  }
+
   def byTokens(df: DataFrame, id: Column, text: Column, size: Int, stride: Int): DataFrame = {
     require(size > 0, s"chunk size must be positive, got $size")
     require(stride > 0 && stride <= size,

@@ -47,6 +47,18 @@ class PackSpec extends SparkSpec {
     assert(packed(rows, budget = 25) == reference(rows, 25))
   }
 
+  test("chunk-shaped ids (doc_id·2³² + chunk_id): huge uniform gaps between docs pack in pair order") {
+    // the Chunk.packChunks synthesis: ids cluster in tiny dense runs
+    // (one per doc) separated by ~2³² gaps — the block arithmetic must
+    // not collapse every run into one block or overflow on the span
+    val ids = for (doc <- Seq(0L, 3L, 17L, 1000000L, Int.MaxValue.toLong); c <- 0L until 4L)
+      yield (doc << 32) + c
+    val rnd = new scala.util.Random(11)
+    val rows = ids.map(_ -> (rnd.nextInt(50) + 1).toLong)
+    assert(packed(rows, budget = 120) == reference(rows, 120))
+    assert(packed(rows, budget = 120, blocks = 3) == reference(rows, 120))
+  }
+
   test("negative ids pack in id order (block arithmetic handles lo < 0)") {
     val rows = Seq(-100L -> 10L, -5L -> 10L, 0L -> 10L, 42L -> 10L)
     assert(packed(rows, budget = 15) == reference(rows, 15))

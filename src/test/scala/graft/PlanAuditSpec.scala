@@ -192,6 +192,25 @@ class PlanAuditSpec extends SparkSpec {
       s"per-block cumsum must partition by the block key:\n$plan")
     assert(!plan.contains("WindowExec: No Partition") && winLines.size <= 2,
       s"no unpartitioned window may survive the offsets restructure:\n$plan")
+  }
+
+  test("chunk_pack: generator stays narrow; pack keeps the per-block window + broadcast offsets") {
+    val plan = q("chunk_pack")
+    // the chunk generator shape is pinned by the text_chunks audit; in
+    // THIS plan it sits behind packChunks' eager checkpoint (Pack
+    // triple-evaluates its input, so the narrow (id, weight) frame is
+    // materialized — the plan must start from that RDD, not re-derive
+    // the chunking), and packing's only window is the per-_blk cumsum
+    // with offsets coming back as a broadcast join
+    assert(plan.contains("ExistingRDD"),
+      s"pack input must be the materialized narrow frame:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"block offsets must broadcast-join back:\n$plan")
+    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("_blk")) && winLines.size <= 2,
+      s"only the per-block cumsum window may appear:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"composition degraded:\n$plan")
     // the broadcast side is the driver-computed offsets table (block
     // totals aggregate runs in its own bounded collect job, so it does
     // not appear in this plan)

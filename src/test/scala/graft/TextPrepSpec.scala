@@ -170,4 +170,45 @@ class TextPrepSpec extends SparkSpec {
       Chunk.byTokens(docs(Doc(1L, "a")), col("doc_id"), col("text"), size = 4, stride = 5)
     }
   }
+
+  // ------------------------------------------- chunk→pack composition
+
+  test("packChunks: chunks pack greedily in (doc_id, chunk_id) order; pair decodes back") {
+    import spark.implicits._
+    // three docs with ragged chunk counts: 10/1/3 tokens at size 4 →
+    // chunks of 4,4,2 / 1 / 3 tokens
+    val corpus = docs(
+      Doc(5L, (1 to 10).map(i => s"a$i").mkString(" ")),
+      Doc(2L, "solo"),
+      Doc(9L, "x y z"))
+    val chunks = Chunk.byTokens(corpus, col("doc_id"), col("text"), size = 4)
+    val out = Chunk.packChunks(chunks, budget = 6)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    // sequential greedy over (doc,chunk) order: (2,0,1) pre=0 → shard 0;
+    // (5,0,4) pre=1 → 0; (5,1,4) pre=5 → 0; (5,2,2) pre=9 → 1;
+    // (9,0,3) pre=11 → 1
+    assert(out == Seq(
+      (2L, 0, 1, 0L), (5L, 0, 4, 0L), (5L, 1, 4, 0L), (5L, 2, 2, 1L),
+      (9L, 0, 3, 1L)))
+  }
+
+  test("packChunks: the id synthesis holds at the documented doc_id bound (2^31 - 1)") {
+    import spark.implicits._
+    // doc_id = Int.MaxValue is the largest the doc_id·2³² + chunk_id
+    // synthesis supports without Long overflow; multi-chunk docs there
+    // must still decode and order correctly against a small-id doc
+    val big = Int.MaxValue.toLong
+    val corpus = docs(
+      Doc(big, (1 to 5).map(i => s"b$i").mkString(" ")),
+      Doc(1L, "one two"))
+    val out = Chunk.packChunks(
+        Chunk.byTokens(corpus, col("doc_id"), col("text"), size = 2), budget = 4)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Int, Int, Long)].collect().toSeq
+    // order: (1,0,2) pre=0 → 0; (big,0,2) pre=2 → 0; (big,1,2) pre=4 → 1;
+    // (big,2,1) pre=6 → 1
+    assert(out == Seq(
+      (1L, 0, 2, 0L), (big, 0, 2, 0L), (big, 1, 2, 1L), (big, 2, 1, 1L)))
+  }
 }
