@@ -1360,33 +1360,42 @@ object SparkEntry {
 
     // The arithmetic mirror of Media.syntheticAvContainer: every field
     // AvHeaderDecoder must parse back out of the constructed WAV / FLAC /
-    // MP3 / OGG / MP4 containers. Same floorMod spelling as
+    // MP3 / OGG / ISO-BMFF containers. Same floorMod spelling as
     // multimodal_real; fields outside a format's modality are 0 by the
     // unified-record contract. MP3's rate is the header's 2-bit table
     // index ({44100,48000,32000}), its channel count the mono/stereo
-    // mode bit; container sizes are fixed per format.
+    // mode bit; container sizes are fixed per format. The ISO-BMFF slot
+    // (id%5=4) sub-cycles mp4/avif/heic by floorDiv(id,5)%3 — spelled
+    // `(doc_id - floorMod) // 5` so the floor-div matches Scala's
+    // Math.floorDiv for negative ids too; dims are the same arithmetic
+    // in all three, only the carrying box differs (tkhd vs ispe).
     "multimodal_av" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(CASE WHEN ((doc_id % 5) + 5) % 5 = 4
+      """WITH m AS (SELECT doc_id, ((doc_id % 5) + 5) % 5 AS slot,
+        |  (((((doc_id - ((doc_id % 5) + 5) % 5) // 5) % 3) + 3) % 3) AS sub
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CAST(CASE WHEN slot = 4
         |       THEN 16 + ((doc_id % 600) + 600) % 600 ELSE 0 END AS INTEGER) AS width,
-        |  CAST(CASE WHEN ((doc_id % 5) + 5) % 5 = 4
+        |  CAST(CASE WHEN slot = 4
         |       THEN 16 + (((doc_id * 3) % 400) + 400) % 400 ELSE 0 END AS INTEGER) AS height,
-        |  CAST(CASE ((doc_id % 5) + 5) % 5
+        |  CAST(CASE slot
         |       WHEN 2 THEN CASE ((doc_id % 3) + 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
         |       WHEN 4 THEN 0
         |       ELSE 8000 + ((doc_id % 40000) + 40000) % 40000 END AS INTEGER) AS sample_rate,
-        |  CAST(CASE ((doc_id % 5) + 5) % 5
+        |  CAST(CASE slot
         |       WHEN 1 THEN 1 + ((doc_id % 8) + 8) % 8
         |       WHEN 2 THEN CASE ((doc_id % 2) + 2) % 2 WHEN 0 THEN 2 ELSE 1 END
         |       WHEN 4 THEN 0
         |       ELSE 1 + ((doc_id % 2) + 2) % 2 END AS INTEGER) AS channels,
-        |  CAST(CASE ((doc_id % 5) + 5) % 5
+        |  CAST(CASE slot
         |       WHEN 0 THEN 8 * (1 + ((doc_id % 3) + 3) % 3)
         |       WHEN 1 THEN 16 ELSE 0 END AS INTEGER) AS bits,
-        |  CASE ((doc_id % 5) + 5) % 5 WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
-        |       WHEN 3 THEN 'ogg' ELSE 'mp4' END AS format,
-        |  CAST(CASE ((doc_id % 5) + 5) % 5 WHEN 0 THEN 44 WHEN 1 THEN 42 WHEN 2 THEN 4
-        |       WHEN 3 THEN 58 ELSE 124 END AS BIGINT) AS n_bytes
-        |FROM documents ORDER BY 1""".stripMargin,
+        |  CASE slot WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3'
+        |       WHEN 3 THEN 'ogg'
+        |       ELSE CASE sub WHEN 0 THEN 'mp4' WHEN 1 THEN 'avif' ELSE 'heic' END END AS format,
+        |  CAST(CASE slot WHEN 0 THEN 44 WHEN 1 THEN 42 WHEN 2 THEN 4
+        |       WHEN 3 THEN 58
+        |       ELSE CASE sub WHEN 0 THEN 124 ELSE 64 END END AS BIGINT) AS n_bytes
+        |FROM m ORDER BY 1""".stripMargin,
   )
 }

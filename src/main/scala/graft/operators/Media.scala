@@ -191,11 +191,14 @@ object Media {
     * formats of [[HeaderDecoder]]: WAV (RIFF/WAVE `fmt ` chunk walk),
     * FLAC (STREAMINFO block), MP3 (MPEG audio frame header, ID3v2 tag
     * skipped), OGG (first-page Vorbis identification header or
-    * OpusHead), MP4/ISO-BMFF (`ftyp` brand + `moov`→`trak`→`tkhd` box
-    * walk for track dimensions). Pure public-format byte parsing (RIFF
-    * spec, FLAC format spec, MPEG-1/2 audio frame header layout, Ogg
-    * RFC 3533 + Vorbis I / RFC 7845 id headers, ISO/IEC 14496-12 box
-    * structure) — no codec library, so it runs in this dependency-free
+    * OpusHead), MP4/ISO-BMFF (`ftyp` brand dispatch: movie brands take
+    * the `moov`→`trak`→`tkhd` walk for track dimensions, HEIF still
+    * brands — avif/avis/heic/heix/mif1/msf1 — take the
+    * `meta`→`iprp`→`ipco`→`ispe` item-property walk). Pure
+    * public-format byte parsing (RIFF spec, FLAC format spec, MPEG-1/2
+    * audio frame header layout, Ogg RFC 3533 + Vorbis I / RFC 7845 id
+    * headers, ISO/IEC 14496-12 box structure + 23008-12 HEIF item
+    * properties) — no codec library, so it runs in this dependency-free
     * container and on any executor. Anything else falls through to the
     * image parser; corrupt/truncated payloads keep their identified
     * container format with zeroed fields, unknown signatures decode as
@@ -301,9 +304,50 @@ object Media {
       -1
     }
 
-    /** ISO-BMFF: `moov`→`trak`→`tkhd`; tkhd width/height are 16.16
-      * fixed-point at +84 (version 0) / +96 (version 1). */
+    /** ISO-BMFF: dispatch on the `ftyp` major brand first — AVIF/HEIF
+      * still images are ISO-BMFF containers too, but carry their
+      * dimensions in the item-property tree (`meta`→`iprp`→`ipco`→
+      * `ispe`), not in a movie track; before round 12 they fell through
+      * to the `moov` walk and blanked to ("mp4", 0×0), under-reporting
+      * a top-tier crawl image format exactly the way WEBP did before
+      * round 11. Movie brands keep the `moov`→`trak`→`tkhd` walk; tkhd
+      * width/height are 16.16 fixed-point at +84 (version 0) / +96
+      * (version 1). */
     private def mp4(c: Array[Byte], n: Long): DecodedAv = {
+      val brand = new String(c, 8, 4, "US-ASCII") // caller guarantees length >= 12
+      brand match {
+        case "avif" | "avis" => ispeDims(c, n, "avif")
+        // heic/heix = HEVC-coded HEIF; mif1/msf1 = the generic HEIF
+        // structural brands, overwhelmingly HEIC in the wild — report
+        // "heic" rather than inventing a fourth format name
+        case "heic" | "heix" | "mif1" | "msf1" => ispeDims(c, n, "heic")
+        case _ => mp4Moov(c, n)
+      }
+    }
+
+    /** HEIF still images (ISO/IEC 23008-12): spatial extent lives in the
+      * `ispe` item property — `meta` (a FullBox: children start past the
+      * 4 version/flags bytes) → `iprp` → `ipco` → `ispe`, width/height
+      * BE32 at +12/+16. The first `ispe` in `ipco` is read (the primary
+      * item's extent in practice; per-item `ipma` association needs the
+      * full item table, beyond a header probe's scope). Absent or
+      * corrupt boxes degrade to zeroed dims with the format retained —
+      * same never-throw contract as every other branch. */
+    private def ispeDims(c: Array[Byte], n: Long, fmt: String): DecodedAv = {
+      val none = DecodedAv(0, 0, 0, 0, 0, fmt, n)
+      val meta = findBox(c, 0, c.length, "meta")
+      if (meta < 0 || be32(c, meta) < 12) return none
+      val iprp = findBox(c, meta + 12, meta + be32(c, meta), "iprp")
+      if (iprp < 0) return none
+      val ipco = findBox(c, iprp + 8, iprp + be32(c, iprp), "ipco")
+      if (ipco < 0) return none
+      val ispe = findBox(c, ipco + 8, ipco + be32(c, ipco), "ispe")
+      if (ispe < 0 || be32(c, ispe) < 20) return none
+      val (w, h) = (be32(c, ispe + 12), be32(c, ispe + 16))
+      if (w < 0 || h < 0) none else DecodedAv(w, h, 0, 0, 0, fmt, n)
+    }
+
+    private def mp4Moov(c: Array[Byte], n: Long): DecodedAv = {
       val none = DecodedAv(0, 0, 0, 0, 0, "mp4", n)
       val moov = findBox(c, 0, c.length, "moov")
       if (moov < 0) return none
@@ -382,11 +426,14 @@ object Media {
     * [[AvHeaderDecoder]], the AV twin of [[syntheticContainer]]: a
     * minimal-but-well-formed WAV (RIFF/WAVE + complete `fmt ` chunk),
     * FLAC (magic + STREAMINFO), MP3 (one MPEG1 Layer III frame header),
-    * OGG (one page wrapping a Vorbis identification header) or MP4
-    * (`ftyp` + `moov`/`trak`/`tkhd`), chosen by `id % 5`, whose
-    * metadata is pure arithmetic in `id` — a SQL oracle states the
-    * expected fields without parsing a byte. Sizes are fixed per format
-    * (wav 44 B, flac 42 B, mp3 4 B, ogg 58 B, mp4 124 B). floorMod
+    * OGG (one page wrapping a Vorbis identification header) or an
+    * ISO-BMFF container, chosen by `id % 5`; the ISO-BMFF slot
+    * sub-cycles by `floorDiv(id,5) % 3` over MP4 (`ftyp isom` +
+    * `moov`/`trak`/`tkhd`), AVIF (`ftyp avif` + `meta`/`ispe`) and HEIC
+    * (`ftyp mif1` + the same `ispe` tree). All metadata is pure
+    * arithmetic in `id` — a SQL oracle states the expected fields
+    * without parsing a byte. Sizes are fixed per format (wav 44 B,
+    * flac 42 B, mp3 4 B, ogg 58 B, mp4 124 B, avif/heic 64 B). floorMod
     * keeps every field in its format's legal range over ALL Long ids.
     * MP3's sample rate comes from the header's 2-bit table index, so it
     * cycles {44100, 48000, 32000} rather than a continuous range. */
@@ -439,26 +486,51 @@ object Media {
         b.putInt(0).putInt(0).putInt(0).put(0xB8.toByte).put(1.toByte) // bitrates, blocksizes, framing
         b.array()
       case _ =>
-        // ftyp(16) + moov(8 + trak(8 + tkhd(92 v0))) = 124; tkhd dims are
-        // 16.16 fixed-point, same arithmetic as the image containers
+        // ISO-BMFF slot, sub-cycled by floorDiv(id,5) mod 3 over the
+        // three brand families the parser must distinguish: a movie
+        // (ftyp isom + moov/trak/tkhd, 124 B), an AVIF still (ftyp avif
+        // + meta/iprp/ipco/ispe, 64 B), a HEIC still (ftyp mif1 — the
+        // generic HEIF brand, mapped to "heic" — same ispe tree, 64 B).
+        // Dimension arithmetic is identical across the three; only the
+        // box that carries it moves.
         val w = (16L + floorMod(id, 600L)).toInt
         val h = (16L + floorMod(id * 3L, 400L)).toInt
-        val b = java.nio.ByteBuffer.allocate(124) // ISO-BMFF is big-endian
-        b.putInt(16).put("ftyp".getBytes("US-ASCII"))
-          .put("isom".getBytes("US-ASCII")).putInt(0)
-        b.putInt(108).put("moov".getBytes("US-ASCII"))
-        b.putInt(100).put("trak".getBytes("US-ASCII"))
-        b.putInt(92).put("tkhd".getBytes("US-ASCII"))
-        b.putInt(0)                       // version 0 + flags
-        b.putInt(0).putInt(0).putInt(1)   // ctime mtime trackId
-        b.putInt(0).putInt(0)             // reserved, duration
-        b.position(b.position() + 16)     // reserved(8) layer alt volume reserved
-        b.putInt(0x00010000).putInt(0).putInt(0) // unity matrix rows
-        b.putInt(0).putInt(0x00010000).putInt(0)
-        b.putInt(0).putInt(0).putInt(0x40000000)
-        b.putInt(w << 16).putInt(h << 16)
-        b.array()
+        floorMod(java.lang.Math.floorDiv(id, 5L), 3L) match {
+          case 0L =>
+            // ftyp(16) + moov(8 + trak(8 + tkhd(92 v0))) = 124; tkhd
+            // dims are 16.16 fixed-point
+            val b = java.nio.ByteBuffer.allocate(124) // ISO-BMFF is big-endian
+            b.putInt(16).put("ftyp".getBytes("US-ASCII"))
+              .put("isom".getBytes("US-ASCII")).putInt(0)
+            b.putInt(108).put("moov".getBytes("US-ASCII"))
+            b.putInt(100).put("trak".getBytes("US-ASCII"))
+            b.putInt(92).put("tkhd".getBytes("US-ASCII"))
+            b.putInt(0)                       // version 0 + flags
+            b.putInt(0).putInt(0).putInt(1)   // ctime mtime trackId
+            b.putInt(0).putInt(0)             // reserved, duration
+            b.position(b.position() + 16)     // reserved(8) layer alt volume reserved
+            b.putInt(0x00010000).putInt(0).putInt(0) // unity matrix rows
+            b.putInt(0).putInt(0x00010000).putInt(0)
+            b.putInt(0).putInt(0).putInt(0x40000000)
+            b.putInt(w << 16).putInt(h << 16)
+            b.array()
+          case sub =>
+            heifContainer(if (sub == 1L) "avif" else "mif1", w, h)
+        }
     }
+  }
+
+  /** Minimal well-formed HEIF still: ftyp(16) + meta FullBox(12 +
+    * iprp(8 + ipco(8 + ispe(20)))) = 64 bytes, ispe width/height BE32. */
+  private def heifContainer(brand: String, w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(64)
+    b.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put(brand.getBytes("US-ASCII")).putInt(0)
+    b.putInt(48).put("meta".getBytes("US-ASCII")).putInt(0) // version+flags
+    b.putInt(36).put("iprp".getBytes("US-ASCII"))
+    b.putInt(28).put("ipco".getBytes("US-ASCII"))
+    b.putInt(20).put("ispe".getBytes("US-ASCII")).putInt(0).putInt(w).putInt(h)
+    b.array()
   }
 
   final case class MediaRow(media_id: Long, content: Array[Byte])

@@ -92,6 +92,33 @@ class AvSpec extends SparkSpec {
     b.array()
   }
 
+  // AVIF still: ftyp(avif) + meta FullBox > iprp > ipco > ispe, 2048×1536.
+  private val avifBytes = {
+    val b = java.nio.ByteBuffer.allocate(64)
+    b.putInt(16).put("ftyp".getBytes("US-ASCII")).put("avif".getBytes("US-ASCII")).putInt(0)
+    b.putInt(48).put("meta".getBytes("US-ASCII")).putInt(0)
+    b.putInt(36).put("iprp".getBytes("US-ASCII"))
+    b.putInt(28).put("ipco".getBytes("US-ASCII"))
+    b.putInt(20).put("ispe".getBytes("US-ASCII")).putInt(0).putInt(2048).putInt(1536)
+    b.array()
+  }
+
+  // HEIC still with DECOYS on every level of the walk: a free box before
+  // meta, a pasp property before ispe inside ipco — the sibling scans
+  // must step over both. Brand "heic" (the mif1 mapping is covered by
+  // the synthetic round-trip). 4032×3024.
+  private val heicBytes = {
+    val b = java.nio.ByteBuffer.allocate(88)
+    b.putInt(16).put("ftyp".getBytes("US-ASCII")).put("heic".getBytes("US-ASCII")).putInt(0)
+    b.putInt(8).put("free".getBytes("US-ASCII"))
+    b.putInt(64).put("meta".getBytes("US-ASCII")).putInt(0)
+    b.putInt(52).put("iprp".getBytes("US-ASCII"))
+    b.putInt(44).put("ipco".getBytes("US-ASCII"))
+    b.putInt(16).put("pasp".getBytes("US-ASCII")).putInt(1).putInt(1)
+    b.putInt(20).put("ispe".getBytes("US-ASCII")).putInt(0).putInt(4032).putInt(3024)
+    b.array()
+  }
+
   test("AvHeaderDecoder parses real WAV/FLAC/MP3/OGG/MP4 headers") {
     assert(AvHeaderDecoder.decodeAv(wavBytes) == DecodedAv(0, 0, 22050, 2, 16, "wav", 44L))
     assert(AvHeaderDecoder.decodeAv(wavListFirst) ==
@@ -105,11 +132,34 @@ class AvSpec extends SparkSpec {
     assert(AvHeaderDecoder.decodeAv(mp4V1Bytes) == DecodedAv(1280, 720, 0, 0, 0, "mp4", 136L))
   }
 
+  test("AVIF/HEIC stills: ftyp brand routes to the ispe walk, decoy boxes stepped over") {
+    assert(AvHeaderDecoder.decodeAv(avifBytes) == DecodedAv(2048, 1536, 0, 0, 0, "avif", 64L))
+    assert(AvHeaderDecoder.decodeAv(heicBytes) == DecodedAv(4032, 3024, 0, 0, 0, "heic", 88L))
+    // every ISO-BMFF HEIF brand maps to its format family
+    def rebrand(base: Array[Byte], brand: String): Array[Byte] = {
+      val c = base.clone(); brand.getBytes("US-ASCII").copyToArray(c, 8); c
+    }
+    assert(AvHeaderDecoder.decodeAv(rebrand(avifBytes, "avis")).format == "avif")
+    for (br <- Seq("heix", "mif1", "msf1"))
+      assert(AvHeaderDecoder.decodeAv(rebrand(avifBytes, br)) ==
+        DecodedAv(2048, 1536, 0, 0, 0, "heic", 64L), br)
+    // a brandless ISO-BMFF still takes the movie path and degrades to mp4
+    assert(AvHeaderDecoder.decodeAv(rebrand(avifBytes, "isom")).format == "mp4")
+    // an AVIF with no meta box (ftyp only) keeps the format, zeroed dims
+    assert(AvHeaderDecoder.decodeAv(avifBytes.take(16)) ==
+      DecodedAv(0, 0, 0, 0, 0, "avif", 16L))
+    // an ispe too short for its dims degrades rather than reading past it
+    val shortIspe = avifBytes.clone()
+    shortIspe(47) = 12 // ispe box size 20 → 12: header + version only
+    assert(AvHeaderDecoder.decodeAv(shortIspe) == DecodedAv(0, 0, 0, 0, 0, "avif", 64L))
+  }
+
   test("corrupt and truncated AV payloads degrade, never throw") {
     // truncation at every prefix length of every fixture: format-or-unknown
     // with zeroed fields, nBytes = what arrived — a crawl partition must
     // survive arbitrary mid-object cuts
-    for (bytes <- Seq(wavBytes, flacBytes, mp3Id3Bytes, oggOpusBytes, mp4V1Bytes);
+    for (bytes <- Seq(wavBytes, flacBytes, mp3Id3Bytes, oggOpusBytes, mp4V1Bytes,
+                      avifBytes, heicBytes);
          cut <- 0 until bytes.length) {
       val d = AvHeaderDecoder.decodeAv(bytes.take(cut))
       assert(d.nBytes == cut.toLong, s"cut=$cut")
@@ -145,10 +195,11 @@ class AvSpec extends SparkSpec {
     assert(AvHeaderDecoder.decodeAv(Array.emptyByteArray).format == "unknown")
   }
 
-  test("syntheticAvContainer round-trips through AvHeaderDecoder for all five formats") {
-    import java.lang.Math.floorMod
-    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 39999L, 40001L,
-                   123456L, -1L, -7L, -40000L, Long.MinValue)) {
+  test("syntheticAvContainer round-trips through AvHeaderDecoder for all formats") {
+    import java.lang.Math.{floorDiv, floorMod}
+    // ids 4/9/14/19/24 walk the ISO-BMFF sub-cycle mp4→avif→heic→mp4→avif
+    for (id <- Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 14L, 19L, 24L,
+                   39999L, 40001L, 123456L, -1L, -6L, -11L, -7L, -40000L, Long.MinValue)) {
       val bytes = syntheticAvContainer(id)
       val d = AvHeaderDecoder.decodeAv(bytes)
       val rate = (8000L + floorMod(id, 40000L)).toInt
@@ -161,8 +212,12 @@ class AvSpec extends SparkSpec {
           DecodedAv(0, 0, sr, if (floorMod(id, 2L) == 0L) 2 else 1, 0, "mp3", 4L)
         case 3L => DecodedAv(0, 0, rate, ch2, 0, "ogg", 58L)
         case _ =>
-          DecodedAv((16L + floorMod(id, 600L)).toInt, (16L + floorMod(id * 3L, 400L)).toInt,
-            0, 0, 0, "mp4", 124L)
+          val (w, h) = ((16L + floorMod(id, 600L)).toInt, (16L + floorMod(id * 3L, 400L)).toInt)
+          floorMod(floorDiv(id, 5L), 3L) match {
+            case 0L => DecodedAv(w, h, 0, 0, 0, "mp4", 124L)
+            case 1L => DecodedAv(w, h, 0, 0, 0, "avif", 64L)
+            case _  => DecodedAv(w, h, 0, 0, 0, "heic", 64L)
+          }
       }
       assert(d == exp, s"id=$id")
       // truncating any synthetic container degrades, never throws
