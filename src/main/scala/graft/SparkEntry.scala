@@ -544,6 +544,40 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // corpus_prep with the MinHash near-dedup stage the published
+    // corpus recipes run between exact dedup and decontamination —
+    // the L2 keep-list composed INTO the flow rather than gated
+    // standalone. The seam under test: minhashKeep's drop-set anti-join
+    // consumes the exact-dedup keep frame (materialized — the banding /
+    // verify / expand stages reference their input subtree repeatedly),
+    // and the decontam + packing stages consume the near-deduped frame.
+    // Oracle: corpus_prep's CTE chain with dedup_minhash's all-pairs
+    // Jaccard CTE spliced in at the same point.
+    "corpus_prep_near" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      val bench = docs.where(col("doc_id") % 10 === 0)
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      val gated = TextFns.withLangId(corpus, col("text"), "_lang")
+        .where(TextFns.wordCount(col("text")) >= 8 && col("_lang") === "en")
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint()
+      // Stage boundary: near-dedup re-reads its input for shingling,
+      // banding, rep-level verify AND the final anti-join — hand it the
+      // exact-deduped frame materialized once.
+      val deduped = Dedup.exactKeep(gated, col("text"), col("doc_id"))
+        .localCheckpoint()
+      val nearDeduped = Dedup.minhashKeep(
+        deduped, col("doc_id"), col("text"), 0.5)
+      val clean = Dedup.decontaminatedKeep(
+        nearDeduped, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      val weights = clean.select(col("doc_id"),
+          TextFns.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint()
+      Pack.packByBudget(weights, col("doc_id"), col("n_tokens"), budget = 2000)
+        .select(col("id").as("doc_id"), col("weight").as("n_tokens"), col("shard_id"))
+        .orderBy("doc_id")
+    },
+
     // L3: SimHash pairs within hamming 3 via 4x16-bit pigeonhole bands.
     // PARTIAL oracle: the hash kernel isn't ANSI-SQL-expressible, so
     // Verify exports the Spark-computed signatures (_aux/simhash_sigs)
@@ -1306,6 +1340,59 @@ object SparkEntry {
         |bench AS (SELECT DISTINCT unnest(s) AS gram FROM bsh),
         |flagged AS (SELECT DISTINCT g.doc_id FROM g JOIN bench b ON g.gram = b.gram),
         |clean AS (SELECT d.doc_id, d.text FROM ded d
+        |          WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)),
+        |t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM clean)
+        |SELECT doc_id, n_tokens,
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000 AS BIGINT) AS shard_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // corpus_prep's chain with dedup_minhash's all-pairs trigram-Jaccard
+    // CTE spliced between exact dedup (ded) and decontamination: `near`
+    // drops every doc whose Jaccard vs a smaller-id doc is >= 0.5, and
+    // the downstream gram/clean/pack CTEs read from `near` instead of
+    // `ded`.
+    "corpus_prep_near" ->
+      """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |tk AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM corp),
+        |sc AS (SELECT doc_id, text,
+        |  list_contains(toks,'the')::INT + list_contains(toks,'a')::INT + list_contains(toks,'of')::INT + list_contains(toks,'to')::INT + list_contains(toks,'and')::INT + list_contains(toks,'in')::INT + list_contains(toks,'is')::INT + list_contains(toks,'it')::INT AS en,
+        |  list_contains(toks,'der')::INT + list_contains(toks,'die')::INT + list_contains(toks,'das')::INT + list_contains(toks,'und')::INT + list_contains(toks,'ist')::INT + list_contains(toks,'nicht')::INT + list_contains(toks,'mit')::INT + list_contains(toks,'ein')::INT AS de,
+        |  list_contains(toks,'le')::INT + list_contains(toks,'les')::INT + list_contains(toks,'et')::INT + list_contains(toks,'est')::INT + list_contains(toks,'des')::INT + list_contains(toks,'une')::INT + list_contains(toks,'dans')::INT + list_contains(toks,'que')::INT AS fr,
+        |  list_contains(toks,'el')::INT + list_contains(toks,'los')::INT + list_contains(toks,'las')::INT + list_contains(toks,'es')::INT + list_contains(toks,'una')::INT + list_contains(toks,'por')::INT + list_contains(toks,'con')::INT + list_contains(toks,'para')::INT AS es,
+        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+        |FROM tk),
+        |gated AS (SELECT doc_id, text FROM sc
+        |  WHERE (CASE WHEN cjk > 0 THEN 'zh'
+        |    WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |    WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |    WHEN fr >= es AND fr > 0 THEN 'fr'
+        |    WHEN es > 0 THEN 'es' ELSE 'und' END) = 'en'
+        |  AND (CASE WHEN trim(text) = '' THEN 0 ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INTEGER) END) >= 8),
+        |ded AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep_id
+        |  FROM gated) WHERE doc_id = keep_id),
+        |nw AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM ded),
+        |nsh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        |  THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM nw),
+        |npairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) AS j
+        |  FROM nsh a JOIN nsh b ON a.doc_id < b.doc_id),
+        |near AS (SELECT doc_id, text FROM ded
+        |  WHERE doc_id NOT IN (SELECT id_b FROM npairs WHERE j >= 0.5)),
+        |w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM near),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 5
+        |  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+        |bw AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        |       FROM documents WHERE doc_id % 10 = 0),
+        |bsh AS (SELECT CASE WHEN len(ws) >= 5
+        |  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM bw),
+        |bench AS (SELECT DISTINCT unnest(s) AS gram FROM bsh),
+        |flagged AS (SELECT DISTINCT g.doc_id FROM g JOIN bench b ON g.gram = b.gram),
+        |clean AS (SELECT d.doc_id, d.text FROM near d
         |          WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)),
         |t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM clean)
         |SELECT doc_id, n_tokens,

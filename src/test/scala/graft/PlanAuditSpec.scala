@@ -286,4 +286,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(pq.contains("BroadcastHashJoin") && !pq.contains("CartesianProduct")
         && !pq.contains("SortMergeJoin"), s"composed query degraded:\n$pq")
   }
+
+  test("corpus_prep_near: the composed near-dedup flow stays cartesian-free and window-free") {
+    // The minhash stage's bucket self-join may legitimately shuffle
+    // (both sides are the corpus at scale — its own shape is pinned by
+    // the dedup_minhash audits); what composition must never introduce
+    // is a cartesian product, a per-key window (the r12 skew-safe guard
+    // holds inside the composition too), or a demotion of the
+    // decontam/keep broadcast joins.
+    val plan = q("corpus_prep_near")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in the composed flow:\n$plan")
+    val winLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(_.contains("_blk")),
+      s"only packing's per-block cumsum window may appear:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"decontam/keep joins must stay broadcast:\n$plan")
+  }
 }
