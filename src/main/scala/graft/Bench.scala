@@ -70,10 +70,6 @@ object Bench {
 
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-    if (doWarmup) qs.foreach { case (name, fn) =>
-      try run(fn)
-      catch { case e: Throwable => System.err.println(s"[bench warmup] $name: ${e.getMessage}") }
-    }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def load: Double = osBean.getSystemLoadAverage // 1-min avg; -1 if unsupported
 
@@ -81,18 +77,20 @@ object Bench {
     // taken under ambient load (load_avg 2.12 at start) and overstated
     // cost ~1.3× vs a quiet same-HEAD run. An artifact that misstates
     // the engine is worse than a late one — so if the 1-min load
-    // average exceeds the threshold before the timed passes, back off
-    // once and re-measure. If it is STILL hot, the run proceeds (the
-    // driver needs its artifact) but the contamination is recorded in
-    // the sidecar AND flagged on the official line, so a polluted
-    // number can never again read as a regression.
+    // average exceeds the threshold, back off once and re-measure. If
+    // it is STILL hot, the run proceeds (the driver needs its artifact)
+    // but the contamination is recorded in the sidecar AND flagged on
+    // the official line, so a polluted number can never again read as a
+    // regression. The ambient reading happens BEFORE the warmup pass —
+    // after it, the JVM's own 32-thread warmup dominates the 1-min
+    // average and every run would flag itself.
     val loadMax = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_MAX", "1.0").toDouble
     val backoffS = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOAD_BACKOFF_S", "90").toInt
     val loadFirst = load
     val backedOff = loadFirst > loadMax
     if (backedOff) {
       System.err.println(
-        s"[bench] CONTENTION: load_avg ${"%.2f".format(loadFirst)} > $loadMax before timed passes; " +
+        s"[bench] CONTENTION: ambient load_avg ${"%.2f".format(loadFirst)} > $loadMax; " +
         s"backing off ${backoffS}s for the 1-min average to drain")
       Thread.sleep(backoffS * 1000L)
     }
@@ -101,6 +99,11 @@ object Bench {
     if (contended) System.err.println(
       s"[bench] CONTENTION PERSISTS: load_avg ${"%.2f".format(loadBefore)} after backoff — " +
       "artifact will carry \"contended\":true; treat totals as an upper bound")
+
+    if (doWarmup) qs.foreach { case (name, fn) =>
+      try run(fn)
+      catch { case e: Throwable => System.err.println(s"[bench warmup] $name: ${e.getMessage}") }
+    }
 
     var failed = Set.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]

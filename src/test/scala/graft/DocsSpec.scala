@@ -268,6 +268,11 @@ class DocsSpec extends SparkSpec {
     assert(chunks.orderBy("chunk_id").as[(Long, Int, Int, String)].collect().toSeq ==
       Seq((2L, 0, 4, "reach me at <EMAIL>"), (2L, 1, 4, "from <IP> sometime soon"),
         (2L, 2, 2, "please ok")))
+    // …and the doc's chunk→shard composition line: 4+4+2 tokens at
+    // budget 8 → prefixes 0,4,8 → shards 0,0,1
+    val sharded = Chunk.packChunks(chunks, budget = 8)
+    assert(sharded.orderBy("chunk_id").as[(Long, Int, Int, Long)].collect().toSeq ==
+      Seq((2L, 0, 4, 0L), (2L, 1, 4, 0L), (2L, 2, 2, 1L)))
   }
 
   test("prep recipe: the composed corpus-preparation pipeline") {
