@@ -20,6 +20,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Result is on disk — release the query's localCheckpoint blocks
+      // so 54 sequential pipelines don't stack pinned frames (see
+      // GraftSession.releaseCachedBlocks).
+      GraftSession.releaseCachedBlocks(spark)
     }
     // Aux exports backing the partial oracles (see SparkEntry.auxExports)
     // — written to a SIBLING of outDir so the driver's query-result

@@ -24,6 +24,29 @@ object GraftSession {
     configure(SparkSession.builder().master(s"local[$cpus]").appName(appName), cpus)
       .getOrCreate()
 
+  /** Drop every block the session's persisted / `localCheckpoint`ed
+    * frames hold in the block manager.
+    *
+    * The composed pipelines (corpus prep, incremental MinHash, token
+    * chunking, cluster propagation) deliberately `localCheckpoint`
+    * intermediate frames — that is the correct per-job shape (each
+    * boundary kills a measured recompute). But checkpoint blocks are a
+    * lineage truncation point: Spark can spill them, never evict them,
+    * so in a long-lived session that runs MANY such jobs the blocks
+    * accumulate and squeeze execution memory for every later job
+    * (measured: a 54-query benchmark sweep degrades ~10% pass-over-pass
+    * from exactly this). Call this between jobs once a job's result has
+    * been fully consumed.
+    *
+    * Contract: after release, frames whose lineage was truncated by the
+    * dropped blocks CANNOT be re-executed (there is nothing left to
+    * recompute from) — only call when prior results are consumed or
+    * persisted externally. Blocking so the memory is actually free when
+    * the next job starts. */
+  def releaseCachedBlocks(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+
   /** Apply graft's required confs to any builder (cluster deploys too).
     * Also registers the native kernels as SQL functions
     * (word_shingles/minhash_sig/minhash_bands/simhash64/cosine_sim) via
