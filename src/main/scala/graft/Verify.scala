@@ -14,17 +14,31 @@ object Verify {
     val spark = GraftSession.local(cpus, "graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // A failed query must leave EVIDENCE, not silence: round 12's events
+    // dtype drift broke 3 queries and the artifact still read "all
+    // green" because the rows were simply absent. Write a _failed_<name>
+    // marker FILE (the driver's result glob picks up directories, one
+    // per query, so a plain file can never masquerade as a green row)
+    // carrying the exception, and a _manifest.json declaring the full
+    // query list — row-count can then never be mistaken for coverage.
+    val failedQueries = SparkEntry.queries.flatMap { case (name, fn) =>
+      val r =
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          None
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          Files.writeString(Paths.get(s"$outDir/_failed_$name"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
+          Some(name)
+        }
       // Result is on disk — release the query's localCheckpoint blocks
-      // so 54 sequential pipelines don't stack pinned frames (see
+      // so 53 sequential pipelines don't stack pinned frames (see
       // GraftSession.releaseCachedBlocks).
       GraftSession.releaseCachedBlocks(spark)
-    }
+      r
+    }.toList.sorted
     // Aux exports backing the partial oracles (see SparkEntry.auxExports)
     // — written to a SIBLING of outDir so the driver's query-result
     // glob (every directory under outDir = one query) can never pick
@@ -70,6 +84,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("{AUX}", absAux))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Coverage manifest: declared vs failed, so a consumer of the result
+    // tree can detect missing rows without trusting its own glob.
+    val declared = SparkEntry.queries.keys.toList.sorted
+    val manifest =
+      s"""{"declared_count": ${declared.size}, "failed_count": ${failedQueries.size}, """ +
+        s""""declared": ${declared.map(q).mkString("[", ",", "]")}, """ +
+        s""""failed": ${failedQueries.map(q).mkString("[", ",", "]")}}"""
+    Files.writeString(Paths.get(s"$outDir/_manifest.json"), manifest)
     spark.stop()
   }
 }

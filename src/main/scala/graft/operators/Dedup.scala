@@ -69,12 +69,21 @@ object Dedup {
   private def capBuckets(bk: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
     if (maxBucket <= 0) bk
     else {
-      val small = bk.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bsz"))
+      // Materialize the narrow (id, keys…) bucket stream ONCE before
+      // referencing it twice (sizes groupBy + semi-join probe). Without
+      // this the upstream bucketing subtree — hyperplane hashing for the
+      // embedding path, simhash signatures, MinHash banding — evaluates
+      // twice whenever exchange reuse doesn't fire (measured: ×2.98 on
+      // the embedding path). Same shape [[capWithReport]] already has;
+      // at 100 TB this halves a full scan+hash pass. The downstream
+      // bucketed self-join's two sides read the same cached blocks too.
+      val mat = bk.localCheckpoint(true)
+      val small = mat.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bsz"))
         .where(col("_bsz") <= maxBucket)
         .select(keys.map(col): _*)
       // re-select: the USING-join moves key columns first, and callers
       // (bucketSelfJoin's positional toDF) depend on bk's column order
-      bk.join(small, keys, "left_semi").select(bk.columns.map(col): _*)
+      mat.join(small, keys, "left_semi").select(mat.columns.map(col): _*)
     }
 
   /** Monitoring twin of the guard: bucket groups a cap of `maxBucket`

@@ -104,18 +104,47 @@ object tables {
     Tio.readParquet(s, s"$dir/nation.parquet", Nation)
   def region(s: SparkSession, dir: String): TFrame[Region.type] =
     Tio.readParquet(s, s"$dir/region.parquet", Region)
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as raw Long (legacy conf, set at
-    * session build by [[GraftSession]] — a reader must never mutate the
-    * running session) and truncate to micros — the same truncation DuckDB
-    * applies — so the typed frame still presents `ts: Timestamp`. */
+  /** events.parquet's `ts` column has shipped under two physical parquet
+    * encodings, both valid, and a reader that asserts one of them breaks on
+    * the other (this is the reference's boundary-validation lesson —
+    * reference validation.py checks dtypes at data boundaries instead of
+    * assuming them). Branch on the SCANNED dtype:
+    *
+    *  - TIMESTAMP(NANOS): Spark's vectorized reader only admits it as a raw
+    *    Long under `spark.sql.legacy.parquet.nanosAsLong=true` (set at
+    *    session build by [[GraftSession]] — a reader must never mutate the
+    *    running session). Truncate nanos → micros, the same truncation
+    *    DuckDB applies.
+    *  - timestamp[us] (with or without UTC adjustment): arrives as
+    *    TimestampType / TimestampNTZType; cast straight to the session
+    *    (UTC) timestamp — DuckDB reads the same file as naive micros, so
+    *    values align exactly.
+    *
+    * Either way the typed frame presents `ts: Timestamp`. */
   def events(s: SparkSession, dir: String): TFrame[Events.type] = {
-    require(
-      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true at session " +
-        "build — create the session via graft.GraftSession (readers do not mutate conf)")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col => fcol, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val scanned = s.read.parquet(s"$dir/events.parquet")
+    val raw = scanned.schema("ts").dataType match {
+      case LongType =>
+        // Only the nanos-as-Long path depends on the legacy conf; it must
+        // have been set at session build for the scan to produce LongType
+        // at all, but keep the explicit check so a bare SparkSession fails
+        // with a pointer to GraftSession rather than a dtype mismatch later.
+        require(
+          s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+          "events.parquet carries TIMESTAMP(NANOS) — needs " +
+            "spark.sql.legacy.parquet.nanosAsLong=true at session build; " +
+            "create the session via graft.GraftSession (readers do not mutate conf)")
+        scanned.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => scanned
+      case TimestampNTZType =>
+        scanned.withColumn("ts", fcol("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.parquet ts: unsupported physical type $other — expected " +
+            "TIMESTAMP(NANOS) (as Long), timestamp[us], or timestamp[us, UTC]")
+    }
     Tio.fromDF(raw, Events)
   }
   def documents(s: SparkSession, dir: String): TFrame[Documents.type] =
