@@ -31,18 +31,26 @@ import org.apache.spark.sql.SparkSession
   * independent across passes, so a query's min-of-3 escapes a biased
   * tail with high probability.
   *
-  * Failure hygiene: a query that throws is recorded as -1.0 (never a
-  * small elapsed time — a regression must not look like a speedup), the
-  * error goes to stderr, and the process exits nonzero if anything
-  * failed. The JSON line still prints so partial results are usable.
+  * Failure hygiene: a query that throws is OMITTED from the queries map
+  * (a sentinel inside the map corrupts any consumer that sums it) and
+  * listed explicitly in "failed" + n_failed; the error goes to stderr
+  * and the process exits nonzero if anything failed. The JSON line
+  * still prints so partial results are usable.
   *
-  * Contention hygiene (round 12): if the 1-min system load average
-  * exceeds $SPARK_GRAFT_BENCH_LOAD_MAX (default 1.0) before the timed
-  * passes, the run backs off once ($SPARK_GRAFT_BENCH_LOAD_BACKOFF_S,
-  * default 90 s) and re-measures; persistent contention stamps
-  * "contended":true + the measured load onto the official line and the
-  * sidecar records load per pass. Non-default knobs (passes/warmup/
-  * filter) also stamp the line — a probe run self-identifies.
+  * Contention hygiene (round 12, honest per-pass since round 13): if
+  * the 1-min system load average exceeds $SPARK_GRAFT_BENCH_LOAD_MAX
+  * (default 1.0) before the timed passes, the run backs off once
+  * ($SPARK_GRAFT_BENCH_LOAD_BACKOFF_S, default 90 s) and re-measures.
+  * DURING the passes the 1-min loadavg is dominated by the bench's own
+  * threads, so a sampler thread instead measures system CPU minus this
+  * JVM's CPU every 2 s; each pass records its average ambient
+  * busy-cores and a quiet flag against the same threshold. If any pass
+  * was hot, one extra quiet-twin pass runs after a longer backoff
+  * (min-of-N only improves; disable with SPARK_GRAFT_BENCH_QUIET_RETRY=0).
+  * Contamination anywhere (pre-warmup or per-pass) stamps
+  * "contended":true on the official line. Non-default knobs
+  * (passes/warmup/filter) also stamp the line — a probe run
+  * self-identifies.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -72,6 +80,43 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     def load: Double = osBean.getSystemLoadAverage // 1-min avg; -1 if unsupported
+
+    // Per-pass ambient-load sampler (round 13). The 1-min loadavg is
+    // useless DURING a pass — the bench's own `cpus` threads dominate it,
+    // so comparing it to loadMax would flag every run (r12's sidecar
+    // recorded per-pass loadavgs 1.98/2.85 that were mostly self-load).
+    // Instead sample system-wide CPU minus THIS JVM's CPU every 2 s
+    // (com.sun.management MXBean; both in [0,1] of total capacity) and
+    // scale to busy cores: that difference is exactly the machine
+    // weather the official number should be judged against. A pass is
+    // `quiet` iff its average ambient busy-cores ≤ loadMax — the same
+    // threshold semantics as the pre-warmup guard.
+    val sunBean: Option[com.sun.management.OperatingSystemMXBean] = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    val ambientBuf = scala.collection.mutable.ListBuffer.empty[Double]
+    @volatile var sampling = false
+    sunBean.foreach { b =>
+      val cores = Runtime.getRuntime.availableProcessors
+      val t = new Thread(() => while (true) {
+        Thread.sleep(2000L)
+        val sys = b.getCpuLoad
+        val own = b.getProcessCpuLoad
+        if (sampling && sys >= 0 && own >= 0)
+          ambientBuf.synchronized { ambientBuf += math.max(0.0, (sys - own) * cores) }
+      }, "bench-ambient-sampler")
+      t.setDaemon(true)
+      t.start()
+    }
+    def sampleWindow[A](body: => A): (A, Option[Double]) = {
+      ambientBuf.synchronized(ambientBuf.clear())
+      sampling = true
+      val r = body
+      sampling = false
+      val xs = ambientBuf.synchronized(ambientBuf.toList)
+      (r, if (sunBean.isEmpty || xs.isEmpty) None else Some(xs.sum / xs.size))
+    }
 
     // Contention guard (round 12): BENCH_r11's official artifact was
     // taken under ambient load (load_avg 2.12 at start) and overstated
@@ -119,35 +164,66 @@ object Bench {
     var failed = Set.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
     val passLoads = scala.collection.mutable.ListBuffer.empty[Double]
-    val orders = (1 to nPasses).map { pass =>
+    val passAmbient = scala.collection.mutable.ListBuffer.empty[Option[Double]]
+    val passQuiet = scala.collection.mutable.ListBuffer.empty[Option[Boolean]]
+    def runPass(passSeed: Long): Seq[String] = {
       passLoads += load
-      val rnd = new scala.util.Random(seed + pass)
+      val rnd = new scala.util.Random(passSeed)
       val order = rnd.shuffle(qs)
-      order.foreach { case (name, fn) =>
-        if (!failed(name)) {
-          val t0 = System.nanoTime()
-          try {
-            run(fn)
-            val dt = (System.nanoTime() - t0) / 1e9
-            samples(name) = samples.getOrElse(name, Nil) :+ dt
-          } catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              failed += name
+      val (_, amb) = sampleWindow {
+        order.foreach { case (name, fn) =>
+          if (!failed(name)) {
+            val t0 = System.nanoTime()
+            try {
+              run(fn)
+              val dt = (System.nanoTime() - t0) / 1e9
+              samples(name) = samples.getOrElse(name, Nil) :+ dt
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                failed += name
+            }
+            release()
           }
-          release()
         }
       }
+      passAmbient += amb
+      passQuiet += amb.map(_ <= loadMax)
       order.map(_._1)
     }
+    val baseOrders = (1 to nPasses).map(pass => runPass(seed + pass))
+    // Quiet-run twin (round 13): when ambient load contaminated any timed
+    // pass, back off longer and run ONE extra pass. min-of-N only
+    // improves from a quieter sample, so including it keeps the official
+    // line honest about the ENGINE; the sidecar records which passes
+    // were quiet so machine weather is attributable without a manual
+    // STRESS cross-reference. Disable with SPARK_GRAFT_BENCH_QUIET_RETRY=0.
+    val quietRetryOn = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUIET_RETRY", "1") != "0"
+    val anyPassHot = passQuiet.exists(_.contains(false))
+    val retriedQuiet = quietRetryOn && anyPassHot
+    val orders =
+      if (!retriedQuiet) baseOrders
+      else {
+        System.err.println(
+          s"[bench] ambient load contaminated ${passQuiet.count(_.contains(false))} " +
+          s"pass(es); backing off ${2 * backoffS}s for a quiet-twin pass")
+        Thread.sleep(2L * backoffS * 1000L)
+        baseOrders :+ runPass(seed + nPasses + 1)
+      }
     val loadAfter = load
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    val results = qs.map { case (name, _) =>
-      name -> (if (failed(name)) -1.0 else samples(name).min)
+    // Failed queries are OMITTED from the queries map and carried only in
+    // the explicit "failed" list (+ n_failed): a -1.0 sentinel inside the
+    // map silently corrupts any consumer that sums or averages per-query
+    // values (ADVICE r12). A query can fail after a successful earlier
+    // pass (flaky env) — treat any failure as failed, not its stale min.
+    val results = qs.collect {
+      case (name, _) if !failed(name) && samples.contains(name) =>
+        name -> samples(name).min
     }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = results.map(_._2).sum
 
     // dedup_incremental phase attribution (sidecar-only): the official
     // per-query number gates the full production flow (cut + index
@@ -198,8 +274,15 @@ object Bench {
     val ojson = orders.map(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
     val loadsJson = passLoads.map(f).mkString("[", ",", "]")
+    val ambJson = passAmbient.map(_.map(f).getOrElse("null")).mkString("[", ",", "]")
+    val quietJson = passQuiet.map(_.map(_.toString).getOrElse("null")).mkString("[", ",", "]")
+    // `contended` covers the WHOLE run: the pre-warmup loadavg guard OR
+    // any timed pass whose sampled ambient CPU exceeded the threshold —
+    // the r12 sidecar's contended:false next to hot per-pass loads could
+    // not happen again by construction.
+    val contendedAny = contended || anyPassHot
     val sidecar =
-      s"""{"seed":$seed,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"incremental_phases":$incrPhases,"variants":$variantJson,"pass_orders":$ojson,"passes":$pjson}"""
+      s"""{"seed":$seed,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"ambient_cores_per_pass":$ambJson,"pass_quiet":$quietJson,"quiet_retry_pass":$retriedQuiet,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contendedAny,"contended_prewarmup":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"incremental_phases":$incrPhases,"variants":$variantJson,"pass_orders":$ojson,"passes":$pjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecarPath), sidecar)
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     System.err.println(s"[bench] telemetry sidecar: $sidecarPath (seed=$seed)")
@@ -218,8 +301,10 @@ object Bench {
     if (nPasses != 3) flags ++= s""","passes":$nPasses"""
     if (!doWarmup) flags ++= ""","warmup":false"""
     only.foreach(o => flags ++= s""","filtered":${o.size}""")
-    if (contended) flags ++= s""","contended":true,"load_avg_before":${f(loadBefore)}"""
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size}$flags}""")
+    if (contendedAny) flags ++= s""","contended":true,"load_avg_before":${f(loadBefore)}"""
+    if (retriedQuiet) flags ++= ""","quiet_retry_pass":true"""
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson$flags}""")
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.toSeq.sorted.mkString(", ")}")
       sys.exit(2)
