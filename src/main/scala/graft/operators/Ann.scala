@@ -285,6 +285,22 @@ object Ann {
       rows.map(_._2).max + 1, rows.flatMap(_._3).toSeq)
   }
 
+  /** Size the PQ/IVF×PQ `rerank` knob for a corpus with near-duplicate
+    * vectors. ADC quantization cannot order near-ties (members of a
+    * near-dup cluster land on the same codes, so their ADC scores are
+    * equal and the top-`rerank` cut among them is arbitrary): if the
+    * true top-`k` neighbors each have up to `dupMultiplicity` near-tie
+    * copies, the candidate list needs `k · dupMultiplicity` slots
+    * before the exact rerank is guaranteed to see the true winners.
+    * Measured on a jittered sf10 corpus (cos ≥ 0.995 clusters of ~100
+    * at the default rerank=50): recall@10 drops to 0.64; at
+    * `rerankFor(10, 100)` it recovers to ≥ 0.9 (AnnSpec pins the
+    * small-scale twin). The cheaper production alternative is to
+    * near-dedup BEFORE indexing — `corpus_prep_near` composes exactly
+    * that — after which the default floor is the right size. */
+  def rerankFor(k: Int, dupMultiplicity: Int, floor: Int = 50): Int =
+    math.max(floor, math.multiplyExact(math.max(k, 1), math.max(dupMultiplicity, 1)))
+
   /** L7b — PQ-compressed ANN: the scan side carries `m` SMALL INTS per
     * vector instead of `dim` floats (the 100 TB memory story: 8 bytes
     * vs 256 at dim=64/float — and the full-precision vectors stay in
@@ -295,7 +311,9 @@ object Ann {
     * per probe flow through the same partial-merge top-k aggregate
     * (shuffle O(partitions·probes·rerank)), then ONLY those fetch their
     * true vectors (narrow join by id) for the exact cosine top-`k`.
-    * Recall < 1 by design — AnnSpec pins it vs brute force. */
+    * Recall < 1 by design — AnnSpec pins it vs brute force. On a corpus
+    * with near-duplicate vectors `rerank` must grow with the duplicate
+    * multiplicity (see [[rerankFor]]) or be preceded by near-dedup. */
   def topKPq(
       df: DataFrame, id: Column, vec: Column, probes: DataFrame, k: Int,
       dim: Int, m: Int = 8, codes: Int = 16, rerank: Int = 50,

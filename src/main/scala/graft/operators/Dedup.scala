@@ -69,15 +69,20 @@ object Dedup {
   private def capBuckets(bk: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame =
     if (maxBucket <= 0) bk
     else {
-      // Materialize the narrow (id, keys…) bucket stream ONCE before
-      // referencing it twice (sizes groupBy + semi-join probe). Without
-      // this the upstream bucketing subtree — hyperplane hashing for the
+      // Cache the narrow (id, keys…) bucket stream before referencing it
+      // twice (sizes groupBy + semi-join probe). Without this the
+      // upstream bucketing subtree — hyperplane hashing for the
       // embedding path, simhash signatures, MinHash banding — evaluates
       // twice whenever exchange reuse doesn't fire (measured: ×2.98 on
-      // the embedding path). Same shape [[capWithReport]] already has;
-      // at 100 TB this halves a full scan+hash pass. The downstream
-      // bucketed self-join's two sides read the same cached blocks too.
-      val mat = bk.localCheckpoint(true)
+      // the embedding path); at 100 TB that doubles a full scan+hash
+      // pass. persist(), not localCheckpoint: the BlockManager's
+      // per-block locking already guarantees compute-once across the
+      // consumers, while the lineage stays in the plan — so the
+      // plan-shape audits still see the upstream scans/joins, and a
+      // frame released by session hygiene recomputes instead of dying.
+      // The downstream bucketed self-join's two sides share the same
+      // cached blocks too.
+      val mat = bk.persist()
       val small = mat.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bsz"))
         .where(col("_bsz") <= maxBucket)
         .select(keys.map(col): _*)

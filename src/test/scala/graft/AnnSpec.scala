@@ -308,4 +308,46 @@ class AnnSpec extends SparkSpec {
     assert(CentroidIdsExpr(c, cs, 2, 1) == CentroidIdsExpr(c, Seq(1.0, 0.0, 0.0, 1.0), 2, 1))
     assert(HyperplaneBucketsExpr(c, cs, 1, 2) == HyperplaneBucketsExpr(c, Seq(1.0, 0.0, 0.0, 1.0), 1, 2))
   }
+
+  test("rerankFor recovers PQ recall on a near-duplicate corpus (sf10 jitter twin)") {
+    import spark.implicits._
+    // Small-scale twin of the jittered sf10 stress finding: one probe
+    // whose true top-k live inside a near-tie cluster LARGER than the
+    // default rerank cut. 40 copies of center A at cos ≈ 0.999 — far
+    // enough apart that exact cosine ORDERS them (above the 1e-6
+    // rounding grain), close enough that they share PQ codes and their
+    // ADC scores tie, so the top-`rerank` cut among them follows
+    // id-tie-break order, not true similarity — + 160 background
+    // vectors. k=10: a rerank cut of 12 keeps the 12 smallest-id
+    // A-copies; the true top-10 are a jitter-determined subset of all
+    // 40, so expected overlap is ~10·12/40.
+    val rnd = new java.util.Random(1234L)
+    val center = Array.fill(dim)(rnd.nextGaussian())
+    val cluster = (0 until 40).map { i =>
+      Emb(i.toLong, center.map(x => (x + 0.01 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val background = (0 until 160).map { i =>
+      Emb(1000L + i, Array.fill(dim)(rnd.nextGaussian()).map(_.toFloat).toSeq)
+    }
+    val e = Tio.fromRows(spark, Embs, cluster ++ background).toNative
+    val probes = e.where(col("vec_id") === 0L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val cb = Ann.trainPq(e, col("embedding"), dim, m = 8, codes = 16, seed = 7L)
+    val brute = Ann.topKBrute(e, col("vec_id"), col("embedding"), probes, k = 10)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    def recallAt(rerank: Int): Double = {
+      val got = Ann.topKPqWith(cb, e, col("vec_id"), col("embedding"), probes,
+        k = 10, rerank = rerank)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+      brute.intersect(got).size / 10.0
+    }
+    // under-sized cut: candidate list smaller than the tie cluster
+    val starved = recallAt(12)
+    assert(starved < 0.9, s"expected starved recall < 0.9, got $starved")
+    // documented sizing: rerank ≥ k × duplicate multiplicity
+    val sized = Ann.rerankFor(k = 10, dupMultiplicity = 40)
+    assert(sized >= 400)
+    val recovered = recallAt(sized)
+    assert(recovered >= 0.9, s"expected recall ≥ 0.9 at rerank=$sized, got $recovered")
+  }
 }
