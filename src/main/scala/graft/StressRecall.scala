@@ -29,6 +29,8 @@ object StressRecall {
     val sfDir = args.headOption.getOrElse("/tmp/graft_sf1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val k = 10
+    // near-duplicate multiplicity of the stress corpus (make_sf1.py repl)
+    val repl = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPL", "10").toInt
     val spark = GraftSession.local(cpus, "graft-stress-recall")
     spark.sparkContext.setLogLevel("WARN")
 
@@ -56,6 +58,17 @@ object StressRecall {
       "pq" -> (() => Ann.topKPqWith(pq, e, col("vec_id"), col("embedding"), probes, k, rerank = 50)),
       "ivfpq" -> (() => Ann.topKIvfPqWith(ivf, pq, e, col("vec_id"), col("embedding"), probes, k,
         nProbe = 4, rerank = 50)),
+      // rerankFor-sized twins (round 13): the stress corpus replicates
+      // every vector REPL× with jitter, so each true neighbor has ~REPL
+      // ADC near-ties and the default rerank=50 cut starves recall
+      // (measured 0.64 at sf10/REPL=100). The documented sizing —
+      // rerank ≥ k × duplicate multiplicity — must recover it here, at
+      // the same scale the collapse was measured. Multiplicity is read
+      // from SPARK_GRAFT_STRESS_REPL (default 10 = the sf1 dataset).
+      "pq_sized" -> (() => Ann.topKPqWith(pq, e, col("vec_id"), col("embedding"), probes, k,
+        rerank = Ann.rerankFor(k, repl))),
+      "ivfpq_sized" -> (() => Ann.topKIvfPqWith(ivf, pq, e, col("vec_id"), col("embedding"), probes,
+        k, nProbe = 4, rerank = Ann.rerankFor(k, repl))),
     )
 
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
