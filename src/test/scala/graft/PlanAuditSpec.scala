@@ -80,6 +80,22 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("buckets"), s"semi-join must apply to the stored bucket table:\n$plan")
   }
 
+  test("hot-bucket guard reads a CACHED bucket stream — the hashing subtree runs once") {
+    // r12 regression gate: capBuckets references its bucket input twice
+    // (sizes groupBy + semi-join probe) and the self-join twice more; an
+    // uncached input re-evaluates the upstream hashing (hyperplane
+    // bucketing ×8 tables for the embedding path, simhash signatures)
+    // on every reference — measured ×2.98 on dedup_embedding. The guard
+    // persist()s the narrow (id, keys…) frame, so the final plan must
+    // read it through InMemoryTableScan everywhere, with the hashing
+    // expression below the cache boundary only.
+    for (name <- Seq("dedup_embedding", "dedup_simhash")) {
+      val plan = q(name)
+      assert(plan.contains("InMemoryTableScan"),
+        s"$name: capBuckets input must be cached (single hashing pass):\n$plan")
+    }
+  }
+
   test("dedup_minhash / dedup_spans: no per-key window anywhere in the dedup paths") {
     // The hot-bucket guard and the span df-count are groupBy+join by
     // design (VERDICT r11 advisory #2): WindowExec gives one task per
