@@ -109,13 +109,29 @@ object Bench {
       t.setDaemon(true)
       t.start()
     }
+    if (sunBean.isEmpty) System.err.println(
+      "[bench] WARNING: com.sun.management OperatingSystemMXBean unavailable — " +
+        "per-pass ambient sampling is OFF; pass_quiet will be null and per-pass " +
+        "contention cannot stamp the official line")
     def sampleWindow[A](body: => A): (A, Option[Double]) = {
       ambientBuf.synchronized(ambientBuf.clear())
       sampling = true
       val r = body
       sampling = false
       val xs = ambientBuf.synchronized(ambientBuf.toList)
-      (r, if (sunBean.isEmpty || xs.isEmpty) None else Some(xs.sum / xs.size))
+      // A window shorter than the sampler period (fast filtered probe
+      // passes) would otherwise yield no measurement and read as
+      // not-hot; fall back to one synchronous snapshot so every pass
+      // with a working MXBean gets a real quiet/hot verdict.
+      val measured =
+        if (xs.nonEmpty) Some(xs.sum / xs.size)
+        else sunBean.flatMap { b =>
+          val sys = b.getCpuLoad
+          val own = b.getProcessCpuLoad
+          if (sys < 0 || own < 0) None
+          else Some(math.max(0.0, (sys - own) * Runtime.getRuntime.availableProcessors))
+        }
+      (r, measured)
     }
 
     // Contention guard (round 12): BENCH_r11's official artifact was
@@ -295,8 +311,9 @@ object Bench {
     // Non-default knobs stamp themselves onto the line (a filtered or
     // 1-pass probe run must be distinguishable from an official sweep
     // without forensics on the query list — ADVICE r11), as does
-    // persistent ambient contention. A default quiet run's line keeps
-    // the exact round-11 shape.
+    // persistent ambient contention. Since round 13 every line also
+    // carries the explicit "failed" list (empty on a clean run) —
+    // failed queries are no longer encoded as in-map sentinels.
     val flags = new StringBuilder
     if (nPasses != 3) flags ++= s""","passes":$nPasses"""
     if (!doWarmup) flags ++= ""","warmup":false"""

@@ -26,6 +26,9 @@ object Verify {
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
+          // A marker left by a previous run into the same outDir would
+          // contradict this run's success — evidence must be current.
+          Files.deleteIfExists(Paths.get(s"$outDir/_failed_$name"))
           None
         } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

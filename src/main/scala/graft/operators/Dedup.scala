@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
+import graft.InternalCaches
 import graft.functions.TextFns
 
 /** Deduplication operators for LLM-data pipelines (SURVEY §2.5 L1–L5).
@@ -81,8 +82,10 @@ object Dedup {
       // plan-shape audits still see the upstream scans/joins, and a
       // frame released by session hygiene recomputes instead of dying.
       // The downstream bucketed self-join's two sides share the same
-      // cached blocks too.
-      val mat = bk.persist()
+      // cached blocks too. Registered with InternalCaches: Dataset
+      // persist entries never auto-release, so job boundaries
+      // (dedupStream micro-batches, releaseCachedBlocks) drain them.
+      val mat = InternalCaches.register(bk.persist())
       val small = mat.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bsz"))
         .where(col("_bsz") <= maxBucket)
         .select(keys.map(col): _*)

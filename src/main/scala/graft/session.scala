@@ -1,6 +1,42 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registry for operator-INTERNAL persisted frames (currently the
+  * hot-bucket guard's narrow bucket stream). Dataset-level `persist()`
+  * registers a CacheManager entry that is NEVER auto-released — unlike
+  * `localCheckpoint` RDDs, which the ContextCleaner collects once
+  * unreferenced — so a long-lived session that builds many dedup plans
+  * (a streaming micro-batch loop, a 53-query benchmark sweep) would
+  * accumulate entries and blocks without bound. Operators register what
+  * they persist; job boundaries drain: [[GStream.dedupStream]] after
+  * each micro-batch, [[GraftSession.releaseCachedBlocks]] for
+  * batch/bench flows. Draining only unpersists — the frames keep their
+  * lineage (persist, not checkpoint), so a late consumer recomputes
+  * instead of failing. References are STRONG deliberately: the
+  * CacheManager holds the entry (plan + columnar blocks) regardless of
+  * whether any Dataset object survives GC, so a weak registry would
+  * lose the only handle that can remove the entry; the wrapper objects
+  * held between drains are tiny next to the blocks they unlock. */
+private[graft] object InternalCaches {
+  private val reg = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** Register a frame the operator just persisted; returns it. */
+  def register(df: DataFrame): DataFrame = {
+    reg.add(df)
+    df
+  }
+
+  /** Unpersist (and forget) every registered frame. */
+  def drain(): Unit = {
+    var df = reg.poll()
+    while (df != null) {
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+      df = reg.poll()
+    }
+  }
+}
 
 /** Standard session factory for graft entry points (Bench/Verify/specs).
   *
@@ -43,9 +79,14 @@ object GraftSession {
     * recompute from) — only call when prior results are consumed or
     * persisted externally. Blocking so the memory is actually free when
     * the next job starts. */
-  def releaseCachedBlocks(spark: SparkSession): Unit =
+  def releaseCachedBlocks(spark: SparkSession): Unit = {
+    // Dataset-level operator caches first: unpersisting through the
+    // Dataset removes the CacheManager ENTRY, not just the blocks —
+    // entries otherwise accumulate per built plan and are never GC'd.
+    InternalCaches.drain()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
+  }
 
   /** Apply graft's required confs to any builder (cluster deploys too).
     * Also registers the native kernels as SQL functions

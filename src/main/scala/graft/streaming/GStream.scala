@@ -136,7 +136,14 @@ object GStream {
           if (!kept.isEmpty)
             Dedup.writeMinHashIndex(kept, id, text, indexPath, shingleK, numHashes, bands,
               mode = "append")
-        } finally kept.unpersist(blocking = false)
+        } finally {
+          kept.unpersist(blocking = false)
+          // Operator-internal caches (the hot-bucket guard's persisted
+          // bucket stream) registered during this batch's plan: without
+          // a per-batch drain a long-running stream accumulates one
+          // never-released CacheManager entry per micro-batch.
+          InternalCaches.drain()
+        }
       }
       .start()
   }

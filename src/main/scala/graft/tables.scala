@@ -124,19 +124,23 @@ object tables {
   def events(s: SparkSession, dir: String): TFrame[Events.type] = {
     import org.apache.spark.sql.functions.{col => fcol, expr}
     import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
-    val scanned = s.read.parquet(s"$dir/events.parquet")
+    // On a session WITHOUT the nanosAsLong conf, a TIMESTAMP(NANOS) file
+    // fails schema inference right here ("Illegal Parquet type:
+    // INT64 (TIMESTAMP(NANOS,...))") — before any dtype can be matched —
+    // so the GraftSession pointer must wrap the scan itself. (With the
+    // conf set, the same file scans as a plain Long.)
+    val scanned =
+      try s.read.parquet(s"$dir/events.parquet")
+      catch {
+        case e: Throwable if String.valueOf(e.getMessage).contains("TIMESTAMP(NANOS") =>
+          throw new IllegalArgumentException(
+            "events.parquet carries TIMESTAMP(NANOS) — needs " +
+              "spark.sql.legacy.parquet.nanosAsLong=true at session build; " +
+              "create the session via graft.GraftSession (readers do not mutate conf)", e)
+      }
     val raw = scanned.schema("ts").dataType match {
-      case LongType =>
-        // Only the nanos-as-Long path depends on the legacy conf; it must
-        // have been set at session build for the scan to produce LongType
-        // at all, but keep the explicit check so a bare SparkSession fails
-        // with a pointer to GraftSession rather than a dtype mismatch later.
-        require(
-          s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-          "events.parquet carries TIMESTAMP(NANOS) — needs " +
-            "spark.sql.legacy.parquet.nanosAsLong=true at session build; " +
-            "create the session via graft.GraftSession (readers do not mutate conf)")
-        scanned.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      // nanos-as-Long (conf was set at session build): truncate to micros
+      case LongType => scanned.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => scanned
       case TimestampNTZType =>
         scanned.withColumn("ts", fcol("ts").cast(TimestampType))

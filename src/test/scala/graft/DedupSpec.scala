@@ -348,6 +348,28 @@ class DedupSpec extends SparkSpec {
     assert(defaulted == uncapped)
   }
 
+  test("guard-internal caches drain at job boundaries (no CacheManager accumulation)") {
+    import spark.implicits._
+    // The guard persist()s its bucket stream; a Dataset cache entry is
+    // never auto-released, so the registry + drain is what keeps a
+    // micro-batch loop / query sweep from accumulating one entry per
+    // built plan. Consume a guard-bearing query, then drain: the
+    // session's CacheManager must be empty again, and (lineage kept —
+    // persist, not checkpoint) the same operator re-runs fine after.
+    def emptyCache = spark.sharedState.cacheManager.isEmpty
+    spark.sqlContext.clearCache() // isolate from earlier tests' leftovers
+    InternalCaches.drain()
+    assert(emptyCache)
+    val pairs = Dedup.simhashPairs(df, col("doc_id"), col("text"), maxBucket = 50).collect()
+    assert(!emptyCache, "guard should have registered a persisted bucket stream")
+    InternalCaches.drain()
+    assert(emptyCache, "drain must remove the Dataset cache ENTRY, not just blocks")
+    val again = Dedup.simhashPairs(df, col("doc_id"), col("text"), maxBucket = 50).collect()
+    assert(again.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      pairs.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    InternalCaches.drain()
+  }
+
   test("simhash and embedding self-joins honor the hot-bucket cap") {
     import spark.implicits._
     val template = (100L until 700L).map(i =>

@@ -24,11 +24,13 @@ import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# Scanned trees: everything a user or judge reads. target/ and testdata
-# are build products / driver inputs, not authored content.
+# Scanned trees: everything a user or judge reads — src/tools/docs plus
+# EVERY top-level text file (SNIPPETS/STRESS/VERDICT/PAPERS/artifacts…).
+# target/ and testdata are build products / driver inputs, not authored
+# content; LEAKCHECK.json itself would only ever contain its own hits.
 SCAN_DIRS = ["src", "tools", "docs"]
-SCAN_FILES = ["README.md", "SURVEY.md", "build.sbt"]
-TEXT_EXT = {".scala", ".py", ".md", ".sbt", ".sql", ".json", ".txt", ".yml", ".yaml", ".conf"}
+SKIP_FILES = {"LEAKCHECK.json"}
+TEXT_EXT = {".scala", ".py", ".md", ".sbt", ".sql", ".json", ".jsonl", ".txt", ".yml", ".yaml", ".conf"}
 
 # Public namespaces/hosts the project legitimately references.
 PUBLIC_IMPORT = re.compile(
@@ -67,15 +69,25 @@ def files():
             for fn in filenames:
                 if os.path.splitext(fn)[1] in TEXT_EXT and not fn.endswith(".parquet"):
                     yield os.path.join(dirpath, fn)
-    for f in SCAN_FILES:
-        p = os.path.join(ROOT, f)
-        if os.path.exists(p):
+    for fn in sorted(os.listdir(ROOT)):
+        p = os.path.join(ROOT, fn)
+        if (os.path.isfile(p) and fn not in SKIP_FILES
+                and (os.path.splitext(fn)[1] in TEXT_EXT or fn == "build.sbt")):
             yield p
+
+
+def url_host(url):
+    from urllib.parse import urlparse
+    try:
+        return urlparse(url).netloc or url
+    except ValueError:
+        return url
 
 
 def main():
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else None
     hits = {k: [] for k in CATEGORIES}
+    n_scanned = 0
     for path in files():
         rel = os.path.relpath(path, ROOT)
         if rel == os.path.join("tools", "leakcheck.py"):
@@ -84,12 +96,15 @@ def main():
             text = open(path, encoding="utf-8", errors="replace").read()
         except OSError:
             continue
+        n_scanned += 1
         for cat, rx in CATEGORIES.items():
             for m in rx.finditer(text):
                 s = m.group(1) if m.groups() else m.group(0)
                 if cat == "internal-import" and PUBLIC_IMPORT.match(s):
                     continue
-                if cat == "internal-url" and PUBLIC_HOST.search(s):
+                # allowlist by the URL's HOST only: a public domain in the
+                # path must not whitelist a private host
+                if cat == "internal-url" and PUBLIC_HOST.search(url_host(s)):
                     continue
                 line = text.count("\n", 0, m.start()) + 1
                 hits[cat].append(f"{rel}:{line}: {s[:120]}")
@@ -100,7 +115,7 @@ def main():
         "scanned_at": datetime.datetime.now(datetime.timezone.utc)
         .isoformat(timespec="seconds"),
         "head_commit": head,
-        "n_files_scanned": sum(1 for _ in files()),
+        "n_files_scanned": n_scanned,
         "n_hits": sum(len(v) for v in hits.values()),
         "hits": hits,
     }
