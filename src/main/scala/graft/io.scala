@@ -58,6 +58,28 @@ object Tio {
   def writeJson[S <: GSchema](tf: TFrame[S], path: String, mode: String = "overwrite"): Unit =
     tf.df.write.mode(mode).json(path)
 
+  /** Typed ORC read — same contract as [[readParquet]] (structural
+    * validation at the boundary, column-pruned projection): ORC is the
+    * other splittable columnar warehouse format with native Spark
+    * support, and like parquet it serves predicate pushdown and column
+    * pruning from file/stripe metadata, so the 100 TB scan behavior is
+    * equivalent (PushedFilters/ReadSchema show up in the plan the same
+    * way). */
+  def readOrc[S <: GSchema](spark: SparkSession, path: String, schema: S): TFrame[S] = {
+    val raw = spark.read.orc(path)
+    if (GValidation.enabled) Validator.structural(raw, schema)
+    val pruned = raw.select(schema.columnNames.map(col): _*)
+    val tf = new TFrame[S](pruned, Some(schema))
+    if (GValidation.full) Validator.constraints(pruned, schema)
+    tf
+  }
+
+  def writeOrc[S <: GSchema](tf: TFrame[S], path: String,
+      partitionBy: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
+    val w = tf.df.write.mode(mode)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   def writeParquet[S <: GSchema](tf: TFrame[S], path: String,
       partitionBy: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
     val w = tf.df.write.mode(mode)

@@ -81,6 +81,21 @@ class IoSpec extends SparkSpec {
     assert(back.toDS[UserRow].collect().sortBy(_.id).toSeq == users)
   }
 
+  test("orc write/read round trip preserves schema and rows; scan pushes filters") {
+    import spark.implicits._
+    val dir = freshDir("orc") + "/users"
+    val tf = Tio.fromRows(spark, Users, users)
+    Tio.writeOrc(tf, dir)
+    val back = Tio.readOrc(spark, dir, Users)
+    assert(back.toDS[UserRow].collect().sortBy(_.id).toSeq == users)
+    // same 100 TB scan contract as parquet: predicate reaches the ORC
+    // scan and the projection is pruned to the schema's columns
+    val plan = back.filter(Users.score > 50.0).toNative
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(score,50.0)"),
+      s"expected pushed ORC filter:\n$plan")
+  }
+
   test("iterRowsAs streams typed rows without collect") {
     import spark.implicits._
     val tf = Tio.fromRows(spark, Users, users)
