@@ -502,6 +502,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L17b: quality-ordered budget SELECTION (keep the best docs whose
+    // cumulative tokens fit the budget — the data-mixture cut that
+    // precedes sharding). score = n_chars (a deterministic stand-in
+    // for a quality model; both engines order identically), weight =
+    // whitespace tokens. Distributed shape: range-partition on the
+    // order keys + per-partition prefix sums + driver offsets — never
+    // a one-partition global window. Oracle: the global window cumsum.
+    "select_budget" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      Pack.selectByBudget(docs, col("doc_id"), TextFns.tokenCountWs(col("text")),
+          col("n_chars"), budget = 20000)
+        .select(col("id").as("doc_id"), col("weight").as("n_tokens"),
+          col("cum_weight").as("cum_tokens"))
+        .orderBy("doc_id")
+    },
+
     // End-to-end corpus preparation — the flow this engine exists for,
     // run as ONE composed plan: quality gate (≥8 words) + language gate
     // (langid = en) in a single narrow codegen'd pass over the corpus
@@ -1302,6 +1318,15 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000 AS BIGINT) AS shard_id
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // The quality cut as DuckDB's global window cumsum (doc_id is a
+    // unique tie-break, so the default RANGE frame equals ROWS).
+    "select_budget" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (ORDER BY n_chars DESC, doc_id) AS cum_tokens
+        |FROM documents)
+        |SELECT doc_id, n_tokens, cum_tokens FROM t
+        |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
 
     // The composed pipeline, stated as the composition of its stages'
     // oracles: langid CASE -> word-count + en gate -> min-id-per-md5

@@ -37,7 +37,7 @@ object Verify {
           Some(name)
         }
       // Result is on disk — release the query's localCheckpoint blocks
-      // so 53 sequential pipelines don't stack pinned frames (see
+      // so the full sequential sweep doesn't stack pinned frames (see
       // GraftSession.releaseCachedBlocks).
       GraftSession.releaseCachedBlocks(spark)
       r

@@ -109,4 +109,67 @@ object Pack {
   def shardStats(assignment: DataFrame): DataFrame =
     assignment.groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("total_weight"))
+
+  /** Quality-ordered token-budget SELECTION — the curation step before
+    * [[packByBudget]]'s sharding: keep the best-scoring documents whose
+    * cumulative weight stays within `budget` ("train on the top N
+    * tokens by quality", the standard data-mixture cut). Semantics are
+    * a pure prefix of the total order (`score` DESC, `id` ASC as the
+    * deterministic tie-break): a row is kept iff its INCLUSIVE running
+    * weight ≤ budget; with non-negative weights (required — enforced
+    * per row) the kept set is exactly the longest affordable prefix,
+    * so the result is a pure function of the (id, weight, score)
+    * multiset — independent of input partitioning, which the spec pins.
+    * NULL weights count 0 (kept for free, like SQL `sum` skipping
+    * nulls).
+    *
+    * Scale shape: the naive `sum(w) OVER (ORDER BY score DESC)` is a
+    * one-partition global sort. Instead: `repartitionByRange` on the
+    * order keys (sampled bounds — fine here, because the kept set
+    * depends only on the TOTAL order, never on where partition cuts
+    * land) + in-partition sort, materialized ONCE (localCheckpoint) so
+    * the two passes below see identical partitions; then (1) one
+    * narrow pass for per-partition totals (≤ shuffle-partitions rows
+    * to the driver), exclusive offsets computed locally; (2) one
+    * in-order pass per partition accumulating offset + running weight
+    * — no window exchange, no additional shuffle, and partitions whose
+    * offset already exceeds the budget short-circuit without reading a
+    * row. Returns `(id, weight, score, cum_weight)`; join back by id
+    * for full rows. */
+  def selectByBudget(
+      df: DataFrame, id: Column, weight: Column, score: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    val session = df.sparkSession
+    import session.implicits._
+    val sorted = df
+      .select(id.cast("long").as("id"), weight.cast("long").as("weight"),
+        score.cast("double").as("score"))
+      .repartitionByRange(col("score").desc, col("id").asc)
+      .sortWithinPartitions(col("score").desc, col("id").asc)
+      .localCheckpoint(true)
+    val ds = sorted.as[(Long, Option[Long], Option[Double])]
+    val totals = ds.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach { case (rid, w, _) =>
+          val wv = w.getOrElse(0L)
+          require(wv >= 0, s"selectByBudget requires non-negative weights; id=$rid has $wv")
+          s += wv
+        }
+        Iterator.single((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // exclusive prefix offsets, one Long per partition — closure-shipped
+    val offsets = totals.scanLeft(0L)(_ + _)
+    val kept = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets(pid)
+      if (cum > budget) Iterator.empty // whole partition is past the cut
+      else it.flatMap { case (rid, w, sc) =>
+        cum += w.getOrElse(0L)
+        if (cum <= budget) Some((rid, w, sc, cum)) else None
+      }
+    }
+    kept.toDF("id", "weight", "score", "cum_weight")
+  }
 }

@@ -93,6 +93,61 @@ class PackSpec extends SparkSpec {
     assert(out.count() == 0)
   }
 
+  // ------------------------------------------------ selectByBudget (L17b)
+
+  /** Sequential reference: sort (score desc, id), keep the longest
+    * prefix whose inclusive running weight stays ≤ budget. */
+  private def selRef(rows: Seq[(Long, Long, Double)], budget: Long): Set[Long] = {
+    var cum = 0L
+    rows.sortBy { case (id, _, s) => (-s, id) }.flatMap { case (id, w, _) =>
+      cum += w
+      if (cum <= budget) Some(id) else None
+    }.toSet
+  }
+
+  private def selected(rows: Seq[(Long, Long, Double)], budget: Long,
+      parts: Int = 1): Set[Long] =
+    Pack.selectByBudget(
+      rows.toDF("id", "w", "s").repartition(parts),
+      col("id"), col("w"), col("s"), budget)
+      .collect().map(_.getLong(0)).toSet
+
+  test("selectByBudget matches the sequential quality-cut reference") {
+    val rnd = new scala.util.Random(21)
+    val rows = (1L to 600L).map(id =>
+      (id, (rnd.nextInt(200) + 1).toLong, rnd.nextDouble()))
+    val expect = selRef(rows, budget = 12000)
+    assert(expect.nonEmpty && expect.size < rows.size) // the cut actually bites
+    assert(selected(rows, 12000) == expect)
+    assert(selected(rows, 12000, parts = 17) == expect) // partition-invariant
+  }
+
+  test("selectByBudget: score ties break by id; cum_weight is the exact inclusive prefix") {
+    val rows = Seq((5L, 10L, 1.0), (2L, 10L, 1.0), (9L, 10L, 2.0), (7L, 10L, 1.0))
+    // order: 9 (score 2), then 2, 5, 7 (ties by id); budget admits three
+    val got = Pack.selectByBudget(rows.toDF("id", "w", "s"),
+        col("id"), col("w"), col("s"), budget = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._2)
+    assert(got.toSeq == Seq((9L, 10L), (2L, 20L), (5L, 30L)))
+  }
+
+  test("selectByBudget edges: zero budget, oversized head, NULL weight rides free") {
+    val rows = Seq((1L, 100L, 3.0), (2L, 5L, 2.0))
+    assert(selected(rows, budget = 0) == Set.empty)
+    // best doc alone exceeds the budget -> prefix is empty (pure prefix
+    // semantics: the cut never skips ahead to a cheaper lower-score doc)
+    assert(selected(rows, budget = 50) == Set.empty)
+    val withNull = Seq((1L, java.lang.Long.valueOf(20L), 2.0), (2L, null.asInstanceOf[java.lang.Long], 1.5), (3L, java.lang.Long.valueOf(20L), 1.0))
+      .toDF("id", "w", "s")
+    val kept = Pack.selectByBudget(withNull, col("id"), col("w"), col("s"), budget = 25)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L)) // null weight keeps for free, 3 busts the budget
+    val neg = Seq((1L, -5L, 1.0)).toDF("id", "w", "s")
+    intercept[Exception] {
+      Pack.selectByBudget(neg, col("id"), col("w"), col("s"), 10).collect()
+    }
+  }
+
   test("shardStats reports per-shard doc counts and weights") {
     val rows = Seq(1L -> 40L, 2L -> 40L, 3L -> 40L, 4L -> 40L)
     val asg = Pack.packByBudget(rows.toDF("id", "w"), col("id"), col("w"), budget = 100)

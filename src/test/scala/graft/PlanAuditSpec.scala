@@ -80,6 +80,17 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("buckets"), s"semi-join must apply to the stored bucket table:\n$plan")
   }
 
+  test("select_budget: range-partitioned prefix sums, no global window/sort") {
+    // The naive formulation is sum() OVER (ORDER BY score) — a
+    // one-partition global sort. The shipped shape must show a range
+    // exchange on the order keys and NO WindowExec anywhere.
+    val plan = q("select_budget")
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange on the order keys:\n$plan")
+    assert(!plan.contains("Window"),
+      s"budget cut must not plan a window:\n$plan")
+  }
+
   test("hot-bucket guard reads a CACHED bucket stream — the hashing subtree runs once") {
     // r12 regression gate: capBuckets references its bucket input twice
     // (sizes groupBy + semi-join probe) and the self-join twice more; an
