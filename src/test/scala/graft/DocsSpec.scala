@@ -214,6 +214,23 @@ class DocsSpec extends SparkSpec {
     assert(stats.count() == 10L)
   }
 
+  test("prep recipe: quality-ordered budget cut, then pack the survivors") {
+    import spark.implicits._
+    // 40 docs, 10 tokens each; quality = doc_id (higher is better)
+    val docs = (1L to 40L).map(i => (i, ("tok " * 10).trim, i.toDouble))
+      .toDF("doc_id", "text", "quality_score")
+    val kept = graft.operators.Pack.selectByBudget(
+      docs, col("doc_id"),
+      graft.functions.TextFns.tokenCountWs(col("text")),
+      col("quality_score"), budget = 100)
+    // budget of 100 tokens = the 10 best-scoring docs (ids 31-40)
+    assert(kept.collect().map(_.getLong(0)).toSet == (31L to 40L).toSet)
+    // compose: pack exactly the survivors
+    val packed = graft.operators.Pack.packByBudget(
+      kept, col("id"), col("weight"), budget = 50)
+    assert(packed.select("shard_id").distinct().count() == 2L)
+  }
+
   // --- shuffle-engineering.md ------------------------------------------
 
   test("shuffle toolkit: salted join with a stable salt column") {
