@@ -362,6 +362,45 @@ object PackProps extends Properties("pack-by-budget") {
     }
 }
 
+/** `Pack.selectByBudget`'s claim that the range-partitioned prefix cut
+  * equals the sequential (score desc, id) walk, for GENERATED
+  * id/weight/score sets — including duplicate scores (the id tie-break
+  * must decide identically on both sides) and zero weights. */
+object SelectProps extends Properties("select-by-budget") {
+  import org.scalacheck.Test
+  import org.apache.spark.sql.functions.col
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  // coarse scores force ties; weights include 0
+  private val rowsGen: Gen[List[(Long, Long, Double)]] =
+    Gen.choose(0, 80).flatMap(n => Gen.listOfN(n,
+      for {
+        id <- Gen.choose(0L, 100000L)
+        w <- Gen.choose(0L, 300L)
+        s <- Gen.choose(0, 5).map(_.toDouble)
+      } yield (id, w, s)))
+      .map(_.distinctBy(_._1))
+
+  property("distributed prefix cut equals the sequential quality walk") =
+    forAll(rowsGen, Gen.choose(0L, 5000L)) { (rows, budget) =>
+      val s = TestSession.spark
+      import s.implicits._
+      val expected = {
+        var cum = 0L
+        rows.sortBy { case (id, _, sc) => (-sc, id) }.flatMap { case (id, w, _) =>
+          cum += w
+          if (cum <= budget) Some(id) else None
+        }.toSet
+      }
+      val got = graft.operators.Pack
+        .selectByBudget(rows.toDF("id", "w", "s"), col("id"), col("w"), col("s"), budget)
+        .collect().map(_.getLong(0)).toSet
+      got == expected
+    }
+}
+
 /** `Sampling`'s determinism laws under generated key sets: the kept set
   * is a pure function of (key, seed, rate) — so recomputing under a
   * different partitioning matches — and thresholds NEST (a tighter rate
