@@ -518,6 +518,19 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L17b per-group variant: the data-MIXTURE cut — per-language token
+    // budgets, each language independently keeping its best docs
+    // (budget omitted = language dropped; 'fr' here, by design).
+    "select_mixture" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      Pack.selectByBudgetPerGroup(docs, col("doc_id"), TextFns.tokenCountWs(col("text")),
+          col("n_chars"), col("lang"),
+          Map("en" -> 6000L, "zh" -> 2000L, "es" -> 2000L, "de" -> 1500L))
+        .select(col("id").as("doc_id"), col("group").as("lang"),
+          col("weight").as("n_tokens"), col("cum_weight").as("cum_tokens"))
+        .orderBy("doc_id")
+    },
+
     // End-to-end corpus preparation — the flow this engine exists for,
     // run as ONE composed plan: quality gate (≥8 words) + language gate
     // (langid = en) in a single narrow codegen'd pass over the corpus
@@ -1327,6 +1340,17 @@ object SparkEntry {
         |FROM documents)
         |SELECT doc_id, n_tokens, cum_tokens FROM t
         |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
+
+    // Mixture cut: the same cumsum PARTITIONed per language, each
+    // checked against its own budget; 'fr' has none and drops.
+    "select_mixture" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS cum_tokens
+        |FROM documents)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM t
+        |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 2000
+        |  WHEN 'es' THEN 2000 WHEN 'de' THEN 1500 ELSE -1 END
+        |ORDER BY doc_id""".stripMargin,
 
     // The composed pipeline, stated as the composition of its stages'
     // oracles: langid CASE -> word-count + en gate -> min-id-per-md5

@@ -172,4 +172,69 @@ object Pack {
     }
     kept.toDF("id", "weight", "score", "cum_weight")
   }
+
+  /** Per-group [[selectByBudget]] — the data-MIXTURE cut: each group
+    * (language, source domain, …) gets its own token budget, and within
+    * each group the best-scoring documents are kept up to that budget
+    * ("60 % en, 10 % de, … of the training tokens" as absolute
+    * per-group budgets). Semantics per group are exactly
+    * [[selectByBudget]]'s affordable prefix of the (`score` DESC, `id`)
+    * order; groups ABSENT from `budgets` are dropped entirely (budget
+    * 0) — a mixture is an explicit contract, not a default-keep.
+    *
+    * Scale shape: range-partition on (group, score DESC, id) so every
+    * partition holds contiguous runs of at most a few groups; pass 1
+    * aggregates per-(partition, group) totals (rows = partitions ×
+    * groups-per-partition — small for mixture-sized group counts, which
+    * is the intended regime: languages/domains, not high-cardinality
+    * keys); the driver computes each group's running offset along the
+    * partition order; pass 2 walks each partition once, accumulating
+    * per group. No window exchange, no global sort. Returns
+    * `(id, group, weight, score, cum_weight)`. */
+  def selectByBudgetPerGroup(
+      df: DataFrame, id: Column, weight: Column, score: Column,
+      group: Column, budgets: Map[String, Long]): DataFrame = {
+    require(budgets.values.forall(_ >= 0), s"budgets must be non-negative, got $budgets")
+    val session = df.sparkSession
+    import session.implicits._
+    val sorted = df
+      .select(id.cast("long").as("id"), group.cast("string").as("group"),
+        weight.cast("long").as("weight"), score.cast("double").as("score"))
+      .repartitionByRange(col("group").asc, col("score").desc, col("id").asc)
+      .sortWithinPartitions(col("group").asc, col("score").desc, col("id").asc)
+      .localCheckpoint(true)
+    val ds = sorted.as[(Long, Option[String], Option[Long], Option[Double])]
+    val totals = ds.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        val acc = scala.collection.mutable.LinkedHashMap.empty[Option[String], Long]
+        it.foreach { case (rid, g, w, _) =>
+          val wv = w.getOrElse(0L)
+          require(wv >= 0,
+            s"selectByBudgetPerGroup requires non-negative weights; id=$rid has $wv")
+          acc(g) = acc.getOrElse(g, 0L) + wv
+        }
+        acc.iterator.map { case (g, t) => (pid, g, t) }
+      }
+      .collect()
+    // per-group exclusive offsets along the partition order — tiny
+    // (partitions × groups-per-partition rows), computed locally
+    val offsetByPidGroup: Map[(Int, Option[String]), Long] = {
+      val running = scala.collection.mutable.Map.empty[Option[String], Long]
+      totals.sortBy(_._1).map { case (pid, g, t) =>
+        val off = running.getOrElse(g, 0L)
+        running(g) = off + t
+        (pid, g) -> off
+      }.toMap
+    }
+    val budgetFor: Option[String] => Long = g => g.flatMap(budgets.get).getOrElse(0L)
+    val kept = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val cums = scala.collection.mutable.Map.empty[Option[String], Long]
+      it.flatMap { case (rid, g, w, sc) =>
+        val cum = cums.getOrElse(g, offsetByPidGroup.getOrElse((pid, g), 0L)) + w.getOrElse(0L)
+        cums(g) = cum
+        if (cum <= budgetFor(g)) Some((rid, g, w, sc, cum)) else None
+      }
+    }
+    kept.toDF("id", "group", "weight", "score", "cum_weight")
+  }
 }

@@ -148,6 +148,41 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  /** Per-group sequential reference: each group independently keeps its
+    * affordable (score desc, id) prefix; unbudgeted groups drop. */
+  private def selGroupRef(rows: Seq[(Long, String, Long, Double)],
+      budgets: Map[String, Long]): Set[Long] =
+    rows.groupBy(_._2).flatMap { case (g, rs) =>
+      var cum = 0L
+      rs.sortBy { case (id, _, _, s) => (-s, id) }.flatMap { case (id, _, w, _) =>
+        cum += w
+        if (cum <= budgets.getOrElse(g, 0L)) Some(id) else None
+      }
+    }.toSet
+
+  test("selectByBudgetPerGroup matches the per-group reference; unbudgeted groups drop") {
+    val rnd = new scala.util.Random(77)
+    val langs = Seq("en", "de", "fr", "xx")
+    val rows = (1L to 500L).map(id =>
+      (id, langs(rnd.nextInt(langs.size)), (rnd.nextInt(100) + 1).toLong, rnd.nextDouble()))
+    val budgets = Map("en" -> 2000L, "de" -> 800L, "fr" -> 1L) // no "xx": dropped
+    val expect = selGroupRef(rows, budgets)
+    assert(expect.nonEmpty)
+    val got = Pack.selectByBudgetPerGroup(
+      rows.toDF("id", "g", "w", "s").repartition(11),
+      col("id"), col("w"), col("s"), col("g"), budgets)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect)
+    // per-group budgets are enforced independently
+    val byGroup = Pack.selectByBudgetPerGroup(
+      rows.toDF("id", "g", "w", "s"), col("id"), col("w"), col("s"), col("g"), budgets)
+      .collect().groupBy(_.getString(1))
+    byGroup.foreach { case (g, rs) =>
+      assert(rs.map(_.getLong(2)).sum <= budgets(g))
+    }
+    assert(!byGroup.contains("xx"))
+  }
+
   test("shardStats reports per-shard doc counts and weights") {
     val rows = Seq(1L -> 40L, 2L -> 40L, 3L -> 40L, 4L -> 40L)
     val asg = Pack.packByBudget(rows.toDF("id", "w"), col("id"), col("w"), budget = 100)
