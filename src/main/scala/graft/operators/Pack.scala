@@ -237,4 +237,22 @@ object Pack {
     }
     kept.toDF("id", "group", "weight", "score", "cum_weight")
   }
+
+  /** Operational summary of a [[selectByBudgetPerGroup]] result: how
+    * full each group's budget actually is —
+    * `(group, n_docs, total_weight, budget, fill)`. A group far below
+    * `fill = 1.0` ran out of documents before budget (the mixture is
+    * supply-constrained there); absent groups were dropped. */
+  def mixtureStats(kept: DataFrame, budgets: Map[String, Long]): DataFrame = {
+    val session = kept.sparkSession
+    import session.implicits._
+    val b = budgets.toSeq.toDF("group", "budget")
+    kept.groupBy("group")
+      .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("total_weight"))
+      .join(broadcast(b), Seq("group"), "right")
+      .na.fill(0L, Seq("n_docs", "total_weight"))
+      .withColumn("fill",
+        when(col("budget") > 0, col("total_weight").cast("double") / col("budget"))
+          .otherwise(lit(0.0)))
+  }
 }

@@ -183,6 +183,21 @@ class PackSpec extends SparkSpec {
     assert(!byGroup.contains("xx"))
   }
 
+  test("mixtureStats reports per-group fill; supply-starved and empty groups surface") {
+    val rows = Seq(
+      (1L, "en", 50L, 2.0), (2L, "en", 50L, 1.0), (3L, "en", 50L, 0.5),
+      (4L, "de", 10L, 1.0))
+    val budgets = Map("en" -> 100L, "de" -> 200L, "fr" -> 50L)
+    val kept = Pack.selectByBudgetPerGroup(rows.toDF("id", "g", "w", "s"),
+      col("id"), col("w"), col("s"), col("g"), budgets)
+    val stats = Pack.mixtureStats(kept, budgets)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(4))).toMap
+    assert(stats("en") == ((2L, 100L, 1.0)))   // budget-bound: 2 of 3 docs fit
+    assert(stats("de") == ((1L, 10L, 0.05)))   // supply-bound: ran out of docs
+    assert(stats("fr") == ((0L, 0L, 0.0)))     // budgeted but no documents at all
+  }
+
   test("shardStats reports per-shard doc counts and weights") {
     val rows = Seq(1L -> 40L, 2L -> 40L, 3L -> 40L, 4L -> 40L)
     val asg = Pack.packByBudget(rows.toDF("id", "w"), col("id"), col("w"), budget = 100)
