@@ -79,6 +79,11 @@ class TablesSpec extends SparkSpec {
     "embeddings" -> ((s, d) => tables.embeddings(s, d).toNative),
   )
 
+  test("driver contract smoke: SparkEntry.entry returns rows at sf0.001") {
+    assume(Files.isDirectory(Paths.get(sfDir)), s"$sfDir absent — skipping smoke gate")
+    assert(SparkEntry.entry(spark).count() > 0L)
+  }
+
   test("testdata smoke: all 10 typed readers open the driver parquet and see rows") {
     assume(Files.isDirectory(Paths.get(sfDir)), s"$sfDir absent — skipping smoke gate")
     val empty = readers.flatMap { case (name, rd) =>
