@@ -103,7 +103,10 @@ object Bench {
         Thread.sleep(2000L)
         val sys = b.getCpuLoad
         val own = b.getProcessCpuLoad
-        if (sampling && sys >= 0 && own >= 0)
+        // NaN fails >= 0 too, but guard it by name: getCpuLoad returns
+        // NaN before a usage delta exists (first tick), and one NaN
+        // sample would poison the window average into a spurious "hot".
+        if (sampling && sys >= 0 && own >= 0 && !sys.isNaN && !own.isNaN)
           ambientBuf.synchronized { ambientBuf += math.max(0.0, (sys - own) * cores) }
       }, "bench-ambient-sampler")
       t.setDaemon(true)
@@ -128,7 +131,9 @@ object Bench {
         else sunBean.flatMap { b =>
           val sys = b.getCpuLoad
           val own = b.getProcessCpuLoad
-          if (sys < 0 || own < 0) None
+          // NaN < 0 is FALSE, so the sign check alone would let a
+          // first-tick NaN through; NaN <= loadMax then reads as hot.
+          if (sys < 0 || own < 0 || sys.isNaN || own.isNaN) None
           else Some(math.max(0.0, (sys - own) * Runtime.getRuntime.availableProcessors))
         }
       (r, measured)

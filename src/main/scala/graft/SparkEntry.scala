@@ -1334,18 +1334,24 @@ object SparkEntry {
 
     // The quality cut as DuckDB's global window cumsum (doc_id is a
     // unique tie-break, so the default RANGE frame equals ROWS).
+    // NOTE the CAST around the window sum: DuckDB's sum(BIGINT)
+    // returns HUGEINT, which pandas renders as float64 and the
+    // driver's row hash then stringifies "6226.0" vs Spark's "6226".
+    // RULE: every DuckDB sum in an oracle is cast (to BIGINT for
+    // integer inputs) — see also pack_shards above.
     "select_budget" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (ORDER BY n_chars DESC, doc_id) AS cum_tokens
+        |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
         |FROM documents)
         |SELECT doc_id, n_tokens, cum_tokens FROM t
         |WHERE cum_tokens <= 20000 ORDER BY doc_id""".stripMargin,
 
     // Mixture cut: the same cumsum PARTITIONed per language, each
     // checked against its own budget; 'fr' has none and drops.
+    // Window sum cast to BIGINT for the same HUGEINT reason as above.
     "select_mixture" ->
       """WITH t AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |  sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS cum_tokens
+        |  CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
         |FROM documents)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM t
         |WHERE cum_tokens <= CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 2000

@@ -127,50 +127,139 @@ object Pack {
     * one-partition global sort. Instead: `repartitionByRange` on the
     * order keys (sampled bounds — fine here, because the kept set
     * depends only on the TOTAL order, never on where partition cuts
-    * land) + in-partition sort, materialized ONCE (localCheckpoint) so
-    * the two passes below see identical partitions; then (1) one
-    * narrow pass for per-partition totals (≤ shuffle-partitions rows
-    * to the driver), exclusive offsets computed locally; (2) one
-    * in-order pass per partition accumulating offset + running weight
-    * — no window exchange, no additional shuffle, and partitions whose
-    * offset already exceeds the budget short-circuit without reading a
-    * row. Returns `(id, weight, score, cum_weight)`; join back by id
-    * for full rows. */
+    * land) + in-partition sort, materialized ONCE so the two passes
+    * below see identical partitions; then (1) one narrow pass for
+    * per-partition totals (≤ shuffle-partitions rows to the driver),
+    * exclusive offsets computed locally; (2) one in-order pass per
+    * partition accumulating offset + running weight — no window
+    * exchange, and in the default mode partitions whose offset already
+    * exceeds the budget short-circuit without reading a row.
+    *
+    * EAGER: this call runs Spark jobs at construction time (the
+    * snapshot + the totals pass) and the returned frame is backed by
+    * the lineage-truncated snapshot. In the default mode do NOT call
+    * `GraftSession.releaseCachedBlocks` (or otherwise drop executor
+    * storage) before consuming the result — the frame cannot recompute
+    * once its localCheckpoint blocks are gone. Consume first, release
+    * after.
+    *
+    * `checkpointDir`: by default the sorted projection is pinned with
+    * `localCheckpoint`, whose blocks live in EXECUTOR-LOCAL storage —
+    * fine on local[n], but on a real cluster an executor loss mid-job
+    * kills the query (lineage truncated, blocks gone). Pass a reliable
+    * store path (HDFS/S3) to snapshot the projection to parquet there
+    * instead, exactly like [[Dedup.duplicateClusters]]. Because a
+    * parquet read does NOT preserve partition indexes (files are
+    * bin-packed by size), reliable mode stamps each row with its sort
+    * partition id before the write and re-co-locates on that column
+    * for the walk — one extra narrow-row shuffle, same semantics. On
+    * successful return one `graft-sb-<uuid>/` directory remains (it
+    * backs the returned lazy frame) and is the caller's to delete once
+    * consumed; on failure it is best-effort deleted.
+    *
+    * Returns `(id, weight, score, cum_weight)`; [[selectByBudgetKeep]]
+    * returns the full kept rows instead. */
   def selectByBudget(
       df: DataFrame, id: Column, weight: Column, score: Column,
-      budget: Long): DataFrame = {
+      budget: Long, checkpointDir: Option[String] = None): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
     val session = df.sparkSession
     import session.implicits._
-    val sorted = df
-      .select(id.cast("long").as("id"), weight.cast("long").as("weight"),
-        score.cast("double").as("score"))
-      .repartitionByRange(col("score").desc, col("id").asc)
-      .sortWithinPartitions(col("score").desc, col("id").asc)
-      .localCheckpoint(true)
-    val ds = sorted.as[(Long, Option[Long], Option[Double])]
-    val totals = ds.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        var s = 0L
-        it.foreach { case (rid, w, _) =>
-          val wv = w.getOrElse(0L)
-          require(wv >= 0, s"selectByBudget requires non-negative weights; id=$rid has $wv")
-          s += wv
+    val proj = df.select(id.cast("long").as("id"),
+      weight.cast("long").as("weight"), score.cast("double").as("score"))
+    checkpointDir match {
+      case None =>
+        val sorted = proj
+          .repartitionByRange(col("score").desc, col("id").asc)
+          .sortWithinPartitions(col("score").desc, col("id").asc)
+          .localCheckpoint(true)
+        val ds = sorted.as[(Long, Option[Long], Option[Double])]
+        val totals = ds.rdd
+          .mapPartitionsWithIndex { (pid, it) =>
+            var s = 0L
+            it.foreach { case (rid, w, _) =>
+              val wv = w.getOrElse(0L)
+              require(wv >= 0, s"selectByBudget requires non-negative weights; id=$rid has $wv")
+              s += wv
+            }
+            Iterator.single((pid, s))
+          }
+          .collect().sortBy(_._1).map(_._2)
+        // exclusive prefix offsets, one Long per partition — closure-shipped
+        val offsets = totals.scanLeft(0L)(_ + _)
+        val kept = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+          var cum = offsets(pid)
+          if (cum > budget) Iterator.empty // whole partition is past the cut
+          else it.flatMap { case (rid, w, sc) =>
+            cum += w.getOrElse(0L)
+            if (cum <= budget) Some((rid, w, sc, cum)) else None
+          }
         }
-        Iterator.single((pid, s))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    // exclusive prefix offsets, one Long per partition — closure-shipped
-    val offsets = totals.scanLeft(0L)(_ + _)
-    val kept = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
-      var cum = offsets(pid)
-      if (cum > budget) Iterator.empty // whole partition is past the cut
-      else it.flatMap { case (rid, w, sc) =>
-        cum += w.getOrElse(0L)
-        if (cum <= budget) Some((rid, w, sc, cum)) else None
-      }
+        kept.toDF("id", "weight", "score", "cum_weight")
+
+      case Some(dir) =>
+        val runDir = s"$dir/graft-sb-${java.util.UUID.randomUUID()}"
+        try {
+          // Stamp the sort partition id BEFORE the write: the parquet
+          // read bin-packs files by size, so physical read partitions
+          // carry no order — the stamped column does.
+          val sorted = proj
+            .repartitionByRange(col("score").desc, col("id").asc)
+            .sortWithinPartitions(col("score").desc, col("id").asc)
+            .withColumn("_pid", spark_partition_id())
+          sorted.write.parquet(runDir)
+          val snap = session.read.schema(sorted.schema).parquet(runDir)
+          // Pass 1: per-sort-partition totals + a weight floor check.
+          val totRows = snap.groupBy("_pid")
+            .agg(sum(col("weight")).as("_tot"), min(col("weight")).as("_minw"))
+            .collect()
+          totRows.foreach { r =>
+            require(r.isNullAt(2) || r.getLong(2) >= 0,
+              s"selectByBudget requires non-negative weights; partition ${r.getInt(0)} has ${r.getLong(2)}")
+          }
+          val byPid = totRows.map(r => r.getInt(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toMap
+          val maxPid = if (byPid.isEmpty) -1 else byPid.keys.max
+          val offsets = (0 to maxPid).map(byPid.getOrElse(_, 0L)).scanLeft(0L)(_ + _).toArray
+          // Pass 2: co-locate each sort partition (hash on _pid — several
+          // pids may share a task; each pid's run is contiguous after the
+          // in-partition sort, so a keyed walk resumes cleanly per run).
+          val ds = snap
+            .repartition(math.max(1, maxPid + 1), col("_pid"))
+            .sortWithinPartitions(col("_pid").asc, col("score").desc, col("id").asc)
+            .as[(Long, Option[Long], Option[Double], Int)]
+          ds.mapPartitions { it =>
+            var cur = -1
+            var cum = 0L
+            it.flatMap { case (rid, w, sc, pid) =>
+              if (pid != cur) { cur = pid; cum = offsets(pid) }
+              cum += w.getOrElse(0L)
+              if (cum <= budget) Some((rid, w, sc, cum)) else None
+            }
+          }.toDF("id", "weight", "score", "cum_weight")
+        } catch {
+          case e: Throwable =>
+            val p = new org.apache.hadoop.fs.Path(runDir)
+            try p.getFileSystem(session.sparkContext.hadoopConfiguration).delete(p, true)
+            catch { case _: Throwable => () }
+            throw e
+        }
     }
-    kept.toDF("id", "weight", "score", "cum_weight")
+  }
+
+  /** [[selectByBudget]] returning the FULL kept rows of `df` instead of
+    * the narrow (id, weight, score, cum_weight) frame — the one-call
+    * "give me the selected documents" API a production pipeline wants
+    * (mirrors [[Dedup.exactKeep]]'s shape). The kept-id list is the
+    * budget cut's output projected to ids; the left-semi join keeps the
+    * winning rows, AQE-broadcastable when the cut is small. Requires
+    * unique ids (the module-wide convention). Same eagerness and
+    * `checkpointDir` semantics as [[selectByBudget]]. */
+  def selectByBudgetKeep(
+      df: DataFrame, id: Column, weight: Column, score: Column,
+      budget: Long, checkpointDir: Option[String] = None): DataFrame = {
+    val keep = selectByBudget(df, id, weight, score, budget, checkpointDir)
+      .select(col("id").as("_keep_id"))
+    df.join(keep, id.cast("long") === col("_keep_id"), "left_semi")
   }
 
   /** Per-group [[selectByBudget]] — the data-MIXTURE cut: each group
@@ -190,35 +279,30 @@ object Pack {
     * keys); the driver computes each group's running offset along the
     * partition order; pass 2 walks each partition once, accumulating
     * per group. No window exchange, no global sort. Returns
-    * `(id, group, weight, score, cum_weight)`. */
+    * `(id, group, weight, score, cum_weight)`.
+    *
+    * Same eagerness caveat as [[selectByBudget]] (jobs run at
+    * construction; consume before releasing cached blocks), and the
+    * same `checkpointDir` escape hatch: pass a reliable store path to
+    * snapshot via parquet (partition ids stamped pre-write, re-located
+    * post-read) instead of executor-local `localCheckpoint` blocks. */
   def selectByBudgetPerGroup(
       df: DataFrame, id: Column, weight: Column, score: Column,
-      group: Column, budgets: Map[String, Long]): DataFrame = {
+      group: Column, budgets: Map[String, Long],
+      checkpointDir: Option[String] = None): DataFrame = {
     require(budgets.values.forall(_ >= 0), s"budgets must be non-negative, got $budgets")
     val session = df.sparkSession
     import session.implicits._
-    val sorted = df
+    val proj = df
       .select(id.cast("long").as("id"), group.cast("string").as("group"),
         weight.cast("long").as("weight"), score.cast("double").as("score"))
       .repartitionByRange(col("group").asc, col("score").desc, col("id").asc)
       .sortWithinPartitions(col("group").asc, col("score").desc, col("id").asc)
-      .localCheckpoint(true)
-    val ds = sorted.as[(Long, Option[String], Option[Long], Option[Double])]
-    val totals = ds.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        val acc = scala.collection.mutable.LinkedHashMap.empty[Option[String], Long]
-        it.foreach { case (rid, g, w, _) =>
-          val wv = w.getOrElse(0L)
-          require(wv >= 0,
-            s"selectByBudgetPerGroup requires non-negative weights; id=$rid has $wv")
-          acc(g) = acc.getOrElse(g, 0L) + wv
-        }
-        acc.iterator.map { case (g, t) => (pid, g, t) }
-      }
-      .collect()
-    // per-group exclusive offsets along the partition order — tiny
-    // (partitions × groups-per-partition rows), computed locally
-    val offsetByPidGroup: Map[(Int, Option[String]), Long] = {
+    val budgetFor: Option[String] => Long = g => g.flatMap(budgets.get).getOrElse(0L)
+
+    def offsetsOf(totals: Array[(Int, Option[String], Long)]): Map[(Int, Option[String]), Long] = {
+      // per-group exclusive offsets along the partition order — tiny
+      // (partitions × groups-per-partition rows), computed locally
       val running = scala.collection.mutable.Map.empty[Option[String], Long]
       totals.sortBy(_._1).map { case (pid, g, t) =>
         val off = running.getOrElse(g, 0L)
@@ -226,16 +310,90 @@ object Pack {
         (pid, g) -> off
       }.toMap
     }
-    val budgetFor: Option[String] => Long = g => g.flatMap(budgets.get).getOrElse(0L)
-    val kept = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
-      val cums = scala.collection.mutable.Map.empty[Option[String], Long]
-      it.flatMap { case (rid, g, w, sc) =>
-        val cum = cums.getOrElse(g, offsetByPidGroup.getOrElse((pid, g), 0L)) + w.getOrElse(0L)
-        cums(g) = cum
-        if (cum <= budgetFor(g)) Some((rid, g, w, sc, cum)) else None
-      }
+
+    checkpointDir match {
+      case None =>
+        val sorted = proj.localCheckpoint(true)
+        val ds = sorted.as[(Long, Option[String], Option[Long], Option[Double])]
+        val totals = ds.rdd
+          .mapPartitionsWithIndex { (pid, it) =>
+            val acc = scala.collection.mutable.LinkedHashMap.empty[Option[String], Long]
+            it.foreach { case (rid, g, w, _) =>
+              val wv = w.getOrElse(0L)
+              require(wv >= 0,
+                s"selectByBudgetPerGroup requires non-negative weights; id=$rid has $wv")
+              acc(g) = acc.getOrElse(g, 0L) + wv
+            }
+            acc.iterator.map { case (g, t) => (pid, g, t) }
+          }
+          .collect()
+        val offsetByPidGroup = offsetsOf(totals)
+        val kept = ds.rdd.mapPartitionsWithIndex { (pid, it) =>
+          val cums = scala.collection.mutable.Map.empty[Option[String], Long]
+          it.flatMap { case (rid, g, w, sc) =>
+            val cum = cums.getOrElse(g, offsetByPidGroup.getOrElse((pid, g), 0L)) + w.getOrElse(0L)
+            cums(g) = cum
+            if (cum <= budgetFor(g)) Some((rid, g, w, sc, cum)) else None
+          }
+        }
+        kept.toDF("id", "group", "weight", "score", "cum_weight")
+
+      case Some(dir) =>
+        val runDir = s"$dir/graft-sbg-${java.util.UUID.randomUUID()}"
+        try {
+          val sorted = proj.withColumn("_pid", spark_partition_id())
+          sorted.write.parquet(runDir)
+          val snap = session.read.schema(sorted.schema).parquet(runDir)
+          val totRows = snap.groupBy("_pid", "group")
+            .agg(sum(col("weight")).as("_tot"), min(col("weight")).as("_minw"))
+            .collect()
+          totRows.foreach { r =>
+            require(r.isNullAt(3) || r.getLong(3) >= 0,
+              s"selectByBudgetPerGroup requires non-negative weights; group ${r.get(1)} has ${r.getLong(3)}")
+          }
+          val totals = totRows.map { r =>
+            (r.getInt(0), Option(r.getString(1)), if (r.isNullAt(2)) 0L else r.getLong(2))
+          }
+          val offsetByPidGroup = offsetsOf(totals)
+          val maxPid = if (totals.isEmpty) -1 else totals.map(_._1).max
+          val ds = snap
+            .repartition(math.max(1, maxPid + 1), col("_pid"))
+            .sortWithinPartitions(col("_pid").asc, col("group").asc,
+              col("score").desc, col("id").asc)
+            .as[(Long, Option[String], Option[Long], Option[Double], Int)]
+          ds.mapPartitions { it =>
+            var curPid = -1
+            var curG: Option[String] = None
+            var started = false
+            var cum = 0L
+            it.flatMap { case (rid, g, w, sc, pid) =>
+              if (!started || pid != curPid || g != curG) {
+                started = true; curPid = pid; curG = g
+                cum = offsetByPidGroup.getOrElse((pid, g), 0L)
+              }
+              cum += w.getOrElse(0L)
+              if (cum <= budgetFor(g)) Some((rid, g, w, sc, cum)) else None
+            }
+          }.toDF("id", "group", "weight", "score", "cum_weight")
+        } catch {
+          case e: Throwable =>
+            val p = new org.apache.hadoop.fs.Path(runDir)
+            try p.getFileSystem(session.sparkContext.hadoopConfiguration).delete(p, true)
+            catch { case _: Throwable => () }
+            throw e
+        }
     }
-    kept.toDF("id", "group", "weight", "score", "cum_weight")
+  }
+
+  /** [[selectByBudgetPerGroup]] returning the FULL kept rows of `df`
+    * (left-semi on id), mirroring [[selectByBudgetKeep]]. */
+  def selectByBudgetPerGroupKeep(
+      df: DataFrame, id: Column, weight: Column, score: Column,
+      group: Column, budgets: Map[String, Long],
+      checkpointDir: Option[String] = None): DataFrame = {
+    val keep = selectByBudgetPerGroup(df, id, weight, score, group, budgets, checkpointDir)
+      .select(col("id").as("_keep_id"))
+    df.join(keep, id.cast("long") === col("_keep_id"), "left_semi")
   }
 
   /** Operational summary of a [[selectByBudgetPerGroup]] result: how
@@ -247,12 +405,18 @@ object Pack {
     val session = kept.sparkSession
     import session.implicits._
     val b = budgets.toSeq.toDF("group", "budget")
-    kept.groupBy("group")
+    // Budgets are the preserved side, so join FROM them (left outer)
+    // and broadcast the per-group aggregate — Spark can only build the
+    // non-preserved side, so a hint on the right of a right-outer join
+    // is silently dropped (the r13 shape). Both frames are
+    // mixture-sized; the aggregate side is the buildable one here.
+    val agg = kept.groupBy("group")
       .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("total_weight"))
-      .join(broadcast(b), Seq("group"), "right")
+    b.join(broadcast(agg), Seq("group"), "left")
       .na.fill(0L, Seq("n_docs", "total_weight"))
       .withColumn("fill",
         when(col("budget") > 0, col("total_weight").cast("double") / col("budget"))
           .otherwise(lit(0.0)))
+      .select("group", "n_docs", "total_weight", "budget", "fill")
   }
 }

@@ -19,20 +19,57 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * lose the only handle that can remove the entry; the wrapper objects
   * held between drains are tiny next to the blocks they unlock. */
 private[graft] object InternalCaches {
-  private val reg = new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+  private final case class Entry(threadId: Long, threadName: String, df: DataFrame)
+  private val reg = new java.util.concurrent.ConcurrentLinkedQueue[Entry]()
 
-  /** Register a frame the operator just persisted; returns it. */
+  /** Register a frame the operator just persisted; returns it. Entries
+    * are tagged with the registering thread — the "flow" scope: a plan
+    * is built and its caches registered on the thread that constructs
+    * it (the main thread for batch/bench sweeps, the micro-batch
+    * execution thread for a stream), and the SAME flow drains at its
+    * own job boundary. */
   def register(df: DataFrame): DataFrame = {
-    reg.add(df)
+    reg.add(Entry(Thread.currentThread().getId, Thread.currentThread().getName, df))
     df
   }
 
-  /** Unpersist (and forget) every registered frame. */
+  private def unpersist(e: Entry): Unit =
+    try e.df.unpersist(blocking = false)
+    catch { case _: Throwable => () }
+
+  /** Unpersist (and forget) the frames registered by THIS flow (= this
+    * thread). Per-job-boundary hygiene: with two concurrent jobs in one
+    * JVM (a streaming micro-batch loop next to a batch query), a global
+    * drain here would unpersist the OTHER job's still-in-use bucket
+    * cache mid-query — correctness survives (lineage is kept) but the
+    * double-evaluation the persist exists to prevent silently returns.
+    * Thread scoping removes that hazard for every current caller
+    * (register and drain happen on the same thread in all flows). */
   def drain(): Unit = {
+    val self = Thread.currentThread().getId
+    val it = reg.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.threadId == self) { it.remove(); unpersist(e) }
+    }
+  }
+
+  /** Unpersist (and forget) EVERY registered frame, any flow —
+    * whole-session cleanup for [[GraftSession.releaseCachedBlocks]],
+    * whose contract already requires all prior results consumed. Warns
+    * when it reaps another thread's entries: that is either a flow that
+    * forgot its own boundary drain (a leak this backstop exists for) or
+    * a concurrent job whose cache is being pulled mid-query. */
+  def drainAll(): Unit = {
+    val self = Thread.currentThread().getId
     var df = reg.poll()
     while (df != null) {
-      try df.unpersist(blocking = false)
-      catch { case _: Throwable => () }
+      if (df.threadId != self)
+        System.err.println(s"[graft] InternalCaches.drainAll: releasing cache " +
+          s"registered by thread '${df.threadName}' (#${df.threadId}) from " +
+          s"'${Thread.currentThread().getName}' — if that flow is still running, " +
+          "its persisted subtree will silently recompute")
+      unpersist(df)
       df = reg.poll()
     }
   }
@@ -83,7 +120,10 @@ object GraftSession {
     // Dataset-level operator caches first: unpersisting through the
     // Dataset removes the CacheManager ENTRY, not just the blocks —
     // entries otherwise accumulate per built plan and are never GC'd.
-    InternalCaches.drain()
+    // drainAll (not the flow-scoped drain): this is whole-session
+    // cleanup, and its contract above already demands prior results be
+    // consumed; foreign-flow entries are reaped with a warning.
+    InternalCaches.drainAll()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
   }

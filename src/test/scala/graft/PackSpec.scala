@@ -183,6 +183,94 @@ class PackSpec extends SparkSpec {
     assert(!byGroup.contains("xx"))
   }
 
+  test("selectByBudget reliable checkpointDir mode matches the default mode exactly") {
+    // The escape hatch for real clusters: parquet snapshot instead of
+    // executor-local localCheckpoint blocks. Partition ids are stamped
+    // pre-write because a parquet read bin-packs files — the walk must
+    // still resume each sort partition at its exclusive offset.
+    val dir = java.nio.file.Files.createTempDirectory("graft-sb-spec").toString
+    try {
+      val rnd = new scala.util.Random(31)
+      val rows = (1L to 600L).map(id =>
+        (id, (rnd.nextInt(200) + 1).toLong, rnd.nextDouble()))
+      val expect = selRef(rows, budget = 12000)
+      val got = Pack.selectByBudget(
+        rows.toDF("id", "w", "s").repartition(17),
+        col("id"), col("w"), col("s"), 12000, checkpointDir = Some(dir))
+      val gotRows = got.collect()
+      assert(gotRows.map(_.getLong(0)).toSet == expect)
+      // cum_weight is the same exact inclusive prefix in both modes
+      val default = Pack.selectByBudget(rows.toDF("id", "w", "s"),
+        col("id"), col("w"), col("s"), 12000)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(gotRows.map(r => r.getLong(0) -> r.getLong(3)).toMap == default)
+      // exactly one run directory remains (it backs the lazy frame)
+      val runs = new java.io.File(dir).listFiles()
+      assert(runs != null && runs.count(_.getName.startsWith("graft-sb-")) == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("selectByBudgetPerGroup reliable checkpointDir mode matches the default mode") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sbg-spec").toString
+    try {
+      val rnd = new scala.util.Random(79)
+      val langs = Seq("en", "de", "fr", "xx")
+      val rows = (1L to 500L).map(id =>
+        (id, langs(rnd.nextInt(langs.size)), (rnd.nextInt(100) + 1).toLong, rnd.nextDouble()))
+      val budgets = Map("en" -> 2000L, "de" -> 800L, "fr" -> 1L)
+      val expect = selGroupRef(rows, budgets)
+      val got = Pack.selectByBudgetPerGroup(
+        rows.toDF("id", "g", "w", "s").repartition(11),
+        col("id"), col("w"), col("s"), col("g"), budgets, checkpointDir = Some(dir))
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expect)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("selectByBudgetKeep returns the full kept rows (semi-join shape)") {
+    val rows = Seq((5L, 10L, 1.0, "e"), (2L, 10L, 1.0, "b"), (9L, 10L, 2.0, "i"),
+      (7L, 10L, 1.0, "g")).toDF("id", "w", "s", "payload")
+    val kept = Pack.selectByBudgetKeep(rows, col("id"), col("w"), col("s"), budget = 30)
+    // full original schema, only the selected ids (9, then ties 2, 5)
+    assert(kept.columns.toSeq == Seq("id", "w", "s", "payload"))
+    assert(kept.collect().map(r => (r.getLong(0), r.getString(3))).toSet ==
+      Set((9L, "i"), (2L, "b"), (5L, "e")))
+  }
+
+  test("selectByBudgetPerGroupKeep returns full rows per group; unbudgeted groups drop") {
+    val rows = Seq((1L, "en", 50L, 2.0, "a"), (2L, "en", 50L, 1.0, "b"),
+      (3L, "en", 50L, 0.5, "c"), (4L, "de", 10L, 1.0, "d"), (5L, "xx", 1L, 9.0, "e"))
+      .toDF("id", "g", "w", "s", "payload")
+    val kept = Pack.selectByBudgetPerGroupKeep(rows, col("id"), col("w"), col("s"),
+      col("g"), Map("en" -> 100L, "de" -> 200L))
+    assert(kept.columns.toSeq == Seq("id", "g", "w", "s", "payload"))
+    assert(kept.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 4L))
+  }
+
+  test("mixtureStats builds the aggregate side as a broadcast hash join") {
+    // r13: the hint sat on the preserved side of a right-outer join,
+    // which Spark cannot build — silently dropped, shuffle fallback.
+    // The flipped shape (budgets left-preserved, agg side broadcast)
+    // must show an actual BroadcastHashJoin in the executed plan.
+    val rows = Seq((1L, "en", 50L, 2.0), (4L, "de", 10L, 1.0))
+    val budgets = Map("en" -> 100L, "de" -> 200L)
+    val kept = Pack.selectByBudgetPerGroup(rows.toDF("id", "g", "w", "s"),
+      col("id"), col("w"), col("s"), col("g"), budgets)
+    val stats = Pack.mixtureStats(kept, budgets)
+    stats.collect()
+    val plan = stats.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.toString
+      case p => p.toString
+    }
+    assert(plan.contains("BroadcastHashJoin"),
+      s"mixtureStats expected a broadcast hash join building the agg side:\n$plan")
+  }
+
   test("mixtureStats reports per-group fill; supply-starved and empty groups surface") {
     val rows = Seq(
       (1L, "en", 50L, 2.0), (2L, "en", 50L, 1.0), (3L, "en", 50L, 0.5),

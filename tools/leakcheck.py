@@ -35,10 +35,13 @@ TEXT_EXT = {".scala", ".py", ".md", ".sbt", ".sql", ".json", ".jsonl", ".txt", "
 # Public namespaces/hosts the project legitimately references.
 PUBLIC_IMPORT = re.compile(
     r"^(java|javax|scala|org\.apache|org\.scalatest|org\.scalacheck|graft|com\.sun\.management)(\.|$)")
+# Anchored to the END of the netloc with a dot boundary: an unanchored
+# substring test would allowlist any private host merely CONTAINING a
+# public domain (xgithub.com, apache.org.evil.net, …).
 PUBLIC_HOST = re.compile(
-    r"(apache\.org|github\.com|scala-lang\.org|scalatest\.org|arxiv\.org|"
+    r"(?:^|\.)(apache\.org|github\.com|scala-lang\.org|scalatest\.org|arxiv\.org|"
     r"acm\.org|vldb\.org|wikipedia\.org|duckdb\.org|w3\.org|ietf\.org|"
-    r"example\.com|localhost|127\.0\.0\.1)")
+    r"example\.com|localhost|127\.0\.0\.1)$")
 
 CATEGORIES = {
     # package imports rooted at a TLD-style namespace outside the public
@@ -77,9 +80,12 @@ def files():
 
 
 def url_host(url):
+    # hostname, not netloc: strips port and userinfo so the anchored
+    # allowlist match sees the bare host (localhost:4040 -> localhost,
+    # user@evil.com -> evil.com).
     from urllib.parse import urlparse
     try:
-        return urlparse(url).netloc or url
+        return urlparse(url).hostname or url
     except ValueError:
         return url
 
