@@ -157,6 +157,14 @@ object Pack {
     * backs the returned lazy frame) and is the caller's to delete once
     * consumed; on failure it is best-effort deleted.
     *
+    * Note: the totals pass and the walk run as RDD `mapPartitions` over
+    * object rows — the ONE hot loop in this library outside Tungsten /
+    * whole-stage codegen. That is deliberate: the walk carries cross-row
+    * mutable state (the running prefix) that no codegen'd expression
+    * expresses, and the scanned projection is a narrow ~24 B/row
+    * (id, weight, score) triple, so the object-row overhead is bounded
+    * by design rather than by luck.
+    *
     * Returns `(id, weight, score, cum_weight)`; [[selectByBudgetKeep]]
     * returns the full kept rows instead. */
   def selectByBudget(

@@ -370,6 +370,31 @@ class DedupSpec extends SparkSpec {
     InternalCaches.drain()
   }
 
+  test("drain is flow-scoped: one flow's boundary drain leaves another flow's cache alone") {
+    import spark.implicits._
+    // Two concurrent jobs in one JVM (a streaming micro-batch loop next
+    // to a batch sweep): the per-job-boundary drain() must release only
+    // caches the DRAINING thread registered — a global drain here would
+    // unpersist the other flow's bucket cache mid-query and silently
+    // reinstate the double-evaluation the persist prevents. drainAll()
+    // (the releaseCachedBlocks path) still reaps everything.
+    def emptyCache = spark.sharedState.cacheManager.isEmpty
+    spark.sqlContext.clearCache()
+    InternalCaches.drainAll()
+    assert(emptyCache)
+    // "other flow": register a guard-bearing query from a second thread
+    val other = new Thread(() => {
+      Dedup.simhashPairs(df, col("doc_id"), col("text"), maxBucket = 50).collect()
+      ()
+    }, "graft-spec-other-flow")
+    other.start(); other.join()
+    assert(!emptyCache, "other flow should have registered a persisted bucket stream")
+    InternalCaches.drain() // THIS thread's boundary: registered nothing
+    assert(!emptyCache, "flow-scoped drain must not touch another thread's cache")
+    InternalCaches.drainAll() // whole-session cleanup reaps foreign entries
+    assert(emptyCache)
+  }
+
   test("simhash and embedding self-joins honor the hot-bucket cap") {
     import spark.implicits._
     val template = (100L until 700L).map(i =>
