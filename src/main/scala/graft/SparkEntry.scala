@@ -424,6 +424,16 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // Same contract via alternating star contraction — O(log² n) rounds
+    // independent of component diameter (the adversarial-chain path);
+    // gated against the same transitive-closure oracle.
+    "dedup_clusters_star" -> { (s, dir) =>
+      val pairs = Dedup.jaccardPairs(documents(s, dir).toNative, col("doc_id"), col("text"), 0.5)
+      Dedup.duplicateClustersStar(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .orderBy("doc_id")
+    },
+
     // L14: substring-level duplicated-span stats — per doc, how many of
     // its 5-token windows also occur in >= 2 distinct docs. The engine
     // groups 64-bit window fingerprints (narrow shuffle); the oracle
@@ -1232,6 +1242,20 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        |  THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT ida AS u, idb AS v FROM pairs UNION SELECT idb, ida FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM edges
+        |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
+        |SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u ORDER BY 1""".stripMargin,
+
+    // star contraction computes the SAME labeling — identical oracle
+    "dedup_clusters_star" ->
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
         |  THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])

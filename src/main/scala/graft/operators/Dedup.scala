@@ -793,6 +793,107 @@ object Dedup {
     }
   }
 
+  /** [[duplicateClusters]] by alternating star contraction — same
+    * output contract (`(id, cluster_id)`, cluster_id = component min,
+    * one row per doc with ≥1 pair, roots self-labeled), different
+    * round complexity: **O(log² n) rounds regardless of component
+    * shape** (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) versus label propagation's
+    * rounds-=-diameter. Near-dup components are usually
+    * chains/cliques of a few docs, where propagation's cheaper rounds
+    * win — but a boilerplate-chained corpus can produce components
+    * whose diameter grows with corpus size, and at 100 TB a
+    * 10 000-long chain means 10 000 propagation rounds vs ~15 star
+    * rounds. Use this variant when component shape is unknown or
+    * adversarial; keep [[duplicateClusters]] for the common
+    * small-diameter case.
+    *
+    * Each round runs Large-Star then Small-Star, each a
+    * groupBy-min + join over the edge list (shuffle O(|edges|), edges
+    * never grow beyond the input size after distinct):
+    *  - Large-Star(u): m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u),
+    *    v > u — strictly-larger neighbors re-hang from the local min.
+    *  - Small-Star(u): m = min(N(u)) over smaller neighbors; emit
+    *    (v, m) for v ∈ N(u) ∪ {u}, v ≠ m — the center and its smaller
+    *    neighbors star onto the min.
+    * The fixed point is a forest of stars rooted at each component's
+    * minimum id; the labels are the star edges themselves.
+    * Convergence is an exact set check per round (count + one-way
+    * exceptAll on materialized snapshots), not a probabilistic hash.
+    *
+    * Same `checkpointDir` semantics as [[duplicateClusters]]:
+    * localCheckpoint rounds by default, reliable parquet snapshots
+    * (O(1) retained, self-cleaning on failure) with a path. */
+  def duplicateClustersStar(
+      pairs: DataFrame, maxIters: Int = 25,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    val runDir = checkpointDir.map(d => s"$d/graft-ccs-${java.util.UUID.randomUUID()}")
+    var step = 0
+    def snap(df: DataFrame): (DataFrame, Option[String]) = runDir match {
+      case Some(base) =>
+        val p = s"$base/step-$step"; step += 1
+        df.write.parquet(p)
+        (spark.read.schema(df.schema).parquet(p), Some(p))
+      case None => (df.localCheckpoint(eager = true), None)
+    }
+    def drop(path: Option[String]): Unit = path.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      val b = e.select(col("a"), col("b"))
+        .union(e.select(col("b").as("a"), col("a").as("b")))
+      val mm = b.groupBy("a").agg(min(col("b")).as("_mn"))
+        .select(col("a"), least(col("a"), col("_mn")).as("_m"))
+      b.join(mm, "a").where(col("b") > col("a"))
+        .select(col("b").as("a"), col("_m").as("b"))
+        .where(col("a") =!= col("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical (larger, smaller); m = min neighbor of the center
+      val c = e.select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      val mm = c.groupBy("a").agg(min(col("b")).as("_m"))
+      val nbr = c.join(mm, "a").where(col("b") =!= col("_m"))
+        .select(col("b").as("a"), col("_m").as("b"))
+      nbr.union(mm.select(col("a"), col("_m").as("b")))
+        .where(col("a") =!= col("b")).distinct()
+    }
+    try {
+      val p0 = pairs.select(col("id_a"), col("id_b"))
+        .where(col("id_a") =!= col("id_b"))
+        .select(greatest(col("id_a"), col("id_b")).as("a"),
+          least(col("id_a"), col("id_b")).as("b"))
+        .distinct()
+      var (edges, edgesPath) = snap(p0)
+      var converged = edges.isEmpty
+      var it = 0
+      while (!converged && it < maxIters) {
+        val (next, nextPath) = snap(smallStar(largeStar(edges)))
+        // exact set equality: same count + one-way except empty (both
+        // sides are distinct sets by construction)
+        converged = next.count() == edges.count() &&
+          next.exceptAll(edges).limit(1).isEmpty
+        drop(edgesPath)
+        edges = next; edgesPath = nextPath
+        it += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"duplicateClustersStar: not converged after $maxIters rounds; raise maxIters")
+      // fixed point = stars on component minima: members are the edge
+      // heads, roots self-label
+      edges.select(col("a").as("id"), col("b").as("cluster_id"))
+        .union(edges.select(col("b").as("id"), col("b").as("cluster_id")).distinct())
+    } catch {
+      case t: Throwable =>
+        try drop(runDir)
+        catch { case cleanup: Throwable => t.addSuppressed(cleanup) }
+        throw t
+    }
+  }
+
   /** Read the per-round convergence metric the checkpoint action already
     * collected. Listener delivery is synchronous with the action in
     * practice; returns None if metrics were not delivered within the

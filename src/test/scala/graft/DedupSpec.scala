@@ -132,6 +132,57 @@ class DedupSpec extends SparkSpec {
       s"expected no leaked run dirs, found: ${leftovers.map(_.getName).mkString(", ")}")
   }
 
+  test("duplicateClustersStar matches duplicateClusters on a random pair graph") {
+    import spark.implicits._
+    // 60 nodes, random edges: both algorithms must produce the exact
+    // same (id -> component min) labeling, roots self-labeled included.
+    val rnd = new scala.util.Random(5)
+    val edges = (1 to 90).map { _ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+    }.filter { case (a, b) => a != b }
+    val pairs = edges.toDF("id_a", "id_b")
+    val viaProp = Dedup.duplicateClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaStar = Dedup.duplicateClustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaStar == viaProp)
+  }
+
+  test("duplicateClustersStar collapses a deep chain within its logarithmic round budget") {
+    import spark.implicits._
+    // A 400-node path has diameter 399: min-label propagation needs
+    // ~400 rounds (its default 25 throws), star contraction converges
+    // in O(log^2 n) — well inside the SAME default budget of 25. This
+    // is the adversarial shape the variant exists for.
+    val n = 400L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.duplicateClusters(chain).collect() // diameter >> default maxIters
+    }
+    val labels = Dedup.duplicateClustersStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L)) // one component, min id 0
+  }
+
+  test("duplicateClustersStar: empty input, reliable mode, and failure cleanup") {
+    import spark.implicits._
+    val none = Dedup.jaccardPairs(df, col("doc_id"), col("text"), threshold = 1.01)
+    assert(Dedup.duplicateClustersStar(none).collect().isEmpty)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ccs-ckpt").toString
+    val reliable = Dedup.duplicateClustersStar(pairs, checkpointDir = Some(ckpt)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    val base = java.nio.file.Files.createTempDirectory("graft-ccs-fail").toString
+    intercept[IllegalStateException] {
+      Dedup.duplicateClustersStar(pairs, maxIters = 0, checkpointDir = Some(base))
+    }
+    val leftovers = new java.io.File(base).listFiles()
+    assert(leftovers == null || leftovers.isEmpty,
+      s"expected no leaked run dirs, found: ${leftovers.map(_.getName).mkString(", ")}")
+  }
+
   test("persisted MinHash index: incremental keep == full-corpus keep restricted to the batch") {
     import spark.implicits._
     val old = Seq(

@@ -173,6 +173,16 @@ object ClusterProps extends Properties("duplicate-clusters") {
         .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
       got == unionFind(edges)
     }
+
+  property("star-contraction assignment equals the same union-find") =
+    forAll(graphGen) { edges =>
+      val s = TestSession.spark
+      import s.implicits._
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = graft.operators.Dedup.duplicateClustersStar(pairs, maxIters = 64)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+      got == unionFind(edges)
+    }
 }
 
 /** `saltedInnerJoin` must be a drop-in for the plain inner join on any
