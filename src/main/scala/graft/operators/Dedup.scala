@@ -817,9 +817,18 @@ object Dedup {
     *    (v, m) for v ∈ N(u) ∪ {u}, v ≠ m — the center and its smaller
     *    neighbors star onto the min.
     * The fixed point is a forest of stars rooted at each component's
-    * minimum id; the labels are the star edges themselves.
-    * Convergence is an exact set check per round (count + one-way
-    * exceptAll on materialized snapshots), not a probabilistic hash.
+    * minimum id; the labels are the star edges themselves. Convergence
+    * is detected structurally, from two one-column probes per round:
+    * the edge set is a star forest — and a fixed point — exactly when
+    * (1) no target-side node also occurs on the source side AND
+    * (2) every source node occurs exactly once (out-degree 1).
+    * BOTH are required: {(5,2),(5,3)} passes the disjointness probe
+    * alone but is a "co-star" (node 5 bridging two targets), not a
+    * converged forest — ScalaCheck found exactly this against the
+    * union-find oracle. With both probes true and the (source >
+    * target) edge invariant this implementation maintains, every star
+    * root is its component's minimum, and neither star operation ever
+    * splits or merges components.
     *
     * Same `checkpointDir` semantics as [[duplicateClusters]]:
     * localCheckpoint rounds by default, reliable parquet snapshots
@@ -867,14 +876,20 @@ object Dedup {
           least(col("id_a"), col("id_b")).as("b"))
         .distinct()
       var (edges, edgesPath) = snap(p0)
-      var converged = edges.isEmpty
+      // Star-forest test (see scaladoc): targets never re-occur as
+      // sources AND every source has out-degree 1. Two narrow
+      // single-column probes; both trivially true for an empty set.
+      def flattened(e: DataFrame): Boolean =
+        e.select(col("b"))
+          .join(e.select(col("a").as("b")), Seq("b"), "left_semi")
+          .isEmpty &&
+        e.groupBy("a").agg(count(lit(1)).as("_n"))
+          .where(col("_n") > 1).isEmpty
+      var converged = flattened(edges)
       var it = 0
       while (!converged && it < maxIters) {
         val (next, nextPath) = snap(smallStar(largeStar(edges)))
-        // exact set equality: same count + one-way except empty (both
-        // sides are distinct sets by construction)
-        converged = next.count() == edges.count() &&
-          next.exceptAll(edges).limit(1).isEmpty
+        converged = flattened(next)
         drop(edgesPath)
         edges = next; edgesPath = nextPath
         it += 1

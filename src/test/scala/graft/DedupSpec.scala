@@ -165,6 +165,20 @@ class DedupSpec extends SparkSpec {
     assert(labels.values.forall(_ == 0L)) // one component, min id 0
   }
 
+  test("duplicateClustersStar: a co-star input is not mistaken for a converged forest") {
+    import spark.implicits._
+    // {(5,2),(5,3)}: source/target sides are disjoint, so a
+    // disjointness-only convergence probe would accept this state and
+    // emit node 5 twice with different labels (the ScalaCheck
+    // counterexample). Node 5 bridges 2 and 3 into ONE component with
+    // min 2 — the out-degree probe forces the extra contraction round.
+    val pairs = Seq((5L, 2L), (5L, 3L)).toDF("id_a", "id_b")
+    val labels = Dedup.duplicateClustersStar(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 3, s"one row per node, got ${labels.toSeq}")
+    assert(labels.toMap == Map(2L -> 2L, 3L -> 2L, 5L -> 2L))
+  }
+
   test("duplicateClustersStar: empty input, reliable mode, and failure cleanup") {
     import spark.implicits._
     val none = Dedup.jaccardPairs(df, col("doc_id"), col("text"), threshold = 1.01)
