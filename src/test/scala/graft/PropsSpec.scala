@@ -174,8 +174,30 @@ object ClusterProps extends Properties("duplicate-clusters") {
       got == unionFind(edges)
     }
 
+  // Denser generator for the star variant: few nodes, many edges —
+  // co-star and near-clique intermediate states (the shapes that
+  // falsified the first convergence probe) are common here.
+  private val denseEdgeGen: Gen[(Long, Long)] = for {
+    a <- Gen.choose(0L, 7L)
+    b <- Gen.choose(0L, 7L)
+    if a != b
+  } yield (math.min(a, b), math.max(a, b))
+
+  private val denseGraphGen: Gen[List[(Long, Long)]] =
+    Gen.choose(0, 14).flatMap(n => Gen.listOfN(n, denseEdgeGen)).map(_.distinct)
+
   property("star-contraction assignment equals the same union-find") =
     forAll(graphGen) { edges =>
+      val s = TestSession.spark
+      import s.implicits._
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = graft.operators.Dedup.duplicateClustersStar(pairs, maxIters = 64)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster_id")).toMap
+      got == unionFind(edges)
+    }
+
+  property("star-contraction equals union-find on dense graphs") =
+    forAll(denseGraphGen) { edges =>
       val s = TestSession.spark
       import s.implicits._
       val pairs = edges.toDF("id_a", "id_b")
