@@ -640,6 +640,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // L23: SemDeDup-style semantic near-dup — k-means partition (the
+    // ann_ivf coarse quantizer, identical training) + within-cluster
+    // exact-cosine pairs. PARTIAL oracle like dedup_embedding: the
+    // clustering is assignment-deterministic but not SQL-expressible,
+    // so Verify exports the within-cluster candidate pairs
+    // (_aux/sem_cand) and DuckDB re-derives the verify + threshold with
+    // list_cosine_similarity — the verify stage is driver-checked.
+    "dedup_semantic" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      Dedup.semanticPairs(
+          Ann.trainIvf(e, col("embedding"), dim = 64, nClusters = 16),
+          e, col("vec_id"), col("embedding"), tau = 0.4)
+        .orderBy("id_a", "id_b")
+    },
+
     // L6: exact ANN top-10 for 5 broadcast probe vectors — one scan,
     // map-side partial top-k (TopKByScore), O(partitions·probes·k) shuffle
     "ann_topk" -> { (s, dir) =>
@@ -802,6 +817,14 @@ object SparkEntry {
       Dedup.embeddingCandidates(embeddings(s, dir).toNative,
         col("vec_id"), col("embedding"), dim = 64)
     },
+    // dedup_semantic upstream: within-cluster candidate pairs from the
+    // identically-trained coarse quantizer (pre-verify).
+    "sem_cand" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      Dedup.semanticCandidates(
+        Ann.trainIvf(e, col("embedding"), dim = 64, nClusters = 16),
+        e, col("vec_id"), col("embedding"))
+    },
     // ann_lsh upstream: distinct (probe_id, neighbor_id) candidates.
     "ann_lsh_cand" -> { (s, dir) =>
       val e = embeddings(s, dir).toNative
@@ -890,6 +913,7 @@ object SparkEntry {
   def auxBackedOracles: Map[String, String] = Map(
     "dedup_simhash"   -> "simhash_sigs",
     "dedup_embedding" -> "emb_cand",
+    "dedup_semantic"  -> "sem_cand",
     "ann_lsh"         -> "ann_lsh_cand",
     "ann_ivf"         -> "ann_ivf_cand",
     "ann_pq"          -> "ann_pq_cand",
@@ -1073,6 +1097,14 @@ object SparkEntry {
 
     "dedup_embedding" ->
       """WITH cand AS (SELECT id_a, id_b FROM '{AUX}/emb_cand/*.parquet'),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
+        |SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.ev, b.ev), 6) AS sim
+        |FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b
+        |WHERE round(list_cosine_similarity(a.ev, b.ev), 6) >= 0.4
+        |ORDER BY 1, 2""".stripMargin,
+
+    "dedup_semantic" ->
+      """WITH cand AS (SELECT id_a, id_b FROM '{AUX}/sem_cand/*.parquet'),
         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings)
         |SELECT c.id_a, c.id_b, round(list_cosine_similarity(a.ev, b.ev), 6) AS sim
         |FROM cand c JOIN v a ON a.vec_id = c.id_a JOIN v b ON b.vec_id = c.id_b

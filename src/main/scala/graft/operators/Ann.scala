@@ -173,6 +173,28 @@ object Ann {
     spark.read.parquet(path).orderBy("cid")
       .collect().map(_.getSeq[Double](1).toArray)
 
+  /** Nearest-centroid assignment `(id, cid)` for a trained quantizer —
+    * the IVF inverted-list build step, exposed for cluster-then-compare
+    * consumers ([[Dedup.semanticPairs]]'s SemDeDup partition). One
+    * codegen'd dot-product pass ([[CentroidIdsExpr]], centroids as ONE
+    * reference object — plan size flat in nClusters); rows whose vector
+    * is unusable (NULL, or all-NaN → empty centroid list) are dropped,
+    * matching IVF's degenerate-vector dropout. Wrong-LENGTH vectors
+    * throw, same contract as [[Vec.cosine]]. */
+  def assignClusters(
+      unit: Array[Array[Double]], df: DataFrame, id: Column, vec: Column): DataFrame = {
+    require(unit.nonEmpty, "assignClusters: empty quantizer (no usable training vectors)")
+    val dim = unit.head.length
+    // get(), not apply(0): an all-NaN vector's centroid list is EMPTY
+    // and ANSI mode makes [0] on an empty array throw — get() degrades
+    // it to NULL, which the isNotNull filter then drops.
+    df.select(id.as("id"),
+        get(Bridge.column(CentroidIdsExpr(Bridge.expr(vec),
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(unit.flatten), dim, 1)), lit(0))
+          .as("cid"))
+      .where(col("cid").isNotNull)
+  }
+
   /** IVF search against an already-trained (or [[loadIvf]]-loaded)
     * quantizer — the per-batch piece of the train-once / search-many
     * production flow. Same output shape and semantics as [[topKIvf]]. */
@@ -201,7 +223,12 @@ object Ann {
     def topc(v: Column, top: Int): Column =
       Bridge.column(CentroidIdsExpr(Bridge.expr(v),
         scala.collection.immutable.ArraySeq.unsafeWrapArray(unit.flatten), dim, top))
-    val data = df.select(id.as("neighbor_id"), vec.as("_v"), topc(vec, 1)(0).as("cid"))
+    // get(), not apply(0): a degenerate (all-NaN) vector's centroid
+    // list is EMPTY and ANSI mode makes [0] on an empty array a runtime
+    // error — get() degrades it to a NULL cid, which the equi-join then
+    // drops (NULL joins nothing), preserving the documented
+    // degenerate-vector dropout.
+    val data = df.select(id.as("neighbor_id"), vec.as("_v"), get(topc(vec, 1), lit(0)).as("cid"))
     val probed = probes.select(col("probe_id"), col("probe_vec").as("_pv"),
       explode(topc(col("probe_vec"), nProbe)).as("cid"))
     // No distinct needed: each data row has exactly one cid and a
@@ -382,7 +409,10 @@ object Ann {
       Bridge.column(PqAdcExpr(Bridge.expr(codes), Bridge.expr(l), cb.k))
     // at 100 TB both columns are written once, offline: the search scan
     // reads (id, cid, m codes) — never the raw vectors
-    val data = df.select(id.as("neighbor_id"), topc(vec, 1)(0).as("cid"), enc(vec).as("_codes"))
+    // get(), not apply(0): see ivfCandJoin — ANSI-safe dropout for
+    // degenerate vectors whose centroid list is empty.
+    val data = df.select(id.as("neighbor_id"), get(topc(vec, 1), lit(0)).as("cid"),
+        enc(vec).as("_codes"))
       .where(size(col("_codes")) > 0)
     val probed = probes.select(col("probe_id"), lutc(col("probe_vec")).as("_lut"),
         explode(topc(col("probe_vec"), nProbe)).as("cid"))

@@ -1049,4 +1049,93 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(Vec.cosine(col("_v_a"), col("_v_b")), 6).as("sim"))
       .where(col("sim") >= tau)
   }
+
+  // ----------------------------------------------------------------- L23
+  /** SemDeDup-style semantic near-dup pairs `(id_a, id_b, sim)` with
+    * rounded cosine ≥ `tau`: k-means partition the embedding space
+    * (the trained IVF coarse quantizer — [[Ann.trainIvf]]), then
+    * compare WITHIN each cluster only (Abbas et al. 2023, "SemDeDup",
+    * arXiv:2303.09540). Complements the sign-LSH path
+    * ([[embeddingPairs]]): clusters are k DISJOINT cells (one top-1
+    * assignment per vector — each candidate pair arises exactly once,
+    * no cross-table dedup pass, no ×tables explode of the id stream),
+    * and cluster granularity is a single dial — at 100 TB size
+    * `nClusters ≈ n / targetClusterSize` so the per-cluster self-join
+    * stays bounded; degenerate piles beyond that land on the same
+    * hot-bucket guard as every other LSH path. Recall: a near-dup pair
+    * split across a k-means boundary is missed — the published method
+    * accepts this (its clusters are exactly this partition); raise
+    * `nClusters` resolution or fall back to [[embeddingPairs]]' multi-
+    * table LSH when boundary recall matters. Keep semantics downstream
+    * ([[semanticKeep]]) follow the module contract: drop `id_b` of
+    * every verified pair, min-id representative survives (the paper
+    * keeps the member farthest from the centroid; representative
+    * choice does not change WHAT is duplicated, and min-id keeps the
+    * keep-list deterministic and oracle-able). */
+  def semanticPairs(
+      unit: Array[Array[Double]], df: DataFrame, id: Column, vec: Column,
+      tau: Double, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    embeddingVerify(semanticCandidates(unit, df, id, vec, maxBucket), df, id, vec, tau)
+
+  /** [[semanticPairs]] with quantizer training inlined (gate/small-corpus
+    * convenience; production trains once via [[Ann.trainIvf]] +
+    * [[Ann.saveIvf]] and passes the loaded quantizer). */
+  def semanticPairs(
+      df: DataFrame, id: Column, vec: Column, tau: Double, dim: Int,
+      nClusters: Int, trainSampleRows: Int, seed: Long,
+      maxBucket: Int): DataFrame = {
+    val unit = Ann.trainIvf(df, vec, dim, nClusters, trainSampleRows, seed)
+    if (unit.isEmpty) emptyPairs(df, id)
+    else semanticPairs(unit, df, id, vec, tau, maxBucket)
+  }
+
+  /** The within-cluster candidate pairs `(id_a, id_b)` of
+    * [[semanticPairs]], BEFORE exact-cosine verification — public and
+    * exportable so an external engine can re-derive the verify stage
+    * from the candidates plus the raw vectors (the driver's DuckDB
+    * oracle reruns it with `list_cosine_similarity`), leaving only
+    * centroid training/assignment to the spec's recall gate. */
+  def semanticCandidates(
+      unit: Array[Array[Double]], df: DataFrame, id: Column, vec: Column,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    if (unit.isEmpty) return emptyPairs(df, id).select("id_a", "id_b")
+    val assigned = Ann.assignClusters(unit, df, id, vec).toDF("_id", "cid")
+    // No distinct needed (unlike bucketSelfJoin): top-1 assignment puts
+    // each id in exactly one cluster, so a pair arises at most once.
+    val capped = capBuckets(assigned, Seq("cid"), maxBucket)
+    val a = capped.toDF("id_a", "cid")
+    val b = capped.toDF("id_b", "cid")
+    a.join(b, Seq("cid")).where(col("id_a") < col("id_b")).select("id_a", "id_b")
+  }
+
+  /** [[semanticPairs]] that ALSO returns what the hot-bucket guard
+    * skipped (see [[minhashKeepReported]]). */
+  def semanticPairsReported(
+      unit: Array[Array[Double]], df: DataFrame, id: Column, vec: Column,
+      tau: Double, maxBucket: Int = DefaultMaxBucket): (DataFrame, SkippedBuckets) = {
+    require(unit.nonEmpty, "semanticPairsReported: empty quantizer")
+    val (capped, report) = capWithReport(
+      Ann.assignClusters(unit, df, id, vec).toDF("_id", "cid"), Seq("cid"), maxBucket)
+    val a = capped.toDF("id_a", "cid")
+    val b = capped.toDF("id_b", "cid")
+    val cand = a.join(b, Seq("cid")).where(col("id_a") < col("id_b")).select("id_a", "id_b")
+    (embeddingVerify(cand, df, id, vec, tau), report)
+  }
+
+  /** Rows surviving semantic dedup: drop `id_b` of every verified pair
+    * (min-id representative per duplicate relation), same left-anti
+    * keep shape as [[minhashKeep]]. Rows with unusable vectors are
+    * KEPT — they join no cluster, so they have no evidence of
+    * duplication (mirror of decontamination's NULL-text contract). */
+  def semanticKeep(
+      unit: Array[Array[Double]], df: DataFrame, id: Column, vec: Column,
+      tau: Double, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val dups = semanticPairs(unit, df, id, vec, tau, maxBucket)
+      .select(col("id_b").as("_drop_id"))
+    df.join(dups, id === col("_drop_id"), "left_anti")
+  }
+
+  /** Typed empty `(id_a, id_b, sim)` frame preserving `id`'s type. */
+  private def emptyPairs(df: DataFrame, id: Column): DataFrame =
+    df.select(id.as("id_a"), id.as("id_b"), lit(0.0).as("sim")).where(lit(false))
 }

@@ -141,6 +141,25 @@ class AnnSpec extends SparkSpec {
     assert(ivf == brute)
   }
 
+  test("an all-NaN data vector drops out of IVF and IVF×PQ search (ANSI-safe)") {
+    // Regression: the data side's top-1 centroid lookup used [0] on the
+    // (empty) centroid list of a degenerate vector — a runtime error
+    // under ANSI mode. get() degrades it to NULL, the equi-join drops
+    // it, and every honest neighbor still ranks.
+    import spark.implicits._
+    val (e, probes) = frames
+    val poisoned = e.unionByName(
+      Seq((999L, Seq.fill(dim)(Float.NaN))).toDF("vec_id", "embedding"))
+    val unit = Ann.trainIvf(e, col("embedding"), dim, nClusters = 4, seed = 7)
+    val ivf = Ann.topKIvfWith(unit, poisoned, col("vec_id"), col("embedding"), probes,
+      k = 4, nProbe = 4).collect()
+    assert(ivf.nonEmpty && !ivf.exists(_.getLong(1) == 999L))
+    val cb = Ann.trainPq(e, col("embedding"), dim, m = 4, codes = 8)
+    val ivfpq = Ann.topKIvfPqWith(unit, cb, poisoned, col("vec_id"), col("embedding"),
+      probes, k = 4, nProbe = 4, rerank = 10).collect()
+    assert(ivfpq.nonEmpty && !ivfpq.exists(_.getLong(1) == 999L))
+  }
+
   test("IVF plan stays flat as nClusters grows (centroids ship as one reference object)") {
     val (e, probes) = frames
     def planLen(nc: Int): Int =
