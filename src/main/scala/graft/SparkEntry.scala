@@ -501,6 +501,16 @@ object SparkEntry {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // L16 (score-ordered twin): keep the BEST n per group — top 10 docs
+    // per language by length, deterministic (score desc, id) total
+    // order, same PARTIAL WindowGroupLimit scale shape as
+    // sample_exact_n (plan-asserted).
+    "select_topk_group" -> { (s, dir) =>
+      Sampling.topKPerGroup(documents(s, dir).toNative,
+          col("doc_id"), col("lang"), col("n_chars"), n = 10)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    },
+
     // L17: token-budget shard packing via the two-phase distributed
     // prefix sum (block cumsum + broadcast offsets — no global
     // single-partition sort). Oracle: the global window cumsum DuckDB
@@ -1377,6 +1387,12 @@ object SparkEntry {
       """SELECT doc_id, lang FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY substr(md5(doc_id::VARCHAR || ':13'), 1, 8), doc_id) <= 20
+        |ORDER BY doc_id""".stripMargin,
+
+    "select_topk_group" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY n_chars DESC, doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
 
     // The global-window form of the prefix sum the engine computes in

@@ -147,4 +147,33 @@ object Sampling {
       .where(col("_graft_rn") <= n)
       .drop("_graft_rn")
   }
+
+  /** The top `n` rows per group by an explicit quality order — the
+    * "best k docs per domain/language" mixture selector, the
+    * score-ordered sibling of [[sampleExactPerStratum]]'s hash draw
+    * (that one samples REPRESENTATIVELY; this one keeps the BEST).
+    * Ordered by `score` DESCENDING, ties broken by `key` ascending so
+    * selection is a deterministic total order. NULL scores sort LAST —
+    * an unscored row never displaces a scored one, and fills a group's
+    * budget only after every scored member; NULL keys are excluded
+    * (module convention — a null tie-break would make displacement
+    * nondeterministic).
+    *
+    * Scale shape: identical to [[sampleExactPerStratum]] — `row_number
+    * ≤ n` over (group, score desc) rewrites to a PARTIAL
+    * WindowGroupLimit, so each map task forwards at most n rows per
+    * group and a billion-row group never funnels through one sort
+    * (plan-asserted in PlanAuditSpec). For a TOKEN budget per group
+    * rather than a row count, use [[Pack.selectByBudgetPerGroup]]. */
+  def topKPerGroup(
+      df: DataFrame, key: Column, group: Column, score: Column, n: Int): DataFrame = {
+    require(n >= 0, s"n must be non-negative, got $n")
+    if (n == 0) return df.where(lit(false))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(score.desc_nulls_last, key)
+    df.where(key.isNotNull)
+      .withColumn("_graft_rn", row_number().over(w))
+      .where(col("_graft_rn") <= n)
+      .drop("_graft_rn")
+  }
 }

@@ -205,6 +205,14 @@ class PlanAuditSpec extends SparkSpec {
       s"the group limit must have a partial (pre-shuffle) stage:\n$plan")
   }
 
+  test("select_topk_group: the per-group top-k prune runs map-side too") {
+    val plan = q("select_topk_group")
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number<=n must rewrite to a group limit:\n$plan")
+    assert(plan.contains("Partial"),
+      s"the group limit must have a partial (pre-shuffle) stage:\n$plan")
+  }
+
   test("pack_shards: offsets broadcast back; no global window over the data") {
     val plan = q("pack_shards")
     assert(plan.contains("BroadcastHashJoin"),

@@ -147,6 +147,34 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleExactPerStratum(df, col("k"), col("g"), 0).count() == 0)
   }
 
+  test("topKPerGroup: keeps the n best by score per group, ties by key, partition-invariant") {
+    // scores collide (k % 5) so the key tie-break decides; group sizes
+    // straddle n
+    val df = (1L to 100L).map(k => (k, if (k <= 80) "big" else "small", (k % 5).toDouble))
+      .toDF("k", "g", "score")
+    val out = Sampling.topKPerGroup(df, col("k"), col("g"), col("score"), n = 30)
+    val local = (1L to 100L).map(k => (k, if (k <= 80) "big" else "small", (k % 5).toDouble))
+      .groupBy(_._2).flatMap { case (_, rows) =>
+        rows.sortBy { case (k, _, s) => (-s, k) }.take(30)
+      }.map(_._1).toSet
+    assert(out.select("k").collect().map(_.getLong(0)).toSet == local)
+    // small group (20 rows) keeps all 20
+    assert(out.where(col("g") === "small").count() == 20L)
+    val again = Sampling.topKPerGroup(df.repartition(13), col("k"), col("g"), col("score"), 30)
+    assert(again.select("k").collect().map(_.getLong(0)).toSet == local)
+  }
+
+  test("topKPerGroup: NULL scores fill the budget only after every scored row") {
+    val df = Seq((1L, "g", Some(1.0)), (2L, "g", None), (3L, "g", Some(5.0)), (4L, "g", None))
+      .toDF("k", "g", "score")
+    val top2 = Sampling.topKPerGroup(df, col("k"), col("g"), col("score"), 2)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(1L, 3L)) // both scored rows beat both null-scored
+    val top3 = Sampling.topKPerGroup(df, col("k"), col("g"), col("score"), 3)
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(top3 == Set(1L, 3L, 2L)) // first null-scored by key tie-break
+  }
+
   test("null keys: dropped by samplers, NULL split from withSplit — never a real label") {
     val df = (Seq((Some(1L), "x"), (Some(2L), "x"), (None, "x"), (None, "x")))
       .toDF("k", "g")
