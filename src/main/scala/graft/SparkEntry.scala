@@ -443,6 +443,18 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L24: duplicated-span REMOVAL — the rewrite dedup_spans only
+    // measures: strip every 5-token window occurring in >= 2 distinct
+    // docs, keeping the min-doc_id holder's copies (published
+    // keep-one-copy contract). Engine flags 64-bit fingerprints; the
+    // oracle re-derives with window STRINGS and rebuilds each doc with
+    // the identical coverage rule — equivalent below the collision
+    // floor (as dedup_spans).
+    "span_removal" -> { (s, dir) =>
+      Dedup.removeDupSpans(documents(s, dir).toNative, col("doc_id"), col("text"), k = 5)
+        .orderBy("doc_id")
+    },
+
     // L15: benchmark decontamination — n-gram overlap of each corpus doc
     // against a held-out eval set (docs with doc_id % 10 == 0 stand in
     // for the benchmark; the rest is the corpus). The engine probes
@@ -1322,6 +1334,40 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_dup_windows,
         |  CAST(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) AS DOUBLE) / sum(n) AS dup_ratio
         |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Same gram construction as dedup_spans, with 1-based window start
+    // positions carried through; the rebuild keeps token i iff no
+    // flagged start s (of a NON-representative doc) satisfies
+    // s <= i < s + 5 — range(i-4, i+1) ∩ starts = ∅ is that predicate.
+    // DuckDB's array_to_string of an EMPTY list is NULL (unlike Spark's
+    // array_join → '') — the coalesce restores '' for fully-emptied docs.
+    "span_removal" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS rt,
+        |  string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 5
+        |  THEN [{'g': array_to_string(ws[i:i+4], ' '), 'p': i} for i in range(1, len(ws) - 3)]
+        |  ELSE [{'g': array_to_string(ws, ' '), 'p': 1}] END AS gs FROM tok),
+        |occ0 AS (SELECT doc_id, unnest(gs) AS u FROM sh),
+        |occ AS (SELECT doc_id, u.g AS gram, u.p AS p FROM occ0),
+        |fl AS (SELECT gram, count(DISTINCT doc_id) AS nd, min(doc_id) AS rep FROM occ GROUP BY 1),
+        |st AS (SELECT o.doc_id, list(DISTINCT o.p) AS starts
+        |  FROM occ o JOIN fl ON o.gram = fl.gram
+        |  WHERE fl.nd >= 2 AND o.doc_id <> fl.rep GROUP BY 1),
+        |outp AS (SELECT tok.doc_id,
+        |  CASE WHEN st.starts IS NULL THEN tok.rt
+        |       ELSE [tok.rt[i] for i in range(1, len(tok.rt)+1)
+        |             if NOT list_has_any(st.starts, range(i-4, i+1))] END AS kept,
+        |  len(tok.rt) AS n_tokens
+        |  FROM tok LEFT JOIN st USING (doc_id))
+        |SELECT doc_id, coalesce(array_to_string(kept, ' '), '') AS text_clean,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed
+        |FROM outp
+        |UNION ALL
+        |SELECT doc_id, CAST(NULL AS VARCHAR), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM documents WHERE text IS NULL
+        |ORDER BY doc_id""".stripMargin,
 
     // Same gram construction as dedup_spans; bench/corpus split on
     // doc_id % 10. sum() in DuckDB widens to HUGEINT → explicit BIGINT

@@ -628,6 +628,75 @@ object Dedup {
       .withColumn("dup_ratio", col("n_dup_windows").cast("double") / col("n_windows"))
   }
 
+  // ----------------------------------------------------------------- L24
+  /** Duplicated-span REMOVAL — the rewrite step [[spanDupStats]] only
+    * measures: strip from each document the k-token windows that also
+    * occur in ≥ `minDf` DISTINCT documents (window-granularity version
+    * of the repeated-substring dedup from the public train-data-dedup
+    * literature — Lee et al. 2022, arXiv:2107.06499, remove long
+    * substrings repeated across the corpus; windows here are the same
+    * fixed-k normalized word shingles as every other text op, not
+    * suffix-array maximal repeats — that deviation is the documented
+    * price of a shuffle-only distributed plan).
+    *
+    * Semantics: a window is FLAGGED iff its distinct-doc frequency ≥
+    * `minDf` (within-doc repeats alone never flag — same convention as
+    * [[spanDupStats]]). With `keepRep = true` (default, the published
+    * keep-one-copy contract) the min-`doc_id` holder of each flagged
+    * window keeps ALL its occurrences; every other doc removes the
+    * tokens covered by any flagged window (overlapping windows merge
+    * by coverage). Docs shorter than k tokens collapse to one
+    * whole-text window (the [[graft.functions.TextFns.shingles]]
+    * convention), so a short doc duplicated elsewhere empties rather
+    * than slips under the window size. Output
+    * `(doc_id, text_clean, n_tokens, n_removed)` — `text_clean` is the
+    * surviving tokens of the whitespace-collapsed ORIGINAL-case text
+    * joined by single spaces (original spacing is not preserved; the
+    * flagging itself is case-insensitive, matching the shingle
+    * normalization), NULL text stays NULL with zero counts.
+    *
+    * Scale shape: one scan explodes (doc_id, start, fp) with 64-bit
+    * window fingerprints — shuffles carry hashes, never window text;
+    * flagging is the same two-level map-side-combined groupBy as
+    * [[spanDupStats]] (no count-over-window: a boilerplate fp in 10⁸
+    * docs would pin one WindowExec task); the occurrence←flag equi-join
+    * is AQE-skew-splittable on exactly those hot fingerprints; per-doc
+    * removal starts aggregate to ONE array bounded by the doc's own
+    * window count, and the rebuild is a narrow per-row filter. Same
+    * 64-bit collision floor as [[spanDupStats]] (a collision falsely
+    * removes one window; P(any) ≈ 3e-7 at 1e9 distinct windows). */
+  def removeDupSpans(
+      df: DataFrame, id: Column, text: Column,
+      k: Int = 8, minDf: Int = 2, keepRep: Boolean = true): DataFrame = {
+    require(minDf >= 2, s"minDf counts distinct docs sharing a window; need >= 2, got $minDf")
+    val base = df.select(id.as("doc_id"), text.as("_text"))
+    val occ = base
+      .select(col("doc_id"),
+        posexplode(TextFns.shingles(col("_text"), k)).as(Seq("_pos", "_gram")))
+      .select(col("doc_id"), col("_pos"), xxhash64(col("_gram")).as("_fp"))
+    val flagged = occ
+      .groupBy("_fp", "doc_id").agg(count(lit(1)).as("_n"))
+      .groupBy("_fp").agg(count(lit(1)).as("_nd"), min(col("doc_id")).as("_rep"))
+      .where(col("_nd") >= minDf)
+      .select("_fp", "_rep")
+    val removals = occ.join(flagged, "_fp")
+      .where(if (keepRep) col("doc_id") =!= col("_rep") else lit(true))
+      .groupBy("doc_id").agg(array_sort(collect_set(col("_pos"))).as("_starts"))
+    base.join(removals, Seq("doc_id"), "left")
+      .withColumn("_toks", split(trim(regexp_replace(col("_text"), "\\s+", " ")), " "))
+      .withColumn("_kept", when(col("_starts").isNull, col("_toks"))
+        .otherwise(expr(
+          s"filter(_toks, (t, i) -> NOT exists(_starts, s -> s <= i AND i < s + $k))")))
+      .select(
+        col("doc_id"),
+        when(col("_text").isNull, lit(null).cast("string"))
+          .otherwise(array_join(col("_kept"), " ")).as("text_clean"),
+        when(col("_text").isNull, lit(0L))
+          .otherwise(size(col("_toks")).cast("long")).as("n_tokens"),
+        when(col("_text").isNull, lit(0L))
+          .otherwise((size(col("_toks")) - size(col("_kept"))).cast("long")).as("n_removed"))
+  }
+
   // ----------------------------------------------------------------- L15
   /** Benchmark decontamination — the published n-gram-overlap method
     * (flag a training doc if any of its k-token windows also occurs in

@@ -381,6 +381,63 @@ class DedupSpec extends SparkSpec {
     assert(out(23L) == ((5L, 0L)))
   }
 
+  private def spanRows(out: org.apache.spark.sql.DataFrame) =
+    out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("text_clean"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed")))).toMap
+
+  test("removeDupSpans: keep-one-copy rewrite, cross-doc only") {
+    import spark.implicits._
+    val corpus = Seq(
+      Doc(20L, "alpha beta gamma delta epsilon totally different tail one"),
+      Doc(21L, "other head words alpha beta gamma delta epsilon distinct ending"),
+      Doc(22L, "x y z w v x y z w v"), // in-doc repeat: never flagged
+      Doc(23L, "completely unique words never repeated anywhere else at all"))
+    val out = spanRows(Dedup.removeDupSpans(
+      Tio.fromRows(spark, Docs, corpus).toNative, col("doc_id"), col("text"), k = 5))
+    // 20 is the min-id holder of the shared window: keeps everything
+    assert(out(20L) == (("alpha beta gamma delta epsilon totally different tail one", 9L, 0L)))
+    // 21 loses exactly the 5 covered tokens, the rest survives in order
+    assert(out(21L) == (("other head words distinct ending", 10L, 5L)))
+    assert(out(22L) == (("x y z w v x y z w v", 10L, 0L)))
+    assert(out(23L)._3 == 0L)
+  }
+
+  test("removeDupSpans: keepRep=false strips every copy; overlap merges by coverage") {
+    import spark.implicits._
+    // A and B share a 6-token run => two OVERLAPPING flagged windows;
+    // coverage removes 6 tokens (not 10) from each non-kept doc.
+    val corpus = Seq(
+      Doc(30L, "p q r s t u different tail words here"),
+      Doc(31L, "x p q r s t u y z w"))
+    val both = spanRows(Dedup.removeDupSpans(
+      Tio.fromRows(spark, Docs, corpus).toNative, col("doc_id"), col("text"),
+      k = 5, keepRep = false))
+    assert(both(30L) == (("different tail words here", 10L, 6L)))
+    assert(both(31L) == (("x y z w", 10L, 6L)))
+    // default keepRep: the min-id doc keeps its copy intact
+    val rep = spanRows(Dedup.removeDupSpans(
+      Tio.fromRows(spark, Docs, corpus).toNative, col("doc_id"), col("text"), k = 5))
+    assert(rep(30L)._3 == 0L)
+    assert(rep(31L) == (("x y z w", 10L, 6L)))
+  }
+
+  test("removeDupSpans: short-doc whole-text window, case/spacing norm, NULL text") {
+    import spark.implicits._
+    val corpus = Seq(
+      Doc(40L, "tiny doc"),       // < k tokens: whole-text window
+      Doc(41L, "Tiny  Doc"),      // same normalized window -> empties
+      Doc(42L, null),             // NULL rides through untouched
+      Doc(43L, "a lone unique document"))
+    val out = spanRows(Dedup.removeDupSpans(
+      Tio.fromRows(spark, Docs, corpus).toNative, col("doc_id"), col("text"), k = 5))
+    assert(out(40L) == (("tiny doc", 2L, 0L)))       // rep keeps, original case
+    assert(out(41L) == (("", 2L, 2L)))               // non-rep empties
+    assert(out(42L) == ((null, 0L, 0L)))
+    // untouched docs come back whitespace-collapsed but case-preserved
+    assert(out(43L) == (("a lone unique document", 4L, 0L)))
+  }
+
   test("hot-bucket guard bounds a degenerate bucket and keeps true pairs") {
     import spark.implicits._
     // 1000 identical template docs: one degenerate (band,bucket) group
