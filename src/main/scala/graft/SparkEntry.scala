@@ -523,6 +523,32 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     },
 
+    // L26: cluster-balanced diversity sample — up to 10 vectors per
+    // k-means cell of the ann_ivf coarse quantizer (identical
+    // training), drawn by the sample_exact_n hash order. PARTIAL
+    // oracle: the assignment is deterministic but not SQL-expressible,
+    // so Verify exports (id, cid) (_aux/div_assign) and DuckDB re-runs
+    // the per-cell QUALIFY draw — the selection stage is
+    // driver-checked.
+    "sample_diverse" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      Sampling.sampleDiverseByCluster(
+          Ann.trainIvf(e, col("embedding"), dim = 64, nClusters = 16),
+          e, col("vec_id"), col("embedding"), nPerCluster = 10, seed = 7)
+        .orderBy("id")
+    },
+
+    // L25: pairwise source-overlap matrix — shared distinct 5-token
+    // windows + window Jaccard for every unordered language pair,
+    // zero-overlap pairs included. Engine distincts 64-bit window
+    // fingerprints per group; the oracle distincts the window STRINGS —
+    // equivalent below the collision floor (as dedup_spans).
+    "source_overlap" -> { (s, dir) =>
+      Sketch.sourceOverlapMatrix(documents(s, dir).toNative,
+          col("lang"), col("text"), k = 5)
+        .orderBy("group_a", "group_b")
+    },
+
     // L17: token-budget shard packing via the two-phase distributed
     // prefix sum (block cumsum + broadcast offsets — no global
     // single-partition sort). Oracle: the global window cumsum DuckDB
@@ -847,6 +873,14 @@ object SparkEntry {
         Ann.trainIvf(e, col("embedding"), dim = 64, nClusters = 16),
         e, col("vec_id"), col("embedding"))
     },
+    // sample_diverse upstream: the (id, cid) cell assignment from the
+    // identically-trained coarse quantizer (pre-draw).
+    "div_assign" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      Ann.assignClusters(
+        Ann.trainIvf(e, col("embedding"), dim = 64, nClusters = 16),
+        e, col("vec_id"), col("embedding"))
+    },
     // ann_lsh upstream: distinct (probe_id, neighbor_id) candidates.
     "ann_lsh_cand" -> { (s, dir) =>
       val e = embeddings(s, dir).toNative
@@ -936,6 +970,7 @@ object SparkEntry {
     "dedup_simhash"   -> "simhash_sigs",
     "dedup_embedding" -> "emb_cand",
     "dedup_semantic"  -> "sem_cand",
+    "sample_diverse"  -> "div_assign",
     "ann_lsh"         -> "ann_lsh_cand",
     "ann_ivf"         -> "ann_ivf_cand",
     "ann_pq"          -> "ann_pq_cand",
@@ -1440,6 +1475,36 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY n_chars DESC, doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
+
+    // PARTIAL oracle over the exported cluster assignment: the per-cell
+    // draw is the sample_exact_n QUALIFY with the same md5 hash order.
+    "sample_diverse" ->
+      """SELECT id, cid FROM '{AUX}/div_assign/*.parquet'
+        |QUALIFY row_number() OVER (PARTITION BY cid
+        |  ORDER BY substr(md5(id::VARCHAR || ':7'), 1, 8), id) <= 10
+        |ORDER BY id""".stripMargin,
+
+    // Same gram construction as dedup_spans, distinct per language;
+    // the scaffold cross-join prints zero-overlap pairs too.
+    "source_overlap" ->
+      """WITH w AS (SELECT lang, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+        |sh AS (SELECT lang, CASE WHEN len(ws) >= 5
+        |  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |g0 AS (SELECT lang AS grp, unnest(s) AS gram FROM sh),
+        |g AS (SELECT DISTINCT grp, gram FROM g0),
+        |sizes AS (SELECT grp, count(*) AS n FROM g GROUP BY 1),
+        |shared AS (SELECT a.grp AS group_a, b.grp AS group_b, count(*) AS n_shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.grp < b.grp GROUP BY 1, 2)
+        |SELECT sa.grp AS group_a, sb.grp AS group_b,
+        |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        |  CAST(coalesce(sh2.n_shared, 0) AS BIGINT) AS n_shared,
+        |  CAST(coalesce(sh2.n_shared, 0) AS DOUBLE)
+        |    / (sa.n + sb.n - coalesce(sh2.n_shared, 0)) AS jaccard
+        |FROM sizes sa JOIN sizes sb ON sa.grp < sb.grp
+        |LEFT JOIN shared sh2 ON sh2.group_a = sa.grp AND sh2.group_b = sb.grp
+        |ORDER BY 1, 2""".stripMargin,
 
     // The global-window form of the prefix sum the engine computes in
     // two distributed phases; // is integer division (both sides

@@ -176,4 +176,39 @@ object Sampling {
       .where(col("_graft_rn") <= n)
       .drop("_graft_rn")
   }
+
+  /** Cluster-balanced DIVERSITY sample over an embedding column — keep
+    * (up to) `nPerCluster` vectors from each k-means cell of an
+    * [[graft.operators.Ann.trainIvf]]-trained quantizer, drawn by the
+    * same deterministic hash draw as [[sampleExactPerStratum]]. A flat
+    * hash sample keeps the corpus' MODE (dense regions dominate by
+    * mass); sampling per cluster caps every semantic region at the
+    * same count, which is the standard embedding-space diversity
+    * pruning shape from the public data-curation literature (Sorscher
+    * et al. 2022, arXiv:2206.14486 — prototype-based pruning over
+    * k-means cells; SemDeDup's clustering reused for selection instead
+    * of dedup). Returns `(id, cid)` — the kept keys with their cluster,
+    * join back by id for full rows (the [[graft.operators.Dedup]]
+    * keep-list convention).
+    *
+    * Determinism: training is seed-fixed, assignment is a pure function
+    * of (vector, centroids), and the draw is the md5 hash order — the
+    * result is a pure function of the input multiset, independent of
+    * partitioning (the L16 module contract). Vectors with no usable
+    * cell (all-NaN/empty — assignment NULL) are dropped, matching
+    * [[graft.operators.Ann.assignClusters]].
+    *
+    * Scale shape: assignment is ONE codegen'd pass with the centroid
+    * table a per-executor reference object (no join); the per-cell draw
+    * is `row_number ≤ n` over (cid, draw) which plans a PARTIAL
+    * WindowGroupLimit — map tasks forward ≤ n rows per cell, so a
+    * billion-vector cell never funnels through one sort. At 100 TB size
+    * nClusters ≈ corpus/targetCellSize exactly as for SemDeDup. */
+  def sampleDiverseByCluster(
+      unit: Array[Array[Double]], df: DataFrame, id: Column, vec: Column,
+      nPerCluster: Int, seed: Int = 0): DataFrame = {
+    require(nPerCluster >= 0, s"nPerCluster must be non-negative, got $nPerCluster")
+    val assigned = Ann.assignClusters(unit, df, id, vec)
+    sampleExactPerStratum(assigned, col("id"), col("cid"), nPerCluster, seed)
+  }
 }

@@ -78,4 +78,56 @@ object Sketch {
         coalesce(hll_sketch_estimate(col("_sku")), lit(0L)).as("n_union"))
       .withColumn("n_overlap", greatest(lit(0L), col("n_a") + col("n_b") - col("n_union")))
   }
+
+  /** Pairwise n-gram overlap MATRIX across source groups — the N-way
+    * generalization of [[overlapExact]] for the "which of my sources
+    * re-ingest each other" audit (crawl snapshots, site mirrors,
+    * dataset families): for every unordered pair of groups, the count
+    * of distinct k-token windows they share and the resulting window
+    * Jaccard. Output `(group_a, group_b, n_a, n_b, n_shared, jaccard)`
+    * with group_a < group_b, COMPLETE over all group pairs —
+    * zero-overlap pairs appear with n_shared = 0 (absence of evidence
+    * printed, not implied). NULL groups and NULL texts are skipped.
+    *
+    * Scale shape: one scan shingles each doc and distincts (group,
+    * 64-bit window fp) — map-side combine collapses within-group
+    * repeats before the ONE data-sized shuffle, whose payload is
+    * (fp, group) pairs, never window text. Per-fp group sets then
+    * expand to strictly-ordered pairs IN PLACE (an array transform over
+    * collect_set, bounded by the group count) — no fp self-join, so the
+    * matrix costs one shuffle + one tiny pair aggregation. Intended for
+    * mixture-sized group counts (sources/domains/languages, not
+    * high-cardinality keys): per-fp state is one array ≤ |groups| and
+    * the final aggregate is ≤ C(|groups|, 2) rows. Same 64-bit
+    * collision floor as [[graft.operators.Dedup.spanDupStats]]. */
+  def sourceOverlapMatrix(
+      df: DataFrame, group: Column, text: Column, k: Int = 8): DataFrame = {
+    val g = df
+      .select(group.cast("string").as("_grp"),
+        explode(graft.functions.TextFns.shingles(text, k)).as("_gram"))
+      .where(col("_grp").isNotNull)
+      .select(col("_grp"), xxhash64(col("_gram")).as("_fp"))
+      .distinct()
+    val sizes = g.groupBy("_grp").agg(count(lit(1)).as("_n"))
+    val shared = g
+      .groupBy("_fp").agg(sort_array(collect_set(col("_grp"))).as("_gs"))
+      .where(size(col("_gs")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(_gs, (a, i) -> " +
+          "transform(slice(_gs, i + 2, size(_gs)), b -> struct(a AS ga, b AS gb))))"))
+        .as("_p"))
+      .groupBy(col("_p.ga").as("group_a"), col("_p.gb").as("group_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // complete matrix scaffold: every unordered pair of OBSERVED groups
+    // (sizes is |groups| rows — broadcast on both sides of the tiny cross)
+    val a = sizes.select(col("_grp").as("group_a"), col("_n").as("n_a"))
+    val b = sizes.select(col("_grp").as("group_b"), col("_n").as("n_b"))
+    broadcast(a).crossJoin(broadcast(b))
+      .where(col("group_a") < col("group_b"))
+      .join(broadcast(shared), Seq("group_a", "group_b"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
+      .select("group_a", "group_b", "n_a", "n_b", "n_shared", "jaccard")
+  }
 }

@@ -199,4 +199,50 @@ class SamplingSpec extends SparkSpec {
     // on the shared key range the decisions are identical
     assert(a.filter(_ >= 501L) == b.filter(_ <= 1000L))
   }
+
+  // -------------------------------------------------------- L26 diversity
+  /** Hand-made unit centroids (the SemDedupSpec pattern): assignment is
+    * exact by construction, so the cap semantics cannot hinge on
+    * k-means initialization luck. */
+  private val axes: Array[Array[Double]] = Array(
+    Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0), Array(0.0, 1.0, 0.0, 0.0))
+
+  private def embRows: Seq[Emb] =
+    // dense cluster on axis 0 (6 vectors), medium on axis 2 (3), lone axis 1
+    (1L to 6L).map(i => Emb(i, Seq(1f, i.toFloat / 100, 0f, 0f))) ++
+    (7L to 9L).map(i => Emb(i, Seq(0f, 0f, 1f, i.toFloat / 100))) :+
+    Emb(10L, Seq(0f, 1f, 0f, 0f))
+
+  test("sampleDiverseByCluster caps every cell at n; dense mode no longer dominates") {
+    val e = Tio.fromRows(spark, SemEmbs, embRows).toNative
+    val out = Sampling.sampleDiverseByCluster(axes, e, col("vec_id"), col("embedding"),
+      nPerCluster = 2, seed = 3)
+    val byCell = out.collect().groupBy(_.getAs[Int]("cid")).view.mapValues(_.length).toMap
+    // dense cell capped at 2, medium at 2, lone cell keeps its 1
+    assert(byCell.values.toSeq.sorted == Seq(1, 2, 2))
+    // the draw is the sampleExactPerStratum hash order on the assignment
+    val assigned = graft.operators.Ann.assignClusters(axes, e, col("vec_id"), col("embedding"))
+    val expect = Sampling.sampleExactPerStratum(assigned, col("id"), col("cid"), 2, seed = 3)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(out.collect().map(_.getAs[Long]("id")).toSet == expect)
+  }
+
+  test("sampleDiverseByCluster is partition-independent and drops unusable vectors") {
+    val rows = embRows :+ Emb(11L, Seq(Float.NaN, Float.NaN, Float.NaN, Float.NaN))
+    val e = Tio.fromRows(spark, SemEmbs, rows).toNative
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleDiverseByCluster(axes, df, col("vec_id"), col("embedding"),
+        nPerCluster = 2, seed = 3).collect().map(_.getAs[Long]("id")).toSet
+    val one = ids(e.repartition(1))
+    val many = ids(e.repartition(13))
+    assert(one == many)
+    assert(!one.contains(11L)) // all-NaN vector has no cell: dropped
+    assert(Sampling.sampleDiverseByCluster(axes, e, col("vec_id"), col("embedding"),
+      nPerCluster = 0).count() == 0L)
+  }
+
+  object SemEmbs extends GSchema {
+    val vec_id    = col[Long]("vec_id")
+    val embedding = col[Seq[Float]]("embedding")
+  }
 }

@@ -43,6 +43,35 @@ class SketchSpec extends SparkSpec {
     assert(within(r.getLong(0), 100, 0.05))
   }
 
+  test("sourceOverlapMatrix: hand-counted shares, zero pairs printed, nulls skipped") {
+    // k=1 windows = distinct tokens: en {apple banana cherry dog} (4),
+    // de {banana cherry egg} (3), fr {zebra yak} (2)
+    val docs = Seq(
+      ("en", "apple banana cherry"), ("en", "banana dog"),
+      ("de", "banana cherry egg"),
+      ("fr", "zebra yak"),
+      (null, "ghost tokens never counted"), ("en", null))
+      .toDF("lang", "text")
+    val m = Sketch.sourceOverlapMatrix(docs, col("lang"), col("text"), k = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_shared"), r.getAs[Double]("jaccard")))).toMap
+    assert(m.keySet == Set(("de", "en"), ("de", "fr"), ("en", "fr"))) // complete matrix
+    assert(m(("de", "en")) == ((3L, 4L, 2L, 2.0 / 5)))
+    assert(m(("de", "fr")) == ((3L, 2L, 0L, 0.0))) // zero overlap still printed
+    assert(m(("en", "fr")) == ((4L, 2L, 0L, 0.0)))
+  }
+
+  test("sourceOverlapMatrix: within-group repeats collapse; single group yields no rows") {
+    val docs = Seq(("en", "dup dup dup"), ("en", "dup again")).toDF("lang", "text")
+    assert(Sketch.sourceOverlapMatrix(docs, col("lang"), col("text"), k = 1).count() == 0L)
+    val two = Seq(("en", "dup dup dup"), ("de", "dup")).toDF("lang", "text")
+    val r = Sketch.sourceOverlapMatrix(two, col("lang"), col("text"), k = 1).head()
+    // en's repeated token counts once: n_a(de)=1, n_b(en)=1, shared=1
+    assert((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("n_shared")) == ((1L, 1L, 1L)))
+    assert(r.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("overlapExact returns exact counts on planted overlaps, duplicates and all") {
     val a = ((1L to 1000L) ++ (1L to 1000L)).toDF("k") // dups must not inflate
     val b = (501L to 1500L).toDF("k")
