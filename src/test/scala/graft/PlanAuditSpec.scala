@@ -322,6 +322,40 @@ class PlanAuditSpec extends SparkSpec {
         && !pq.contains("SortMergeJoin"), s"composed query degraded:\n$pq")
   }
 
+  test("span_removal: flagging stays groupBy+join (no per-fp window), rebuild joins narrow") {
+    // Same skew rationale as dedup_spans: a boilerplate fingerprint in
+    // 10^8 docs must hit AQE-splittable joins, never one WindowExec
+    // task; and the only things shuffled are (doc, pos, fp) triples and
+    // per-doc starts arrays, not text-bearing wide rows twice.
+    val plan = q("span_removal")
+    assert(!plan.contains("Window"),
+      s"span_removal: df-count/rep must be groupBy+join, got a window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in span_removal:\n$plan")
+  }
+
+  test("source_overlap: one data-sized shuffle, pair expansion in place, scaffold broadcast") {
+    // The per-fp group-set aggregation is the single exchange that
+    // carries data volume; the matrix scaffold and the shared-count
+    // join are broadcast-sized. A SortMergeJoin would mean the fp
+    // stream got self-joined after all.
+    val plan = q("source_overlap")
+    assert(!plan.contains("SortMergeJoin"),
+      s"source_overlap must not self-join the fp stream:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"matrix scaffold should be broadcast-sized:\n$plan")
+    assert(!plan.contains("Window"), s"no window belongs in the matrix:\n$plan")
+  }
+
+  test("sample_diverse: assignment is scan-side; the per-cell draw prunes map-side") {
+    val plan = q("sample_diverse")
+    assert(plan.contains("WindowGroupLimit"),
+      s"row_number<=n must rewrite to a group limit:\n$plan")
+    assert(plan.contains("Partial"),
+      s"the group limit must have a partial (pre-shuffle) stage:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"cluster assignment must be a join-free expression pass:\n$plan")
+  }
+
   test("corpus_prep_near: the composed near-dedup flow stays cartesian-free and window-free") {
     // The minhash stage's bucket self-join may legitimately shuffle
     // (both sides are the corpus at scale — its own shape is pinned by
