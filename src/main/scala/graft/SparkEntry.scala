@@ -523,6 +523,14 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
     },
 
+    // L27: deterministic training-order shuffle — shard + within-shard
+    // rank key as pure functions of (doc_id, seed); the oracle re-runs
+    // the identical md5 arithmetic (hex draw parsed via '0x' cast).
+    "sample_shuffle" -> { (s, dir) =>
+      Sampling.shuffleShards(documents(s, dir).toNative, col("doc_id"), nShards = 8, seed = 5)
+        .select("doc_id", "shard", "draw").orderBy("doc_id")
+    },
+
     // L26: cluster-balanced diversity sample — up to 10 vectors per
     // k-means cell of the ann_ivf coarse quantizer (identical
     // training), drawn by the sample_exact_n hash order. PARTIAL
@@ -1475,6 +1483,12 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY n_chars DESC, doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
+
+    "sample_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(CAST('0x' || substr(md5(doc_id::VARCHAR || ':5'), 1, 8) AS BIGINT) % 8 AS BIGINT) AS shard,
+        |  substr(md5(doc_id::VARCHAR || ':5'), 1, 8) AS draw
+        |FROM documents WHERE doc_id IS NOT NULL ORDER BY doc_id""".stripMargin,
 
     // PARTIAL oracle over the exported cluster assignment: the per-cell
     // draw is the sample_exact_n QUALIFY with the same md5 hash order.

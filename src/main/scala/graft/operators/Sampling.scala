@@ -211,4 +211,42 @@ object Sampling {
     val assigned = Ann.assignClusters(unit, df, id, vec)
     sampleExactPerStratum(assigned, col("id"), col("cid"), nPerCluster, seed)
   }
+
+  /** Deterministic TRAINING-ORDER shuffle assignment — the "globally
+    * shuffle the corpus before training" step every pipeline runs after
+    * curation: each row gets a `shard` (its output file) and a `draw`
+    * (its rank key within the shard), both pure functions of
+    * (key, seed). Curated corpora arrive ordered by source/time/dedup
+    * cluster — exactly the correlations training must not see in
+    * sequence; hashing gives every epoch-0 data loader the same
+    * pseudo-random order on every re-run, resume, or re-partitioning
+    * (`df.orderBy(rand)` is none of those). shard = the md5 32-bit draw
+    * mod `nShards`; within-shard order = (draw, key). NULL keys are
+    * dropped (module convention — they cannot place deterministically).
+    *
+    * Scale shape: the assignment is one narrow codegen'd projection (no
+    * shuffle at all); materializing the order is ONE hash exchange on
+    * `shard` + a per-shard sort — the sort each shard writer does
+    * anyway — never a global single-partition ORDER BY. [[shuffled]]
+    * returns that materialized form directly. */
+  def shuffleShards(
+      df: DataFrame, key: Column, nShards: Int, seed: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    df.where(key.isNotNull)
+      .withColumn("draw", hashDraw(key, seed))
+      // the draw is 8 hex chars (< 2^32): conv to its non-negative value
+      .withColumn("shard", conv(col("draw"), 16, 10).cast("long") % nShards)
+  }
+
+  /** [[shuffleShards]] materialized into the actual training order:
+    * hash-partitioned on `shard` (a task may carry several whole
+    * shards — hash placement, not identity) and sorted by
+    * (shard, draw, key) within each task, so a
+    * `write.partitionBy("shard")` emits per-shard files whose row order
+    * IS the shuffle order. */
+  def shuffled(
+      df: DataFrame, key: Column, nShards: Int, seed: Int = 0): DataFrame =
+    shuffleShards(df, key, nShards, seed)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("draw"), key)
 }

@@ -245,4 +245,41 @@ class SamplingSpec extends SparkSpec {
     val vec_id    = col[Long]("vec_id")
     val embedding = col[Seq[Float]]("embedding")
   }
+
+  // ----------------------------------------------------- L27 shuffle
+  test("shuffleShards: deterministic, partition-invariant, near-uniform, growth-stable") {
+    val df = (1L to 4000L).toDF("k")
+    def shards(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleShards(d, col("k"), nShards = 8, seed = 2)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("shard")).toMap
+    val m1 = shards(df)
+    assert(m1 == shards(df.repartition(17)))
+    val sizes = m1.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes.keySet == (0L until 8L).toSet)
+    assert(sizes.values.forall(s => s > 350 && s < 650), s"skewed shards: $sizes")
+    // a row's shard never moves when the corpus grows (resume safety)
+    val grown = shards((1L to 8000L).toDF("k"))
+    assert(m1.forall { case (k, s) => grown(k) == s })
+    // null keys cannot place deterministically: dropped
+    val withNull = Seq(Some(1L), None).toDF("k")
+    assert(Sampling.shuffleShards(withNull, col("k"), 8).count() == 1L)
+  }
+
+  test("shuffled: per-task runs are (shard, draw)-ordered; an ordered input decorrelates") {
+    val df = (1L to 2000L).toDF("k")
+    val out = Sampling.shuffled(df, col("k"), nShards = 4, seed = 1)
+    assert(out.rdd.getNumPartitions == 4)
+    val parts = out.select("shard", "draw", "k").rdd.glom().collect()
+    parts.filter(_.nonEmpty).foreach { rows =>
+      val keys = rows.map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(keys == keys.sorted, "partition not in (shard, draw) order")
+    }
+    // the within-shard key sequence is decorrelated from the input order:
+    // a sorted input must not come back monotone
+    val firstShard = out.where(col("shard") === 0L).collect().map(_.getAs[Long]("k"))
+    assert(firstShard.length > 100)
+    assert(!firstShard.sameElements(firstShard.sorted), "shuffle left the input ordered")
+    // same multiset in = same multiset out
+    assert(out.select("k").collect().map(_.getLong(0)).sorted.toSeq == (1L to 2000L).toSeq)
+  }
 }
