@@ -346,6 +346,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no window belongs in the matrix:\n$plan")
   }
 
+  test("sample_shuffle: assignment is a pure narrow projection — no exchange, no join") {
+    // shuffleShards only ASSIGNS (shard, draw); the one hash exchange
+    // belongs to `shuffled`, the materialization. The gate's orderBy is
+    // presentation, so the only exchange allowed is that output sort.
+    val plan = q("sample_shuffle")
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(_.contains("rangepartitioning")),
+      s"assignment must not shuffle (only the output sort may):\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"assignment must be join- and window-free:\n$plan")
+  }
+
   test("sample_diverse: assignment is scan-side; the per-cell draw prunes map-side") {
     val plan = q("sample_diverse")
     assert(plan.contains("WindowGroupLimit"),
