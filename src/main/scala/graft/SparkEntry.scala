@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, max, pmod, when}
-import graft.functions.TextFns
-import graft.operators.{Ann, Chunk, Dedup, Media, Pack, Sampling, Sketch}
+import graft.functions.{TextFns, UrlFns}
+import graft.operators.{Ann, Chunk, Dedup, Media, NgramLM, Pack, Profile, Sampling, Sketch}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -51,6 +51,24 @@ object SparkEntry {
     * sum is bounded by n·0.005 cents. */
   private def centsSum(x: TypedCol[Double]): TypedCol[Double] =
     (x * glit(100.0)).round(0).cast[Long].sum.cast[Double] / 100.0
+
+  /** Deterministic synthetic URL for the L30 gates — the documents
+    * table has no URL column, so BOTH engines derive the identical
+    * string from (doc_id, source): mixed-case scheme/host, userinfo,
+    * default + non-default ports, tracking params, unsorted params,
+    * fragments — every case the canonicalizer must handle. */
+  private def synthUrl: org.apache.spark.sql.Column = {
+    val m3 = pmod(col("doc_id"), lit(3))
+    val m2 = pmod(col("doc_id"), lit(2))
+    concat(
+      when(m3 === 0, "https://").when(m3 === 1, "HTTP://").otherwise("Https://"),
+      lit("User@WWW."), col("source"),
+      when(m2 === 0, ".CO.UK").otherwise(".COM"),
+      when(m3 === 0, ":443").when(m3 === 1, ":80").otherwise(":8080"),
+      lit("/Docs/"), col("doc_id"),
+      when(m2 === 1, "?b=2&utm_source=x&a=1&ref=abc").otherwise("?fbclid=1"),
+      when(pmod(col("doc_id"), lit(5)) === 0, "#sec").otherwise(""))
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -325,6 +343,62 @@ object SparkEntry {
       ).orderBy("doc_id")
     },
 
+    // L29: CCNet-style LM quality scoring — add-one unigram LM fit on
+    // the corpus itself, every doc scored by mean token log-prob.
+    // Per-token values quantized to micro-nats BEFORE the doc sum so
+    // the sum is exact and order-free (see NgramLM scaladoc); the
+    // oracle re-fits and re-scores the identical integer-ratio model.
+    "lm_unigram" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      NgramLM.scoreUnigram(docs, col("doc_id"), col("text"),
+          NgramLM.fitUnigram(docs, col("text")))
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("logprob_micro"), col("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
+    // L29 (bigram): conditional log-prob over consecutive token pairs —
+    // the order-sensitive signal the unigram can't see.
+    "lm_bigram" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      NgramLM.scoreBigram(docs, col("doc_id"), col("text"),
+          NgramLM.fitBigram(docs, col("text")))
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("logprob_micro"), col("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
+    // L31: one-pass table profile — per-column rows/nulls/distinct/
+    // min/max in ONE aggregate (exact variant; the approx HLL++ twin
+    // is the 100 TB shape, plan-gated in PlanAuditSpec).
+    "profile_docs" -> { (s, dir) =>
+      Profile.profile(documents(s, dir).toNative,
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("column")
+    },
+
+    // L30: URL canonicalization + eTLD+1 — pure narrow regex/array
+    // expressions; the oracle runs the IDENTICAL patterns (Java ∩ RE2).
+    "url_canon" -> { (s, dir) =>
+      documents(s, dir).toNative
+        .withColumn("_url", synthUrl)
+        .select(col("doc_id"),
+          UrlFns.canonicalizeUrl(col("_url")).as("url_canon"),
+          UrlFns.urlHost(col("_url")).as("host"),
+          UrlFns.registeredDomain(UrlFns.urlHost(col("_url"))).as("domain"))
+        .orderBy("doc_id")
+    },
+
+    // L30 (blocklist): broadcast anti-join on the registered domain —
+    // the C4/RefinedWeb URL-filtering step.
+    "url_filter" -> { (s, dir) =>
+      import s.implicits._
+      val blocked = Seq("src3.co.uk", "src5.com", "src7.co.uk").toDF("domain")
+      UrlFns.filterBlockedDomains(
+          documents(s, dir).toNative.withColumn("_url", synthUrl), col("_url"), blocked)
+        .select("doc_id", "source").orderBy("doc_id")
+    },
+
     // L11: content fingerprint of normalized text
     "text_fingerprint" -> { (s, dir) =>
       documents(s, dir).toNative
@@ -521,6 +595,18 @@ object SparkEntry {
       Sampling.topKPerGroup(documents(s, dir).toNative,
           col("doc_id"), col("lang"), col("n_chars"), n = 10)
         .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    },
+
+    // L28: temperature (alpha) mixture resample — per-source rates
+    // n^0.5-normalized toward a 200-doc target, applied as the same
+    // deterministic hash filter. alpha=0.5 makes the quantized weight
+    // bit-exact cross-engine (sqrt is IEEE-correctly-rounded); the
+    // oracle recomputes counts -> quantized weights -> rates ->
+    // threshold hex in pure SQL.
+    "sample_temperature" -> { (s, dir) =>
+      Sampling.sampleTemperature(documents(s, dir).toNative, col("doc_id"), col("source"),
+          alpha = 0.5, targetCount = 200, seed = 31)
+        .select("doc_id", "source").orderBy("doc_id")
     },
 
     // L27: deterministic training-order shuffle — shard + within-shard
@@ -1482,6 +1568,106 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY n_chars DESC, doc_id) <= 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "profile_docs" ->
+      """SELECT * FROM (
+        |SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows, CAST(count(*) - count(doc_id) AS BIGINT) AS n_null, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct, CAST(min(doc_id) AS VARCHAR) AS min_value, CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+        |UNION ALL
+        |SELECT 'lang', CAST(count(*) AS BIGINT), CAST(count(*) - count(lang) AS BIGINT), CAST(count(DISTINCT lang) AS BIGINT), CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'source', CAST(count(*) AS BIGINT), CAST(count(*) - count(source) AS BIGINT), CAST(count(DISTINCT source) AS BIGINT), CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+        |UNION ALL
+        |SELECT 'n_chars', CAST(count(*) AS BIGINT), CAST(count(*) - count(n_chars) AS BIGINT), CAST(count(DISTINCT n_chars) AS BIGINT), CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents
+        |) ORDER BY "column"""".stripMargin,
+
+    // Identical synthetic URL + identical canonicalization patterns
+    // (regexes in the Java ∩ RE2 subset; binary-order param sort).
+    "url_canon" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  (CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTP://' ELSE 'Https://' END)
+        |  || 'User@WWW.' || source
+        |  || (CASE WHEN doc_id % 2 = 0 THEN '.CO.UK' ELSE '.COM' END)
+        |  || (CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 1 THEN ':80' ELSE ':8080' END)
+        |  || '/Docs/' || CAST(doc_id AS VARCHAR)
+        |  || (CASE WHEN doc_id % 2 = 1 THEN '?b=2&utm_source=x&a=1&ref=abc' ELSE '?fbclid=1' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url FROM documents),
+        |p AS (SELECT doc_id, source, url,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1), ':[0-9]*$', '')) AS host,
+        |  regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)', 1), ':([0-9]+)$', 1) AS port,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |  array_to_string(list_sort(list_filter(string_split(regexp_extract(regexp_replace(url, '#.*', ''), '\?(.*)$', 1), '&'),
+        |    x -> NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)') AND x <> '')), '&') AS q
+        |FROM u)
+        |SELECT doc_id,
+        |  scheme || '://' || host ||
+        |  (CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443')) THEN ':' || port ELSE '' END) ||
+        |  (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |  (CASE WHEN q <> '' THEN '?' || q ELSE '' END) AS url_canon,
+        |  host,
+        |  (CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+        |        WHEN len(string_split(host, '.')) >= 3 AND array_to_string(string_split(host, '.')[len(string_split(host, '.'))-1:], '.') IN ('co.uk','org.uk','ac.uk','gov.uk','co.jp','com.au','com.br','com.cn','co.in','com.mx')
+        |        THEN array_to_string(string_split(host, '.')[len(string_split(host, '.'))-2:], '.')
+        |        ELSE array_to_string(string_split(host, '.')[len(string_split(host, '.'))-1:], '.') END) AS domain
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "url_filter" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  lower('WWW.' || source || (CASE WHEN doc_id % 2 = 0 THEN '.CO.UK' ELSE '.COM' END)) AS host FROM documents),
+        |c AS (SELECT doc_id, source,
+        |  (CASE WHEN len(string_split(host, '.')) <= 1 THEN host
+        |        WHEN len(string_split(host, '.')) >= 3 AND array_to_string(string_split(host, '.')[len(string_split(host, '.'))-1:], '.') IN ('co.uk','org.uk','ac.uk','gov.uk','co.jp','com.au','com.br','com.cn','co.in','com.mx')
+        |        THEN array_to_string(string_split(host, '.')[len(string_split(host, '.'))-2:], '.')
+        |        ELSE array_to_string(string_split(host, '.')[len(string_split(host, '.'))-1:], '.') END) AS domain
+        |FROM u)
+        |SELECT doc_id, source FROM c
+        |WHERE domain NOT IN ('src3.co.uk', 'src5.com', 'src7.co.uk')
+        |ORDER BY doc_id""".stripMargin,
+
+    // The same add-one unigram LM re-fit and re-scored in SQL: every
+    // probability is the integer ratio (cnt+1)/(N+V), quantized to
+    // micro-nats per token before the (exact BIGINT) doc sum. sum
+    // CASTs per the HUGEINT rule.
+    "lm_unigram" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |m AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, count(*) AS v FROM c),
+        |sc AS (SELECT t.doc_id, CAST(round(ln(CAST(c.cnt + 1 AS DOUBLE) / (CAST(m.n AS DOUBLE) + m.v)) * 1000000.0) AS BIGINT) AS q
+        |  FROM tok t JOIN c USING (token), m),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(q) AS BIGINT) AS logprob_micro FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.logprob_micro, 0) AS logprob_micro,
+        |  CASE WHEN a.n_tokens > 0 THEN CAST(a.logprob_micro AS DOUBLE) / (1000000.0 * a.n_tokens) END AS avg_logprob
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "lm_bigram" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS ws FROM documents),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] ELSE []::VARCHAR[] END) AS bigram FROM tk),
+        |uc AS (SELECT token, count(*) AS cnt FROM (SELECT unnest(ws) AS token FROM tk) GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM uc),
+        |bc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1),
+        |sc AS (SELECT g.doc_id,
+        |  CAST(round(ln(CAST(b.cnt + 1 AS DOUBLE) / CAST(u.cnt + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
+        |  FROM bg g JOIN bc b USING (bigram)
+        |  JOIN uc u ON u.token = string_split(g.bigram, ' ')[1], v),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(q) AS BIGINT) AS logprob_micro FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, coalesce(a.logprob_micro, 0) AS logprob_micro,
+        |  CASE WHEN a.n_bigrams > 0 THEN CAST(a.logprob_micro AS DOUBLE) / (1000000.0 * a.n_bigrams) END AS avg_logprob
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Temperature rates recomputed in SQL: group counts -> quantized
+    // sqrt weights (BIGINT — the denominator sum is order-free exact)
+    // -> the fixed IEEE division chain -> floor(rate*2^32) as 8 hex
+    // chars, then the standard hash-draw filter. sum CAST per the
+    // HUGEINT rule.
+    "sample_temperature" ->
+      """WITH c AS (SELECT source AS g, count(*) AS n FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |q AS (SELECT g, n, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS qv FROM c),
+        |d AS (SELECT CAST(sum(qv) AS BIGINT) AS denom FROM q),
+        |t AS (SELECT g, least(1.0, CAST(200 AS DOUBLE) * qv / denom / n) AS rate FROM q, d)
+        |SELECT doc_id, source FROM documents JOIN t ON source = t.g
+        |WHERE rate >= 1.0 OR substr(md5(doc_id::VARCHAR || ':31'), 1, 8)
+        |  < printf('%08x', CAST(floor(rate * 4294967296.0) AS BIGINT))
         |ORDER BY doc_id""".stripMargin,
 
     "sample_shuffle" ->

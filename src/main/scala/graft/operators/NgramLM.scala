@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFns
+
+/** N-gram language-model quality scoring (SURVEY §2.5 L29) — the
+  * CCNet-style perplexity signal (Wenzek et al. 2020, arXiv:1911.00359
+  * §3.3: docs are ranked by LM perplexity and the corpus cut into
+  * quality buckets). CCNet uses a pre-trained 5-gram KenLM; here the
+  * model itself is FIT distributedly (a token-count aggregate), so the
+  * operator is self-contained: fit on a trusted reference split, score
+  * the whole corpus — or fit and score the same corpus for an
+  * "in-domain typicality" signal.
+  *
+  * Model: add-one (Laplace) unigram/bigram LM. Laplace keeps every
+  * probability a RATIO OF INTEGERS — `(cnt+1)/(N+V)` — which is what
+  * makes the score reproducible bit-for-bit across engines (the DuckDB
+  * oracles re-derive it): both engines divide the same exact integers
+  * in the same order, take `ln` of the identical double, and quantize.
+  *
+  * Score: mean per-token log-probability. The per-token value is
+  * quantized to integer MICRO-nats (`round(ln(p)·1e6)` as BIGINT)
+  * BEFORE the per-document sum, so the sum is exact and order-free —
+  * a raw double sum over an exploded token stream would drift with
+  * partitioning/merge order and can never hash-match an oracle.
+  * Deviation bound: ≤ 0.5e-6 nat per token. Perplexity is
+  * `exp(-avg_logprob)` — monotone, so ranking/bucketing can use
+  * `avg_logprob` directly and callers needing the literal perplexity
+  * exponentiate themselves (keeping `exp`'s cross-libm wobble out of
+  * the gated surface).
+  *
+  * Scale shape (100 TB): fit is a word-count — ONE shuffle with
+  * map-side partial aggregation, output |vocab| rows. Scoring joins
+  * the exploded token stream against the count table: with
+  * `broadcastModel=true` (default) the vocab broadcasts and the token
+  * stream NEVER shuffles — the only exchange is the per-doc partial
+  * aggregation, which map-side-combines to ~1 row per (doc, task).
+  * A vocab too big to broadcast (≫10⁷ types) sets it false for a
+  * shuffle join; token frequency is Zipfian, so that path relies on
+  * AQE skew-join splitting (sort-merge) — the broadcast path has no
+  * skew by construction and is the one to prefer.
+  */
+object NgramLM {
+
+  /** Fitted unigram model: `counts` = (token, cnt), plus the two
+    * scalars scoring needs. `totalTokens` = Σcnt = N, `vocabSize` =
+    * |counts| = V. */
+  final case class UnigramModel(counts: DataFrame, totalTokens: Long, vocabSize: Long)
+
+  /** Fitted bigram model: `bigrams` = (bigram "w1 w2", cnt),
+    * `unigrams` = (token, cnt) for the conditional's denominator,
+    * `vocabSize` = |unigram vocab| (the Laplace V). */
+  final case class BigramModel(bigrams: DataFrame, unigrams: DataFrame, vocabSize: Long)
+
+  /** Normalized non-empty tokens — the module's tokenization contract
+    * ([[TextFns.normText]] + single-space split, empty strings out so a
+    * blank document contributes nothing to the model or the score).
+    * SQL mirror: list_filter(string_split(lower(trim(regexp_replace(
+    * text,'\s+',' ','g'))),' '), t -> t <> '') */
+  def tokens(text: Column): Column =
+    filter(TextFns.wsTokens(TextFns.normText(text)), t => t =!= "")
+
+  /** Consecutive-pair bigrams as "w1 w2" strings; <2 tokens → empty
+    * array (NO whole-text collapse — a 1-token doc has no bigram,
+    * unlike the dedup shingles whose collapse exists for recall).
+    * Callers must pass a MATERIALIZED token column (own projection):
+    * the zip re-references it, and CollapseProject keeps
+    * multi-referenced non-cheap expressions staged. */
+  def bigrams(toks: Column): Column =
+    zip_with(slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+      slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+
+  /** Fit the add-one unigram LM: one word-count aggregate (map-side
+    * partial), then one tiny two-scalar agg over the |vocab|-row count
+    * table for (N, V). */
+  def fitUnigram(df: DataFrame, text: Column): UnigramModel = {
+    val counts = df
+      .select(explode(tokens(text)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val nv = counts.agg(coalesce(sum("cnt"), lit(0L)).as("n"), count(lit(1)).as("v")).head()
+    UnigramModel(counts, nv.getLong(0), nv.getLong(1))
+  }
+
+  /** Fit the add-one bigram LM: the unigram count (conditional
+    * denominator) plus the bigram count — two word-count-shaped
+    * aggregates over the same scan. */
+  def fitBigram(df: DataFrame, text: Column): BigramModel = {
+    val toked = df.select(tokens(text).as("_toks"))
+    val uni = toked.select(explode(col("_toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val bi = toked.select(explode(bigrams(col("_toks"))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    BigramModel(bi, uni, uni.count())
+  }
+
+  /** Integer micro-nat log-prob of `p = num / den` (both exact
+    * integer-valued columns): `round(ln(num/den) · 1e6)` as LONG. The
+    * division is double-on-double with fixed operand order, so the
+    * oracle computes the identical IEEE value. */
+  private def microLogProb(num: Column, den: Column): Column =
+    round(log(num.cast("double") / den) * 1000000.0, 0).cast("long")
+
+  /** Score documents under a unigram model: per-doc token count,
+    * exact micro-nat log-prob sum, and mean log-prob (nats/token).
+    * Out-of-vocabulary tokens (fit on a different split) take the
+    * Laplace floor `1/(N+V)`. Documents with zero tokens score
+    * (0, 0, NULL). Returns `(id, n_tokens, logprob_micro,
+    * avg_logprob)`. */
+  def scoreUnigram(
+      df: DataFrame, id: Column, text: Column, model: UnigramModel,
+      broadcastModel: Boolean = true): DataFrame = {
+    val vocab = if (broadcastModel) broadcast(model.counts) else model.counts
+    val den = lit(model.totalTokens.toDouble + model.vocabSize.toDouble)
+    df.select(id.as("id"), explode_outer(tokens(text)).as("token"))
+      .join(vocab, Seq("token"), "left")
+      .groupBy("id")
+      .agg(
+        count(col("token")).as("n_tokens"),
+        // the explode_outer placeholder row of a zero-token doc must
+        // contribute NOTHING (not the OOV floor): gate on token
+        coalesce(sum(when(col("token").isNotNull,
+          microLogProb(coalesce(col("cnt"), lit(0L)) + 1, den))), lit(0L))
+          .as("logprob_micro"))
+      .withColumn("avg_logprob",
+        when(col("n_tokens") > 0,
+          col("logprob_micro").cast("double") / (lit(1000000.0) * col("n_tokens"))))
+  }
+
+  /** Score documents under a bigram model: mean conditional log-prob
+    * `ln (c(w1 w2)+1)/(c(w1)+V)` over the doc's consecutive pairs.
+    * Both the pair and the context count take the add-one/OOV floor.
+    * Documents with <2 tokens have no bigrams and score (0, 0, NULL).
+    * Returns `(id, n_bigrams, logprob_micro, avg_logprob)`. Two
+    * broadcast joins (pair + context) on the exploded pair stream —
+    * the stream itself still never shuffles before the per-doc agg. */
+  def scoreBigram(
+      df: DataFrame, id: Column, text: Column, model: BigramModel,
+      broadcastModel: Boolean = true): DataFrame = {
+    def side(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+    val exploded = df
+      .select(id.as("id"), tokens(text).as("_toks"))
+      .select(col("id"), explode_outer(bigrams(col("_toks"))).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    exploded
+      .join(side(model.bigrams.withColumnRenamed("cnt", "_bcnt")), Seq("bigram"), "left")
+      .join(side(model.unigrams.withColumnRenamed("token", "w1")
+        .withColumnRenamed("cnt", "_ucnt")), Seq("w1"), "left")
+      .groupBy("id")
+      .agg(
+        count(col("bigram")).as("n_bigrams"),
+        coalesce(sum(when(col("bigram").isNotNull, microLogProb(
+          coalesce(col("_bcnt"), lit(0L)) + 1,
+          (coalesce(col("_ucnt"), lit(0L)) + lit(model.vocabSize)).cast("double")))), lit(0L))
+          .as("logprob_micro"))
+      .withColumn("avg_logprob",
+        when(col("n_bigrams") > 0,
+          col("logprob_micro").cast("double") / (lit(1000000.0) * col("n_bigrams"))))
+  }
+}

@@ -212,6 +212,66 @@ object Sampling {
     sampleExactPerStratum(assigned, col("id"), col("cid"), nPerCluster, seed)
   }
 
+  /** Per-group keep rates for TEMPERATURE-based mixture resampling —
+    * the standard recipe for rebalancing a multi-source/multi-language
+    * corpus (Arivazhagan et al. 2019, arXiv:1907.05019 §4; XLM-R,
+    * Conneau et al. 2020, arXiv:1911.02116, α∈[0.3,0.7]; mC4/T5): a
+    * group's sampling mass is `n_s^α` normalized over groups, so α=1
+    * keeps natural proportions, α=0 equalizes groups, and intermediate
+    * α up-weights the tail without drowning the head. The rate for
+    * group s targets `targetCount · p_s` kept rows: `min(1, T·p_s/n_s)`.
+    *
+    * Cross-engine determinism (the oracle contract): the weight is
+    * QUANTIZED to an exact integer `q_s = round(n_s^α · 1e6)` so the
+    * normalizing denominator is an order-free BIGINT sum, and the rate
+    * is the fixed IEEE sequence `T.toDouble · q_s / Σq / n_s` — every
+    * engine computes the identical double. For α = 0.5 the power is
+    * `sqrt` (correctly rounded by IEEE 754 everywhere, so q_s is
+    * bit-exact across engines); 0 and 1 are likewise exact. Other α
+    * use `pow`, correct to ~1 ulp on common libms — a q_s boundary
+    * flip is possible in principle (documented, like centsSum's
+    * quantization in SparkEntry); gates pin α=0.5. */
+  def temperatureRates(
+      counts: Map[String, Long], alpha: Double, targetCount: Long): Map[String, Double] = {
+    require(alpha >= 0.0, s"alpha must be non-negative, got $alpha")
+    require(targetCount >= 0, s"targetCount must be non-negative, got $targetCount")
+    require(counts.values.forall(_ > 0), s"group counts must be positive: $counts")
+    def weight(n: Long): Long = {
+      val w =
+        if (alpha == 0.5) Math.sqrt(n.toDouble)
+        else if (alpha == 1.0) n.toDouble
+        else if (alpha == 0.0) 1.0
+        else Math.pow(n.toDouble, alpha)
+      Math.round(w * 1000000.0)
+    }
+    val q = counts.map { case (g, n) => g -> weight(n) }
+    val denom = q.values.sum
+    counts.map { case (g, n) =>
+      g -> math.min(1.0, targetCount.toDouble * q(g) / denom / n)
+    }
+  }
+
+  /** Deterministic temperature resample: measure group sizes (ONE
+    * mixture-sized aggregate — |groups| rows to the driver, the same
+    * bounded-collect contract as [[Pack.selectByBudgetPerGroup]]'s
+    * budgets), derive [[temperatureRates]], and apply them as the
+    * [[sampleStratified]] CASE — a pure narrow codegen'd filter, so
+    * the data-sized pass never shuffles. Rows with a NULL group are
+    * dropped (no rate can be derived — module convention for NULL
+    * keys). Expected kept rows ≈ `targetCount` (Bernoulli, so ±√n
+    * noise per group; for exact per-group counts compose
+    * [[sampleExactPerStratum]] with driver-computed budgets). */
+  def sampleTemperature(
+      df: DataFrame, key: Column, group: Column, alpha: Double,
+      targetCount: Long, seed: Int = 0): DataFrame = {
+    val g = group.cast("string")
+    val counts = df.where(g.isNotNull).groupBy(g.as("g")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) return df.where(lit(false))
+    val rates = temperatureRates(counts, alpha, targetCount)
+    sampleStratified(df.where(g.isNotNull), key, g, rates, defaultRate = 0.0, seed)
+  }
+
   /** Deterministic TRAINING-ORDER shuffle assignment — the "globally
     * shuffle the corpus before training" step every pipeline runs after
     * curation: each row gets a `shard` (its output file) and a `draw`

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.NgramLM
+
+/** L29 n-gram LM quality scoring: hand-computed add-one probabilities
+  * on a tiny corpus, OOV floor on a fit/score split, zero-token
+  * conventions, exactness (micro-nat quantization makes the doc sum
+  * partition-invariant), and broadcast/shuffle-join equivalence. */
+class NgramLMSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def micro(p: Double): Long = Math.round(Math.log(p) * 1e6)
+
+  test("bigrams: consecutive pairs, no whole-text collapse") {
+    val df = Seq("a b c d", "solo", "", "x y").toDF("t")
+      .select(NgramLM.bigrams(NgramLM.tokens(col("t"))).as("bg"))
+    val got = df.collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(List("a b", "b c", "c d"), Nil, Nil, List("x y")))
+  }
+
+  test("fitUnigram counts tokens after normalization; N and V are exact") {
+    val df = Seq("a  A b", "c a").toDF("t") // norm folds case + spaces
+    val m = NgramLM.fitUnigram(df, col("t"))
+    val counts = m.counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+    assert(m.totalTokens == 5L && m.vocabSize == 3L)
+  }
+
+  test("scoreUnigram matches hand-computed add-one log-probs") {
+    val df = Seq((1L, "a a b"), (2L, "c")).toDF("id", "t")
+    val m = NgramLM.fitUnigram(df, col("t"))
+    assert(m.totalTokens == 4L && m.vocabSize == 3L)
+    val got = NgramLM.scoreUnigram(df, col("id"), col("t"), m)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // p(a) = 3/7, p(b) = 2/7, p(c) = 2/7
+    assert(got(1L) == ((3L, 2 * micro(3.0 / 7) + micro(2.0 / 7))))
+    assert(got(2L) == ((1L, micro(2.0 / 7))))
+  }
+
+  test("OOV tokens take the Laplace floor 1/(N+V) when scoring a different split") {
+    val fitDf = Seq("a a b").toDF("t") // N=3, V=2
+    val m = NgramLM.fitUnigram(fitDf, col("t"))
+    val got = NgramLM.scoreUnigram(Seq((9L, "zz")).toDF("id", "t"), col("id"), col("t"), m)
+      .head()
+    assert(got.getLong(1) == 1L)
+    assert(got.getLong(2) == micro(1.0 / 5))
+  }
+
+  test("zero-token documents score (0, 0, NULL) and are not dropped") {
+    val df = Seq((1L, "a b"), (2L, "   "), (3L, "")).toDF("id", "t")
+    val m = NgramLM.fitUnigram(df, col("t"))
+    val rows = NgramLM.scoreUnigram(df, col("id"), col("t"), m)
+      .orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(1).getLong(1) == 0L && rows(1).getLong(2) == 0L && rows(1).isNullAt(3))
+    assert(rows(2).getLong(1) == 0L && rows(2).getLong(2) == 0L && rows(2).isNullAt(3))
+  }
+
+  test("scores are partition-invariant (quantization makes the sum exact)") {
+    val docs = (1L to 300L).map(i => (i, s"tok${i % 7} tok${i % 3} tok${i % 11} x y z"))
+    val df = docs.toDF("id", "t")
+    val m = NgramLM.fitUnigram(df, col("t"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      NgramLM.scoreUnigram(d, col("id"), col("t"), m)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(run(df) == run(df.repartition(17)))
+  }
+
+  test("scoreBigram matches hand-computed conditional log-probs") {
+    // corpus: "a b a" and "b a" -> unigrams a:3 b:2 (V=2);
+    // bigrams: "a b":1, "b a":2
+    val df = Seq((1L, "a b a"), (2L, "b a")).toDF("id", "t")
+    val m = NgramLM.fitBigram(df, col("t"))
+    assert(m.vocabSize == 2L)
+    val got = NgramLM.scoreBigram(df, col("id"), col("t"), m)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc1: p(b|a) = (1+1)/(3+2), p(a|b) = (2+1)/(2+2)
+    assert(got(1L) == ((2L, micro(2.0 / 5) + micro(3.0 / 4))))
+    assert(got(2L) == ((1L, micro(3.0 / 4))))
+  }
+
+  test("single-token docs have no bigrams; shuffle join equals broadcast join") {
+    val df = Seq((1L, "a b c"), (2L, "solo")).toDF("id", "t")
+    val m = NgramLM.fitBigram(df, col("t"))
+    val b = NgramLM.scoreBigram(df, col("id"), col("t"), m, broadcastModel = true)
+      .orderBy("id").collect().toSeq
+    val s = NgramLM.scoreBigram(df, col("id"), col("t"), m, broadcastModel = false)
+      .orderBy("id").collect().toSeq
+    assert(b == s)
+    assert(b(1).getLong(1) == 0L && b(1).getLong(2) == 0L && b(1).isNullAt(3))
+    val u1 = NgramLM.scoreUnigram(df, col("id"), col("t"),
+      NgramLM.fitUnigram(df, col("t")), broadcastModel = false).orderBy("id").collect()
+    val u2 = NgramLM.scoreUnigram(df, col("id"), col("t"),
+      NgramLM.fitUnigram(df, col("t")), broadcastModel = true).orderBy("id").collect()
+    assert(u1.toSeq == u2.toSeq)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Profile
+
+/** L31 one-pass profiling: hand-counted stats incl. nulls and mixed
+  * types, the NULL-exclusion convention for distinct, and exact/approx
+  * agreement at small cardinality. */
+class ProfileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val df = Seq(
+    (1L, Some("a"), Some(1.5)),
+    (2L, Some("b"), None),
+    (3L, None, Some(-2.0)),
+    (4L, Some("a"), Some(1.5))).toDF("id", "s", "x")
+
+  test("profile: hand-counted rows/nulls/distinct/min/max per column") {
+    val got = Profile.profile(df, Seq("id", "s", "x")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5)))).toMap
+    assert(got("id") == ((4L, 0L, 4L, "1", "4")))
+    assert(got("s") == ((4L, 1L, 2L, "a", "b")))
+    assert(got("x") == ((4L, 1L, 2L, "-2.0", "1.5")))
+  }
+
+  test("an all-null column profiles (n, n, 0, null, null)") {
+    val d = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s")
+    val r = Profile.profile(d, Seq("s")).head()
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getLong(3) == 0L)
+    assert(r.isNullAt(4) && r.isNullAt(5))
+  }
+
+  test("profileApprox matches exact at small cardinality and keeps the other stats exact") {
+    val big = (1L to 2000L).map(i => (i, s"v${i % 50}")).toDF("id", "s")
+    val exact = Profile.profile(big, Seq("id", "s")).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val approx = Profile.profileApprox(big, Seq("id", "s"), rsd = 0.02).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(approx("s")._3 == exact("s")) // 50 distinct: HLL++ is exact in sparse mode
+    assert(math.abs(approx("id")._3 - 2000L) <= 2000 * 0.06, s"id estimate ${approx("id")._3}")
+    assert(approx("id")._1 == 2000L && approx("id")._2 == 0L)
+  }
+
+  test("empty input profiles (0, 0, 0, null, null) and zero columns are rejected") {
+    val r = Profile.profile(df.where("id < 0"), Seq("s")).head()
+    assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L && r.isNullAt(4))
+    assertThrows[IllegalArgumentException](Profile.profile(df, Seq.empty))
+  }
+}

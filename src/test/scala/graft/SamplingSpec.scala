@@ -282,4 +282,43 @@ class SamplingSpec extends SparkSpec {
     // same multiset in = same multiset out
     assert(out.select("k").collect().map(_.getLong(0)).sorted.toSeq == (1L to 2000L).toSeq)
   }
+
+  // -------------------------------------------- L28 temperature mixture
+  test("temperatureRates: alpha=1 is proportional, alpha=0 equalizes, small groups clamp") {
+    val counts = Map("a" -> 9000L, "b" -> 900L, "c" -> 100L)
+    // alpha=1: every group keeps the SAME rate T/N (natural proportions)
+    val r1 = Sampling.temperatureRates(counts, alpha = 1.0, targetCount = 1000)
+    assert(r1.values.toSet.size == 1)
+    assert(math.abs(r1("a") - 1000.0 / 10000.0) < 1e-9)
+    // alpha=0: equal PER-GROUP budgets T/G -> rate_s = T/(G*n_s)
+    val r0 = Sampling.temperatureRates(counts, alpha = 0.0, targetCount = 300)
+    assert(math.abs(r0("a") - 100.0 / 9000.0) < 1e-9)
+    assert(math.abs(r0("c") - 1.0) < 1e-9) // 100-doc group asked for 100 docs
+    // a rate past 1 clamps (tiny group, big target)
+    val rc = Sampling.temperatureRates(counts, alpha = 0.0, targetCount = 3000)
+    assert(rc("c") == 1.0)
+    // intermediate alpha lands between the two regimes for the tail group
+    val rm = Sampling.temperatureRates(counts, alpha = 0.5, targetCount = 1000)
+    assert(rm("c") > r1("c") && rm("c") <= 1.0)
+    assertThrows[IllegalArgumentException](Sampling.temperatureRates(counts, -0.1, 10))
+    assertThrows[IllegalArgumentException](Sampling.temperatureRates(Map("a" -> 0L), 0.5, 10))
+  }
+
+  test("sampleTemperature: deterministic, partition-invariant, null-group drop, near-target") {
+    val df = (1L to 3000L).map(k => (k, if (k <= 2400) "big" else "small")).toDF("k", "g")
+    def kept(d: org.apache.spark.sql.DataFrame) =
+      Sampling.sampleTemperature(d, col("k"), col("g"), alpha = 0.5, targetCount = 600, seed = 3)
+        .select("k").collect().map(_.getLong(0)).toSet
+    val a = kept(df)
+    assert(a == kept(df.repartition(13)))
+    // expected kept ~= targetCount (Bernoulli: 600 +- 5 sigma ~ +-120)
+    assert(a.size > 480 && a.size < 720, s"kept ${a.size} of target 600")
+    // alpha=0.5 up-weights the tail: small keeps MORE than its natural share
+    val small = a.count(_ > 2400)
+    assert(small.toDouble / a.size > 600.0 / 3000.0, s"tail share $small/${a.size}")
+    // null groups drop; empty input yields empty output, no crash
+    val withNull = Seq((1L, Some("g")), (2L, None)).toDF("k", "g")
+    assert(Sampling.sampleTemperature(withNull, col("k"), col("g"), 0.5, 10).count() <= 1)
+    assert(Sampling.sampleTemperature(df.where(lit(false)), col("k"), col("g"), 0.5, 10).count() == 0)
+  }
 }
