@@ -383,4 +383,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"decontam/keep joins must stay broadcast:\n$plan")
   }
+
+  test("lm_unigram/lm_bigram: model joins broadcast; token stream never sort-merges") {
+    for (name <- Seq("lm_unigram", "lm_bigram")) {
+      val plan = q(name)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$name: the vocab join must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$name: the exploded token stream must not sort-merge:\n$plan")
+      // the per-doc agg combines map-side before its exchange
+      assert(plan.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+        s"$name: per-doc sum must have a partial stage:\n$plan")
+    }
+  }
+
+  test("sample_temperature: the data pass is the same narrow codegen'd filter") {
+    // rates come from a separate mixture-sized agg at construction;
+    // the returned frame itself must stay shuffle- and join-free
+    val plan = q("sample_temperature")
+    assert(!plan.contains("Join"), s"temperature filter must not join:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"only the output sort may exchange, got $exchanges:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
+      s"keep-predicate must stay in whole-stage codegen:\n$plan")
+  }
+
+  test("url_canon: pure narrow projection; url_filter: broadcast anti-join") {
+    val canon = q("url_canon")
+    assert(!canon.contains("Join"), s"canonicalization must not join:\n$canon")
+    assert(canon.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"only the output sort may exchange:\n$canon")
+    val filt = q("url_filter")
+    assert(filt.contains("BroadcastHashJoin") && filt.contains("LeftAnti"),
+      s"blocklist must be a broadcast anti-join:\n$filt")
+    assert(!filt.contains("SortMergeJoin"), s"corpus must not shuffle for the blocklist:\n$filt")
+  }
+
+  test("profile: exact variant pays one Expand; approx variant is a single narrow pass") {
+    val exact = q("profile_docs")
+    assert(exact.contains("Expand"),
+      s"multi-distinct exact profile should plan via Expand (documented cost):\n$exact")
+    val approx = finalPlan(graft.operators.Profile.profileApprox(
+      tables.documents(spark, dir).toNative, Seq("doc_id", "lang", "source", "n_chars")))
+    assert(!approx.contains("Expand"),
+      s"HLL++ profile must not replicate the input:\n$approx")
+    // the HLL++ buffer forces SortAggregate, but it must still combine
+    // map-side (partial_approx_count_distinct before the exchange)
+    assert(approx.contains("partial_approx_count_distinct"),
+      s"approx profile must aggregate map-side first:\n$approx")
+  }
 }
