@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, max, pmod, when}
 import graft.functions.{TextFns, UrlFns}
-import graft.operators.{Ann, Chunk, Dedup, Media, NgramLM, Pack, Profile, Sampling, Sketch}
+import graft.operators.{Ann, Chunk, Dedup, Joins, Media, NgramLM, Pack, Profile, Sampling, Sketch}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -366,6 +366,41 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bigrams"),
           col("logprob_micro"), col("avg_logprob"))
         .orderBy("doc_id")
+    },
+
+    // L32: as-of join — each click enriched with the user's most
+    // recent view at-or-before it (union-stream + keyed window: ONE
+    // exchange, no join node). Oracle = DuckDB's NATIVE ASOF JOIN —
+    // an independent implementation of the same semantics.
+    "asof_join" -> { (s, dir) =>
+      val ev = events(s, dir).toNative
+      val probes = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"))
+      val quotes = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"), col("value"))
+      Joins.asofJoin(probes, quotes, Seq("user_id"), "us",
+          Seq("view_id", "value"), tieBreak = Some("view_id"))
+        .orderBy("event_id")
+    },
+
+    // L32 (range): clicks within 24h after an error, same user —
+    // intervals explode into covering bins, the join is an equi-join
+    // on (user, bin) + residual filter, never a nested loop.
+    "range_join" -> { (s, dir) =>
+      val ev = events(s, dir).toNative
+      val day = 86400000000L
+      val pts = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"))
+      val iv = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("s_us"),
+          (org.apache.spark.sql.functions.unix_micros(col("ts")) + day).as("e_us"))
+      Joins.rangeJoin(pts, iv, Seq("user_id"), "us", "s_us", "e_us", binWidth = day)
+        .select("click_id", "error_id", "user_id")
+        .orderBy("click_id", "error_id")
     },
 
     // L31: one-pass table profile — per-column rows/nulls/distinct/
@@ -1569,6 +1604,24 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY n_chars DESC, doc_id) <= 10
         |ORDER BY doc_id""".stripMargin,
+
+    // DuckDB's native ASOF JOIN as an independent oracle for the
+    // union-stream implementation; quotes deduped per (user, us) by
+    // max view_id exactly like the engine's tieBreak.
+    "asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+        |q AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS us, value FROM events WHERE event_type = 'view'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, us ORDER BY view_id DESC) = 1)
+        |SELECT p.event_id, p.user_id, p.us, q.us AS asof_us, q.view_id AS asof_view_id, q.value AS asof_value
+        |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.us >= q.us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "range_join" ->
+      """WITH p AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+        |i AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS s_us, epoch_us(ts) + 86400000000 AS e_us FROM events WHERE event_type = 'error')
+        |SELECT p.click_id, i.error_id, p.user_id
+        |FROM p JOIN i ON p.user_id = i.user_id AND p.us >= i.s_us AND p.us <= i.e_us
+        |ORDER BY 1, 2""".stripMargin,
 
     "profile_docs" ->
       """SELECT * FROM (

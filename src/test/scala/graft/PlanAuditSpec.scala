@@ -419,6 +419,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!filt.contains("SortMergeJoin"), s"corpus must not shuffle for the blocklist:\n$filt")
   }
 
+  test("asof_join: no join node at all — one keyed window over the union stream") {
+    val plan = q("asof_join")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"as-of must be the union+window composition, not a join:\n$plan")
+    assert(plan.contains("Window"), s"expected the carry-forward window:\n$plan")
+    assert(plan.contains("Union"), s"expected the tagged union stream:\n$plan")
+  }
+
+  test("range_join: equi-join on bins — never a nested loop over the raw range predicate") {
+    val plan = q("range_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must not nested-loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"expected an equi-join on (keys, bin):\n$plan")
+    assert(plan.contains("Generate explode"), s"expected the interval bin expansion:\n$plan")
+  }
+
   test("profile: exact variant pays one Expand; approx variant is a single narrow pass") {
     val exact = q("profile_docs")
     assert(exact.contains("Expand"),
