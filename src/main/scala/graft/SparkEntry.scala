@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, concat, concat_ws, lit, max, pmod, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, lit, max, pmod, round, sum, when}
 import graft.functions.{TextFns, UrlFns}
-import graft.operators.{Ann, Chunk, Dedup, Joins, Media, NgramLM, Pack, Profile, Sampling, Sketch}
+import graft.operators.{Ann, Chunk, Dedup, Joins, Media, NgramLM, Pack, Profile, Sampling, Sketch, Timeline}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -401,6 +401,42 @@ object SparkEntry {
       Joins.rangeJoin(pts, iv, Seq("user_id"), "us", "s_us", "e_us", binWidth = day)
         .select("click_id", "error_id", "user_id")
         .orderBy("click_id", "error_id")
+    },
+
+    // L33: gap-based sessionization (30-min gap) + per-session rollup —
+    // one exchange on user_id (lag + running-sum + rollup all reuse
+    // it); sums are integer cents so the totals are order-exact.
+    "sessionize_events" -> { (s, dir) =>
+      val ev = events(s, dir).toNative.select(col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"), col("value"))
+      Timeline.sessionStats(ev, Seq("user_id"), "us", gap = 1800000000L, valueCol = "value")
+        .orderBy("user_id", "session_idx")
+    },
+
+    // L33 (funnel): view → click → purchase ordered conversion — a
+    // chain of unordered per-key window minima (one exchange, no
+    // sorts, no per-step self-join); depth 0 rows keep the denominator.
+    "funnel_events" -> { (s, dir) =>
+      val ev = events(s, dir).toNative.select(col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"), col("event_type"))
+      Timeline.funnel(ev, Seq("user_id"), "us", Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))
+        .orderBy("user_id")
+    },
+
+    // L33 (rolling): per-event trailing-1h count + cents over a RANGE
+    // frame on the user timeline — value-based frame, so simultaneous
+    // events agree under any tie order.
+    "rolling_events" -> { (s, dir) =>
+      val ev = events(s, dir).toNative.select(col("event_id"), col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"), col("value"))
+      Timeline.rolling(ev, Seq("user_id"), "us", back = 3600000000L,
+          "n_1h" -> count(lit(1)),
+          "cents_1h" -> sum(coalesce(round(col("value") * 100).cast("long"), lit(0L))))
+        .select("event_id", "user_id", "us", "n_1h", "cents_1h")
+        .orderBy("event_id")
     },
 
     // L31: one-pass table profile — per-column rows/nulls/distinct/
@@ -1622,6 +1658,51 @@ object SparkEntry {
         |SELECT p.click_id, i.error_id, p.user_id
         |FROM p JOIN i ON p.user_id = i.user_id AND p.us >= i.s_us AND p.us <= i.e_us
         |ORDER BY 1, 2""".stripMargin,
+
+    // Sessionize: identical lag/running-sum windows; sums are integer
+    // cents rounded PER EVENT, so the totals are aggregation-order
+    // exact (and BIGINT-cast per the module-wide oracle rule).
+    "sessionize_events" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events WHERE ts IS NOT NULL),
+        |x AS (SELECT user_id, us, value,
+        |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+        |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |y AS (SELECT user_id, us, value,
+        |        CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        |      FROM x)
+        |SELECT user_id, session_idx, min(us) AS session_start, max(us) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT) AS sum_cents
+        |FROM y GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Funnel: the step-by-step min chain the engine's window
+    // composition computes, as explicit sequential CTEs.
+    "funnel_events" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1)
+        |SELECT u.user_id, s1.t1 AS t_view, s2.t2 AS t_click, s3.t3 AS t_purchase,
+        |  CAST(CASE WHEN s3.t3 IS NOT NULL THEN 3 WHEN s2.t2 IS NOT NULL THEN 2
+        |            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS depth
+        |FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id)
+        |ORDER BY 1""".stripMargin,
+
+    // Rolling: identical value-based RANGE frame (tie-order
+    // independent by construction).
+    "rolling_events" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events WHERE ts IS NOT NULL)
+        |SELECT event_id, user_id, us,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(coalesce(CAST(round(value * 100) AS BIGINT), 0)) OVER w AS BIGINT) AS cents_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "profile_docs" ->
       """SELECT * FROM (

@@ -21,7 +21,15 @@ object Verify {
     // per query, so a plain file can never masquerade as a green row)
     // carrying the exception, and a _manifest.json declaring the full
     // query list — row-count can then never be mistaken for coverage.
-    val failedQueries = SparkEntry.queries.flatMap { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names); the driver never
+    // sets it, so driver runs always dump — and declare — everything.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case None => SparkEntry.queries
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+    }
+    val failedQueries = selected.flatMap { case (name, fn) =>
       val r =
         try {
           fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -89,7 +97,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Coverage manifest: declared vs failed, so a consumer of the result
     // tree can detect missing rows without trusting its own glob.
-    val declared = SparkEntry.queries.keys.toList.sorted
+    val declared = selected.keys.toList.sorted
     val manifest =
       s"""{"declared_count": ${declared.size}, "failed_count": ${failedQueries.size}, """ +
         s""""declared": ${declared.map(q).mkString("[", ",", "]")}, """ +

@@ -451,4 +451,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(approx.contains("partial_approx_count_distinct"),
       s"approx profile must aggregate map-side first:\n$approx")
   }
+
+  test("timeline ops: each is ONE keyed exchange — rollups/steps reuse it, no joins") {
+    import org.apache.spark.sql.functions._
+    val ev = tables.events(spark, dir).toNative.select(col("event_id"),
+      col("user_id"), unix_micros(col("ts")).as("us"), col("value"), col("event_type"))
+    def hashExchanges(p: String): Int =
+      p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+
+    val sess = finalPlan(graft.operators.Timeline.sessionStats(
+      ev, Seq("user_id"), "us", 1800000000L, "value"))
+    assert(hashExchanges(sess) == 1,
+      s"sessionize + rollup must share one user_id exchange:\n$sess")
+    assert(sess.contains("Window"), s"expected lag/running-sum windows:\n$sess")
+    assert(!sess.contains("Join"), s"sessionize must not join:\n$sess")
+
+    val fun = finalPlan(graft.operators.Timeline.funnel(
+      ev, Seq("user_id"), "us", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase"))))
+    assert(hashExchanges(fun) == 1,
+      s"funnel steps must chain over one exchange, not shuffle per step:\n$fun")
+    assert(!fun.contains("Join"), s"funnel must not self-join per step:\n$fun")
+
+    val roll = finalPlan(graft.operators.Timeline.rolling(
+      ev, Seq("user_id"), "us", 3600000000L, "n_1h" -> count(lit(1))))
+    assert(hashExchanges(roll) == 1, s"rolling is one keyed exchange:\n$roll")
+    assert(roll.contains("Window"), s"expected the RANGE-frame window:\n$roll")
+  }
 }
