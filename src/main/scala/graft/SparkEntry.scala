@@ -624,6 +624,20 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // L15c: Bloom-reduced decontamination — same answer as
+    // dedup_decontam_keep, computed for the large-bench regime: a
+    // codegen'd might_contain prefilter (public stat.bloomFilter
+    // sketch) cuts the shuffled exact-verify join to the contaminated
+    // sliver; Bloom false positives die in the verify join, so the
+    // oracle is the EXACT keep-twin SQL.
+    "dedup_bloom_keep" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      Dedup.decontaminatedKeepBloom(
+          docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+          docs.where(col("doc_id") % 10 === 0), col("text"), k = 5)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // L16: deterministic hash sample — keep iff the first 8 hex chars of
     // md5(key:seed) fall below rate·2^32. Reproducible under ANY
     // repartitioning (unlike df.sample), pure narrow filter, and the
@@ -1591,6 +1605,23 @@ object SparkEntry {
     // the bench gram set (docs the stats never see — zero windows —
     // are kept, which NOT IN over the flagged list preserves).
     "dedup_decontam_keep" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 5
+        |  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |flagged AS (SELECT DISTINCT g.doc_id FROM g JOIN bench b ON g.gram = b.gram
+        |            WHERE g.doc_id % 10 <> 0)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id % 10 <> 0
+        |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Bloom keep: the Bloom pass only PRUNES (false positives die in
+    // the exact-verify join), so the oracle is the identical exact
+    // keep-twin — word-grams instead of fingerprints, same set.
+    "dedup_bloom_keep" ->
       """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 5
         |  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]

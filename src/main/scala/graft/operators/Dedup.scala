@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.InternalCaches
 import graft.functions.TextFns
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Deduplication operators for LLM-data pipelines (SURVEY §2.5 L1–L5).
   *
@@ -761,6 +762,70 @@ object Dedup {
     val flagged = contaminationStats(corpus, corpusId, corpusText, bench, benchText, k, broadcastBench)
       .where(col("n_contaminated") > 0L)
       .select(col("doc_id").as("_drop_id"))
+    corpus.join(flagged, corpusId === col("_drop_id"), "left_anti")
+  }
+
+  // ---------------------------------------------------------------- L15c
+  /** [[decontaminatedKeep]] for the regime where the benchmark/drop
+    * set is too large to ride a broadcast-hash join: Bloom-filter
+    * semi-join reduction (the published MassiveText/Gopher-style use
+    * of Bloom membership for corpus-scale dedup, and the same move
+    * Spark's runtime row-filtering makes for shuffled joins,
+    * SPARK-32268). Result is EXACTLY [[decontaminatedKeep]]'s — the
+    * Bloom pass only prunes, it never decides:
+    *
+    *  1. the bench side collapses to DISTINCT 64-bit window
+    *     fingerprints (one shuffle of the SMALL side) and feeds the
+    *     public `df.stat.bloomFilter` sketch — a distributed
+    *     tree-aggregate whose result is `numBits/8` bytes on the
+    *     driver regardless of input size (the bounded-artifact
+    *     contract; ~1.2 MB per 10⁶ distinct windows at fpp 0.01);
+    *  2. the corpus streams ONCE through a narrow, codegen'd
+    *     `might_contain` filter — no shuffle, no broadcast-join
+    *     hash-table build; only the ~(true hits + fpp) fraction of
+    *     (doc_id, fp) pairs survives;
+    *  3. survivors exact-verify against the bench fingerprints in a
+    *     SHUFFLED hash join — both sides are now small, and every
+    *     Bloom false positive dies here, which is what makes the
+    *     result exact rather than probabilistic;
+    *  4. truly-hit doc ids form the drop list for the same left-anti
+    *     keep as [[decontaminatedKeep]] (NULL-text / zero-window /
+    *     NULL-id rows are KEPT, same contract).
+    *
+    * At 100 TB the win is step 2: the naive shuffled join moves every
+    * corpus window's (doc_id, fp) through the exchange; the Bloom
+    * probe cuts that to the contaminated sliver for the price of one
+    * broadcast-sized byte array shipped with the tasks. `fpp` trades
+    * filter size against wasted exact-verify traffic — NEVER
+    * correctness. `expectedItems` skips the bench-count job when the
+    * caller already knows the cardinality. */
+  def decontaminatedKeepBloom(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchText: Column,
+      k: Int = 8, fpp: Double = 0.01, expectedItems: Option[Long] = None): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    // distinct bench fps are read three times (count, sketch build,
+    // exact verify) — registered persist, same rationale as capBuckets
+    val bfp = InternalCaches.register(
+      bench.select(explode(TextFns.shingles(benchText, k)).as("_g"))
+        .select(xxhash64(col("_g")).as("_fp"))
+        .distinct()
+        .persist())
+    val n = expectedItems.getOrElse(math.max(bfp.count(), 1L))
+    val bloom = bfp.stat.bloomFilter("_fp", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val candidates = corpus
+      .select(corpusId.as("doc_id"), explode(TextFns.shingles(corpusText, k)).as("_g"))
+      .select(col("doc_id"), xxhash64(col("_g")).as("_fp"))
+      .where(Bridge.mightContain(bytes, col("_fp")))
+    val flagged = candidates
+      .join(bfp, Seq("_fp"), "left_semi")
+      .select(col("doc_id").as("_drop_id"))
+      .distinct()
     corpus.join(flagged, corpusId === col("_drop_id"), "left_anti")
   }
 

@@ -47,6 +47,21 @@ object Bridge {
     }
   }
 
+  /** Codegen'd Bloom-filter membership probe over a LongType column —
+    * the same `BloomFilterMightContain` expression Spark's own runtime
+    * row-level filtering injects (SPARK-32268), with the filter bytes
+    * inlined as a binary literal. The bytes are the standard
+    * `org.apache.spark.util.sketch.BloomFilter` stream serialization
+    * (`writeTo`), i.e. exactly what the PUBLIC `df.stat.bloomFilter`
+    * sketch emits — build with the public API, probe natively in
+    * whole-stage codegen. NULL values probe to NULL (filtered out by
+    * a WHERE, the desired semantics). */
+  def mightContain(bloomBytes: Array[Byte], value: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        bloomBytes, org.apache.spark.sql.types.BinaryType),
+      ExpressionUtils.expression(value)))
+
   /** Non-blocking read of an Observation's metrics (`getOrEmpty` is
     * `private[sql]`): empty map until the observed action completes.
     * Callers poll this instead of the blocking `get` so a

@@ -92,4 +92,30 @@ class ContaminationSpec extends SparkSpec {
       .agg(sum(col("n_contaminated"))).head().getLong(0)
     assert(r == 0L)
   }
+
+  test("bloom keep is EXACTLY the broadcast keep — Bloom only prunes, never decides") {
+    val exact = Dedup.decontaminatedKeep(
+        corpus, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      .collect().map(_.toSeq).toSet
+    val bloom = Dedup.decontaminatedKeepBloom(
+        corpus, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(bloom == exact)
+    // a deliberately terrible filter (fpp .5, undersized) floods the
+    // verify join with false positives — the answer must not move
+    val floody = Dedup.decontaminatedKeepBloom(
+        corpus, col("doc_id"), col("text"), bench, col("text"), k = 5,
+        fpp = 0.5, expectedItems = Some(1L))
+      .collect().map(_.toSeq).toSet
+    assert(floody == exact)
+  }
+
+  test("bloom keep: NULL-text and zero-window corpus rows are KEPT") {
+    val withNull = corpus.unionAll(
+      Seq((99L, null.asInstanceOf[String]), (98L, "tiny")).toDF("doc_id", "text"))
+    val kept = Dedup.decontaminatedKeepBloom(
+        withNull, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(99L) && kept.contains(98L))
+  }
 }

@@ -452,6 +452,16 @@ class PlanAuditSpec extends SparkSpec {
       s"approx profile must aggregate map-side first:\n$approx")
   }
 
+  test("dedup_bloom_keep: codegen'd might_contain prefilter ahead of the exact-verify join") {
+    val plan = q("dedup_bloom_keep")
+    assert(plan.contains("might_contain"),
+      s"corpus windows must pass the Bloom probe before any join:\n$plan")
+    // the verify join must not be a nested loop; the keep is a left anti
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"bloom verify must stay an equi-join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"keep must be a left-anti drop-list join:\n$plan")
+  }
+
   test("timeline ops: each is ONE keyed exchange — rollups/steps reuse it, no joins") {
     import org.apache.spark.sql.functions._
     val ev = tables.events(spark, dir).toNative.select(col("event_id"),
