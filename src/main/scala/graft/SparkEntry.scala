@@ -439,6 +439,16 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // L31 (quantiles): exact percentile_cont profile at dyadic
+    // fractions over integer-valued columns — the regime where IEEE
+    // interpolation is bit-exact across engines (the GK-sketch approx
+    // twin is the unbounded-cardinality 100 TB shape, spec-gated).
+    "profile_quantiles" -> { (s, dir) =>
+      Profile.quantiles(lineitem(s, dir).toNative,
+          Seq("l_quantity", "l_partkey", "l_suppkey"), Seq(0.25, 0.5, 0.75))
+        .orderBy("column", "q")
+    },
+
     // L31: one-pass table profile — per-column rows/nulls/distinct/
     // min/max in ONE aggregate (exact variant; the approx HLL++ twin
     // is the 100 TB shape, plan-gated in PlanAuditSpec).
@@ -1734,6 +1744,21 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // Dyadic fractions over integer-valued columns: quantile_cont's
+    // interpolation is exact in IEEE double -> engine-independent.
+    "profile_quantiles" ->
+      """SELECT * FROM (
+        |SELECT 'l_partkey' AS "column", CAST(0.25 AS DOUBLE) AS q, quantile_cont(l_partkey, 0.25) AS value FROM lineitem
+        |UNION ALL SELECT 'l_partkey', CAST(0.5 AS DOUBLE), quantile_cont(l_partkey, 0.5) FROM lineitem
+        |UNION ALL SELECT 'l_partkey', CAST(0.75 AS DOUBLE), quantile_cont(l_partkey, 0.75) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', CAST(0.25 AS DOUBLE), quantile_cont(l_quantity, 0.25) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', CAST(0.5 AS DOUBLE), quantile_cont(l_quantity, 0.5) FROM lineitem
+        |UNION ALL SELECT 'l_quantity', CAST(0.75 AS DOUBLE), quantile_cont(l_quantity, 0.75) FROM lineitem
+        |UNION ALL SELECT 'l_suppkey', CAST(0.25 AS DOUBLE), quantile_cont(l_suppkey, 0.25) FROM lineitem
+        |UNION ALL SELECT 'l_suppkey', CAST(0.5 AS DOUBLE), quantile_cont(l_suppkey, 0.5) FROM lineitem
+        |UNION ALL SELECT 'l_suppkey', CAST(0.75 AS DOUBLE), quantile_cont(l_suppkey, 0.75) FROM lineitem
+        |) ORDER BY "column", q""".stripMargin,
 
     "profile_docs" ->
       """SELECT * FROM (

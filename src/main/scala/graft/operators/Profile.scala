@@ -69,4 +69,55 @@ object Profile {
     }
     meltRow(df.agg(aggs.head, aggs.tail: _*), cols)
   }
+
+  private def meltQuantiles(
+      row: DataFrame, cols: Seq[String], qs: Seq[Double]): DataFrame = {
+    val qLit = array(qs.map(lit): _*)
+    val entries = array(cols.map { c =>
+      struct(lit(c).as("column"), col(s"_q_$c").as("_vals"))
+    }: _*)
+    row.select(explode(entries).as("p"))
+      .select(col("p.column").as("column"),
+        posexplode(col("p._vals")).as(Seq("_i", "value")))
+      .select(col("column"), element_at(qLit, col("_i") + 1).as("q"), col("value"))
+  }
+
+  /** EXACT quantiles of numeric `cols` at fractions `qs` (linear
+    * interpolation — ANSI `percentile_cont`), melted tall to
+    * `(column, q, value)`. One aggregate job, map-side combined.
+    *
+    * Scale contract: Spark's exact `percentile` buffers a value→count
+    * map per (column, partial), so memory is O(Σ distinct values) —
+    * the right tool for bounded-cardinality columns (quantities, date
+    * keys, categorical codes, token counts). For unbounded doubles at
+    * corpus scale use [[quantilesApprox]], whose sketch state is
+    * constant. Cross-engine note: at dyadic `qs` (k/2ⁿ — .25/.5/.75…)
+    * over integer-valued data the interpolation is exact in IEEE
+    * double, so results are bit-identical across engines regardless
+    * of their interpolation formula — the oracle-gate regime. */
+  def quantiles(df: DataFrame, cols: Seq[String], qs: Seq[Double]): DataFrame = {
+    require(cols.nonEmpty, "quantiles of zero columns")
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"fractions must be in [0,1]: $qs")
+    val qArr = array(qs.map(lit): _*)
+    val aggs = cols.map(c => percentile(col(c), qArr).as(s"_q_$c"))
+    meltQuantiles(df.agg(aggs.head, aggs.tail: _*), cols, qs)
+  }
+
+  /** Approximate quantiles — Greenwald–Khanna sketch
+    * (`approx_percentile`; Greenwald & Khanna 2001, the published
+    * ε-approximate quantile summary): rank error ≤ n/`accuracy`,
+    * CONSTANT state per column regardless of cardinality, one narrow
+    * pass — the 100 TB shape for unbounded numeric columns. Same
+    * melted output as [[quantiles]]; returns the nearest actual data
+    * value (discrete), not an interpolation. */
+  def quantilesApprox(
+      df: DataFrame, cols: Seq[String], qs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(cols.nonEmpty, "quantiles of zero columns")
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"fractions must be in [0,1]: $qs")
+    val qArr = array(qs.map(lit): _*)
+    val aggs = cols.map(c =>
+      percentile_approx(col(c), qArr, lit(accuracy)).cast("array<double>").as(s"_q_$c"))
+    meltQuantiles(df.agg(aggs.head, aggs.tail: _*), cols, qs)
+  }
 }

@@ -46,4 +46,38 @@ class ProfileSpec extends SparkSpec {
     assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getLong(3) == 0L && r.isNullAt(4))
     assertThrows[IllegalArgumentException](Profile.profile(df, Seq.empty))
   }
+
+  test("quantiles: hand-computed percentile_cont incl. interpolation; NULLs skipped") {
+    import spark.implicits._
+    // values 10,20,30,40 (+ a NULL that must not count): n=4,
+    // pos = q*(n-1): q=.5 -> 25.0 (interpolated), q=.25 -> 17.5, q=1 -> 40
+    val d = Seq(Some(10.0), Some(20.0), Some(30.0), Some(40.0), None).toDF("x")
+    val got = Profile.quantiles(d, Seq("x"), Seq(0.25, 0.5, 1.0))
+      .select("q", "value").as[(Double, Double)].collect().toMap
+    assert(got(0.25) == 17.5 && got(0.5) == 25.0 && got(1.0) == 40.0)
+  }
+
+  test("quantiles: melted shape covers every (column, q) pair") {
+    import spark.implicits._
+    val d = Seq((1.0, 100L), (2.0, 200L), (3.0, 300L)).toDF("a", "b")
+    val got = Profile.quantiles(d, Seq("a", "b"), Seq(0.0, 0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    assert(got(("a", 0.5)) == 2.0 && got(("b", 0.5)) == 200.0)
+    assert(got(("a", 0.0)) == 1.0 && got(("b", 1.0)) == 300.0)
+  }
+
+  test("quantilesApprox: within rank tolerance of exact, constant-state sketch") {
+    import spark.implicits._
+    val d = (1 to 1001).map(_.toDouble).toDF("x")
+    val exact = Profile.quantiles(d, Seq("x"), Seq(0.25, 0.5, 0.75))
+      .select("q", "value").as[(Double, Double)].collect().toMap
+    val approx = Profile.quantilesApprox(d, Seq("x"), Seq(0.25, 0.5, 0.75),
+        accuracy = 10000)
+      .select("q", "value").as[(Double, Double)].collect().toMap
+    // accuracy 10000 over n=1001 -> rank error < 1: must hit the exact
+    // neighborhood (approx is discrete; exact interpolates)
+    for (q <- Seq(0.25, 0.5, 0.75))
+      assert(math.abs(approx(q) - exact(q)) <= 1.0, s"q=$q: ${approx(q)} vs ${exact(q)}")
+  }
 }
