@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, lit, max, pmod, round, sum, when}
 import graft.functions.{TextFns, UrlFns}
-import graft.operators.{Ann, Chunk, Dedup, Joins, Media, NgramLM, Pack, Profile, Sampling, Sketch, Timeline}
+import graft.operators.{Ann, Chunk, Dedup, Joins, Media, NgramLM, Pack, Profile, Sampling, Sketch, TfIdf, Timeline}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -366,6 +366,32 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("n_bigrams"),
           col("logprob_micro"), col("avg_logprob"))
         .orderBy("doc_id")
+    },
+
+    // L34: TF-IDF typicality scoring — smoothed idf fit on the corpus,
+    // docs scored by the tf·idf total WITHOUT materializing tf
+    // (Σ_terms tf·idf = Σ_occurrences idf: one broadcast join + one
+    // per-doc agg, the token stream never shuffles). Micro-nat
+    // quantization per occurrence — exact, order-free, oracle-exact.
+    "tfidf_score" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      TfIdf.score(docs, col("doc_id"), col("text"),
+          TfIdf.fit(docs, col("text")))
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("tfidf_micro"), col("avg_idf"))
+        .orderBy("doc_id")
+    },
+
+    // L34 (top terms): per-doc top-3 terms by tf·idf — keyword
+    // extraction; the per-doc cut is a WindowGroupLimit-partial
+    // rank, ties broken by term so the cut is deterministic.
+    "tfidf_topterms" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      TfIdf.topTerms(docs, col("doc_id"), col("text"),
+          TfIdf.fit(docs, col("text")), k = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"),
+          col("weight_micro"), col("rank"))
+        .orderBy("doc_id", "rank")
     },
 
     // L32: as-of join — each click enriched with the user's most
@@ -1685,6 +1711,38 @@ object SparkEntry {
     // DuckDB's native ASOF JOIN as an independent oracle for the
     // union-stream implementation; quotes deduped per (user, us) by
     // max view_id exactly like the engine's tieBreak.
+    // TF-IDF: identical tokenization, in-list distinct for df, the
+    // identical smoothed-idf micro-nat chain; doc score re-derived as
+    // the per-occurrence idf sum.
+    "tfidf_score" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS toks FROM documents),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+        |dfq AS (SELECT token, count(*) AS dfc FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tk) GROUP BY 1),
+        |sc AS (SELECT t.doc_id, CAST(round(ln(CAST(n.nd + 1 AS DOUBLE) / CAST(d.dfc + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
+        |  FROM tok t JOIN dfq d USING (token), n),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(sum(q) AS BIGINT) AS tfidf_micro FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, coalesce(a.tfidf_micro, 0) AS tfidf_micro,
+        |  CASE WHEN a.n_tokens > 0 THEN CAST(a.tfidf_micro AS DOUBLE) / (1000000.0 * a.n_tokens) END AS avg_idf
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Top terms: identical tf and weight; identical (weight desc,
+    // term asc) deterministic cut via QUALIFY.
+    "tfidf_topterms" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS toks FROM documents),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+        |dfq AS (SELECT token, count(*) AS dfc FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tk) GROUP BY 1),
+        |tf AS (SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |w AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * CAST(round(ln(CAST(n.nd + 1 AS DOUBLE) / CAST(d.dfc + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS weight_micro
+        |  FROM tf JOIN dfq d ON tf.term = d.token, n)
+        |SELECT doc_id, term, tf, weight_micro,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY weight_micro DESC, term ASC) AS INTEGER) AS rank
+        |FROM w
+        |QUALIFY rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin,
+
     "asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
         |q AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS us, value FROM events WHERE event_type = 'view'

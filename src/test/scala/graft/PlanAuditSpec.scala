@@ -462,6 +462,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), s"keep must be a left-anti drop-list join:\n$plan")
   }
 
+  test("tfidf: score joins the model broadcast and never shuffles the token stream") {
+    val plan = q("tfidf_score")
+    assert(plan.contains("BroadcastHashJoin"), s"df model must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the token stream must not sort-merge against the model:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("functions=[partial"),
+      s"per-doc agg must combine map-side:\n$plan")
+    val top = q("tfidf_topterms")
+    assert(top.contains("WindowGroupLimit"),
+      s"per-doc top-k must push the k-cut map-side:\n$top")
+  }
+
   test("timeline ops: each is ONE keyed exchange — rollups/steps reuse it, no joins") {
     import org.apache.spark.sql.functions._
     val ev = tables.events(spark, dir).toNative.select(col("event_id"),
