@@ -130,4 +130,66 @@ object Sketch {
         col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared")))
       .select("group_a", "group_b", "n_a", "n_b", "n_shared", "jaccard")
   }
+
+  // ------------------------------------------------- persisted sketches
+  // The compute-once/roll-up-forever pattern (L18b): fine-grain THETA
+  // sketches are built in ONE pass over the data and persisted as a
+  // binary column; every coarser-grain distinct count, union, overlap,
+  // or difference afterwards is algebra over the kilobyte sketches —
+  // the 100 TB corpus is never rescanned. Theta (not HLL) because the
+  // question catalog includes intersections/differences, which HLL
+  // cannot answer; Spark's built-in Apache DataSketches theta
+  // aggregates are order-independent (KMV keeps the k smallest
+  // hashes), so sketches and estimates are deterministic under any
+  // partitioning. Estimates carry the usual ~1/√k relative error —
+  // spec-gated against exact counts (same contract as
+  // [[overlapEstimate]]; not driver-gated, DuckDB has no twin).
+
+  /** One pass, one sketch per group: `(groups…, sketch, n_distinct_est)`.
+    * `sketch` is the compact serialized theta sketch — persist it next
+    * to the partition's other stats; everything below consumes it.
+    * NULL keys are skipped (DataSketches convention). */
+  def distinctSketches(
+      df: DataFrame, groups: Seq[String], key: Column,
+      lgNomEntries: Int = 12): DataFrame = {
+    require(groups.nonEmpty, "distinctSketches needs at least one group column")
+    df.groupBy(groups.map(col): _*)
+      .agg(theta_sketch_agg(key.cast("string"), lit(lgNomEntries)).as("sketch"))
+      .withColumn("n_distinct_est", theta_sketch_estimate(col("sketch")))
+  }
+
+  /** Roll persisted sketches up to a coarser grain WITHOUT rescanning
+    * data: union-merge per remaining group columns (empty `groups` =
+    * the global total, one row). Input is [[distinctSketches]] output
+    * (or any frame with a theta `sketch` column). */
+  def rollupDistinct(sketches: DataFrame, groups: Seq[String]): DataFrame = {
+    val merged =
+      if (groups.isEmpty) sketches.agg(theta_union_agg(col("sketch")).as("sketch"))
+      else sketches.groupBy(groups.map(col): _*)
+        .agg(theta_union_agg(col("sketch")).as("sketch"))
+    merged.withColumn("n_distinct_est", theta_sketch_estimate(col("sketch")))
+  }
+
+  /** Pairwise overlap matrix from PERSISTED sketches — the
+    * [[sourceOverlapMatrix]] audit without its data pass: every
+    * unordered pair of rows in `sketches` (keyed by `group`), with
+    * native theta intersection (no inclusion-exclusion error
+    * stacking). |groups| is mixture-sized by contract, so the
+    * pair expansion is a broadcast cross of kilobyte rows. Returns
+    * `(group_a, group_b, n_a_est, n_b_est, n_shared_est, jaccard_est)`. */
+  def sketchOverlapMatrix(sketches: DataFrame, group: String): DataFrame = {
+    val a = sketches.select(col(group).cast("string").as("group_a"),
+      col("sketch").as("_ska"))
+    val b = sketches.select(col(group).cast("string").as("group_b"),
+      col("sketch").as("_skb"))
+    broadcast(a).crossJoin(broadcast(b))
+      .where(col("group_a") < col("group_b"))
+      .withColumn("n_a_est", theta_sketch_estimate(col("_ska")))
+      .withColumn("n_b_est", theta_sketch_estimate(col("_skb")))
+      .withColumn("n_shared_est",
+        theta_sketch_estimate(theta_intersection(col("_ska"), col("_skb"))))
+      .withColumn("jaccard_est", col("n_shared_est").cast("double") /
+        (col("n_a_est") + col("n_b_est") - col("n_shared_est")))
+      .select("group_a", "group_b", "n_a_est", "n_b_est", "n_shared_est", "jaccard_est")
+  }
 }

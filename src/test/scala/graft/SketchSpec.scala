@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.operators.Sketch
 
 /** L18 sketch-based overlap: estimates gated against exact counts on
@@ -111,6 +111,52 @@ class SketchSpec extends SparkSpec {
     val r = Sketch.overlapEstimate(a, col("k"), b, col("k")).head()
     assert(within(r.getLong(0), 1000, 0.05), s"n_a ${r.getLong(0)}")
     assert(within(r.getLong(3), 500, 0.10), s"overlap ${r.getLong(3)}")
+  }
+
+  // exact distinct per group of the persisted-sketch fixture: g0 has
+  // keys 0..999, g1 has 500..1499, g2 has 0..99 (disjoint from g1's
+  // tail; overlaps g0 fully)
+  private def sketchFixture = {
+    val rows = (0L until 1000L).map(k => ("g0", k)) ++
+      (500L until 1500L).map(k => ("g1", k)) ++
+      (0L until 100L).map(k => ("g2", k))
+    (rows ++ rows).toDF("grp", "k")   // duplicated: sketches must dedup
+  }
+
+  test("distinctSketches: per-group estimates within tolerance, duplicates collapse") {
+    val sk = Sketch.distinctSketches(sketchFixture, Seq("grp"), col("k"))
+    val got = sk.select("grp", "n_distinct_est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(within(got("g0"), 1000, 0.05) && within(got("g1"), 1000, 0.05))
+    assert(got("g2") == 100L)   // under nominal entries: theta is exact
+  }
+
+  test("rollupDistinct: union of persisted sketches == sketch of the union, no rescan") {
+    val sk = Sketch.distinctSketches(sketchFixture, Seq("grp"), col("k"))
+    val total = Sketch.rollupDistinct(sk, Seq.empty).head().getAs[Long]("n_distinct_est")
+    val direct = Sketch.distinctSketches(
+        sketchFixture.withColumn("all", lit("x")), Seq("all"), col("k"))
+      .head().getAs[Long]("n_distinct_est")
+    assert(total == direct, s"rollup $total vs direct $direct")   // same algebra
+    assert(within(total, 1500, 0.05))                             // 0..1499
+  }
+
+  test("sketchOverlapMatrix: native intersections from sketches alone") {
+    val sk = Sketch.distinctSketches(sketchFixture, Seq("grp"), col("k"))
+    val m = Sketch.sketchOverlapMatrix(sk, "grp")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    assert(m.size == 3)
+    assert(within(m(("g0", "g1")), 500, 0.15), s"g0^g1 ${m(("g0", "g1"))}")
+    assert(within(m(("g0", "g2")), 100, 0.15), s"g0^g2 ${m(("g0", "g2"))}")
+    assert(m(("g1", "g2")) == 0L)   // disjoint
+  }
+
+  test("sketches are deterministic under repartitioning (order-independent KMV)") {
+    val a = Sketch.distinctSketches(sketchFixture, Seq("grp"), col("k"))
+      .select("grp", "n_distinct_est").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val b = Sketch.distinctSketches(sketchFixture.repartition(17), Seq("grp"), col("k"))
+      .select("grp", "n_distinct_est").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(a == b)
   }
 }
 
