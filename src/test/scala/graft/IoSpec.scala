@@ -96,6 +96,23 @@ class IoSpec extends SparkSpec {
       s"expected pushed ORC filter:\n$plan")
   }
 
+  test("hive-partitioned write prunes partitions on re-read (the #1 100 TB scan cut)") {
+    import org.apache.spark.sql.functions.col
+    val dir = freshDir("part") + "/docs"
+    val docs = tables.documents(spark, "/root/testdata/sf0.001").toNative
+    docs.write.partitionBy("lang").parquet(dir)
+    val back = spark.read.parquet(dir).where(col("lang") === "en")
+    val plan = back.queryExecution.executedPlan.toString
+    // the lang predicate must land in PartitionFilters (directory
+    // pruning — non-matching partitions are never opened), NOT as a
+    // row-level data filter over a full scan
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("lang"), s"lang must prune partitions:\n$plan")
+    val langs = docs.select("lang").distinct().count()
+    assert(langs > 1, "fixture needs multiple partitions for the prune to mean anything")
+    assert(back.count() == docs.where(col("lang") === "en").count())
+  }
+
   test("iterRowsAs streams typed rows without collect") {
     import spark.implicits._
     val tf = Tio.fromRows(spark, Users, users)
