@@ -765,6 +765,40 @@ object Dedup {
     corpus.join(flagged, corpusId === col("_drop_id"), "left_anti")
   }
 
+  // ---------------------------------------------------------------- L15d
+  /** [[decontaminatedKeep]] as a PURE NARROW FILTER — zero shuffle,
+    * zero join, zero state — for the small-bench contract (eval sets
+    * are tiny next to the corpus): the bench's distinct window
+    * fingerprints are collected ONCE to a driver set (bounded-artifact
+    * contract, 8 B per distinct window) and compiled into Spark's
+    * `InSet` predicate — the same O(1)-probe static-set expression
+    * Catalyst itself rewrites large IN-lists to — applied inside an
+    * `exists` over each doc's window fingerprints. No per-row set
+    * rebuild, no exchange anywhere.
+    *
+    * Because the whole keep decision is stateless and narrow, this
+    * exact function applies UNCHANGED to a STREAMING DataFrame —
+    * `graft.streaming.GStream.decontamStream` is this filter attached
+    * to a stream (no watermark, no stream-static join, nothing to
+    * checkpoint beyond the source offsets). Exactly
+    * [[decontaminatedKeep]]'s result: NULL-text / zero-window docs are
+    * KEPT. For benches too large to hold on the driver use
+    * [[decontaminatedKeep]] (broadcast) or [[decontaminatedKeepBloom]]
+    * (bloom + verify) per micro-batch via foreachBatch instead. */
+  def decontaminatedKeepSet(
+      corpus: DataFrame, corpusText: Column,
+      bench: DataFrame, benchText: Column, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.InSet
+    val fps: Set[Any] = bench
+      .select(explode(TextFns.shingles(benchText, k)).as("_g"))
+      .select(xxhash64(col("_g")).as("_fp"))
+      .distinct()
+      .collect().map(_.getLong(0): Any).toSet
+    val contaminated = exists(TextFns.shingles(corpusText, k),
+      g => Bridge.column(InSet(Bridge.expr(xxhash64(g)), fps)))
+    corpus.where(coalesce(!contaminated, lit(true)))
+  }
+
   // ---------------------------------------------------------------- L15c
   /** [[decontaminatedKeep]] for the regime where the benchmark/drop
     * set is too large to ride a broadcast-hash join: Bloom-filter

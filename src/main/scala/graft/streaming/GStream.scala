@@ -148,6 +148,28 @@ object GStream {
       .start()
   }
 
+  // ------------------------------------------------------------- ST4
+  /** Streaming benchmark decontamination: the L15 keep applied to a
+    * document STREAM. [[graft.operators.Dedup.decontaminatedKeepSet]]
+    * is a pure narrow stateless filter (driver-side bench fingerprint
+    * set compiled into an `InSet` probe — no join, no shuffle, no
+    * watermark, no state store), so it attaches to any streaming
+    * DataFrame unchanged; this wrapper exists to document the
+    * contract: the bench is STATIC and small (eval-set sized — its
+    * fingerprints are collected to the driver when the query is
+    * BUILT; a bench update requires restarting the stream), and
+    * exactly-once output is the sink's concern, as with any narrow
+    * streaming transform. For large or evolving benches run the
+    * broadcast/bloom batch keeps per micro-batch via foreachBatch
+    * (the [[dedupStream]] pattern). */
+  def decontamStream(
+      docs: DataFrame, text: Column,
+      bench: DataFrame, benchText: Column, k: Int = 8): DataFrame = {
+    require(docs.isStreaming, "decontamStream expects a streaming DataFrame")
+    require(!bench.isStreaming, "the benchmark side must be static")
+    Dedup.decontaminatedKeepSet(docs, text, bench, benchText, k)
+  }
+
   // ------------------------------------------------------------- ST2
   /** Input row for sessionization. */
   final case class SEvent(user_id: Long, ts: Timestamp, event_type: String)

@@ -110,6 +110,34 @@ class ContaminationSpec extends SparkSpec {
     assert(floody == exact)
   }
 
+  test("InSet keep (narrow filter) is EXACTLY the broadcast keep") {
+    val exact = Dedup.decontaminatedKeep(
+        corpus, col("doc_id"), col("text"), bench, col("text"), k = 5)
+      .collect().map(_.toSeq).toSet
+    val set = Dedup.decontaminatedKeepSet(
+        corpus, col("text"), bench, col("text"), k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(set == exact)
+    // empty bench keeps everything; NULL text is kept
+    val withNull = corpus.unionAll(
+      Seq((97L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val all = Dedup.decontaminatedKeepSet(
+        withNull, col("text"), bench.where(lit(false)), col("text"), k = 5)
+    assert(all.count() == withNull.count())
+    val kept = Dedup.decontaminatedKeepSet(
+        withNull, col("text"), bench, col("text"), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(97L))
+  }
+
+  test("InSet keep plans as a pure narrow filter — no join, no exchange") {
+    val plan = Dedup.decontaminatedKeepSet(
+        corpus, col("text"), bench, col("text"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"the set keep must stay a narrow filter:\n$plan")
+  }
+
   test("bloom keep: NULL-text and zero-window corpus rows are KEPT") {
     val withNull = corpus.unionAll(
       Seq((99L, null.asInstanceOf[String]), (98L, "tiny")).toDF("doc_id", "text"))

@@ -82,6 +82,34 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("ST4: streaming decontamination == the batch keep, stateless across batches") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Dedup
+    import spark.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = (1L to 60L).map { i =>
+      if (i % 5 == 0) Doc(i, s"prefix $i " + boiler)   // contaminated
+      else Doc(i, s"unique document body number $i with its own words $i")
+    }
+    val bench = Seq((9001L, boiler)).toDF("doc_id", "text")
+    val input = MemoryStream(Encoders.product[Doc], spark)
+    val kept = graft.streaming.GStream.decontamStream(
+      input.toDF(), col("text"), bench, col("text"), k = 5)
+    val q = kept.writeStream
+      .format("memory").queryName("st4_decontam_out").outputMode("append").start()
+    try {
+      input.addData(docs.take(30)); q.processAllAvailable()
+      input.addData(docs.drop(30)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st4_decontam_out")
+      .select("doc_id").as[Long].collect().toSet
+    val batch = Dedup.decontaminatedKeep(
+        docs.toDF(), col("doc_id"), col("text"), bench, col("text"), k = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(!streamed.exists(_ % 5 == 0))   // every planted doc dropped
+  }
+
   test("ST1: MemoryStream sliding window agg == identical batch agg, with overlap") {
     val events = Seq(
       SEvent(1L, t("2024-01-01T10:05:00Z"), "a"),
