@@ -452,6 +452,19 @@ object SparkEntry {
         .orderBy("user_id")
     },
 
+    // L33 (retention): weekly signup cohorts × weekly activity — the
+    // retention triangle. Cohort anchor = per-user window min (one
+    // exchange, no self-join); offsets are integer div; single-distinct
+    // two-phase count (no Expand).
+    "retention_events" -> { (s, dir) =>
+      val week = 604800000000L
+      val ev = events(s, dir).toNative.select(col("user_id"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"), col("event_type"))
+      Timeline.retention(ev, Seq("user_id"), "us",
+          col("event_type") === "signup", bucket = week)
+        .orderBy("cohort", "offset")
+    },
+
     // L33 (rolling): per-event trailing-1h count + cents over a RANGE
     // frame on the user timeline — value-based frame, so simultaneous
     // events agree under any tie order.
@@ -1791,6 +1804,17 @@ object SparkEntry {
         |            WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS depth
         |FROM u LEFT JOIN s1 USING(user_id) LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id)
         |ORDER BY 1""".stripMargin,
+
+    // Retention: identical anchor/offset integer arithmetic (both
+    // operands positive, so // == div == floor in both engines).
+    "retention_events" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events WHERE ts IS NOT NULL),
+        |t0 AS (SELECT user_id, min(us) AS t0 FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |act AS (SELECT e.user_id, t0.t0 // 604800000000 AS cohort,
+        |               (e.us - t0.t0) // 604800000000 AS "offset"
+        |        FROM e JOIN t0 ON e.user_id = t0.user_id WHERE e.us >= t0.t0)
+        |SELECT cohort, "offset", count(DISTINCT user_id) AS n_active
+        |FROM act GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Rolling: identical value-based RANGE frame (tie-order
     // independent by construction).

@@ -124,6 +124,39 @@ object Timeline {
       .agg(tCols.head, (tCols.tail :+ depth.as("depth")): _*)
   }
 
+  /** Cohort retention: entities grouped by WHEN they first triggered
+    * `cohortPred` (bucketed to `bucket` units of `time` — weeks, days)
+    * and counted at each bucket offset they were active afterwards.
+    * Output `(cohort, offset, n_active)`: `cohort` = the entity's
+    * first-trigger time div bucket, `offset` = (event time − first
+    * trigger) div bucket (0 = the cohort bucket itself), `n_active` =
+    * DISTINCT entities from that cohort with any event at that offset
+    * — the classic retention triangle. Entities that never trigger
+    * `cohortPred`, and events before the trigger, are excluded.
+    *
+    * Plan shape: the cohort anchor is an unordered per-key window min
+    * (the funnel trick — one exchange, no sort, no self-join), offsets
+    * are narrow integer arithmetic (`div` — both positive, so
+    * truncation is floor in every engine), and the distinct count is
+    * a single-distinct two-phase aggregate (no Expand). */
+  def retention(
+      df: DataFrame, keys: Seq[String], time: String,
+      cohortPred: Column, bucket: Long): DataFrame = {
+    require(keys.nonEmpty, "retention needs at least one key")
+    require(bucket > 0, s"bucket must be positive, got $bucket")
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.where(col(time).isNotNull)
+      .select(keys.map(col) :+ col(time).as("_t") :+ cohortPred.as("_c"): _*)
+      .withColumn("_t0", min(when(col("_c"), col("_t"))).over(w))
+      .where(col("_t0").isNotNull && col("_t") >= col("_t0"))
+      .select(
+        expr(s"_t0 div $bucket").as("cohort"),
+        expr(s"(_t - _t0) div $bucket").as("offset"),
+        struct(keys.map(col): _*).as("_k"))
+      .groupBy("cohort", "offset")
+      .agg(count_distinct(col("_k")).as("n_active"))
+  }
+
   /** Per-event trailing-window aggregates: input columns plus each of
     * `aggs` evaluated over the RANGE frame `[time - back, time]`
     * within the entity's timeline. `aggs` are ordinary aggregate

@@ -501,5 +501,11 @@ class PlanAuditSpec extends SparkSpec {
       ev, Seq("user_id"), "us", 3600000000L, "n_1h" -> count(lit(1))))
     assert(hashExchanges(roll) == 1, s"rolling is one keyed exchange:\n$roll")
     assert(roll.contains("Window"), s"expected the RANGE-frame window:\n$roll")
+
+    val ret = finalPlan(graft.operators.Timeline.retention(
+      ev, Seq("user_id"), "us", col("event_type") === "signup", 604800000000L))
+    assert(!ret.contains("Join"), s"retention anchor must be a window, not a self-join:\n$ret")
+    assert(!ret.contains("Expand"),
+      s"single-distinct count must plan two-phase, not Expand:\n$ret")
   }
 }

@@ -106,6 +106,31 @@ class TimelineSpec extends SparkSpec {
       (161L, 16.0, 3L, 28.0))) // [61,161]: the two 100s + itself
   }
 
+  test("retention: hand-built triangle — anchors, offsets, distinct actives") {
+    // bucket=10. u1 signs up at 12 (cohort 1), active at 12,19 (off 0),
+    // 25 (off 1); pre-signup event at 5 excluded. u2 signs up at 13
+    // (cohort 1), active at 13 only. u3 never signs up -> excluded.
+    val d = Seq(
+      (1L, 5L, "x"), (1L, 12L, "signup"), (1L, 19L, "x"), (1L, 25L, "x"),
+      (2L, 13L, "signup"),
+      (3L, 7L, "x")).toDF("user_id", "t", "typ")
+    val got = Timeline.retention(d, Seq("user_id"), "t",
+        col("typ") === "signup", bucket = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 2L), (1L, 1L, 1L)))
+  }
+
+  test("retention: a second signup does not re-anchor; multi-event offsets dedup") {
+    val d = Seq(
+      (1L, 10L, "signup"), (1L, 40L, "signup"),  // anchor stays 10
+      (1L, 41L, "x"), (1L, 43L, "x")             // both in offset 3, count once
+    ).toDF("user_id", "t", "typ")
+    val got = Timeline.retention(d, Seq("user_id"), "t",
+        col("typ") === "signup", bucket = 10L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 0L, 1L), (1L, 3L, 1L)))
+  }
+
   test("sessionize/funnel: partition-count invariance") {
     val wide = ev.repartition(13)
     val a = Timeline.sessionStats(ev, Seq("user_id"), "t", 50L, "value")
