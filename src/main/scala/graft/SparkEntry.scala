@@ -519,6 +519,25 @@ object SparkEntry {
         .select("doc_id", "source").orderBy("doc_id")
     },
 
+    // L35: Unicode canonicalization — NFC + accent stripping as
+    // codegen'd kernels over deterministically planted composed (even
+    // ids) / decomposed (odd ids) accents. Normalization is fully
+    // Unicode-specified, so DuckDB's utf8proc is a true independent
+    // oracle: identical bytes, not just equal-looking strings.
+    "text_unicode" -> { (s, dir) =>
+      val plant = when(pmod(col("doc_id"), lit(2)) === 0,
+        lit(" café münchen São"))        // composed
+        .otherwise(lit(" café münchen São")) // decomposed
+      val t = concat(col("text"), plant)
+      documents(s, dir).toNative.select(
+        col("doc_id"),
+        TextFns.unicodeNorm(t).as("nfc"),
+        org.apache.spark.sql.functions.length(t).as("n_before"),
+        org.apache.spark.sql.functions.length(TextFns.unicodeNorm(t)).as("n_after"),
+        TextFns.stripAccents(t).as("stripped"),
+      ).orderBy("doc_id")
+    },
+
     // L11: content fingerprint of normalized text
     "text_fingerprint" -> { (s, dir) =>
       documents(s, dir).toNative
@@ -1434,6 +1453,15 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_bpeish
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Unicode gate: identical planted literals (composed even /
+    // decomposed odd), DuckDB's utf8proc as the independent oracle.
+    "text_unicode" ->
+      """WITH t AS (SELECT doc_id, text || CASE WHEN doc_id % 2 = 0 THEN ' café münchen São' ELSE ' café münchen São' END AS t FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS nfc,
+        |  CAST(length(t) AS INTEGER) AS n_before,
+        |  CAST(length(nfc_normalize(t)) AS INTEGER) AS n_after,
+        |  strip_accents(t) AS stripped
+        |FROM t ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

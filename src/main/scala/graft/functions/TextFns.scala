@@ -30,6 +30,22 @@ object TextFns {
   /** Single-space tokenization (exact SQL mirror: string_split(c, ' ')). */
   def wsTokens(c: Column): Column = split(c, " ")
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) — codegen'd kernel
+    * ([[org.apache.spark.sql.graftexpr.UnicodeNormExpr]]). Pre-dedup
+    * hygiene: composed and decomposed "café" are different bytes —
+    * different fingerprints/shingles — until NFC folds them. The
+    * algorithm is fully Unicode-specified, so any conformant engine
+    * (DuckDB's nfc_normalize) produces identical bytes — oracle-gated.
+    * SQL mirror (NFC): nfc_normalize(c). */
+  def unicodeNorm(c: Column, form: String = "NFC"): Column =
+    Bridge.column(org.apache.spark.sql.graftexpr.UnicodeNormExpr(Bridge.expr(c), form))
+
+  /** Accent/diacritic stripping: NFD → drop combining marks → NFC
+    * ("café"→"cafe"); non-decomposable letters (ø, ł) pass through.
+    * SQL mirror: strip_accents(c). */
+  def stripAccents(c: Column): Column =
+    Bridge.column(org.apache.spark.sql.graftexpr.StripAccentsExpr(Bridge.expr(c)))
+
   /** Word k-shingles: ["a b c", "b c d", ...]; texts shorter than k
     * collapse to one whole-text shingle. Native one-pass expression —
     * the `transform(sequence(...), i => slice(toks,...))` form

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 /** Registers graft's native kernels as SQL functions through Spark's
   * standard extension point, so `spark.sql("SELECT simhash64(...)")`
@@ -48,5 +48,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => SimHash64Expr(args(0)))
     register(ext, "cosine_sim", "cosine_sim(a, b) - cosine similarity of two numeric arrays",
       args => CosineSimExpr(args(0), args(1)))
+    register(ext, "unicode_norm", "unicode_norm(s, 'NFC'|'NFD'|'NFKC'|'NFKD') - Unicode normalization",
+      args => UnicodeNormExpr(args(0), args(1) match {
+        case Literal(v: org.apache.spark.unsafe.types.UTF8String, StringType) => v.toString
+        case other => throw new IllegalArgumentException(
+          s"unicode_norm: argument 2 must be a string literal form, got $other")
+      }))
+    register(ext, "strip_accents", "strip_accents(s) - drop combining marks (NFD -> strip -> NFC)",
+      args => StripAccentsExpr(args(0)))
   }
 }
