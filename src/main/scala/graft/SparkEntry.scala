@@ -710,6 +710,17 @@ object SparkEntry {
     // md5(key:seed) fall below rate·2^32. Reproducible under ANY
     // repartitioning (unlike df.sample), pure narrow filter, and the
     // oracle runs the IDENTICAL ANSI expression.
+    // L16 (importance): per-row Bernoulli with a COMPUTED rate —
+    // DSIR-shaped importance resampling (rate ∝ doc length here);
+    // still a pure narrow filter, floor'd threshold for cross-engine
+    // exactness.
+    "sample_importance" -> { (s, dir) =>
+      Sampling.sampleImportance(documents(s, dir).toNative, col("doc_id"),
+          org.apache.spark.sql.functions.least(lit(1.0),
+            col("n_chars").cast("double") / 4000.0), seed = 7)
+        .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+
     "sample_hash" -> { (s, dir) =>
       Sampling.sampleHash(documents(s, dir).toNative, col("doc_id"), rate = 0.25, seed = 42)
         .select("doc_id", "lang").orderBy("doc_id")
@@ -1711,6 +1722,16 @@ object SparkEntry {
         |WHERE d.doc_id % 10 <> 0
         |  AND NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Importance sample: the IDENTICAL ANSI predicate — explicit floor
+    // before the BIGINT cast (engines disagree on double->int CAST
+    // rounding), fixed-width lowercase hex threshold per row.
+    "sample_importance" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE least(1.0, CAST(n_chars AS DOUBLE) / 4000.0) >= 1.0
+        |   OR substr(md5(doc_id::VARCHAR || ':7'), 1, 8) <
+        |      lower(lpad(hex(CAST(floor(least(1.0, CAST(n_chars AS DOUBLE) / 4000.0) * 4294967296.0) AS BIGINT)), 8, '0'))
+        |ORDER BY doc_id""".stripMargin,
 
     // The keep-predicate is the IDENTICAL ANSI expression the engine
     // runs: fixed-width lowercase hex compares lexicographically like

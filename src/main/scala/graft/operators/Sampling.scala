@@ -71,6 +71,26 @@ object Sampling {
   def sampleHash(df: DataFrame, key: Column, rate: Double, seed: Int = 0): DataFrame =
     df.where(keepPredicate(key, rate, seed))
 
+  /** Per-ROW deterministic Bernoulli(rateᵢ) — importance resampling
+    * (the DSIR-shaped step: keep probability proportional to a per-doc
+    * score/weight, e.g. quality or domain-match). Same draw as
+    * [[sampleHash]] but the threshold is COMPUTED per row from `rate`
+    * (clamped to [0,1]; NULL rates drop the row): still a pure narrow
+    * codegen'd filter — no shuffle, no join, reproducible under any
+    * partitioning, and same-seed draws nest with [[sampleHash]] by the
+    * threshold-MIN law. Cross-engine exact: the threshold is
+    * `floor(rate·2³²)` (explicit floor — engines disagree on
+    * double→int CAST rounding) rendered as 8 lowercase hex chars, the
+    * same fixed-width lexicographic compare as every L16 member.
+    * SQL mirror: substr(md5(key::VARCHAR || ':<seed>'), 1, 8) <
+    * lower(lpad(hex(CAST(floor(r*4294967296.0) AS BIGINT)), 8, '0'))
+    * OR r >= 1.0. */
+  def sampleImportance(df: DataFrame, key: Column, rate: Column, seed: Int = 0): DataFrame = {
+    val r = least(lit(1.0), greatest(lit(0.0), rate))
+    val thr = lower(lpad(hex(floor(r * 4294967296.0).cast("long")), 8, "0"))
+    df.where(r >= 1.0 || hashDraw(key, seed) < thr)
+  }
+
   /** Stratified deterministic sample: per-stratum rates (data-mixture
     * weighting — e.g. keep 80% of high-quality English, 10% of the
     * rest), strata not listed fall back to `defaultRate`. One CASE

@@ -321,4 +321,33 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.sampleTemperature(withNull, col("k"), col("g"), 0.5, 10).count() <= 1)
     assert(Sampling.sampleTemperature(df.where(lit(false)), col("k"), col("g"), 0.5, 10).count() == 0)
   }
+
+  test("importance: constant rate matches sampleHash exactly (same draw, same threshold)") {
+    val d = (1L to 2000L).toDF("k")
+    val a = Sampling.sampleHash(d, col("k"), 0.3, seed = 5).as[Long].collect().toSet
+    val b = Sampling.sampleImportance(d, col("k"), lit(0.3), seed = 5).as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("importance: rate >= 1 keeps, <= 0 drops, NULL drops; clamps out-of-range") {
+    val d = Seq((1L, Some(2.0)), (2L, Some(-1.0)), (3L, None), (4L, Some(1.0)))
+      .toDF("k", "r")
+    val kept = Sampling.sampleImportance(d, col("k"), col("r"), seed = 1)
+      .select("k").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
+  test("importance: per-row rates calibrate — high-rate rows survive more often") {
+    val d = (1L to 4000L).toDF("k")
+      .withColumn("r", when(col("k") <= 2000L, 0.8).otherwise(0.1))
+    val kept = Sampling.sampleImportance(d, col("k"), col("r"), seed = 2)
+    val hi = kept.where(col("k") <= 2000L).count()
+    val lo = kept.where(col("k") > 2000L).count()
+    assert(math.abs(hi - 1600L) < 120, s"hi $hi")   // ~0.8 * 2000
+    assert(math.abs(lo - 200L) < 80, s"lo $lo")     // ~0.1 * 2000
+    // deterministic + partition-invariant
+    val again = Sampling.sampleImportance(d.repartition(13), col("k"), col("r"), seed = 2)
+      .select("k").as[Long].collect().toSet
+    assert(again == kept.select("k").as[Long].collect().toSet)
+  }
 }
