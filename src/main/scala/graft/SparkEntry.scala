@@ -192,6 +192,25 @@ object SparkEntry {
         .toNative
     },
 
+    // E13 (rank family): percent_rank / cume_dist / ntile over a
+    // deterministic (acctbal desc, custkey) order — percent_rank is an
+    // exact integer ratio, so doubles reproduce across engines.
+    "q20_window_ranks" -> { (s, dir) =>
+      val w = GWindow.partitionBy(Customer.c_mktsegment)
+        .orderBy(Customer.c_acctbal.desc, Customer.c_custkey.asc)
+      customer(s, dir)
+        .withCols(
+          gfn.percentRank(w).asName("pct_rank"),
+          gfn.cumeDist(w).asName("cume"),
+          gfn.ntile(4, w).asName("quartile"))
+        .select(Customer.c_mktsegment, Customer.c_custkey,
+          gref[Double]("pct_rank").asName("pct_rank"),
+          gref[Double]("cume").asName("cume"),
+          gref[Int]("quartile").asName("quartile"))
+        .sort(Customer.c_mktsegment.asc, Customer.c_custkey.asc)
+        .toNative
+    },
+
     // E9: null handling — is_null probe, fill_null, null-skipping agg
     "q10_null_handling" -> { (s, dir) =>
       events(s, dir)
@@ -1315,6 +1334,18 @@ object SparkEntry {
         |                           ORDER BY c_acctbal DESC, c_custkey) AS rn
         |      FROM customer) t
         |WHERE rn <= 5 ORDER BY c_mktsegment, rn""".stripMargin,
+
+    // percent_rank = (rank-1)/(n-1), an exact integer ratio; ntile
+    // bucket-boundary convention (first rows%n buckets +1) is the SQL
+    // standard in both engines.
+    "q20_window_ranks" ->
+      """SELECT c_mktsegment, c_custkey,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
 
     "q10_null_handling" ->
       """SELECT event_type,

@@ -183,6 +183,16 @@ object gfn {
   def lead[T](c: TypedCol[T], n: Int, w: GWindow): TypedCol[T] = new TypedCol(F.lead(c.c, n).over(w.ws))
   def runningSum[T: Numeric](c: TypedCol[T], w: GWindow): TypedCol[T] =
     new TypedCol(F.sum(c.c).over(w.ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  /** (rank−1)/(rows−1) in [0,1]; single-row partitions yield 0.0.
+    * An exact integer ratio → cross-engine reproducible. */
+  def percentRank(w: GWindow): TypedCol[Double] = new TypedCol(percent_rank().over(w.ws))
+  /** rows ≤ current / total rows — the CDF position (ties share it). */
+  def cumeDist(w: GWindow): TypedCol[Double] = new TypedCol(cume_dist().over(w.ws))
+  /** 1-based bucket over the partition's order; sizes differ by ≤1. */
+  def ntile(n: Int, w: GWindow): TypedCol[Int] = {
+    require(n > 0, s"ntile buckets must be positive, got $n")
+    new TypedCol(F.ntile(n).over(w.ws))
+  }
 }
 
 /** Conditional builder — colnade when/then/otherwise

@@ -49,4 +49,23 @@ class WindowSpec extends SparkSpec {
     assert(out.filter(_.getAs[String]("region") == "e")
       .map(_.getAs[Double]("pair_sum")).toSeq == Seq(10.0, 30.0, 25.0))
   }
+
+  test("percent_rank / cume_dist / ntile: hand-computed incl. ties and singletons") {
+    val w = GWindow.partitionBy(Sales.region).orderBy(Sales.amount.asc)
+    val out = sales.withCols(
+        gfn.percentRank(w).asName("pr"),
+        gfn.cumeDist(w).asName("cd"),
+        gfn.ntile(2, w).asName("half"))
+      .toNative.orderBy("region", "day").collect()
+    val e = out.filter(_.getAs[String]("region") == "e")
+    // e amounts by day: 10, 20, 5 -> ranks (asc): 2,3,1
+    assert(e.map(_.getAs[Double]("pr")).toSeq == Seq(0.5, 1.0, 0.0))
+    assert(e.map(_.getAs[Double]("cd")).toSeq == Seq(2.0 / 3, 1.0, 1.0 / 3))
+    assert(e.map(_.getAs[Int]("half")).toSeq == Seq(1, 2, 1)) // first bucket gets the extra row
+    val wTied = out.filter(_.getAs[String]("region") == "w")
+    // w: two tied 7.0 rows -> same rank -> pr 0.0 both, cume_dist 1.0 both
+    assert(wTied.map(_.getAs[Double]("pr")).toSeq == Seq(0.0, 0.0))
+    assert(wTied.map(_.getAs[Double]("cd")).toSeq == Seq(1.0, 1.0))
+    assertThrows[IllegalArgumentException](gfn.ntile(0, w))
+  }
 }
