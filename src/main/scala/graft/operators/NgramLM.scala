@@ -95,6 +95,41 @@ object NgramLM {
     BigramModel(bi, uni, uni.count())
   }
 
+  /** Persist a fitted unigram LM (count table as parquet + one-row
+    * params): fit once on the reference split, score every run after.
+    * Loaded counts stay a LAZY scan — a ≫10⁷-type vocab is exactly as
+    * usable as a fresh fit (pair with `broadcastModel=false`). */
+  def saveUnigram(model: UnigramModel, path: String): Unit = {
+    model.counts.write.mode("overwrite").parquet(s"$path/counts")
+    val spark = model.counts.sparkSession
+    import spark.implicits._
+    Seq((model.totalTokens, model.vocabSize)).toDF("n", "v").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a model saved by [[saveUnigram]]. */
+  def loadUnigram(spark: org.apache.spark.sql.SparkSession, path: String): UnigramModel = {
+    val p = spark.read.parquet(s"$path/params").head()
+    UnigramModel(spark.read.parquet(s"$path/counts"), p.getLong(0), p.getLong(1))
+  }
+
+  /** Persist a fitted bigram LM — see [[saveUnigram]]. */
+  def saveBigram(model: BigramModel, path: String): Unit = {
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    model.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
+    val spark = model.bigrams.sparkSession
+    import spark.implicits._
+    Seq(model.vocabSize).toDF("v").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a model saved by [[saveBigram]]. */
+  def loadBigram(spark: org.apache.spark.sql.SparkSession, path: String): BigramModel =
+    BigramModel(
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/unigrams"),
+      spark.read.parquet(s"$path/params").head().getLong(0))
+
   /** Integer micro-nat log-prob of `p = num / den` (both exact
     * integer-valued columns): `round(ln(num/den) · 1e6)` as LONG. The
     * division is double-on-double with fixed operand order, so the

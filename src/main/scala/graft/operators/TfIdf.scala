@@ -83,6 +83,23 @@ object TfIdf {
           col("tfidf_micro").cast("double") / (lit(1000000.0) * col("n_tokens"))))
   }
 
+  /** Persist a fitted model: the df table as parquet plus a one-row
+    * params file — fit once on the reference corpus, score many runs.
+    * The loaded `docFreq` stays a LAZY parquet scan (never collected),
+    * so a giant vocab is exactly as usable as a fresh fit. */
+  def save(model: DfModel, path: String): Unit = {
+    model.docFreq.write.mode("overwrite").parquet(s"$path/df")
+    val spark = model.docFreq.sparkSession
+    import spark.implicits._
+    Seq(model.nDocs).toDF("n_docs").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a model saved by [[save]]. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): DfModel =
+    DfModel(spark.read.parquet(s"$path/df"),
+      spark.read.parquet(s"$path/params").head().getLong(0))
+
   /** Per-doc top-`k` terms by tf·idf weight: `(id, term, tf,
     * weight_micro, rank)`, ties broken by term (ascending) so the cut
     * is deterministic. Token-less docs have no terms and no rows.

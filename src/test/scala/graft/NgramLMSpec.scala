@@ -95,4 +95,22 @@ class NgramLMSpec extends SparkSpec {
       NgramLM.fitUnigram(df, col("t")), broadcastModel = true).orderBy("id").collect()
     assert(u1.toSeq == u2.toSeq)
   }
+
+  test("save/load round trips: loaded models score identically (uni + bi)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a c"), (2L, "b c d e"), (3L, "a a")).toDF("id", "t")
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    val um = NgramLM.fitUnigram(df, col("t"))
+    NgramLM.saveUnigram(um, s"$dir/uni")
+    val ub = NgramLM.loadUnigram(spark, s"$dir/uni")
+    assert(ub.totalTokens == um.totalTokens && ub.vocabSize == um.vocabSize)
+    assert(NgramLM.scoreUnigram(df, col("id"), col("t"), ub).collect().map(_.toSeq).toSet ==
+      NgramLM.scoreUnigram(df, col("id"), col("t"), um).collect().map(_.toSeq).toSet)
+    val bm = NgramLM.fitBigram(df, col("t"))
+    NgramLM.saveBigram(bm, s"$dir/bi")
+    val bb = NgramLM.loadBigram(spark, s"$dir/bi")
+    assert(bb.vocabSize == bm.vocabSize)
+    assert(NgramLM.scoreBigram(df, col("id"), col("t"), bb).collect().map(_.toSeq).toSet ==
+      NgramLM.scoreBigram(df, col("id"), col("t"), bm).collect().map(_.toSeq).toSet)
+  }
 }

@@ -60,6 +60,17 @@ class TfIdfSpec extends SparkSpec {
     assert(all.groupBy("id").count().agg(max("count")).head().getLong(0) <= 2)
   }
 
+  test("save/load round trip: the loaded model scores identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfidf").toString
+    val m = TfIdf.fit(docs, col("text"))
+    TfIdf.save(m, dir)
+    val back = TfIdf.load(spark, dir)
+    assert(back.nDocs == m.nDocs)
+    val a = TfIdf.score(docs, col("doc_id"), col("text"), m).collect().map(_.toSeq).toSet
+    val b = TfIdf.score(docs, col("doc_id"), col("text"), back).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("broadcast and shuffle model joins agree; partition invariance") {
     val m = TfIdf.fit(docs, col("text"))
     val a = TfIdf.score(docs, col("doc_id"), col("text"), m, broadcastModel = true)
