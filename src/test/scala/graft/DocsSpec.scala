@@ -317,4 +317,53 @@ class DocsSpec extends SparkSpec {
     assert(assignment.collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("shard_id")))
       .toSeq == Seq((1L, 0L)))
   }
+
+  // --- event-analytics.md --------------------------------------------
+
+  test("event analytics: sessionize / funnel / rolling / retention snippets run") {
+    import spark.implicits._
+    import graft.operators.Timeline
+    import org.apache.spark.sql.functions._
+    val events = Seq(
+      (1L, 100L, "signup", 1.0), (1L, 200L, "view", 2.0),
+      (1L, 2000000300L, "click", 3.0), (1L, 2000000400L, "purchase", 0.5),
+      (2L, 50L, "view", 9.0)).toDF("user_id", "us", "event_type", "value")
+
+    val sess = Timeline.sessionStats(events, Seq("user_id"), "us",
+      gap = 1800000000L, valueCol = "value")
+    assert(sess.where(col("user_id") === 1L).count() == 2) // gap split
+
+    val fun = Timeline.funnel(events, Seq("user_id"), "us", Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")),
+      within = Some(86400000000L))
+    assert(fun.where(col("user_id") === 1L).head().getAs[Int]("depth") == 3)
+    assert(fun.where(col("user_id") === 2L).head().getAs[Int]("depth") == 1)
+
+    val roll = Timeline.rolling(events, Seq("user_id"), "us", back = 3600000000L,
+      "n_1h" -> count(lit(1)),
+      "cents_1h" -> sum(coalesce(round(col("value") * 100).cast("long"), lit(0L))))
+    assert(roll.count() == 5)
+
+    val ret = Timeline.retention(events, Seq("user_id"), "us",
+      col("event_type") === "signup", bucket = 604800000000L)
+    assert(ret.head().getAs[Long]("n_active") == 1L) // only u1 signs up
+  }
+
+  test("event analytics: as-of and range join snippets run") {
+    import spark.implicits._
+    import graft.operators.Joins
+    val trades = Seq(("A", 10L, 1L), ("A", 99L, 2L)).toDF("sym", "us", "trade_id")
+    val quotes = Seq(("A", 5L, 1.5, 7L), ("A", 50L, 2.5, 8L))
+      .toDF("sym", "us", "px", "quote_id")
+    val asof = Joins.asofJoin(trades, quotes, Seq("sym"), "us", Seq("px"),
+      tolerance = Some(60L), tieBreak = Some("quote_id"))
+    assert(asof.where(col("trade_id") === 2L).head().getAs[Double]("asof_px") == 2.5)
+
+    val points = Seq(("k", 15L, 1L)).toDF("key", "p", "pid")
+    val intervals = Seq(("k", 10L, 20L, 9L)).toDF("key", "s", "e", "iid")
+    assert(Joins.rangeJoin(points, intervals, Seq("key"), "p", "s", "e",
+      binWidth = 10L).count() == 1)
+  }
 }
