@@ -507,6 +507,18 @@ object SparkEntry {
         .orderBy("column", "q")
     },
 
+    // L31 (heavy hitters): exact top-20 corpus tokens — the
+    // boilerplate audit. Map-side word count + k-row TakeOrdered, no
+    // global sort; deterministic (count desc, token asc) cut.
+    "text_toptokens" -> { (s, dir) =>
+      Profile.topValues(
+          documents(s, dir).toNative.select(
+            org.apache.spark.sql.functions.explode(
+              NgramLM.tokens(col("text"))).as("token")),
+          col("token"), k = 20)
+        .orderBy(col("n").desc, col("value").asc)
+    },
+
     // L31: one-pass table profile — per-column rows/nulls/distinct/
     // min/max in ONE aggregate (exact variant; the approx HLL++ twin
     // is the 100 TB shape, plan-gated in PlanAuditSpec).
@@ -1906,6 +1918,12 @@ object SparkEntry {
         |FROM e
         |WINDOW w AS (PARTITION BY user_id ORDER BY us RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    // Top tokens: identical tokenization, identical deterministic cut.
+    "text_toptokens" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '')) AS value FROM documents)
+        |SELECT value, count(*) AS n FROM tok
+        |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 20""".stripMargin,
 
     // Dyadic fractions over integer-valued columns: quantile_cont's
     // interpolation is exact in IEEE double -> engine-independent.

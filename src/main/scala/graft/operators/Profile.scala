@@ -70,6 +70,22 @@ object Profile {
     meltRow(df.agg(aggs.head, aggs.tail: _*), cols)
   }
 
+  /** Exact top-`k` heavy hitters of a column: `(value, n)` by count
+    * desc, ties by value asc (deterministic cut). NULLs are excluded —
+    * they are a [[profile]] statistic, not a value. Plan: map-side
+    * partial count per value, then a k-row TakeOrdered — no global
+    * sort; memory is O(distinct) in the aggregate, so for unbounded
+    * columns pre-bucket or feed a tokenized/exploded projection (the
+    * boilerplate-token audit: `df.select(explode(tokens))`). */
+  def topValues(df: DataFrame, c: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.select(c.cast("string").as("value"))
+      .where(col("value").isNotNull)
+      .groupBy("value").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("value").asc)
+      .limit(k)
+  }
+
   private def meltQuantiles(
       row: DataFrame, cols: Seq[String], qs: Seq[Double]): DataFrame = {
     val qLit = array(qs.map(lit): _*)

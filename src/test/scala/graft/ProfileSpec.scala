@@ -67,6 +67,17 @@ class ProfileSpec extends SparkSpec {
     assert(got(("a", 0.0)) == 1.0 && got(("b", 1.0)) == 300.0)
   }
 
+  test("topValues: deterministic heavy hitters — count desc, value asc, NULLs out") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val d = Seq("b", "a", "b", "c", "a", null).toDF("x")
+    val got = Profile.topValues(d, org.apache.spark.sql.functions.col("x"), k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 2L), ("b", 2L)))   // tie broken by value asc
+    assertThrows[IllegalArgumentException](
+      Profile.topValues(d, org.apache.spark.sql.functions.col("x"), 0))
+  }
+
   test("quantilesApprox: within rank tolerance of exact, constant-state sketch") {
     import spark.implicits._
     val d = (1 to 1001).map(_.toDouble).toDF("x")

@@ -183,6 +183,42 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((0L, 30000L, 2L), (200000L, 200000L, 1L), (1000000L, 1000000L, 1L)))
   }
 
+  test("ST2 × L33: streaming sessionize agrees with the batch Timeline rollup") {
+    // two INDEPENDENT implementations of gap sessionization
+    // (flatMapGroupsWithState vs lag/running-sum windows) must produce
+    // the same closed sessions on the same data
+    import org.apache.spark.sql.functions.col
+    val base = Instant.parse("2024-01-01T00:00:00Z").toEpochMilli
+    def ev(uid: Long, sec: Long) = SEvent(uid, new Timestamp(base + sec * 1000), "x")
+    val events = Seq(
+      ev(1L, 0), ev(1L, 30), ev(1L, 200), ev(1L, 1000),
+      ev(2L, 10), ev(2L, 90), ev(2L, 300))
+
+    val input = MemoryStream(Encoders.product[SEvent], spark)
+    val q = GStream.sessionize(input.toDS(), gapMs = 100000L, watermarkDelay = "1 second")
+      .writeStream.format("memory").queryName("st2x_out").outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      input.addData(Seq(ev(99L, 100000))) // advance watermark: close all
+      q.processAllAvailable()
+      input.addData(Seq(ev(99L, 200000)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st2x_out").as[SessionInfo](Encoders.product[SessionInfo])
+      .collect().filter(_.user_id <= 2L)
+      .map(s => (s.user_id, s.start.getTime, s.end.getTime, s.n_events)).toSet
+
+    import spark.implicits._
+    val batchEv = events.map(e => (e.user_id, e.ts.getTime, 0.0))
+      .toDF("user_id", "ms", "value")
+    val batch = graft.operators.Timeline.sessionStats(
+        batchEv, Seq("user_id"), "ms", gap = 100000L, valueCol = "value")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start"),
+        r.getAs[Long]("session_end"), r.getAs[Long]("n_events"))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("ST3: streaming incremental dedup catches duplicates across micro-batches via the index") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
