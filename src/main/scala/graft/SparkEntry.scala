@@ -430,6 +430,23 @@ object SparkEntry {
         .orderBy("event_id")
     },
 
+    // L32 (forward direction): each click enriched with the user's NEXT
+    // view at-or-after it — same union-stream + keyed-window plan over
+    // the reversed time order; oracle is DuckDB's native ASOF with the
+    // comparator flipped (an independent implementation again).
+    "asof_join_fwd" -> { (s, dir) =>
+      val ev = events(s, dir).toNative
+      val probes = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"))
+      val quotes = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("us"), col("value"))
+      Joins.asofJoin(probes, quotes, Seq("user_id"), "us",
+          Seq("view_id", "value"), tieBreak = Some("view_id"), direction = "forward")
+        .orderBy("event_id")
+    },
+
     // L32 (range): clicks within 24h after an error, same user —
     // intervals explode into covering bins, the join is an equi-join
     // on (user, bin) + residual filter, never a nested loop.
@@ -1854,6 +1871,14 @@ object SparkEntry {
         |      QUALIFY row_number() OVER (PARTITION BY user_id, us ORDER BY view_id DESC) = 1)
         |SELECT p.event_id, p.user_id, p.us, q.us AS asof_us, q.view_id AS asof_view_id, q.value AS asof_value
         |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.us >= q.us
+        |ORDER BY p.event_id""".stripMargin,
+
+    "asof_join_fwd" ->
+      """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),
+        |q AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS us, value FROM events WHERE event_type = 'view'
+        |      QUALIFY row_number() OVER (PARTITION BY user_id, us ORDER BY view_id DESC) = 1)
+        |SELECT p.event_id, p.user_id, p.us, q.us AS asof_us, q.view_id AS asof_view_id, q.value AS asof_value
+        |FROM p ASOF LEFT JOIN q ON p.user_id = q.user_id AND p.us <= q.us
         |ORDER BY p.event_id""".stripMargin,
 
     "range_join" ->

@@ -97,9 +97,18 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Coverage manifest: declared vs failed, so a consumer of the result
     // tree can detect missing rows without trusting its own glob.
+    // A SPARK_GRAFT_ONLY subset run records itself IN the manifest
+    // (`subset` + the filter), so a consumer that trusts the manifest
+    // alone can reject filtered runs instead of relying on the
+    // convention that the driver never sets the env var.
     val declared = selected.keys.toList.sorted
+    val subsetFields = only match {
+      case None => s""""subset": false, """
+      case Some(names) =>
+        s""""subset": true, "only": ${names.toList.sorted.map(q).mkString("[", ",", "]")}, """
+    }
     val manifest =
-      s"""{"declared_count": ${declared.size}, "failed_count": ${failedQueries.size}, """ +
+      s"""{$subsetFields"declared_count": ${declared.size}, "failed_count": ${failedQueries.size}, """ +
         s""""declared": ${declared.map(q).mkString("[", ",", "]")}, """ +
         s""""failed": ${failedQueries.map(q).mkString("[", ",", "]")}}"""
     Files.writeString(Paths.get(s"$outDir/_manifest.json"), manifest)

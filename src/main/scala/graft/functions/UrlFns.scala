@@ -104,6 +104,44 @@ object UrlFns {
       .otherwise(last2)
   }
 
+  /** Registered domain (eTLD+1) of a HOST against a full user-supplied
+    * public-suffix list (publicsuffix.org format: one rule per line,
+    * `*.`-wildcard and `!`-exception rules honored, `//` comments and
+    * blanks skipped) — the exact-semantics upgrade over the 10-suffix
+    * [[registeredDomain]] heuristic, which misgroups .com.tr/.co.kr/
+    * .com.ar/... hosts it doesn't know. The parsed rules ship to
+    * executors INSIDE the expression (the `InSet` pattern, ~200 KB for
+    * the full list) so the column stays a pure narrow codegen'd
+    * projection — cheaper than the equivalent explode-suffixes +
+    * broadcast-join + regroup composition, with no per-row regex.
+    * Returns NULL when the host is itself a public suffix (PSL
+    * semantics — the heuristic instead passes single-label hosts
+    * through; callers keying a blocklist won't see the difference,
+    * callers grouping by domain get an honest NULL). Hosts and rules
+    * must agree on form (lowercase; punycode vs unicode) — no IDNA
+    * mapping here, per the module's raw-bytes contract. */
+  def registeredDomainPsl(host: Column, rules: Iterable[String]): Column = {
+    val parsed = new graft.hashing.PslRules(rules)
+    require(parsed.size > 0, "registeredDomainPsl: empty rule set")
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.graftexpr.PslDomainExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expr(host), parsed))
+  }
+
+  /** [[registeredDomainPsl]] from a single-column frame of rule lines
+    * (e.g. `spark.read.text(pslPath)`). The list is collected to the
+    * driver — a BOUNDED artifact by contract (the full real-world PSL
+    * is ~10⁴ lines; `maxRules` fail-fasts at 10⁶ so a wrong frame can
+    * never trigger an unbounded collect). */
+  def registeredDomainPsl(host: Column, psl: DataFrame, maxRules: Int = 1000000): Column = {
+    require(psl.columns.length == 1,
+      s"registeredDomainPsl: expected a single-column frame of rules, got ${psl.columns.length} columns")
+    val rows = psl.limit(maxRules + 1).collect()
+    require(rows.length <= maxRules,
+      s"registeredDomainPsl: rule frame exceeds maxRules=$maxRules — not a public-suffix list?")
+    registeredDomainPsl(host, rows.iterator.map(r => String.valueOf(r.get(0))).toSeq)
+  }
+
   /** Drop rows whose URL's registered domain appears in `blocked`
     * (single-column frame of domains) — broadcast LEFT ANTI join, so
     * the corpus never shuffles; a blocklist too large to broadcast
@@ -113,9 +151,14 @@ object UrlFns {
     * `urlHost =!= ""` filter to drop those). */
   def filterBlockedDomains(
       df: DataFrame, url: Column, blocked: DataFrame,
-      broadcastList: Boolean = true): DataFrame = {
+      broadcastList: Boolean = true,
+      psl: Option[Iterable[String]] = None): DataFrame = {
     val b = blocked.toDF("_graft_blocked")
     val side = if (broadcastList) broadcast(b) else b
-    df.join(side, registeredDomain(urlHost(url)) === col("_graft_blocked"), "left_anti")
+    val domain = psl match {
+      case Some(rules) => registeredDomainPsl(urlHost(url), rules)
+      case None => registeredDomain(urlHost(url))
+    }
+    df.join(side, domain === col("_graft_blocked"), "left_anti")
   }
 }

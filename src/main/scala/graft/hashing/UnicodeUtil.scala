@@ -19,14 +19,22 @@ import org.apache.spark.unsafe.types.UTF8String
   * stripmark — they are distinct letters, not accented forms. */
 object UnicodeUtil {
 
-  def normalize(s: UTF8String, form: String): UTF8String = {
-    val f = Normalizer.Form.valueOf(form)
+  // Form resolved by ordinal: the codegen'd kernel receives an int
+  // literal baked in at expression construction, so the hot path never
+  // does the per-row string→enum lookup valueOf() would.
+  private val FORMS: Array[Normalizer.Form] = Normalizer.Form.values()
+
+  def normalize(s: UTF8String, formOrdinal: Int): UTF8String = {
+    val f = FORMS(formOrdinal)
     val str = s.toString
     // fast path: already normalized (the common case for ASCII-heavy
     // corpora) — skip the rebuild
     if (Normalizer.isNormalized(str, f)) s
     else UTF8String.fromString(Normalizer.normalize(str, f))
   }
+
+  def normalize(s: UTF8String, form: String): UTF8String =
+    normalize(s, Normalizer.Form.valueOf(form).ordinal)
 
   def stripAccents(s: UTF8String): UTF8String = {
     val str = s.toString

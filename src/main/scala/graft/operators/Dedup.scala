@@ -1045,14 +1045,18 @@ object Dedup {
         .distinct()
       var (edges, edgesPath) = snap(p0)
       // Star-forest test (see scaladoc): targets never re-occur as
-      // sources AND every source has out-degree 1. Two narrow
-      // single-column probes; both trivially true for an empty set.
+      // sources AND every source has out-degree 1. Both violation
+      // indicators union into ONE limit-1 probe — a single job per
+      // round, not two O(|edges|) scans (the r14 advisory); trivially
+      // true for an empty set.
       def flattened(e: DataFrame): Boolean =
         e.select(col("b"))
           .join(e.select(col("a").as("b")), Seq("b"), "left_semi")
-          .isEmpty &&
-        e.groupBy("a").agg(count(lit(1)).as("_n"))
-          .where(col("_n") > 1).isEmpty
+          .select(lit(1).as("_graft_viol"))
+          .union(
+            e.groupBy("a").agg(count(lit(1)).as("_n"))
+              .where(col("_n") > 1).select(lit(1).as("_graft_viol")))
+          .isEmpty
       var converged = flattened(edges)
       var it = 0
       while (!converged && it < maxIters) {

@@ -9,15 +9,19 @@ import org.apache.spark.sql.functions._
   * plans Spark would pick for the raw predicates:
   *
   *  - AS-OF (point-in-time) join: each left row matches the single
-  *    most recent right row at-or-before its timestamp per key — the
-  *    time-series enrichment join (pandas `merge_asof`, the classic
-  *    trades-vs-quotes shape). The naive SQL (`t >= q.t` theta-join +
-  *    per-pair max) is a row-exploding range join; the composition
-  *    here is the published union-stream trick: tag and UNION both
-  *    inputs, ONE hash exchange on the key, per-key time order, then
-  *    `last(quote, ignoreNulls)` over an unbounded-preceding window
-  *    carries the latest quote forward onto each probe row. O(n+m)
-  *    rows shuffled once, no join node at all.
+  *    closest right row per key — at-or-before (`backward`, the pandas
+  *    `merge_asof` default / trades-vs-quotes shape), at-or-after
+  *    (`forward`), or whichever is closer (`nearest`). The naive SQL
+  *    (`t >= q.t` theta-join + per-pair max) is a row-exploding range
+  *    join; the composition here is the published union-stream trick:
+  *    tag and UNION both inputs, ONE hash exchange on the key, per-key
+  *    time order, then `last(quote, ignoreNulls)` over an
+  *    unbounded-preceding window carries the latest quote forward onto
+  *    each probe row. O(n+m) rows shuffled once, no join node at all.
+  *    `forward` is the same window over the reversed time order;
+  *    `nearest` evaluates both windows over the SAME single exchange
+  *    (same partitioning — Spark re-sorts, never re-shuffles) and
+  *    picks per row.
   *
   *  - RANGE (interval containment) join: points × covering intervals.
   *    Spark plans the raw `p BETWEEN s AND e` predicate as a
@@ -30,18 +34,25 @@ import org.apache.spark.sql.functions._
   *
   * Both run at 100 TB: one keyed exchange each, AQE-skew-splittable
   * (the as-of window is per-key — a single degenerate key serializes
-  * within its task, the standard keyed-window caveat). */
+  * within its task, the standard keyed-window caveat). Internal temp
+  * columns are all `_graft_`-prefixed (the library-wide reserved
+  * namespace), so user columns can never collide silently. */
 object Joins {
 
-  /** Left as-of (backward) join.
+  /** Left as-of join.
     *
-    * For each `left` row: the `right` row with the same `keys` and the
-    * greatest `time` ≤ the left row's `time` (at-or-before; ties at
-    * equal time match). `valueCols` from that row arrive prefixed with
-    * `outPrefix`, plus `<outPrefix><time>` = the matched timestamp;
-    * unmatched rows keep NULLs (left semantics). `tolerance` (same
-    * units as `time`) nulls out matches older than `time - tolerance`
-    * (pandas merge_asof semantics).
+    * For each `left` row: the `right` row with the same `keys` and —
+    * per `direction` — the greatest `time` ≤ the left row's `time`
+    * (`"backward"`, the default; ties at equal time match), the
+    * smallest `time` ≥ it (`"forward"`), or the smaller absolute
+    * distance of the two (`"nearest"`; an exact tie in distance takes
+    * the backward row — the deterministic choice, documented rather
+    * than engine-dependent). `valueCols` from that row arrive prefixed
+    * with `outPrefix`, plus `<outPrefix><time>` = the matched
+    * timestamp; unmatched rows keep NULLs (left semantics).
+    * `tolerance` (same units as `time`) nulls out matches farther than
+    * `tolerance` from the probe time (pandas merge_asof semantics,
+    * applied per side for `nearest`).
     *
     * The matched values ride in ONE struct through the window, so all
     * output columns come from the SAME right row even when some of its
@@ -52,13 +63,16 @@ object Joins {
     * winner among equal timestamps (deduped map-side via a partial
     * WindowGroupLimit). Right rows with NULL time are dropped (a
     * quote without a timestamp precedes nothing); left rows with NULL
-    * time keep NULL matches. */
+    * time keep NULL matches (explicitly — not by sort-order accident). */
   def asofJoin(
       left: DataFrame, right: DataFrame, keys: Seq[String], time: String,
       valueCols: Seq[String], tolerance: Option[Long] = None,
-      tieBreak: Option[String] = None, outPrefix: String = "asof_"): DataFrame = {
+      tieBreak: Option[String] = None, outPrefix: String = "asof_",
+      direction: String = "backward"): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one key")
     require(valueCols.nonEmpty, "asofJoin needs at least one value column")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be backward|forward|nearest, got $direction")
     val r0 = right.where(col(time).isNotNull)
     val r1 = tieBreak match {
       case None => r0
@@ -69,33 +83,55 @@ object Joins {
     }
     // the quote payload as ONE struct: (_t = quote time, values...)
     val rq = r1.select(keys.map(col) ++ Seq(col(time),
-      struct(col(time).as("_t") +: valueCols.map(col): _*).as("_q")): _*)
-    val qType = rq.schema("_q").dataType
+      struct(col(time).as("_t") +: valueCols.map(col): _*).as("_graft_q")): _*)
+    val qType = rq.schema("_graft_q").dataType
     val lTagged = left
-      .withColumn("_side", lit(1))
-      .withColumn("_q", lit(null).cast(qType))
+      .withColumn("_graft_side", lit(1))
+      .withColumn("_graft_q", lit(null).cast(qType))
     val rTagged = left.columns.foldLeft(rq) { (d, c) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }.withColumn("_side", lit(0))
+    }.withColumn("_graft_side", lit(0))
       .select(lTagged.columns.map(col): _*)
-    // quotes sort BEFORE probes at equal time (_side 0 < 1) so
-    // at-or-before includes the same-timestamp quote
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(time).asc, col("_side").asc)
+    // quotes sort BEFORE probes at equal time (_graft_side 0 < 1) so
+    // the boundary is inclusive in both directions; both windows share
+    // the partitioning, so `nearest` still pays ONE exchange
+    def win(timeOrd: Column) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(timeOrd, col("_graft_side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = lTagged.unionByName(rTagged)
-      .withColumn("_m", last(col("_q"), ignoreNulls = true).over(w))
-      .where(col("_side") === 1)
-    val inTol: Column = tolerance match {
-      case None => col("_m").isNotNull
-      case Some(tol) => col("_m").isNotNull && col("_m._t") >= col(time) - tol
+    val needB = direction != "forward"
+    val needF = direction != "backward"
+    val unioned = lTagged.unionByName(rTagged)
+    val withB = if (needB)
+      unioned.withColumn("_graft_mb", last(col("_graft_q"), ignoreNulls = true).over(win(col(time).asc)))
+    else unioned
+    val matched = (if (needF)
+      withB.withColumn("_graft_mf", last(col("_graft_q"), ignoreNulls = true).over(win(col(time).desc_nulls_first)))
+    else withB).where(col("_graft_side") === 1)
+    // per-side validity: probe time present, match present, within tol
+    def valid(m: Column, delta: Column): Column = tolerance match {
+      case None => col(time).isNotNull && m.isNotNull
+      case Some(tol) => col(time).isNotNull && m.isNotNull && delta <= tol
     }
+    val bOk = if (needB) valid(col("_graft_mb"), col(time) - col("_graft_mb._t")) else lit(false)
+    val fOk = if (needF) valid(col("_graft_mf"), col("_graft_mf._t") - col(time)) else lit(false)
+    val chosen: Column = direction match {
+      case "backward" => when(bOk, col("_graft_mb"))
+      case "forward" => when(fOk, col("_graft_mf"))
+      case "nearest" =>
+        // both valid → smaller distance wins, exact tie → backward
+        when(bOk && fOk,
+          when(col(time) - col("_graft_mb._t") <= col("_graft_mf._t") - col(time),
+            col("_graft_mb")).otherwise(col("_graft_mf")))
+          .when(bOk, col("_graft_mb"))
+          .when(fOk, col("_graft_mf"))
+    }
+    val withChosen = matched.withColumn("_graft_m", chosen)
     val outCols = left.columns.map(col) ++
       (("_t" -> s"$outPrefix$time") +: valueCols.map(v => v -> s"$outPrefix$v")).map {
-        case (src, out) => when(inTol, col(s"_m.$src")).as(out)
+        case (src, out) => col(s"_graft_m.$src").as(out)
       }
-    matched.select(outCols: _*)
+    withChosen.select(outCols: _*)
   }
 
   /** Inner range-containment join: every (point, interval) pair with
@@ -105,26 +141,35 @@ object Joins {
     * offsets, positions).
     *
     * Plan shape: intervals explode into covering bins of `binWidth`
-    * (`floor(start/w) … floor(end/w)`), points take their single bin,
-    * and the join is a hash EQUI-join on (keys…, bin) + the residual
-    * BETWEEN filter — never a nested loop. Each qualifying pair
-    * surfaces exactly once (a point has ONE bin). Bin arithmetic is
-    * the same monotone expression on both sides, so edge rounding can
-    * never lose a match. Cost: Σ(len/binWidth + 1) replicated interval
+    * (`floorDiv(start,w) … floorDiv(end,w)`), points take their single
+    * bin, and the join is a hash EQUI-join on (keys…, bin) + the
+    * residual BETWEEN filter — never a nested loop. Each qualifying
+    * pair surfaces exactly once (a point has ONE bin). Binning is pure
+    * 64-bit integer floor-division — exact at ANY magnitude (a
+    * double-based `floor(x/w)` coarsens above 2⁵³, inflating
+    * replication in shared bins; values stay correct either way since
+    * the residual filter decides, but exact bins keep the replication
+    * bound honest). Cost: Σ(len/binWidth + 1) replicated interval
     * rows — pick binWidth near the typical interval length. */
   def rangeJoin(
       points: DataFrame, intervals: DataFrame, keys: Seq[String],
       point: String, start: String, end: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    def bin(c: Column): Column = floor(c.cast("double") / binWidth).cast("long")
+    // exact long floor-division: subtract the (always non-negative)
+    // pmod so the dividend is an exact multiple — truncating `div`
+    // then equals floor, with no double rounding anywhere
+    def bin(c: Column): Column = {
+      val v = c.cast("long")
+      call_function("div", v - pmod(v, lit(binWidth)), lit(binWidth))
+    }
     val iv = intervals
       .where(col(start).isNotNull && col(end).isNotNull && col(start) <= col(end))
-      .withColumn("_bin", explode(sequence(bin(col(start)), bin(col(end)))))
+      .withColumn("_graft_bin", explode(sequence(bin(col(start)), bin(col(end)))))
     val pt = points
       .where(col(point).isNotNull)
-      .withColumn("_bin", bin(col(point)))
-    pt.join(iv, keys :+ "_bin")
+      .withColumn("_graft_bin", bin(col(point)))
+    pt.join(iv, keys :+ "_graft_bin")
       .where(col(point) >= col(start) && col(point) <= col(end))
-      .drop("_bin")
+      .drop("_graft_bin")
   }
 }

@@ -83,15 +83,26 @@ object NgramLM {
     UnigramModel(counts, nv.getLong(0), nv.getLong(1))
   }
 
-  /** Fit the add-one bigram LM: the unigram count (conditional
-    * denominator) plus the bigram count — two word-count-shaped
-    * aggregates over the same scan. */
+  /** Fit the add-one bigram LM: unigram counts (the conditional's
+    * denominator) AND bigram counts from ONE corpus scan — each doc's
+    * tokens and consecutive pairs explode into a single tagged stream
+    * (`u`/`b`) feeding ONE word-count aggregate (map-side partial).
+    * Only the model-sized count table persists (registered with
+    * [[graft.InternalCaches]], drained at the flow's job boundary);
+    * the corpus itself is never cached and never scanned twice —
+    * at fit-on-100 TB the scan IS the cost, so halving it matters. */
   def fitBigram(df: DataFrame, text: Column): BigramModel = {
     val toked = df.select(tokens(text).as("_toks"))
-    val uni = toked.select(explode(col("_toks")).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val bi = toked.select(explode(bigrams(col("_toks"))).as("bigram"))
-      .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+    val counts = graft.InternalCaches.register(toked
+      .select(explode(concat(
+        transform(col("_toks"), t => struct(lit("u").as("tag"), t.as("gram"))),
+        transform(bigrams(col("_toks")), g => struct(lit("b").as("tag"), g.as("gram")))
+      )).as("_tg"))
+      .groupBy(col("_tg.tag").as("tag"), col("_tg.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist())
+    val uni = counts.where(col("tag") === "u").select(col("gram").as("token"), col("cnt"))
+    val bi = counts.where(col("tag") === "b").select(col("gram").as("bigram"), col("cnt"))
     BigramModel(bi, uni, uni.count())
   }
 
@@ -107,9 +118,11 @@ object NgramLM {
       .write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Load a model saved by [[saveUnigram]]. */
+  /** Load a model saved by [[saveUnigram]]. Params are read BY NAME
+    * (not ordinal) so a column-order change in the persisted file
+    * fails loudly instead of silently swapping N and V. */
   def loadUnigram(spark: org.apache.spark.sql.SparkSession, path: String): UnigramModel = {
-    val p = spark.read.parquet(s"$path/params").head()
+    val p = spark.read.parquet(s"$path/params").select("n", "v").head()
     UnigramModel(spark.read.parquet(s"$path/counts"), p.getLong(0), p.getLong(1))
   }
 
@@ -123,12 +136,13 @@ object NgramLM {
       .write.mode("overwrite").parquet(s"$path/params")
   }
 
-  /** Load a model saved by [[saveBigram]]. */
+  /** Load a model saved by [[saveBigram]] (params read by name — see
+    * [[loadUnigram]]). */
   def loadBigram(spark: org.apache.spark.sql.SparkSession, path: String): BigramModel =
     BigramModel(
       spark.read.parquet(s"$path/bigrams"),
       spark.read.parquet(s"$path/unigrams"),
-      spark.read.parquet(s"$path/params").head().getLong(0))
+      spark.read.parquet(s"$path/params").select("v").head().getLong(0))
 
   /** Integer micro-nat log-prob of `p = num / den` (both exact
     * integer-valued columns): `round(ln(num/den) · 1e6)` as LONG. The

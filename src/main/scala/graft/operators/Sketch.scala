@@ -170,6 +170,72 @@ object Sketch {
     merged.withColumn("n_distinct_est", theta_sketch_estimate(col("sketch")))
   }
 
+  /** On-disk sketch catalog — the compute-once contract as a durable
+    * artifact (the [[graft.operators.Dedup.writeMinHashIndex]] shape):
+    * `sketches/` holds [[distinctSketches]] output parquet, `params/`
+    * one row `(lg_nom_entries, groups)` written LAST as the commit
+    * marker. `mode = "append"` adds a new batch's per-group sketches
+    * after a fail-fast params check — theta sketches at different
+    * lgNomEntries (or a different grain) union into silently WRONG
+    * estimates, so a mismatch throws instead. Duplicate groups across
+    * appends are the POINT: consumers [[rollupDistinct]] over the
+    * catalog, and theta union is associative/idempotent-free-merge, so
+    * rollup-over-appended-batches ≡ the one-shot sketch of everything
+    * (pinned exactly in SketchSpec). A crash between the data write
+    * and the params write of the initial creation leaves a
+    * params-less directory that [[readSketches]] refuses to read. */
+  def writeSketches(
+      df: DataFrame, groups: Seq[String], key: Column, path: String,
+      lgNomEntries: Int = 12, mode: String = "overwrite"): Unit = {
+    require(mode == "overwrite" || mode == "append", s"unsupported sketch write mode: $mode")
+    val spark = df.sparkSession
+    val existing = readSketchParams(spark, path)
+    if (mode == "append") existing match {
+      case Some((lg, gs)) =>
+        require(lg == lgNomEntries && gs == groups,
+          s"sketch catalog at $path has (lgNomEntries, groups)=($lg, $gs); " +
+            s"refusing to append with ($lgNomEntries, $groups) — mixed-param theta " +
+            "unions estimate wrong, never loudly")
+      case None =>
+        val p = new org.apache.hadoop.fs.Path(s"$path/sketches")
+        require(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+          s"sketch catalog at $path has sketches/ but no params/ — a failed write " +
+            "left it inconsistent; re-create with mode=\"overwrite\"")
+    }
+    if (mode == "overwrite" && existing.isDefined) {
+      // drop the commit marker FIRST (stale params over half-overwritten
+      // data would validate reads against the wrong configuration)
+      val p = new org.apache.hadoop.fs.Path(s"$path/params")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    distinctSketches(df, groups, key, lgNomEntries)
+      .write.mode(mode).parquet(s"$path/sketches")
+    if (mode == "overwrite" || existing.isEmpty) {
+      import spark.implicits._
+      Seq((lgNomEntries, groups)).toDF("lg_nom_entries", "groups")
+        .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+    }
+  }
+
+  /** Catalog params `(lgNomEntries, groups)`, None if no catalog at
+    * `path`. Read by name (column-order-proof). */
+  def readSketchParams(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[(Int, Seq[String])] =
+    try {
+      val r = spark.read.parquet(s"$path/params").select("lg_nom_entries", "groups").head()
+      Some((r.getInt(0), r.getSeq[String](1)))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Lazy scan of a catalog written by [[writeSketches]] — feed it to
+    * [[rollupDistinct]] / [[sketchOverlapMatrix]]; appended batches'
+    * duplicate groups merge in the rollup. Fails fast on a catalog
+    * with no commit marker (half-written — see [[writeSketches]]). */
+  def readSketches(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    require(readSketchParams(spark, path).isDefined,
+      s"no committed sketch catalog at $path (params/ missing)")
+    spark.read.parquet(s"$path/sketches")
+  }
+
   /** Pairwise overlap matrix from PERSISTED sketches — the
     * [[sourceOverlapMatrix]] audit without its data pass: every
     * unordered pair of rows in `sketches` (keyed by `group`), with

@@ -15,16 +15,20 @@ final case class UnicodeNormExpr(child: Expression, form: String)
 
   require(Set("NFC", "NFD", "NFKC", "NFKD")(form), s"unknown normalization form: $form")
 
+  // string→enum resolved ONCE here; the kernel takes the ordinal so the
+  // per-row path (interpreted and codegen'd alike) is array-index cheap
+  private val formOrdinal: Int = java.text.Normalizer.Form.valueOf(form).ordinal
+
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StringType
   override def prettyName: String = "unicode_norm"
 
   override protected def nullSafeEval(input: Any): Any =
     graft.hashing.UnicodeUtil.normalize(
-      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], form)
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], formOrdinal)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"""graft.hashing.UnicodeUtil.normalize($c, "$form")""")
+    defineCodeGen(ctx, ev, c => s"graft.hashing.UnicodeUtil.normalize($c, $formOrdinal)")
 
   override protected def withNewChildInternal(newChild: Expression): UnicodeNormExpr =
     copy(child = newChild)

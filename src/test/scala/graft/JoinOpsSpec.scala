@@ -87,6 +87,108 @@ class JoinOpsSpec extends SparkSpec {
     assert(rj(1L) == r && rj(100L) == r && rj(7L) == r)
   }
 
+  private def asofDir(dir: String, tol: Option[Long] = None) =
+    Joins.asofJoin(probes, quotes, Seq("k"), "t", Seq("v", "tag"),
+      tolerance = tol, direction = dir)
+      .collect().map(r => r.getAs[Int]("pid") ->
+        Option(r.getAs[java.lang.Long]("asof_t")).map(_.toLong)).toMap
+
+  test("asofJoin forward: at-or-after match per key") {
+    val got = asofDir("forward")
+    assert(got(100) == Some(1L)) // next quote at t=1
+    assert(got(101) == Some(1L)) // equal timestamp matches (inclusive)
+    assert(got(102) == Some(5L))
+    assert(got(103) == None)     // after A's last quote
+    assert(got(104) == Some(3L)) // B's quote is later — forward finds it
+    assert(got(105) == None)     // key with no quotes
+  }
+
+  test("asofJoin forward: tolerance bounds the look-ahead") {
+    val got = asofDir("forward", tol = Some(1L))
+    assert(got(100) == Some(1L)) // 1-0=1 <= tol
+    assert(got(102) == None)     // 5-3=2 > tol
+    assert(got(104) == Some(3L)) // 3-2=1 <= tol
+  }
+
+  test("asofJoin nearest: closer side wins, exact tie takes backward") {
+    val got = asofDir("nearest")
+    assert(got(100) == Some(1L)) // only forward exists
+    assert(got(101) == Some(1L)) // exact hit
+    assert(got(102) == Some(1L)) // backward d=2 ties forward d=2 → backward
+    assert(got(103) == Some(5L)) // only backward exists
+    assert(got(104) == Some(3L)) // only forward exists
+    assert(got(105) == None)
+    val tight = asofDir("nearest", tol = Some(1L))
+    assert(tight(102) == None)   // both sides at distance 2 > tol
+    assert(tight(103) == None)   // 7-5=2 > tol
+    assert(tight(104) == Some(3L))
+  }
+
+  test("asofJoin forward/nearest: equal the naive per-key join on random data") {
+    val rnd = new scala.util.Random(11)
+    val q = (1 to 80).map(i => (s"k${i % 4}", rnd.nextInt(100).toLong, i.toDouble))
+      .toDF("k", "t", "v").dropDuplicates("k", "t")
+    val p = (1 to 120).map(i => (s"k${i % 5}", rnd.nextInt(120).toLong, i.toLong))
+      .toDF("k", "t", "pid")
+    val naiveBase = p.join(q.withColumnRenamed("t", "qt"), Seq("k"))
+    def naiveBest(filtered: org.apache.spark.sql.DataFrame, pick: org.apache.spark.sql.Column) =
+      filtered.groupBy("pid").agg(pick.as("best"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+        .withDefaultValue(None)
+    val naiveFwd = naiveBest(naiveBase.where(col("qt") >= col("t")), min("qt"))
+    val gotFwd = Joins.asofJoin(p, q, Seq("k"), "t", Seq("v"), direction = "forward")
+      .collect().map(r => r.getAs[Long]("pid") ->
+        Option(r.getAs[java.lang.Long]("asof_t")).map(_.toLong)).toMap
+    assert(gotFwd.forall { case (pid, t) => naiveFwd(pid) == t })
+    // nearest: min |qt - t|, tie → the smaller qt (backward)
+    val naiveNear = naiveBase
+      .groupBy("pid", "t").agg(min(abs(col("qt") - col("t"))).as("d"))
+      .join(naiveBase, Seq("pid", "t"))
+      .where(abs(col("qt") - col("t")) === col("d"))
+      .groupBy("pid").agg(min("qt").as("best"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      .withDefaultValue(None)
+    val gotNear = Joins.asofJoin(p, q, Seq("k"), "t", Seq("v"), direction = "nearest")
+      .collect().map(r => r.getAs[Long]("pid") ->
+        Option(r.getAs[java.lang.Long]("asof_t")).map(_.toLong)).toMap
+    assert(gotNear.forall { case (pid, t) => naiveNear(pid) == t })
+  }
+
+  test("asofJoin: NULL-time probes keep NULL matches in every direction") {
+    val q = Seq(("A", 1L, 10.0)).toDF("k", "t", "v")
+    val p = Seq(("A", Some(2L), 1), ("A", None, 2)).toDF("k", "t", "pid")
+    for (dir <- Seq("backward", "forward", "nearest")) {
+      val got = Joins.asofJoin(p, q, Seq("k"), "t", Seq("v"), direction = dir)
+        .collect().map(r => r.getAs[Int]("pid") ->
+          Option(r.getAs[java.lang.Long]("asof_t"))).toMap
+      assert(got(2).isEmpty, s"direction=$dir")
+    }
+  }
+
+  test("asofJoin: user columns in the _q/_side/_m family survive (reserved _graft_ namespace)") {
+    val q = Seq(("A", 1L, 10.0)).toDF("k", "t", "v")
+    val p = Seq(("A", 2L, "keep-q", "keep-side", "keep-m", 1))
+      .toDF("k", "t", "_q", "_side", "_m", "pid")
+    val r = Joins.asofJoin(p, q, Seq("k"), "t", Seq("v")).head()
+    assert(r.getAs[String]("_q") == "keep-q")
+    assert(r.getAs[String]("_side") == "keep-side")
+    assert(r.getAs[String]("_m") == "keep-m")
+    assert(r.getAs[Double]("asof_v") == 10.0)
+  }
+
+  test("rangeJoin: exact at magnitudes beyond 2^53 (integer binning)") {
+    val base = 1L << 53 // doubles can no longer represent adjacent longs
+    val ivs = Seq(("k", base + 1L, base + 1L, "hit"), ("k", base + 3L, base + 4L, "other"))
+      .toDF("k", "s", "e", "iid")
+    val ps = Seq(("k", base, 1), ("k", base + 1L, 2), ("k", base + 4L, 3))
+      .toDF("k", "p", "pid")
+    for (w <- Seq(1L, 2L, 1000L)) {
+      val got = Joins.rangeJoin(ps, ivs, Seq("k"), "p", "s", "e", w)
+        .select("pid", "iid").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      assert(got == Set((2, "hit"), (3, "other")), s"binWidth=$w")
+    }
+  }
+
   test("rangeJoin: equals the naive theta-join on random data") {
     val rnd = new scala.util.Random(7)
     val ivs = (1 to 60).map { i =>

@@ -508,4 +508,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!ret.contains("Expand"),
       s"single-distinct count must plan two-phase, not Expand:\n$ret")
   }
+
+  test("fitBigram: ONE corpus scan feeds both count tables (tagged single aggregate)") {
+    import org.apache.spark.sql.functions.col
+    val docs = tables.documents(spark, dir).toNative
+    val model = graft.operators.NgramLM.fitBigram(docs, col("text"))
+    // both model sides read the SAME cached count relation…
+    val rels = Seq(model.unigrams, model.bigrams).map(_.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    })
+    assert(rels.forall(_.size == 1),
+      s"each model side must read exactly one cached relation, got ${rels.map(_.size)}")
+    // …and that relation's plan scans the corpus exactly once: the fit
+    // cost at 100 TB is the scan, so two would double it (r14 advisory)
+    // the cached AQE plan prints Final AND Initial sections — count
+    // scans in the final section only
+    val cached = rels.head.head.cachedPlan.toString.split("== Initial Plan ==").head
+    val scans = cached.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan parquet"))
+    assert(scans == 1, s"fit must scan the corpus ONCE, found $scans:\n$cached")
+    GraftSession.releaseCachedBlocks(spark)
+  }
+
+  test("asof_join forward/nearest: still no join node — windows share one keyed exchange") {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    val ev = tables.events(spark, dir).toNative
+    val probes = ev.select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"))
+    val quotes = ev.select(col("user_id"), unix_micros(col("ts")).as("t"), col("value"))
+    for (d <- Seq("forward", "nearest")) {
+      val plan = finalPlan(graft.operators.Joins.asofJoin(
+        probes, quotes, Seq("user_id"), "t", Seq("value"),
+        tieBreak = Some("value"), direction = d))
+      assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+        !plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+        s"asof($d) must stay the union+window composition:\n$plan")
+      // nearest evaluates two windows but they share the union stream's
+      // single hash exchange (same partitioning, re-sort only)
+      val unionExchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(unionExchanges <= 2, // union-stream + tieBreak dedup window
+        s"asof($d) must not add exchanges per window, got $unionExchanges:\n$plan")
+    }
+  }
 }

@@ -151,6 +151,53 @@ class SketchSpec extends SparkSpec {
     assert(m(("g1", "g2")) == 0L)   // disjoint
   }
 
+  test("sketch catalog: write/append/read, rollup-over-appended == one-shot") {
+    val path = java.nio.file.Files.createTempDirectory("graft-sketch-cat").toString + "/cat"
+    // the fixture split into two arrival batches with overlapping groups
+    val batch1 = sketchFixture.where(col("k") < 700)
+    val batch2 = sketchFixture.where(col("k") >= 700)
+    Sketch.writeSketches(batch1, Seq("grp"), col("k"), path)
+    Sketch.writeSketches(batch2, Seq("grp"), col("k"), path, mode = "append")
+    assert(Sketch.readSketchParams(spark, path).contains((12, Seq("grp"))))
+    // per-group rollup over the appended catalog == one-shot sketches
+    // of everything (theta union is the same algebra either way)
+    val fromCatalog = Sketch.rollupDistinct(Sketch.readSketches(spark, path), Seq("grp"))
+      .select("grp", "n_distinct_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val oneShot = Sketch.distinctSketches(sketchFixture, Seq("grp"), col("k"))
+      .select("grp", "n_distinct_est").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromCatalog == oneShot, s"catalog $fromCatalog vs one-shot $oneShot")
+    // global rollup too
+    val total = Sketch.rollupDistinct(Sketch.readSketches(spark, path), Seq.empty)
+      .head().getAs[Long]("n_distinct_est")
+    assert(within(total, 1500, 0.05))
+  }
+
+  test("sketch catalog: appends fail fast on param/grain mismatch; reads refuse uncommitted state") {
+    val path = java.nio.file.Files.createTempDirectory("graft-sketch-bad").toString + "/cat"
+    Sketch.writeSketches(sketchFixture, Seq("grp"), col("k"), path, lgNomEntries = 12)
+    intercept[IllegalArgumentException] {
+      Sketch.writeSketches(sketchFixture, Seq("grp"), col("k"), path,
+        lgNomEntries = 14, mode = "append")
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.writeSketches(sketchFixture.withColumn("g2", col("grp")),
+        Seq("g2"), col("k"), path, mode = "append")
+    }
+    // half-written catalog (data, no commit marker): reads + appends refuse
+    val half = java.nio.file.Files.createTempDirectory("graft-sketch-half").toString + "/cat"
+    Sketch.distinctSketches(sketchFixture, Seq("grp"), col("k"))
+      .write.parquet(s"$half/sketches")
+    intercept[IllegalArgumentException] { Sketch.readSketches(spark, half) }
+    intercept[IllegalArgumentException] {
+      Sketch.writeSketches(sketchFixture, Seq("grp"), col("k"), half, mode = "append")
+    }
+    // overwrite is the documented repair
+    Sketch.writeSketches(sketchFixture, Seq("grp"), col("k"), half)
+    assert(Sketch.readSketches(spark, half).count() == 3)
+  }
+
   test("sketches are deterministic under repartitioning (order-independent KMV)") {
     val a = Sketch.distinctSketches(sketchFixture, Seq("grp"), col("k"))
       .select("grp", "n_distinct_est").collect().map(r => (r.getString(0), r.getLong(1))).toSet

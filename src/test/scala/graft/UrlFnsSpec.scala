@@ -51,6 +51,71 @@ class UrlFnsSpec extends SparkSpec {
     assert(rd("deep.sub.shop.com.au") == "shop.com.au")
   }
 
+  // A miniature PSL in the published file format: comments, normal
+  // rules (incl. the multi-level ccTLD registrations the heuristic
+  // misgroups), a wildcard rule, and its exception.
+  private val psl = Seq(
+    "// ===BEGIN ICANN DOMAINS===",
+    "com", "org", "uk", "co.uk", "tr", "com.tr", "kr", "co.kr",
+    "ar", "com.ar", "jp", "kobe.jp",
+    "*.ck", "!www.ck",
+    "")
+
+  test("registeredDomainPsl: full PSL semantics over multi-level suffixes") {
+    def rd(h: String) = Seq(h).toDF("h")
+      .select(UrlFns.registeredDomainPsl(col("h"), psl)).head().getString(0)
+    // the cases the 10-suffix heuristic gets wrong (it would return
+    // "com.tr" / "co.kr" / "com.ar" as the "domain")
+    assert(rd("www.example.com.tr") == "example.com.tr")
+    assert(rd("a.b.shop.co.kr") == "shop.co.kr")
+    assert(rd("x.firm.com.ar") == "firm.com.ar")
+    assert(rd("deep.sub.example.co.uk") == "example.co.uk")
+    assert(rd("a.b.example.com") == "example.com")
+    // wildcard *.ck: every <label>.ck is a public suffix...
+    assert(rd("foo.anything.ck") == "foo.anything.ck")
+    assert(rd("a.b.foo.anything.ck") == "foo.anything.ck")
+    // ...except the !www.ck exception, whose public suffix is just ck
+    assert(rd("www.ck") == "www.ck")
+    assert(rd("sub.www.ck") == "www.ck")
+    // a host that IS a public suffix → NULL (PSL semantics)
+    assert(rd("com.tr") == null)
+    assert(rd("anything.ck") == null)
+    assert(rd("com") == null)
+    // unknown TLD: implicit * default rule → last two labels
+    assert(rd("sub.example.zz") == "example.zz")
+    assert(rd("zz") == null)
+    assert(rd("localhost") == null)
+  }
+
+  test("registeredDomainPsl: frame overload collects bounded, rejects oversized/multi-column") {
+    val pslDf = psl.toDF("rule")
+    val rd = Seq("www.example.com.tr").toDF("h")
+      .select(UrlFns.registeredDomainPsl(col("h"), pslDf)).head().getString(0)
+    assert(rd == "example.com.tr")
+    intercept[IllegalArgumentException] {
+      UrlFns.registeredDomainPsl(col("h"), pslDf.limit(3), maxRules = 2)
+    }
+    intercept[IllegalArgumentException] {
+      UrlFns.registeredDomainPsl(col("h"), Seq(("a", "b")).toDF("x", "y"))
+    }
+  }
+
+  test("filterBlockedDomains: psl option groups by exact eTLD+1") {
+    val docs = Seq(
+      (1L, "https://www.bad.com.tr/x"),
+      (2L, "https://bad.com.tr/y"),
+      (3L, "https://ok.com.tr/z")).toDF("id", "url")
+    val blocked = Seq("bad.com.tr").toDF("domain")
+    val kept = UrlFns.filterBlockedDomains(docs, col("url"), blocked, psl = Some(psl))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L))
+    // the heuristic (no psl) misgroups every *.com.tr host into class
+    // "com.tr", so nothing matches "bad.com.tr" — the documented gap
+    val keptHeuristic = UrlFns.filterBlockedDomains(docs, col("url"), blocked)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptHeuristic == Set(1L, 2L, 3L))
+  }
+
   test("filterBlockedDomains: anti-join drops listed domains, keeps unparseable rows") {
     val docs = Seq(
       (1L, "https://www.bad.com/x"),
