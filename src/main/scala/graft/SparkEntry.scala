@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, lit, max, pmod, round, sum, when}
 import graft.functions.{TextFns, UrlFns}
-import graft.operators.{Ann, Chunk, Dedup, Joins, Media, NgramLM, Pack, Profile, Sampling, Sketch, TfIdf, Timeline}
+import graft.operators.{Ann, Chunk, Dedup, Joins, Media, NaiveBayes, NgramLM, Pack, Profile, Sampling, Sketch, TfIdf, Timeline}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -387,6 +387,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L36: multinomial Naive Bayes document classifier — the cheap
+    // "quality / domain classifier" stage (GPT-3 appendix A filtered
+    // CommonCrawl with a linear classifier of this shape). Self-fit on
+    // (source → text), every doc classified back: add-one integer-ratio
+    // model, per-token micro-nat quantization before the doc sum, so
+    // the DuckDB oracle re-fits the identical model bit-for-bit. Argmax
+    // ties break to the smallest label — fully deterministic.
+    "nb_classify" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      NaiveBayes.score(docs, col("doc_id"), col("text"),
+          NaiveBayes.fit(docs, col("source"), col("text")))
+        .select(col("id").as("doc_id"), col("n_tokens"),
+          col("pred"), col("score_micro"))
+        .orderBy("doc_id")
+    },
+
     // L34: TF-IDF typicality scoring — smoothed idf fit on the corpus,
     // docs scored by the tf·idf total WITHOUT materializing tf
     // (Σ_terms tf·idf = Σ_occurrences idf: one broadcast join + one
@@ -751,6 +767,21 @@ object SparkEntry {
       Dedup.decontaminatedKeepBloom(
           docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
           docs.where(col("doc_id") % 10 === 0), col("text"), k = 5)
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // L37: NEAR-duplicate decontamination — the paraphrase gap exact
+    // n-gram overlap can't see: drop corpus docs with shingle-set
+    // Jaccard ≥ 0.5 against ANY bench doc. Cross-banded MinHash-LSH
+    // (bench buckets broadcast; corpus stream never shuffles) + exact
+    // Jaccard verify; 128/64 banding makes LSH recall ≈ 1 at J≥0.5, so
+    // the all-pairs oracle is safe.
+    "decontam_near" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      Dedup.decontaminatedKeepNear(
+          docs.where(col("doc_id") % 10 =!= 0), col("doc_id"), col("text"),
+          docs.where(col("doc_id") % 10 === 0), col("doc_id"), col("text"),
+          threshold = 0.5)
         .select("doc_id").orderBy("doc_id")
     },
 
@@ -1645,6 +1676,21 @@ object SparkEntry {
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
 
+    // Near-dup decontamination: all-pairs exact Jaccard ACROSS the
+    // corpus/bench splits (LSH recall ≈ 1 at J≥0.5 with 128/64 banding,
+    // same contract as dedup_minhash's oracle).
+    "decontam_near" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        |  THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |flagged AS (SELECT DISTINCT a.doc_id
+        |  FROM sh a JOIN sh b ON a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin,
+
     "dedup_incremental" ->
       """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
@@ -2019,6 +2065,36 @@ object SparkEntry {
         |SELECT doc_id, source FROM c
         |WHERE domain NOT IN ('src3.co.uk', 'src5.com', 'src7.co.uk')
         |ORDER BY doc_id""".stripMargin,
+
+    // The same add-one multinomial NB re-fit and re-scored in SQL:
+    // priors n_docs_c/N, likelihoods (cnt+1)/(n_tok_c+V) — all integer
+    // ratios, each quantized to micro-nats BEFORE the exact BIGINT doc
+    // sum; argmax via row_number(score DESC, label ASC) = the Spark
+    // side's (-score, label) struct-min. sum CASTs per the HUGEINT rule.
+    "nb_classify" ->
+      """WITH tr AS (SELECT doc_id, source AS label, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS ws FROM documents WHERE source IS NOT NULL),
+        |c AS (SELECT label, token, count(*) AS cnt FROM (SELECT label, unnest(ws) AS token FROM tr) GROUP BY 1, 2),
+        |ld AS (SELECT source AS label, CAST(count(*) AS BIGINT) AS n_docs FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |lt AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n_tok FROM c GROUP BY 1),
+        |ls AS (SELECT ld.label, ld.n_docs, coalesce(lt.n_tok, 0) AS n_tok FROM ld LEFT JOIN lt USING (label)),
+        |v AS (SELECT count(DISTINCT token) AS v FROM c),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM ls),
+        |pri AS (SELECT label, CAST(round(ln(CAST(n_docs AS DOUBLE) / n) * 1000000.0) AS BIGINT) AS p FROM ls, tot),
+        |dt AS (SELECT doc_id, unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '')) AS token FROM documents),
+        |sc AS (SELECT d.doc_id, l.label,
+        |  CAST(round(ln(CAST(coalesce(c.cnt, 0) + 1 AS DOUBLE) / (CAST(l.n_tok AS DOUBLE) + v.v)) * 1000000.0) AS BIGINT) AS q
+        |  FROM dt d CROSS JOIN ls l LEFT JOIN c ON c.label = l.label AND c.token = d.token, v),
+        |ag AS (SELECT doc_id, label, CAST(sum(q) AS BIGINT) AS s FROM sc GROUP BY 1, 2),
+        |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM dt GROUP BY 1),
+        |totals AS (SELECT d.doc_id, coalesce(nt.n_tokens, 0) AS n_tokens, pri.label,
+        |  coalesce(ag.s, 0) + pri.p AS total
+        |  FROM documents d CROSS JOIN pri
+        |  LEFT JOIN ag ON ag.doc_id = d.doc_id AND ag.label = pri.label
+        |  LEFT JOIN nt ON nt.doc_id = d.doc_id),
+        |ranked AS (SELECT doc_id, n_tokens, label, total,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY total DESC, label ASC) AS rn FROM totals)
+        |SELECT doc_id, n_tokens, label AS pred, total AS score_micro
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     // The same add-one unigram LM re-fit and re-scored in SQL: every
     // probability is the integer ratio (cnt+1)/(N+V), quantized to

@@ -863,6 +863,68 @@ object Dedup {
     corpus.join(flagged, corpusId === col("_drop_id"), "left_anti")
   }
 
+  // ---------------------------------------------------------------- L37
+  /** NEAR-duplicate cross-corpus contamination — the gap exact n-gram
+    * decontamination ([[contaminationStats]]) can't see: a training doc
+    * that is a light paraphrase/reflow of an eval doc shares few exact
+    * k-token windows but has high shingle-set Jaccard. Published eval
+    * hygiene uses exactly this pair of checks (GPT-3 appendix C's
+    * n-gram overlap; the Pile and PaLM report near-dup decontamination
+    * via MinHash-LSH). Returns verified cross pairs
+    * `(id_a = corpus doc, id_b = bench doc, jaccard ≥ threshold)`.
+    *
+    * Scale shape (100 TB corpus, small bench): both sides band with the
+    * SAME MinHash parameters; the bench's O(|bench|·bands) bucket rows
+    * BROADCAST, so the corpus bucket stream never shuffles — the join
+    * is a narrow broadcast-hash probe, unlike the self-join dedup path.
+    * There is no within-corpus pair term at all (no self-join), so the
+    * exact-copy collapse is unnecessary here. The hot-bucket guard caps
+    * the BENCH side: per-corpus-row fanout = size of the matching bench
+    * bucket, so capping bench buckets at `maxBucket` bounds candidate
+    * volume at O(n·bands·maxBucket) with zero corpus-side counting
+    * shuffle (capping the corpus side would cost an O(n·bands) group
+    * count for a blowup the tiny bench can't cause). Candidates are
+    * exact-verified by shingle-set Jaccard ([[jaccardVerify]] — integer
+    * set sizes, bit-identical ratio), so LSH recall is the only
+    * approximation: 128 hashes / 64 bands ⇒ P(miss | J≥0.5) ≈ 1e-8. */
+  def crossNearPairs(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      threshold: Double, shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
+      maxBucket: Int = DefaultMaxBucket, broadcastBench: Boolean = true): DataFrame = {
+    val cb = minhashBuckets(corpus, corpusId, corpusText, shingleK, numHashes, bands)
+    val bb0 = capBuckets(
+      minhashBuckets(bench, benchId, benchText, shingleK, numHashes, bands),
+      Seq("band", "bucket"), maxBucket)
+      .toDF("_bid", "band", "bucket")
+    val bb = if (broadcastBench) broadcast(bb0) else bb0
+    val cands = cb.join(bb, Seq("band", "bucket"))
+      .select(col("_id").as("id_a"), col("_bid").as("id_b"))
+      .distinct()
+    jaccardVerify(cands,
+      shingleSets(corpus, corpusId, corpusText, shingleK),
+      shingleSets(bench, benchId, benchText, shingleK), threshold)
+  }
+
+  /** The decontaminated corpus under the NEAR-duplicate criterion:
+    * drop every corpus doc whose shingle-set Jaccard against ANY bench
+    * doc reaches `threshold`; keep everything else. Drop-list +
+    * left-anti (full rows never ride the verify shuffle). NULL-text /
+    * zero-shingle corpus rows are KEPT (they near-match nothing), the
+    * [[decontaminatedKeep]] contract; compose both keeps for the full
+    * published hygiene (exact windows AND near-dup). */
+  def decontaminatedKeepNear(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      threshold: Double, shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
+      maxBucket: Int = DefaultMaxBucket, broadcastBench: Boolean = true): DataFrame = {
+    val flagged = crossNearPairs(corpus, corpusId, corpusText,
+        bench, benchId, benchText, threshold, shingleK, numHashes, bands,
+        maxBucket, broadcastBench)
+      .select(col("id_a").as("_drop_id")).distinct()
+    corpus.join(flagged, corpusId === col("_drop_id"), "left_anti")
+  }
+
   // ----------------------------------------------------------------- L13
   /** Connected components over a verified duplicate-pair graph:
     * `(id, cluster_id)` with cluster_id = the smallest doc id in the

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multinomial Naive Bayes document classifier (SURVEY §2.5 L36) — the
+  * classic linear text classifier (McCallum & Nigam 1998) that modern
+  * pipelines use as the cheap "quality / domain classifier" stage:
+  * GPT-3 (Brown et al. 2020, appendix A) and CCNet-style pipelines
+  * filter CommonCrawl with a linear classifier fit on a trusted
+  * reference corpus; fastText's supervised mode is the same
+  * bag-of-words linear-score shape. Fit on labeled docs (e.g. curated
+  * vs crawled), score every corpus doc, keep by predicted label or
+  * by score margin.
+  *
+  * Model: add-one (Laplace) multinomial NB. Every probability is a
+  * RATIO OF INTEGERS — prior `n_docs_c / N_docs`, per-token likelihood
+  * `(cnt(c,t)+1)/(n_tokens_c+V)` — and every per-token/per-prior value
+  * is quantized to integer MICRO-nats (`round(ln(p)·1e6)` as BIGINT)
+  * BEFORE the per-document sum, the [[NgramLM]] convention that makes
+  * scores exact, order-free, and bit-reproducible across engines (the
+  * DuckDB oracle re-fits the identical integer-ratio model).
+  * Tokenization is the module contract ([[NgramLM.tokens]]).
+  *
+  * Scale shape (100 TB):
+  *  - FIT is ONE corpus scan: each doc explodes into a tagged stream
+  *    (one `d` doc-marker + one `t` struct per token — the
+  *    [[NgramLM.fitBigram]] single-scan pattern) feeding ONE
+  *    word-count aggregate with map-side partial combine, keyed
+  *    (label, tag, gram); output is model-sized. Label stats
+  *    (n_docs, n_tokens per label) collect to the driver — a bounded
+  *    artifact (|labels| rows; classifiers have a handful of classes).
+  *  - SCORE never multiplies the token stream by |labels|: the model
+  *    pivots to one row per token with a count column PER LABEL
+  *    (|vocab| rows × |labels| cols), broadcasts, and the exploded
+  *    stream left-joins it ONCE. Per-label sums are |labels| agg
+  *    columns in ONE per-doc aggregation (map-side combine), so the
+  *    only exchange carries ~1 row per doc. Argmax is a narrow
+  *    `array_min` over (-score, label) structs — score desc, min
+  *    label on ties, fully deterministic. `broadcastModel=false`
+  *    falls back to a shuffle join for ≫10⁷-type vocabs (Zipfian
+  *    skew notes as in [[NgramLM]]).
+  */
+object NaiveBayes {
+
+  /** Per-label fit statistics: docs in class, total token occurrences
+    * in class, and the micro-nat prior `round(ln(n_docs/N)·1e6)`. */
+  final case class NbLabel(label: String, nDocs: Long, nTokens: Long, priorMicro: Long)
+
+  /** Fitted model: `tokenCounts` = (label, token, cnt) — kept as a
+    * DataFrame (lazy; may be a parquet scan after [[load]]) —
+    * `labels` sorted ascending, `vocabSize` = |distinct tokens across
+    * all labels| (the Laplace V), `totalDocs` = Σ n_docs. */
+  final case class NbModel(
+      tokenCounts: DataFrame, labels: Seq[NbLabel], vocabSize: Long, totalDocs: Long)
+
+  /** Spark's round() and DuckDB's round() both round half AWAY FROM
+    * ZERO; `math.round` rounds half UP (toward +∞), which differs for
+    * the negative log-probs — so driver-side priors quantize through
+    * BigDecimal HALF_UP (= away from zero for our negatives' carrier,
+    * matching both engines). */
+  private def microRound(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  /** Fit on labeled docs. Rows with a NULL label are EXCLUDED (they
+    * can't be attributed to a class); docs with no tokens still count
+    * toward their label's prior. One corpus scan, one shuffle. */
+  def fit(df: DataFrame, label: Column, text: Column): NbModel = {
+    // tagged single-scan: one "d" marker per doc + one "t" per token,
+    // all through one map-side-combining aggregate (fitBigram pattern)
+    val counts = graft.InternalCaches.register(df
+      .where(label.isNotNull)
+      .select(label.cast("string").as("label"), NgramLM.tokens(text).as("_toks"))
+      .select(col("label"), explode(concat(
+        array(struct(lit("d").as("tag"), lit("").as("gram"))),
+        transform(col("_toks"), t => struct(lit("t").as("tag"), t.as("gram")))
+      )).as("_tg"))
+      .groupBy(col("label"), col("_tg.tag").as("tag"), col("_tg.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist())
+    val stats = counts.groupBy("label")
+      .agg(
+        coalesce(sum(when(col("tag") === "d", col("cnt"))), lit(0L)).as("n_docs"),
+        coalesce(sum(when(col("tag") === "t", col("cnt"))), lit(0L)).as("n_tokens"))
+      .orderBy("label")
+      .collect() // bounded artifact: one row per class
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(stats.nonEmpty, "NaiveBayes.fit: no labeled rows")
+    val totalDocs = stats.map(_._2).sum
+    val labels = stats.map { case (l, nd, nt) =>
+      NbLabel(l, nd, nt, microRound(math.log(nd.toDouble / totalDocs) * 1000000.0))
+    }.toSeq
+    val vocab = counts.where(col("tag") === "t").select("gram").distinct().count()
+    val tokenCounts = counts.where(col("tag") === "t")
+      .select(col("label"), col("gram").as("token"), col("cnt"))
+    NbModel(tokenCounts, labels, vocab, totalDocs)
+  }
+
+  /** Integer micro-nat log-prob of `num / den` — fixed operand order
+    * so the oracle computes the identical IEEE double. */
+  private def microLogProb(num: Column, den: Double): Column =
+    round(log(num.cast("double") / lit(den)) * 1000000.0, 0).cast("long")
+
+  /** Classify docs: `(id, n_tokens, pred, score_micro)` where `pred`
+    * is the argmax label (ties → lexicographically smallest) and
+    * `score_micro` its total micro-nat log posterior (prior + Σ
+    * per-token conditionals; OOV tokens take each label's Laplace
+    * floor `1/(n_tokens_c+V)`). Zero-token docs are classified by
+    * prior alone. One broadcast join + one per-doc aggregation — the
+    * token stream never shuffles. */
+  def score(
+      df: DataFrame, id: Column, text: Column, model: NbModel,
+      broadcastModel: Boolean = true): DataFrame = {
+    val labels = model.labels.sortBy(_.label)
+    // hand-rolled pivot: tokenCounts is one row per (label, token), so a
+    // conditional max per label in ONE groupBy(token) aggregation gives
+    // the per-label count columns with a single exchange (Dataset.pivot
+    // plans groupBy(token,label) + pivotfirst = two); columns are named
+    // positionally so label strings can never collide with column syntax
+    val pivAggs = labels.zipWithIndex.map { case (l, i) =>
+      max(when(col("label") === l.label, col("cnt"))).as(s"_graft_cnt_$i")
+    }
+    val piv = model.tokenCounts.groupBy("token").agg(pivAggs.head, pivAggs.tail: _*)
+    val side = if (broadcastModel) broadcast(piv) else piv
+    val sums = labels.zipWithIndex.map { case (l, i) =>
+      coalesce(sum(when(col("token").isNotNull,
+        microLogProb(coalesce(col(s"_graft_cnt_$i"), lit(0L)) + 1,
+          l.nTokens.toDouble + model.vocabSize.toDouble))), lit(0L))
+        .as(s"_graft_s_$i")
+    }
+    val perDoc = df
+      .select(id.as("id"), explode_outer(NgramLM.tokens(text)).as("token"))
+      .join(side, Seq("token"), "left")
+      .groupBy("id")
+      .agg(count(col("token")).as("n_tokens"), sums: _*)
+    // narrow argmax: min over (-total, label) = max score, min label
+    val best = array_min(array(labels.zipWithIndex.map { case (l, i) =>
+      val total = col(s"_graft_s_$i") + lit(l.priorMicro)
+      struct((-total).as("neg"), lit(l.label).as("label"), total.as("score"))
+    }: _*))
+    perDoc.select(col("id"), col("n_tokens"),
+      best("label").as("pred"), best("score").as("score_micro"))
+  }
+
+  /** Persist a fitted model: the count table as parquet, label stats
+    * as parquet, scalars as a one-row params file. The loaded
+    * `tokenCounts` stays a LAZY scan — fit once, score many runs. */
+  def save(model: NbModel, path: String): Unit = {
+    model.tokenCounts.write.mode("overwrite").parquet(s"$path/counts")
+    val spark = model.tokenCounts.sparkSession
+    import spark.implicits._
+    model.labels.map(l => (l.label, l.nDocs, l.nTokens, l.priorMicro))
+      .toDF("label", "n_docs", "n_tokens", "prior_micro").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/labels")
+    Seq((model.vocabSize, model.totalDocs)).toDF("v", "n_docs_total").repartition(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a model saved by [[save]]. Columns read BY NAME so a
+    * column-order change in the persisted files fails loudly. */
+  def load(spark: SparkSession, path: String): NbModel = {
+    val labels = spark.read.parquet(s"$path/labels")
+      .select("label", "n_docs", "n_tokens", "prior_micro")
+      .orderBy("label").collect()
+      .map(r => NbLabel(r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val p = spark.read.parquet(s"$path/params").select("v", "n_docs_total").head()
+    NbModel(spark.read.parquet(s"$path/counts"), labels, p.getLong(0), p.getLong(1))
+  }
+}

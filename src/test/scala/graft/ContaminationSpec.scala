@@ -146,4 +146,59 @@ class ContaminationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept.contains(99L) && kept.contains(98L))
   }
+
+  // ---------------------------------------------------------------- L37
+  // doc 11 is a light reflow of bench doc 200 (high shingle Jaccard,
+  // zero long exact windows); doc 12 shares topic words only; doc 13
+  // is an exact copy of bench doc 201.
+  private val nearBench = Seq(
+    (200L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (201L, "completely original benchmark question about prime factorization")
+  ).toDF("doc_id", "text")
+  private val nearCorpus = Seq(
+    (11L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (12L, "a quick note about a brown dog by the river"),
+    (13L, "completely original benchmark question about prime factorization"),
+    (14L, null.asInstanceOf[String])
+  ).toDF("doc_id", "text")
+
+  test("crossNearPairs: paraphrase/reflow flagged, topical overlap not, exact copy J=1") {
+    val pairs = Dedup.crossNearPairs(
+        nearCorpus, col("doc_id"), col("text"),
+        nearBench, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((11L, 200L)), "reflowed doc must near-match its bench source")
+    assert(pairs((13L, 201L)) == 1.0, "exact copy must verify at J=1")
+    assert(!pairs.keys.exists(_._1 == 12L), "topical-overlap doc must stay clean")
+    assert(!pairs.keys.exists(_._1 == 14L), "NULL text can never pair")
+    // no within-side pairs ever: id_a from corpus, id_b from bench
+    assert(pairs.keys.forall { case (a, b) => a < 100L && b >= 200L })
+  }
+
+  test("decontaminatedKeepNear drops exactly the flagged docs; NULL text kept") {
+    val kept = Dedup.decontaminatedKeepNear(
+        nearCorpus, col("doc_id"), col("text"),
+        nearBench, col("doc_id"), col("text"), threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 14L))
+    // empty bench keeps everything
+    val all = Dedup.decontaminatedKeepNear(
+        nearCorpus, col("doc_id"), col("text"),
+        nearBench.where(lit(false)), col("doc_id"), col("text"), threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(all == Set(11L, 12L, 13L, 14L))
+  }
+
+  test("crossNearPairs: broadcast and shuffle bench paths agree; no cartesian") {
+    def run(b: Boolean) = Dedup.crossNearPairs(
+        nearCorpus, col("doc_id"), col("text"),
+        nearBench, col("doc_id"), col("text"), threshold = 0.5, broadcastBench = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(true) == run(false))
+    val plan = Dedup.crossNearPairs(
+        nearCorpus, col("doc_id"), col("text"),
+        nearBench, col("doc_id"), col("text"), threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cross LSH must never cartesian:\n$plan")
+  }
 }
