@@ -70,6 +70,25 @@ object SparkEntry {
       when(pmod(col("doc_id"), lit(5)) === 0, "#sec").otherwise(""))
   }
 
+  /** Deterministic multi-line twin of the documents table for the L38
+    * line-dedup gates — the corpus text has no newlines, so BOTH
+    * engines derive the identical `(doc_id, text_ml)`: the
+    * whitespace-collapsed raw-case tokens regrouped into 10-word lines
+    * joined by `\n` (the chunk_pack CTE shape). Duplicate docs then
+    * share every line; distinct docs share none (10-word alignment). */
+  private def docsMultiline(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{array_join, expr, greatest, sequence, size, slice, split, transform, trim, regexp_replace}
+    val ws = split(trim(regexp_replace(col("text"), "\\s+", " ")), " ")
+    docs.select(col("doc_id"), ws.as("_ws"))
+      .select(col("doc_id"),
+        array_join(
+          transform(
+            sequence(lit(0),
+              greatest(((size(col("_ws")) + lit(9)) / lit(10)).cast("int"), lit(1)) - 1),
+            i => array_join(slice(col("_ws"), i * 10 + 1, lit(10)), " ")),
+          "\n").as("text_ml"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -729,6 +748,29 @@ object SparkEntry {
     // floor (as dedup_spans).
     "span_removal" -> { (s, dir) =>
       Dedup.removeDupSpans(documents(s, dir).toNative, col("doc_id"), col("text"), k = 5)
+        .orderBy("doc_id")
+    },
+
+    // L38: duplicated-LINE stats — web boilerplate repeats as whole
+    // lines (nav bars, footers); count each doc's non-blank lines whose
+    // normalized form occurs in >= 2 distinct docs. The corpus has no
+    // newlines, so the query derives a deterministic multi-line twin
+    // (10-word lines, the chunking CTE shape) both engines compute
+    // identically; duplicate docs then share every line.
+    "dedup_lines" -> { (s, dir) =>
+      Dedup.lineDupStats(
+          docsMultiline(documents(s, dir).toNative), col("doc_id"), col("text_ml"))
+        .orderBy("doc_id")
+    },
+
+    // L38 (removal): strip every line occurring in >= 2 distinct docs,
+    // min-doc_id holder keeps its copies; raw line text and order
+    // preserved. Engine flags 64-bit normalized-line fingerprints; the
+    // oracle re-derives with line STRINGS — equivalent below the
+    // collision floor (as dedup_spans).
+    "line_removal" -> { (s, dir) =>
+      Dedup.removeDupLines(
+          docsMultiline(documents(s, dir).toNative), col("doc_id"), col("text_ml"))
         .orderBy("doc_id")
     },
 
@@ -1675,6 +1717,47 @@ object SparkEntry {
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
         |ORDER BY 1, 2""".stripMargin,
+
+    // Line-dedup stats over the derived multi-line twin: flag by
+    // normalized line string (engine: 64-bit fp — equivalent below the
+    // collision floor), count per doc with multiplicity. sum CASTs per
+    // the HUGEINT rule.
+    "dedup_lines" ->
+      """WITH ml AS (SELECT doc_id, array_to_string([array_to_string(ws[i*10+1 : i*10+10], ' ') for i in range(0, greatest((len(ws)+9)//10, 1))], chr(10)) AS t
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws FROM documents)),
+        |ln0 AS (SELECT doc_id, unnest([{l: ls[i], p: i-1} for i in range(1, len(ls)+1)]) AS u
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM ml)),
+        |nb AS (SELECT doc_id, u.p AS p, lower(trim(regexp_replace(u.l, '\s+', ' ', 'g'))) AS norm
+        |  FROM ln0 WHERE lower(trim(regexp_replace(u.l, '\s+', ' ', 'g'))) <> ''),
+        |fl AS (SELECT norm, count(DISTINCT doc_id) AS nd FROM nb GROUP BY 1),
+        |st AS (SELECT nb.doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN fl.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines
+        |  FROM nb JOIN fl USING (norm) GROUP BY 1)
+        |SELECT doc_id, n_lines, n_dup_lines,
+        |  CAST(n_dup_lines AS DOUBLE) / n_lines AS dup_ratio
+        |FROM st ORDER BY doc_id""".stripMargin,
+
+    // Line REMOVAL: same flagging, min-doc rep keeps its copies, every
+    // other copy's position is dropped and the raw lines rejoin by \n.
+    "line_removal" ->
+      """WITH ml AS (SELECT doc_id, array_to_string([array_to_string(ws[i*10+1 : i*10+10], ' ') for i in range(0, greatest((len(ws)+9)//10, 1))], chr(10)) AS t
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws FROM documents)),
+        |ln0 AS (SELECT doc_id, unnest([{l: ls[i], p: i-1} for i in range(1, len(ls)+1)]) AS u
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM ml)),
+        |nb AS (SELECT doc_id, u.p AS p, lower(trim(regexp_replace(u.l, '\s+', ' ', 'g'))) AS norm
+        |  FROM ln0 WHERE lower(trim(regexp_replace(u.l, '\s+', ' ', 'g'))) <> ''),
+        |fl AS (SELECT norm, count(DISTINCT doc_id) AS nd, min(doc_id) AS rep FROM nb GROUP BY 1),
+        |dr AS (SELECT nb.doc_id, list(DISTINCT nb.p) AS drops FROM nb JOIN fl USING (norm)
+        |  WHERE fl.nd >= 2 AND nb.doc_id <> fl.rep GROUP BY 1),
+        |base AS (SELECT ml.doc_id, string_split(ml.t, chr(10)) AS ls, dr.drops FROM ml LEFT JOIN dr USING (doc_id)),
+        |outp AS (SELECT doc_id, ls,
+        |  CASE WHEN drops IS NULL THEN ls
+        |       ELSE [ls[i] for i in range(1, len(ls)+1) if NOT list_contains(drops, i-1)] END AS kept
+        |  FROM base)
+        |SELECT doc_id, coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+        |  CAST(len([x for x in ls if lower(trim(regexp_replace(x, '\s+', ' ', 'g'))) <> '']) AS BIGINT) AS n_lines,
+        |  CAST(len(ls) - len(kept) AS BIGINT) AS n_removed
+        |FROM outp ORDER BY doc_id""".stripMargin,
 
     // Near-dup decontamination: all-pairs exact Jaccard ACROSS the
     // corpus/bench splits (LSH recall ≈ 1 at J≥0.5 with 128/64 banding,

@@ -698,6 +698,98 @@ object Dedup {
           .otherwise((size(col("_toks")) - size(col("_kept"))).cast("long")).as("n_removed"))
   }
 
+  // ----------------------------------------------------------------- L38
+  /** Per-doc duplicated-LINE statistics — the natural-boundary sibling
+    * of [[spanDupStats]]: web boilerplate (nav bars, cookie banners,
+    * footers) repeats as whole LINES across pages, and the published
+    * pipelines dedup at exactly this granularity (CCNet, Wenzek 2020
+    * §3.1 dedups paragraph/line units; RefinedWeb, Penedo 2023 §3.3
+    * line-level corrections). A line is DUPLICATED iff its normalized
+    * form (lower/trim/collapse-space — the module convention) occurs in
+    * ≥ `minDf` DISTINCT documents; blank/whitespace-only lines are
+    * structure, never boilerplate, and are excluded from both counts.
+    * Returns `(doc_id, n_lines, n_dup_lines, dup_ratio)` over non-blank
+    * lines (with multiplicity, the [[spanDupStats]] convention).
+    *
+    * Scale shape: identical to [[spanDupStats]] — the shuffle carries
+    * (64-bit line fp, doc_id), never line text; distinct-doc counting
+    * is the two-level map-side-combined groupBy, NOT a count-window (a
+    * footer in 10⁸ docs would pin one WindowExec task); the flag join
+    * is AQE-skew-splittable on exactly those hot fingerprints. Same
+    * collision floor (P ≈ 3e-7 at 1e9 distinct lines). */
+  def lineDupStats(
+      df: DataFrame, id: Column, text: Column, minDf: Int = 2): DataFrame = {
+    require(minDf >= 2, s"minDf counts distinct docs sharing a line; need >= 2, got $minDf")
+    val g = df
+      .select(id.as("doc_id"), explode(split(text, "\n")).as("_line"))
+      .select(col("doc_id"), xxhash64(TextFns.normText(col("_line"))).as("_fp"),
+        (TextFns.normText(col("_line")) =!= "").as("_nb"))
+      .where(col("_nb"))
+    val perDocLine = g.groupBy("_fp", "doc_id").agg(count(lit(1)).as("_n"))
+    val fpDocCount = perDocLine.groupBy("_fp").agg(count(lit(1)).as("_nd"))
+    perDocLine
+      .join(fpDocCount, "_fp")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("_n")).as("n_lines"),
+        sum(when(col("_nd") >= minDf, col("_n")).otherwise(0L)).as("n_dup_lines"))
+      .withColumn("dup_ratio", col("n_dup_lines").cast("double") / col("n_lines"))
+  }
+
+  /** Duplicated-line REMOVAL — strip from each document every line
+    * whose normalized form occurs in ≥ `minDf` distinct documents,
+    * preserving the raw text of surviving lines and their order
+    * (unlike [[removeDupSpans]], which re-tokenizes, lines are natural
+    * units: the output is the original lines minus the removed ones,
+    * joined by `\n`). With `keepRep = true` (default) the min-`doc_id`
+    * holder of each duplicated line keeps ALL its copies — the
+    * keep-one-copy contract; `false` removes every copy everywhere
+    * (the RefinedWeb convention for boilerplate). Blank lines are
+    * never flagged and always survive. NULL text stays NULL with zero
+    * counts. Output `(doc_id, text_clean, n_lines, n_removed)` —
+    * `n_lines` counts the doc's non-blank lines, `n_removed` the
+    * copies removed.
+    *
+    * Scale shape: flagging as [[lineDupStats]]; per-doc removal
+    * positions aggregate to ONE array bounded by the doc's own line
+    * count; the rebuild is a narrow per-row positional filter — full
+    * text rides only the final doc_id-keyed join (AQE broadcasts the
+    * removal side when boilerplate is sparse). */
+  def removeDupLines(
+      df: DataFrame, id: Column, text: Column,
+      minDf: Int = 2, keepRep: Boolean = true): DataFrame = {
+    require(minDf >= 2, s"minDf counts distinct docs sharing a line; need >= 2, got $minDf")
+    val base = df.select(id.as("doc_id"), text.as("_text"))
+    val occ = base
+      .select(col("doc_id"), posexplode(split(col("_text"), "\n")).as(Seq("_pos", "_line")))
+      .select(col("doc_id"), col("_pos"),
+        xxhash64(TextFns.normText(col("_line"))).as("_fp"),
+        (TextFns.normText(col("_line")) =!= "").as("_nb"))
+      .where(col("_nb"))
+    val flagged = occ
+      .groupBy("_fp", "doc_id").agg(count(lit(1)).as("_n"))
+      .groupBy("_fp").agg(count(lit(1)).as("_nd"), min(col("doc_id")).as("_rep"))
+      .where(col("_nd") >= minDf)
+      .select("_fp", "_rep")
+    val removals = occ.join(flagged, "_fp")
+      .where(if (keepRep) col("doc_id") =!= col("_rep") else lit(true))
+      .groupBy("doc_id").agg(array_sort(collect_set(col("_pos"))).as("_drops"))
+    val nonBlank = filter(split(col("_text"), "\n"),
+      l => TextFns.normText(l) =!= "")
+    base.join(removals, Seq("doc_id"), "left")
+      .withColumn("_lines", split(col("_text"), "\n"))
+      .withColumn("_kept", when(col("_drops").isNull, col("_lines"))
+        .otherwise(expr("filter(_lines, (l, i) -> NOT array_contains(_drops, i))")))
+      .select(
+        col("doc_id"),
+        when(col("_text").isNull, lit(null).cast("string"))
+          .otherwise(array_join(col("_kept"), "\n")).as("text_clean"),
+        when(col("_text").isNull, lit(0L))
+          .otherwise(size(nonBlank).cast("long")).as("n_lines"),
+        when(col("_text").isNull, lit(0L))
+          .otherwise((size(col("_lines")) - size(col("_kept"))).cast("long")).as("n_removed"))
+  }
+
   // ----------------------------------------------------------------- L15
   /** Benchmark decontamination — the published n-gram-overlap method
     * (flag a training doc if any of its k-token windows also occurs in

@@ -438,6 +438,62 @@ class DedupSpec extends SparkSpec {
     assert(out(43L) == (("a lone unique document", 4L, 0L)))
   }
 
+  private def lineRows(out: org.apache.spark.sql.DataFrame) =
+    out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("text_clean"), r.getAs[Long]("n_lines"),
+        r.getAs[Long]("n_removed")))).toMap
+
+  test("lineDupStats: cross-doc duplicated lines flagged; blanks and in-doc repeats not") {
+    import spark.implicits._
+    val corpus = Seq(
+      Doc(50L, "unique fifty intro\nCopyright Footer Line\n\nbody text fifty"),
+      Doc(51L, "another intro here\ncopyright  footer line\nbody text fiftyone"),
+      Doc(52L, "repeat me\nrepeat me\nsolo line"))
+    val out = Dedup.lineDupStats(
+        Tio.fromRows(spark, Docs, corpus).toNative, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_dup_lines")))).toMap
+    // footer matches ACROSS case/spacing normalization; blank line of 50
+    // is excluded from n_lines; 52's in-doc repeat never flags (nd = 1)
+    assert(out(50L) == ((3L, 1L)))
+    assert(out(51L) == ((3L, 1L)))
+    assert(out(52L) == ((3L, 0L)))
+  }
+
+  test("removeDupLines: rep keeps its copies; raw line text, order, blanks preserved") {
+    import spark.implicits._
+    val corpus = Seq(
+      Doc(50L, "unique fifty intro\nCopyright Footer Line\n\nbody text fifty"),
+      Doc(51L, "another intro here\ncopyright  footer line\nbody text fiftyone"),
+      Doc(52L, "repeat me\nrepeat me\nsolo line"),
+      Doc(53L, null))
+    val out = lineRows(Dedup.removeDupLines(
+      Tio.fromRows(spark, Docs, corpus).toNative, col("doc_id"), col("text")))
+    // 50 is the min-id holder: untouched, blank line and raw case intact
+    assert(out(50L) == (("unique fifty intro\nCopyright Footer Line\n\nbody text fifty", 3L, 0L)))
+    // 51 loses exactly its (raw) footer line, order preserved
+    assert(out(51L) == (("another intro here\nbody text fiftyone", 3L, 1L)))
+    assert(out(52L) == (("repeat me\nrepeat me\nsolo line", 3L, 0L)))
+    assert(out(53L) == ((null, 0L, 0L)))
+  }
+
+  test("removeDupLines: keepRep=false strips every copy, in-doc multiplicity included") {
+    import spark.implicits._
+    val corpus = Seq(
+      Doc(60L, "shared line\nshared line\nonly sixty"),
+      Doc(61L, "shared line\nonly sixtyone"))
+    val all = lineRows(Dedup.removeDupLines(
+      Tio.fromRows(spark, Docs, corpus).toNative, col("doc_id"), col("text"),
+      keepRep = false))
+    assert(all(60L) == (("only sixty", 3L, 2L)))
+    assert(all(61L) == (("only sixtyone", 2L, 1L)))
+    // default: 60 (min id) keeps BOTH copies, 61 loses its one
+    val rep = lineRows(Dedup.removeDupLines(
+      Tio.fromRows(spark, Docs, corpus).toNative, col("doc_id"), col("text")))
+    assert(rep(60L) == (("shared line\nshared line\nonly sixty", 3L, 0L)))
+    assert(rep(61L) == (("only sixtyone", 2L, 1L)))
+  }
+
   test("hot-bucket guard bounds a degenerate bucket and keeps true pairs") {
     import spark.implicits._
     // 1000 identical template docs: one degenerate (band,bucket) group

@@ -322,6 +322,33 @@ class PlanAuditSpec extends SparkSpec {
         && !pq.contains("SortMergeJoin"), s"composed query degraded:\n$pq")
   }
 
+  test("nb_classify: model broadcasts, token stream never sort-merges or crosses") {
+    val plan = q("nb_classify")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the pivoted model must broadcast-probe the token stream:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"the token stream must not shuffle into a join or cross:\n$plan")
+  }
+
+  test("decontam_near: bench buckets broadcast; no self-join term, no cartesian") {
+    val plan = q("decontam_near")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bench bucket stream must broadcast-probe the corpus buckets:\n$plan")
+    assert(plan.contains("LeftAnti"), s"expected the drop-list anti-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cross LSH must never cartesian:\n$plan")
+  }
+
+  test("line ops: flagging stays groupBy+join (no per-fp window), no cartesian") {
+    // same skew rationale as dedup_spans/span_removal, at line granularity
+    for (name <- Seq("dedup_lines", "line_removal")) {
+      val plan = q(name)
+      assert(!plan.contains("Window"),
+        s"$name: distinct-doc count must be groupBy+join, got a window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"cartesian in $name:\n$plan")
+    }
+  }
+
   test("span_removal: flagging stays groupBy+join (no per-fp window), rebuild joins narrow") {
     // Same skew rationale as dedup_spans: a boilerplate fingerprint in
     // 10^8 docs must hit AQE-splittable joins, never one WindowExec
