@@ -23,13 +23,13 @@ import org.apache.spark.sql.functions._
   * Tokenization is the module contract ([[NgramLM.tokens]]).
   *
   * Scale shape (100 TB):
-  *  - FIT is ONE corpus scan: each doc explodes into a tagged stream
-  *    (one `d` doc-marker + one `t` struct per token — the
-  *    [[NgramLM.fitBigram]] single-scan pattern) feeding ONE
-  *    word-count aggregate with map-side partial combine, keyed
-  *    (label, tag, gram); output is model-sized. Label stats
-  *    (n_docs, n_tokens per label) collect to the driver — a bounded
-  *    artifact (|labels| rows; classifiers have a handful of classes).
+  *  - FIT is one TOKEN-BEARING corpus scan (explode + word-count
+  *    aggregate with map-side partial combine, keyed (label, token);
+  *    output is model-sized) plus a label-only doc-count whose scan
+  *    column-prunes to the label column — see [[fit]] for why that
+  *    beats a tagged single scan here. Label stats collect to the
+  *    driver — a bounded artifact (|labels| rows; classifiers have a
+  *    handful of classes).
   *  - SCORE never multiplies the token stream by |labels|: the model
   *    pivots to one row per token with a count column PER LABEL
   *    (|vocab| rows × |labels| cols), broadcasts, and the exploded
@@ -64,36 +64,40 @@ object NaiveBayes {
 
   /** Fit on labeled docs. Rows with a NULL label are EXCLUDED (they
     * can't be attributed to a class); docs with no tokens still count
-    * toward their label's prior. One corpus scan, one shuffle. */
+    * toward their label's prior.
+    *
+    * One TOKEN-BEARING corpus scan (the expensive one: explode +
+    * word-count aggregate, map-side combine). The per-label doc count
+    * deliberately runs as a SEPARATE aggregate: it needs no text at
+    * all, so its scan column-prunes to the label column alone —
+    * unlike [[NgramLM.fitBigram]], where both counts tokenize the full
+    * text and a tagged single scan is the win, tagging here would
+    * wrap every token in a struct to save a near-free scan. All
+    * driver-side state is the bounded |labels|-row stats + 3 scalars;
+    * the count table itself stays distributed (registered persist,
+    * read by the stats/vocab aggregates and the scoring pivot). */
   def fit(df: DataFrame, label: Column, text: Column): NbModel = {
-    // tagged single-scan: one "d" marker per doc + one "t" per token,
-    // all through one map-side-combining aggregate (fitBigram pattern)
     val counts = graft.InternalCaches.register(df
       .where(label.isNotNull)
-      .select(label.cast("string").as("label"), NgramLM.tokens(text).as("_toks"))
-      .select(col("label"), explode(concat(
-        array(struct(lit("d").as("tag"), lit("").as("gram"))),
-        transform(col("_toks"), t => struct(lit("t").as("tag"), t.as("gram")))
-      )).as("_tg"))
-      .groupBy(col("label"), col("_tg.tag").as("tag"), col("_tg.gram").as("gram"))
+      .select(label.cast("string").as("label"), explode(NgramLM.tokens(text)).as("token"))
+      .groupBy("label", "token")
       .agg(count(lit(1)).as("cnt"))
       .persist())
-    val stats = counts.groupBy("label")
-      .agg(
-        coalesce(sum(when(col("tag") === "d", col("cnt"))), lit(0L)).as("n_docs"),
-        coalesce(sum(when(col("tag") === "t", col("cnt"))), lit(0L)).as("n_tokens"))
-      .orderBy("label")
+    val docCounts = df.where(label.isNotNull)
+      .groupBy(label.cast("string").as("label")).agg(count(lit(1)).as("n_docs"))
       .collect() // bounded artifact: one row per class
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    require(stats.nonEmpty, "NaiveBayes.fit: no labeled rows")
-    val totalDocs = stats.map(_._2).sum
-    val labels = stats.map { case (l, nd, nt) =>
-      NbLabel(l, nd, nt, microRound(math.log(nd.toDouble / totalDocs) * 1000000.0))
-    }.toSeq
-    val vocab = counts.where(col("tag") === "t").select("gram").distinct().count()
-    val tokenCounts = counts.where(col("tag") === "t")
-      .select(col("label"), col("gram").as("token"), col("cnt"))
-    NbModel(tokenCounts, labels, vocab, totalDocs)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(docCounts.nonEmpty, "NaiveBayes.fit: no labeled rows")
+    val tokStats = counts.groupBy("label")
+      .agg(sum("cnt").as("n_tokens"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totalDocs = docCounts.values.sum
+    val labels = docCounts.toSeq.sortBy(_._1).map { case (l, nd) =>
+      NbLabel(l, nd, tokStats.getOrElse(l, 0L),
+        microRound(math.log(nd.toDouble / totalDocs) * 1000000.0))
+    }
+    val vocab = counts.select("token").distinct().count()
+    NbModel(counts, labels, vocab, totalDocs)
   }
 
   /** Integer micro-nat log-prob of `num / den` — fixed operand order
@@ -116,16 +120,25 @@ object NaiveBayes {
     // conditional max per label in ONE groupBy(token) aggregation gives
     // the per-label count columns with a single exchange (Dataset.pivot
     // plans groupBy(token,label) + pivotfirst = two); columns are named
-    // positionally so label strings can never collide with column syntax
+    // positionally so label strings can never collide with column syntax.
+    // The micro-nat conditionals are computed HERE, per vocab entry, so
+    // the expensive ln runs |vocab|·|labels| times inside the (broadcast)
+    // model build — not once per token OCCURRENCE per label (measured
+    // ~2× on a 10-class corpus); identical IEEE chain either way. OOV
+    // tokens take each label's Laplace floor ln(1/(n_tok_c+V)) — a
+    // per-label constant, quantized driver-side with the same rounding.
     val pivAggs = labels.zipWithIndex.map { case (l, i) =>
-      max(when(col("label") === l.label, col("cnt"))).as(s"_graft_cnt_$i")
+      microLogProb(
+        coalesce(max(when(col("label") === l.label, col("cnt"))), lit(0L)) + 1,
+        l.nTokens.toDouble + model.vocabSize.toDouble).as(s"_graft_q_$i")
     }
     val piv = model.tokenCounts.groupBy("token").agg(pivAggs.head, pivAggs.tail: _*)
     val side = if (broadcastModel) broadcast(piv) else piv
-    val sums = labels.zipWithIndex.map { case (l, i) =>
+    val floors = labels.map(l =>
+      microRound(math.log(1.0 / (l.nTokens.toDouble + model.vocabSize.toDouble)) * 1000000.0))
+    val sums = labels.indices.map { i =>
       coalesce(sum(when(col("token").isNotNull,
-        microLogProb(coalesce(col(s"_graft_cnt_$i"), lit(0L)) + 1,
-          l.nTokens.toDouble + model.vocabSize.toDouble))), lit(0L))
+        coalesce(col(s"_graft_q_$i"), lit(floors(i))))), lit(0L))
         .as(s"_graft_s_$i")
     }
     val perDoc = df
