@@ -353,6 +353,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L39: the Gopher rule gate (Rae 2021 A1.1) — seven published
+    // document rules as one narrow struct expression; word-count floor
+    // lowered to 25 for the synthetic corpus (docs are ~30 words) so
+    // both keep outcomes occur. Only integers and booleans cross the
+    // gate; every ratio compare happens on identical int/int doubles.
+    // Stop-word floor 1: the synthetic vocabulary contains only "the"
+    // from the Gopher list, so the published floor of 2 would fail
+    // every doc — floor 1 keeps BOTH outcomes in the gate.
+    "text_gopher" -> { (s, dir) =>
+      documents(s, dir).toNative
+        .select(col("doc_id"),
+          TextFns.gopherFlags(col("text"), minWords = 25, minStopwords = 1).as("_g"))
+        .select(col("doc_id"), col("_g.*"))
+        .orderBy("doc_id")
+    },
+
     // L9: quality metrics — word/stopword/punct/uppercase counts + ratio.
     // Counts staged once per row; the ratio reads the staged columns
     // (CASE values are excluded from subexpression elimination).
@@ -1579,6 +1595,32 @@ object SparkEntry {
         |  WHEN fr >= es AND fr > 0 THEN 'fr'
         |  WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // The seven Gopher rules re-derived: identical tokenization, char
+    // sums, symbol counts, per-line trims — every compare on the same
+    // int/int double; only booleans (and n_words) cross the gate.
+    "text_gopher" ->
+      """WITH b AS (SELECT doc_id, text, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+        |w AS (SELECT doc_id, text, CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE string_split(norm, ' ') END AS ws FROM b),
+        |m AS (SELECT doc_id, text, ws, len(ws) AS n_words,
+        |  list_aggregate(list_transform(ws, t -> len(t)), 'sum') AS char_sum,
+        |  len(text) - len(regexp_replace(text, '[#…]', '', 'g')) + len(regexp_extract_all(text, '\.{3,}')) AS n_sym,
+        |  list_transform(string_split(text, chr(10)), l -> trim(l)) AS ls
+        |  FROM w),
+        |r AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  n_words >= 25 AND n_words <= 100000 AS ok_word_count,
+        |  n_words > 0 AND CAST(char_sum AS DOUBLE) / n_words >= 3.0 AND CAST(char_sum AS DOUBLE) / n_words <= 10.0 AS ok_mean_word_len,
+        |  n_words > 0 AND CAST(n_sym AS DOUBLE) / n_words <= 0.1 AS ok_symbol_ratio,
+        |  CAST(len(list_filter(ls, l -> l LIKE '•%' OR l LIKE '-%' OR l LIKE '*%')) AS DOUBLE) / len(ls) <= 0.9 AS ok_bullet_lines,
+        |  CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls) <= 0.3 AS ok_ellipsis_lines,
+        |  n_words > 0 AND CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / n_words >= 0.8 AS ok_alpha_words,
+        |  len(list_intersect(list_distinct(ws), ['the','be','to','of','and','that','have','with'])) >= 1 AS ok_stopwords
+        |  FROM m)
+        |SELECT doc_id, n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+        |  ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
+        |  ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet_lines
+        |    AND ok_ellipsis_lines AND ok_alpha_words AND ok_stopwords AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH q AS (SELECT doc_id,

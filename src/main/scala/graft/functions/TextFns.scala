@@ -208,6 +208,75 @@ object TextFns {
     lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams)
   }
 
+  // --------------------------------------------------------------- L39
+  /** Gopher's published stop-word list for rule 7 (Rae et al. 2021,
+    * A1.1: "contains at least two of the following English words"). */
+  val gopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher rule-based quality filter (Rae et al. 2021, appendix
+    * A1.1 — the published pre-classifier document gate, reused by
+    * MassiveText descendants): seven per-document rules, each a pure
+    * narrow expression so the whole gate stays inside the scan's
+    * codegen span at 100 TB. Returns a struct
+    * `(n_words, ok_word_count, ok_mean_word_len, ok_symbol_ratio,
+    * ok_bullet_lines, ok_ellipsis_lines, ok_alpha_words, ok_stopwords,
+    * keep)` with `keep` = all seven.
+    *
+    * Conventions (exact SQL mirrors per function scaladocs): words are
+    * the normText single-space tokens; word-less docs fail every
+    * per-word rule (and the word-count floor) by definition; line
+    * rules trim each line first; "symbols" are `#`, `…`, and each
+    * maximal run of ≥3 dots; the stop-word rule counts DISTINCT hits
+    * from [[gopherStopwords]]. NULL text yields all-false flags and
+    * keep = false. Ratios are int/int double divisions against literal
+    * thresholds — both engines compare the identical IEEE double, and
+    * only the boolean crosses the oracle gate. */
+  def gopherFlags(
+      c: Column,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopwords: Int = 2): Column = {
+    val ws = wsTokens(normText(c))
+    val nWords = wordCount(c)
+    val hasWords = nWords > 0
+    val nw = nWords.cast("double")
+    val charSum = aggregate(ws, lit(0), (acc, t) => acc + length(t))
+    val meanLen = charSum.cast("double") / nw
+    val nSymbols =
+      (length(c) - length(regexp_replace(c, "[#…]", ""))) +
+        size(regexp_extract_all(c, lit("\\.{3,}"), lit(0)))
+    val lines = transform(split(c, "\n"), l => trim(l))
+    val nLines = size(lines).cast("double")
+    val bulletFrac =
+      size(filter(lines, l => substring(l, 1, 1).isin("•", "-", "*"))).cast("double") / nLines
+    val ellipsisFrac =
+      size(filter(lines, l => l.endsWith("...") || l.endsWith("…"))).cast("double") / nLines
+    val alphaFrac = size(filter(ws, t => t.rlike("[a-z]"))).cast("double") / nw
+    val nStops = size(array_intersect(array_distinct(ws),
+      array(gopherStopwords.map(lit): _*)))
+    def f(b: Column): Column = coalesce(b, lit(false))
+    val okWordCount = f(nWords >= minWords && nWords <= maxWords)
+    val okMeanLen = f(hasWords && meanLen >= minMeanLen && meanLen <= maxMeanLen)
+    val okSymbols = f(hasWords && nSymbols.cast("double") / nw <= maxSymbolRatio)
+    val okBullets = f(bulletFrac <= maxBulletFrac)
+    val okEllipsis = f(ellipsisFrac <= maxEllipsisFrac)
+    val okAlpha = f(hasWords && alphaFrac >= minAlphaFrac)
+    val okStops = f(nStops >= minStopwords)
+    struct(
+      coalesce(nWords, lit(0)).cast("long").as("n_words"),
+      okWordCount.as("ok_word_count"),
+      okMeanLen.as("ok_mean_word_len"),
+      okSymbols.as("ok_symbol_ratio"),
+      okBullets.as("ok_bullet_lines"),
+      okEllipsis.as("ok_ellipsis_lines"),
+      okAlpha.as("ok_alpha_words"),
+      okStops.as("ok_stopwords"),
+      (okWordCount && okMeanLen && okSymbols && okBullets &&
+        okEllipsis && okAlpha && okStops).as("keep"))
+  }
+
   // --------------------------------------------------------------- L21
   /** Heuristic PII scrubbing — the redaction pass a training corpus
     * runs before anything else sees the text. Patterns stay in the

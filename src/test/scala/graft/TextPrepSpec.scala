@@ -193,6 +193,54 @@ class TextPrepSpec extends SparkSpec {
       (9L, 0, 3, 1L)))
   }
 
+  test("gopherFlags: each rule trips on its designed fixture") {
+    import spark.implicits._
+    val goodBody = ("the quick brown words flow nicely and that prose " +
+      "has normal shape with enough variety to be kept around here " +
+      "plus some more filler tokens of usual length") // 31 words, all rules pass
+    val docs = Seq(
+      (1L, goodBody),
+      (2L, "too short to pass the word count floor"),           // rule 1
+      (3L, (1 to 30).map(_ => "a").mkString(" ")),              // rule 2: mean len 1
+      (4L, goodBody + " ### ## # # #"),                         // rule 3: symbols
+      (5L, (1 to 10).map(i => s"- bullet $i line").mkString("\n")), // rule 4: all bullets
+      (6L, (1 to 10).map(i => s"trailing line $i ...").mkString("\n")), // rule 5
+      (7L, (1 to 30).map(i => s"$i").mkString(" ")),            // rule 6: numeric words
+      (8L, (1 to 30).map(i => s"word$i flows").mkString(" ")),  // rule 7: no stopwords
+      (9L, ""), (10L, null.asInstanceOf[String])
+    ).toDF("id", "t")
+    val out = docs
+      .select(col("id"), TextFns.gopherFlags(col("t"), minWords = 25).as("g"))
+      .select(col("id"), col("g.*"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(name))
+    assert(flag(1L, "keep"), s"good doc must pass all rules: ${out(1L)}")
+    assert(!flag(2L, "ok_word_count") && !flag(2L, "keep"))
+    assert(!flag(3L, "ok_mean_word_len") && flag(3L, "ok_word_count"))
+    assert(!flag(4L, "ok_symbol_ratio") && flag(4L, "ok_word_count"))
+    assert(!flag(5L, "ok_bullet_lines"))
+    assert(!flag(6L, "ok_ellipsis_lines"))
+    assert(!flag(7L, "ok_alpha_words") && !flag(7L, "ok_stopwords"))
+    assert(!flag(8L, "ok_stopwords") && flag(8L, "ok_alpha_words"))
+    // empty + NULL: word-less docs fail every per-word rule and keep
+    for (id <- Seq(9L, 10L)) {
+      assert(out(id).getLong(out(id).fieldIndex("n_words")) == 0L)
+      assert(!flag(id, "ok_word_count") && !flag(id, "ok_mean_word_len") &&
+        !flag(id, "ok_alpha_words") && !flag(id, "keep"))
+    }
+  }
+
+  test("gopherFlags: ellipsis char and 3-dot runs both count as symbols") {
+    import spark.implicits._
+    // 26 words + 3 symbol hits (…, …, one 4-dot run) -> ratio > 0.1
+    val t = (1 to 26).map(_ => "and").mkString(" ") + " wait… hmm… well...."
+    val out = Seq((1L, t)).toDF("id", "t")
+      .select(TextFns.gopherFlags(col("t"), minWords = 25).as("g"))
+      .select(col("g.ok_symbol_ratio")).head().getBoolean(0)
+    assert(!out, "3 symbols / 29 words = 0.103 > 0.1 must trip rule 3")
+  }
+
   test("packChunks: the id synthesis holds at the documented doc_id bound (2^31 - 1)") {
     import spark.implicits._
     // doc_id = Int.MaxValue is the largest the doc_id·2³² + chunk_id
