@@ -176,6 +176,75 @@ class DocsSpec extends SparkSpec {
     assert(clean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
   }
 
+  test("prep recipe: near-duplicate decontamination") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "totally unrelated training words in this document right here"),
+    ).toDF("doc_id", "text")
+    val benchmarks = Seq(
+      (9L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.crossNearPairs(
+      corpus, col("doc_id"), col("text"),
+      benchmarks, col("doc_id"), col("text"), threshold = 0.5)
+    assert(pairs.select("id_a").collect().map(_.getLong(0)).toSet == Set(1L))
+    val nearClean = graft.operators.Dedup.decontaminatedKeepNear(
+      corpus, col("doc_id"), col("text"),
+      benchmarks, col("doc_id"), col("text"), threshold = 0.5)
+    assert(nearClean.select("doc_id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("prep recipe: rule gate then classifier") {
+    import spark.implicits._
+    val body = ("the quick brown words flow nicely and that prose has normal " +
+      "shape with enough variety to be kept around here plus filler tokens " +
+      "of usual length and a few more ordinary words to clear the fifty " +
+      "word floor that the published gopher gate requires for any document " +
+      "to be considered long enough to carry real training signal today")
+    val docs = Seq((1L, body), (2L, "way too short")).toDF("doc_id", "text")
+    val gated = docs
+      .withColumn("g", graft.functions.TextFns.gopherFlags(col("text")))
+      .where(col("g.keep"))
+    assert(gated.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L))
+
+    val reference = Seq(
+      ("curated", "polished prose with the usual editorial care applied"),
+      ("curated", "clean and careful writing with that typical structure"),
+      ("crawled", "click here buy now free free offer expires"),
+    ).toDF("label", "text")
+    val model = graft.operators.NaiveBayes.fit(reference, col("label"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-docs-nb").toString
+    graft.operators.NaiveBayes.save(model, dir)
+    val scored = graft.operators.NaiveBayes.score(
+      Seq((1L, "careful editorial prose with clean structure"),
+        (2L, "free free offer click now")).toDF("doc_id", "text"),
+      col("doc_id"), col("text"),
+      graft.operators.NaiveBayes.load(spark, dir))
+    val preds = scored.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(preds(1L) == "curated" && preds(2L) == "crawled")
+  }
+
+  // --- dedup-at-scale.md: sub-document dedup ----------------------------
+
+  test("dedup recipe: line-level boilerplate removal") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "page one content\nCookie Banner Text\nmore page one"),
+      (2L, "page two content\ncookie banner text\nmore page two"),
+      (3L, "page three content\nCookie  Banner  Text\nmore page three"),
+    ).toDF("doc_id", "text")
+    val stats = graft.operators.Dedup.lineDupStats(
+      docs, col("doc_id"), col("text"), minDf = 3)
+    assert(stats.where(col("n_dup_lines") > 0).count() == 3L)
+    val rewritten = graft.operators.Dedup.removeDupLines(
+      docs, col("doc_id"), col("text"), minDf = 3, keepRep = false)
+    val texts = rewritten.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(texts(1L) == "page one content\nmore page one")
+    assert(texts(2L) == "page two content\nmore page two")
+    assert(texts(3L) == "page three content\nmore page three")
+  }
+
   test("prep recipe: sketch-based cross-corpus overlap audit") {
     import spark.implicits._
     val corpus = (1L to 2000L).toDF("doc_fp")
