@@ -575,6 +575,37 @@ object SparkEntry {
         .orderBy("column", "q")
     },
 
+    // L31 (histogram): fixed-width bins over a known domain — every
+    // bin present (empty bins count 0), narrow assignment + tiny
+    // keyed count + broadcast scaffold join. Edges are the identical
+    // IEEE floor((x-lo)/w) chain in both engines.
+    "profile_histogram" -> { (s, dir) =>
+      Profile.histogram(lineitem(s, dir).toNative, col("l_quantity"),
+          bins = 10, lo = 0.0, hi = 50.0)
+        .orderBy("bin")
+    },
+
+    // L31 (buckets): CCNet-style quantile bucketing — exact dyadic
+    // thresholds (one bounded collect), then a PURE NARROW comparison
+    // chain; ties land in the lower bucket.
+    "profile_buckets" -> { (s, dir) =>
+      Profile.bucketByQuantiles(documents(s, dir).toNative,
+          col("n_chars"), Seq(0.25, 0.5, 0.75), "bucket")
+        .select("doc_id", "n_chars", "bucket")
+        .orderBy("doc_id")
+    },
+
+    // L29 (collocations): top-30 bigrams by PMI at the published
+    // minCount noise floor — same one-scan fitted model as lm_bigram;
+    // fixed integer-derived division chain, micro-nat quantized,
+    // (pmi desc, bigram asc) deterministic cut.
+    "text_pmi" -> { (s, dir) =>
+      NgramLM.pmiTop(
+          NgramLM.fitBigram(documents(s, dir).toNative, col("text")),
+          k = 30, minCount = 5)
+        .orderBy(col("pmi_micro").desc, col("bigram").asc)
+    },
+
     // L31 (heavy hitters): exact top-20 corpus tokens — the
     // boilerplate audit. Map-side word count + k-row TakeOrdered, no
     // global sort; deterministic (count desc, token asc) cut.
@@ -2120,6 +2151,45 @@ object SparkEntry {
       """WITH tok AS (SELECT unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '')) AS value FROM documents)
         |SELECT value, count(*) AS n FROM tok
         |GROUP BY 1 ORDER BY n DESC, value ASC LIMIT 20""".stripMargin,
+
+    // Identical bin chain: w = (hi-lo)/bins, least(floor((x-lo)/w),
+    // bins-1); scaffold via range() so empty bins survive.
+    "profile_histogram" ->
+      """WITH c AS (SELECT CAST(least(floor((CAST(l_quantity AS DOUBLE) - 0.0) / 5.0), 9) AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity >= 0.0 AND l_quantity <= 50.0
+        |  GROUP BY 1)
+        |SELECT t.range AS bin, 0.0 + t.range * 5.0 AS bin_lo, 0.0 + (t.range + 1) * 5.0 AS bin_hi,
+        |  coalesce(c.n, 0) AS n
+        |FROM range(10) t LEFT JOIN c ON c.bin = t.range
+        |ORDER BY bin""".stripMargin,
+
+    // Exact dyadic thresholds (IEEE-identical interpolation), then the
+    // same exceeds-count bucket assignment.
+    "profile_buckets" ->
+      """WITH t AS (SELECT quantile_cont(n_chars, [0.25, 0.5, 0.75]) AS ts FROM documents)
+        |SELECT doc_id, n_chars,
+        |  CASE WHEN n_chars IS NULL THEN NULL ELSE
+        |    CAST((n_chars > ts[1]) AS INT) + CAST((n_chars > ts[2]) AS INT) + CAST((n_chars > ts[3]) AS INT)
+        |  END AS bucket
+        |FROM documents, t ORDER BY doc_id""".stripMargin,
+
+    // The same bigram/unigram counts, the same fixed division chain
+    // (c_ab/N_b) / ((c_a/N_u)*(c_b/N_u)), one ln, micro-nat rounding.
+    "text_pmi" ->
+      """WITH tk AS (SELECT list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS ws FROM documents),
+        |bg AS (SELECT unnest(CASE WHEN len(ws) >= 2 THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] ELSE []::VARCHAR[] END) AS bigram FROM tk),
+        |uc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(ws) AS token FROM tk) GROUP BY 1),
+        |bc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cnt FROM bg GROUP BY 1),
+        |nu AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM uc),
+        |nb AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM bc)
+        |SELECT b.bigram, b.cnt AS n_pair, u1.cnt AS n_w1, u2.cnt AS n_w2,
+        |  CAST(round(ln((CAST(b.cnt AS DOUBLE) / nb.n) / ((CAST(u1.cnt AS DOUBLE) / nu.n) * (CAST(u2.cnt AS DOUBLE) / nu.n))) * 1000000.0) AS BIGINT) AS pmi_micro
+        |FROM bc b
+        |JOIN uc u1 ON u1.token = string_split(b.bigram, ' ')[1]
+        |JOIN uc u2 ON u2.token = string_split(b.bigram, ' ')[-1], nu, nb
+        |WHERE b.cnt >= 5
+        |ORDER BY pmi_micro DESC, bigram ASC LIMIT 30""".stripMargin,
 
     // Dyadic fractions over integer-valued columns: quantile_cont's
     // interpolation is exact in IEEE double -> engine-independent.

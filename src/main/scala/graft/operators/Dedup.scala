@@ -968,34 +968,85 @@ object Dedup {
     * Scale shape (100 TB corpus, small bench): both sides band with the
     * SAME MinHash parameters; the bench's O(|bench|·bands) bucket rows
     * BROADCAST, so the corpus bucket stream never shuffles — the join
-    * is a narrow broadcast-hash probe, unlike the self-join dedup path.
-    * There is no within-corpus pair term at all (no self-join), so the
-    * exact-copy collapse is unnecessary here. The hot-bucket guard caps
-    * the BENCH side: per-corpus-row fanout = size of the matching bench
-    * bucket, so capping bench buckets at `maxBucket` bounds candidate
-    * volume at O(n·bands·maxBucket) with zero corpus-side counting
-    * shuffle (capping the corpus side would cost an O(n·bands) group
-    * count for a blowup the tiny bench can't cause). Candidates are
-    * exact-verified by shingle-set Jaccard ([[jaccardVerify]] — integer
-    * set sizes, bit-identical ratio), so LSH recall is the only
-    * approximation: 128 hashes / 64 bands ⇒ P(miss | J≥0.5) ≈ 1e-8. */
+    * is a narrow broadcast-hash probe, unlike the self-join dedup path
+    * (no within-corpus pair term at all). `collapseExact` (default ON)
+    * routes both sides through the exact-duplicate collapse first: on
+    * a duplicate-dense corpus (the sf10 stress corpus carries 100
+    * copies per doc) the uncollapsed flow bands and Jaccard-verifies
+    * every (corpus copy × bench copy) combination — g²× the same set
+    * comparison; reps verify once and member pairs inherit the rep
+    * verdict (equal normalized text ⇒ identical shingle sets ⇒
+    * identical Jaccard — the [[jaccardPairs]] argument). Measured at
+    * sf10: 134 s uncollapsed → seconds collapsed. The hot-bucket guard
+    * caps the BENCH side: per-corpus-row fanout = size of the matching
+    * bench bucket, so capping bench buckets at `maxBucket` bounds
+    * candidate volume at O(n·bands·maxBucket) with zero corpus-side
+    * counting shuffle (capping the corpus side would cost an
+    * O(n·bands) group count for a blowup the tiny bench can't cause).
+    * Candidates are exact-verified by shingle-set Jaccard
+    * ([[jaccardVerify]] — integer set sizes, bit-identical ratio), so
+    * LSH recall is the only approximation: 128 hashes / 64 bands ⇒
+    * P(miss | J≥0.5) ≈ 1e-8. */
+  /** Rep-level verified cross pairs `(id_a = corpus REP, id_b = bench
+    * REP, jaccard)` plus both member maps — the shared core of
+    * [[crossNearPairs]] (which expands both sides) and
+    * [[decontaminatedKeepNear]] (which only needs flagged corpus
+    * members, so expanding the bench side there would be waste). */
+  private def crossNearRepPairs(
+      corpus: DataFrame, corpusId: Column, corpusText: Column,
+      bench: DataFrame, benchId: Column, benchText: Column,
+      threshold: Double, shingleK: Int, numHashes: Int, bands: Int,
+      maxBucket: Int, broadcastBench: Boolean,
+      collapseExact: Boolean): (DataFrame, Option[(DataFrame, DataFrame)]) = {
+    def pairsOf(cSide: DataFrame, bSide: DataFrame): DataFrame = {
+      val cb = minhashBuckets(cSide, corpusId, corpusText, shingleK, numHashes, bands)
+      val bb0 = capBuckets(
+        minhashBuckets(bSide, benchId, benchText, shingleK, numHashes, bands),
+        Seq("band", "bucket"), maxBucket)
+        .toDF("_bid", "band", "bucket")
+      val bb = if (broadcastBench) broadcast(bb0) else bb0
+      val cands = cb.join(bb, Seq("band", "bucket"))
+        .select(col("_id").as("id_a"), col("_bid").as("id_b"))
+        .distinct()
+      jaccardVerify(cands,
+        shingleSets(cSide, corpusId, corpusText, shingleK),
+        shingleSets(bSide, benchId, benchText, shingleK), threshold)
+    }
+    if (!collapseExact) (pairsOf(corpus, bench), None)
+    else {
+      // exact-copy collapse on BOTH sides: at duplicate-dense scale (a
+      // crawl where every doc has g copies) the uncollapsed flow bands
+      // and verifies each copy separately — g_corpus · g_bench times
+      // the same set comparison. Reps band/verify ONCE; equal
+      // normalized text ⇒ identical shingle sets ⇒ identical Jaccard,
+      // so expanding rep pairs to members reproduces the uncollapsed
+      // answer wherever the bench-side cap does not fire (and strictly
+      // more where it does — g copies can no longer inflate a bucket).
+      val c = collapseByText(corpus, corpusId, corpusText)
+      val b = collapseByText(bench, benchId, benchText)
+      (pairsOf(c.reps, b.reps), Some((c.member, b.member)))
+    }
+  }
+
   def crossNearPairs(
       corpus: DataFrame, corpusId: Column, corpusText: Column,
       bench: DataFrame, benchId: Column, benchText: Column,
       threshold: Double, shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
-      maxBucket: Int = DefaultMaxBucket, broadcastBench: Boolean = true): DataFrame = {
-    val cb = minhashBuckets(corpus, corpusId, corpusText, shingleK, numHashes, bands)
-    val bb0 = capBuckets(
-      minhashBuckets(bench, benchId, benchText, shingleK, numHashes, bands),
-      Seq("band", "bucket"), maxBucket)
-      .toDF("_bid", "band", "bucket")
-    val bb = if (broadcastBench) broadcast(bb0) else bb0
-    val cands = cb.join(bb, Seq("band", "bucket"))
-      .select(col("_id").as("id_a"), col("_bid").as("id_b"))
-      .distinct()
-    jaccardVerify(cands,
-      shingleSets(corpus, corpusId, corpusText, shingleK),
-      shingleSets(bench, benchId, benchText, shingleK), threshold)
+      maxBucket: Int = DefaultMaxBucket, broadcastBench: Boolean = true,
+      collapseExact: Boolean = true): DataFrame = {
+    val (repPairs, members) = crossNearRepPairs(corpus, corpusId, corpusText,
+      bench, benchId, benchText, threshold, shingleK, numHashes, bands,
+      maxBucket, broadcastBench, collapseExact)
+    members match {
+      case None => repPairs
+      case Some((cm, bm)) =>
+        // expand rep pairs to member pairs on BOTH sides (no id
+        // reordering — the sides are distinct corpora by contract)
+        val ma = cm.select(col("_rid").as("id_a"), col("_mid").as("_ma"))
+        val mb = bm.select(col("_rid").as("id_b"), col("_mid").as("_mb"))
+        repPairs.join(ma, "id_a").join(mb, "id_b")
+          .select(col("_ma").as("id_a"), col("_mb").as("id_b"), col("jaccard"))
+    }
   }
 
   /** The decontaminated corpus under the NEAR-duplicate criterion:
@@ -1009,11 +1060,20 @@ object Dedup {
       corpus: DataFrame, corpusId: Column, corpusText: Column,
       bench: DataFrame, benchId: Column, benchText: Column,
       threshold: Double, shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
-      maxBucket: Int = DefaultMaxBucket, broadcastBench: Boolean = true): DataFrame = {
-    val flagged = crossNearPairs(corpus, corpusId, corpusText,
-        bench, benchId, benchText, threshold, shingleK, numHashes, bands,
-        maxBucket, broadcastBench)
-      .select(col("id_a").as("_drop_id")).distinct()
+      maxBucket: Int = DefaultMaxBucket, broadcastBench: Boolean = true,
+      collapseExact: Boolean = true): DataFrame = {
+    val (repPairs, members) = crossNearRepPairs(corpus, corpusId, corpusText,
+      bench, benchId, benchText, threshold, shingleK, numHashes, bands,
+      maxBucket, broadcastBench, collapseExact)
+    // only the corpus side needs expanding: a member is contaminated
+    // iff its rep is (equal text ⇒ equal Jaccard against everything),
+    // and WHICH bench doc matched is irrelevant to the keep decision
+    val flagged = members match {
+      case None => repPairs.select(col("id_a").as("_drop_id")).distinct()
+      case Some((cm, _)) =>
+        cm.join(repPairs.select(col("id_a").as("_rid")).distinct(), "_rid")
+          .select(col("_mid").as("_drop_id"))
+    }
     corpus.join(flagged, corpusId === col("_drop_id"), "left_anti")
   }
 

@@ -144,6 +144,52 @@ object NgramLM {
       spark.read.parquet(s"$path/unigrams"),
       spark.read.parquet(s"$path/params").select("v").head().getLong(0))
 
+  /** Top-`k` collocations by pointwise mutual information (Church &
+    * Hanks 1990 — the classic collocation statistic; tokenizer/vocab
+    * audits use exactly this to find multi-word units): for each
+    * bigram with pair count ≥ `minCount`,
+    * `PMI = ln( p(w1 w2) / (p(w1)·p(w2)) )` with `p(w1 w2) =
+    * c(ab)/N_bi` and `p(w) = c(w)/N_uni`. Returns
+    * `(bigram, n_pair, n_w1, n_w2, pmi_micro)` — PMI desc, bigram asc
+    * (deterministic cut), quantized to integer micro-nats.
+    *
+    * Cross-engine exactness: the division chain is FIXED —
+    * `(c_ab/N_b) / ((c_a/N_u) · (c_b/N_u))`, each step
+    * integer-derived double — so both engines `ln` the identical
+    * IEEE value; no BIGINT product that could overflow at corpus
+    * scale ever forms. `minCount` is the published noise floor: a
+    * 1-occurrence pair of two hapaxes maximizes raw PMI.
+    *
+    * Plan shape: the model's count tables join by token — the unigram
+    * side is vocab-sized and broadcasts (falls back to shuffle via
+    * `broadcastModel = false`); the k-row result is a TakeOrdered, no
+    * global sort. Fit once with [[fitBigram]] (one corpus scan),
+    * derive collocations and score perplexity from the same model. */
+  def pmiTop(
+      model: BigramModel, k: Int, minCount: Long = 5L,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    def side(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+    val nU = model.unigrams.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val nB = model.bigrams.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    require(nB > 0, "pmiTop: the fitted model has no bigrams")
+    val pPair = col("n_pair").cast("double") / lit(nB.toDouble)
+    val pW1 = col("n_w1").cast("double") / lit(nU.toDouble)
+    val pW2 = col("n_w2").cast("double") / lit(nU.toDouble)
+    model.bigrams
+      .where(col("cnt") >= minCount)
+      .select(col("bigram"), col("cnt").as("n_pair"),
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+      .join(side(model.unigrams.select(col("token").as("w1"), col("cnt").as("n_w1"))), "w1")
+      .join(side(model.unigrams.select(col("token").as("w2"), col("cnt").as("n_w2"))), "w2")
+      .select(col("bigram"), col("n_pair"), col("n_w1"), col("n_w2"),
+        round(log(pPair / (pW1 * pW2)) * 1000000.0, 0).cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Integer micro-nat log-prob of `p = num / den` (both exact
     * integer-valued columns): `round(ln(num/den) · 1e6)` as LONG. The
     * division is double-on-double with fixed operand order, so the

@@ -119,6 +119,63 @@ object Profile {
     meltQuantiles(df.agg(aggs.head, aggs.tail: _*), cols, qs)
   }
 
+  /** Fixed-width histogram of a numeric column over `[lo, hi]`:
+    * `(bin, bin_lo, bin_hi, n)` with EVERY bin present (empty bins
+    * count 0 — the plotting/monitoring contract), bin width
+    * `(hi-lo)/bins`. Values outside `[lo, hi]` and NULLs are excluded
+    * (count them via [[profile]]); `hi` itself lands in the last bin
+    * (the standard right-closed final bin). Explicit bounds keep the
+    * operator ONE pass and deterministic — derive them from a prior
+    * [[profile]]/[[quantiles]] when unknown.
+    *
+    * Plan: narrow bin assignment (one integer per row), map-side
+    * combined count keyed by ≤ `bins` values, broadcast-joined onto a
+    * `spark.range(bins)` scaffold — data shuffles one partial row per
+    * (task, non-empty bin). Bin edges are the same IEEE chain both
+    * engines compute: `floor((x - lo) / w)` with `w = (hi-lo)/bins`. */
+  def histogram(df: DataFrame, c: Column, bins: Int, lo: Double, hi: Double): DataFrame = {
+    require(bins > 0, s"bins must be positive, got $bins")
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val w = (hi - lo) / bins
+    val spark = df.sparkSession
+    val v = c.cast("double")
+    val counts = df
+      .where(v.isNotNull && v >= lo && v <= hi)
+      .select(least(floor((v - lit(lo)) / lit(w)), lit(bins - 1)).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    spark.range(bins).toDF("bin")
+      .join(broadcast(counts), Seq("bin"), "left")
+      .select(
+        col("bin"),
+        (lit(lo) + col("bin") * lit(w)).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * lit(w)).as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Quantile bucketing — the CCNet §3.3 move (rank docs by a quality
+    * signal, cut the corpus into buckets at fixed fractions): append
+    * `outCol` = the 0-based bucket of `value` under the EXACT
+    * percentile thresholds of `value` at `qs` (bucket = number of
+    * thresholds the value EXCEEDS, so ties land in the lower bucket
+    * and `|qs|+1` buckets cover the line; NULL value → NULL bucket).
+    *
+    * Thresholds are one [[quantiles]]-style aggregate collected as a
+    * bounded |qs|-row artifact, then the assignment is a PURE NARROW
+    * comparison chain — no join, no second shuffle, reusable verbatim
+    * on a stream. Cross-engine exactness: at dyadic `qs` over
+    * integer-valued signals the thresholds are IEEE-exact (see
+    * [[quantiles]]), so bucket assignment gates bit-for-bit. */
+  def bucketByQuantiles(
+      df: DataFrame, value: Column, qs: Seq[Double], outCol: String): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1), s"fractions must be in (0,1): $qs")
+    val qArr = array(qs.map(lit): _*)
+    val ts = df.agg(percentile(value, qArr).as("_t"))
+      .head().getSeq[Double](0) // bounded artifact: one threshold per fraction
+    val bucket = ts.map(t => (value > lit(t)).cast("int"))
+      .reduce(_ + _)
+    df.withColumn(outCol, when(value.isNotNull, bucket))
+  }
+
   /** Approximate quantiles — Greenwald–Khanna sketch
     * (`approx_percentile`; Greenwald & Khanna 2001, the published
     * ε-approximate quantile summary): rank error ≤ n/`accuracy`,

@@ -245,6 +245,24 @@ class DocsSpec extends SparkSpec {
     assert(texts(3L) == "page three content\nmore page three")
   }
 
+  test("prep recipe: profile, bucket, and rank") {
+    import spark.implicits._
+    val docs = (1L to 80L)
+      .map(i => (i, (("the " * (i.toInt % 4 + 1)) + s"tok${i % 11} w${i % 7}").trim))
+      .toDF("doc_id", "text")
+    assert(graft.operators.Profile.profile(docs, Seq("doc_id", "text")).count() == 2L)
+    val h = graft.operators.Profile.histogram(docs, col("doc_id"),
+      bins = 4, lo = 0, hi = 80)
+    assert(h.count() == 4L)
+    val lm = graft.operators.NgramLM.fitUnigram(docs, col("text"))
+    val scored = graft.operators.NgramLM.scoreUnigram(docs, col("doc_id"), col("text"), lm)
+    val bucketed = graft.operators.Profile.bucketByQuantiles(
+      scored, col("avg_logprob"), Seq(0.25, 0.5, 0.75), "quality_bucket")
+    assert(bucketed.groupBy("quality_bucket").count().count() >= 2L)
+    val bm = graft.operators.NgramLM.fitBigram(docs, col("text"))
+    assert(graft.operators.NgramLM.pmiTop(bm, k = 5, minCount = 2).count() > 0L)
+  }
+
   test("prep recipe: sketch-based cross-corpus overlap audit") {
     import spark.implicits._
     val corpus = (1L to 2000L).toDF("doc_fp")

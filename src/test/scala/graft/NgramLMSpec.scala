@@ -96,6 +96,26 @@ class NgramLMSpec extends SparkSpec {
     assert(u1.toSeq == u2.toSeq)
   }
 
+  test("pmiTop: hand-computed PMI, minCount floor, deterministic tie cut") {
+    // corpus: "x y" repeated 3 times in one doc + "a b" once each in
+    // separate docs. Bigrams: "x y":3, "y x":2, "a b":1.
+    // Unigrams: x:3 y:3 a:1 b:1 -> N_u = 8, N_b = 6.
+    val df = Seq((1L, "x y x y x y"), (2L, "a b")).toDF("id", "t")
+    val m = NgramLM.fitBigram(df, col("t"))
+    val got = NgramLM.pmiTop(m, k = 10, minCount = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set("x y", "y x"), s"minCount=2 must drop 'a b': $got")
+    def pmi(cAb: Long, cA: Long, cB: Long): Long =
+      Math.round(math.log((cAb.toDouble / 6.0) / ((cA.toDouble / 8.0) * (cB.toDouble / 8.0))) * 1e6)
+    assert(got("x y") == ((3L, 3L, 3L, pmi(3, 3, 3))))
+    assert(got("y x") == ((2L, 3L, 3L, pmi(2, 3, 3))))
+    // broadcast and shuffle paths agree; k cuts deterministically
+    val b = NgramLM.pmiTop(m, k = 1, minCount = 2).head()
+    val s = NgramLM.pmiTop(m, k = 1, minCount = 2, broadcastModel = false).head()
+    assert(b.getString(0) == "x y" && s.getString(0) == "x y")
+  }
+
   test("save/load round trips: loaded models score identically (uni + bi)") {
     import spark.implicits._
     val df = Seq((1L, "a b a c"), (2L, "b c d e"), (3L, "a a")).toDF("id", "t")

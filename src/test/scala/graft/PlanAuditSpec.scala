@@ -349,6 +349,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("text_gopher: the whole rule gate is one narrow codegen'd projection") {
+    val plan = q("text_gopher")
+    assert(!plan.contains("Join"), s"rules must not join:\n$plan")
+    // the only exchange allowed is the final orderBy's range partition
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"gate must be narrow, got $exchanges exchanges:\n$plan")
+  }
+
+  test("profile_histogram: tiny keyed count + broadcast scaffold, no sort-merge") {
+    val plan = q("profile_histogram")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"scaffold join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"bins must never sort-merge:\n$plan")
+  }
+
+  test("profile_buckets: threshold assignment is a pure narrow projection") {
+    val plan = q("profile_buckets")
+    assert(!plan.contains("Join"), s"bucket assignment must not join:\n$plan")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"assignment must be narrow, got $exchanges exchanges:\n$plan")
+  }
+
+  test("text_pmi: broadcast unigram joins, k-row TakeOrdered, no global sort") {
+    val plan = q("text_pmi")
+    assert(plan.contains("BroadcastHashJoin"), s"unigram sides must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"count tables must not shuffle into a join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"the k-cut must be TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("span_removal: flagging stays groupBy+join (no per-fp window), rebuild joins narrow") {
     // Same skew rationale as dedup_spans: a boilerplate fingerprint in
     // 10^8 docs must hit AQE-splittable joins, never one WindowExec

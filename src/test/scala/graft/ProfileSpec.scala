@@ -78,6 +78,48 @@ class ProfileSpec extends SparkSpec {
       Profile.topValues(d, org.apache.spark.sql.functions.col("x"), 0))
   }
 
+  test("histogram: every bin present, boundaries and out-of-range handled") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val d = Seq(0.0, 0.5, 1.0, 4.9, 5.0, 9.9, 10.0, 10.1, -0.1,
+      Double.NaN).toDF("x")
+    // [0,10), 2 bins of width 5: bin0 = [0,5), bin1 = [5,10] (hi lands
+    // in the last bin); -0.1 and 10.1 out of range; NaN fails >= lo
+    val got = Profile.histogram(d, col("x"), bins = 2, lo = 0.0, hi = 10.0)
+      .orderBy("bin")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 0.0, 5.0, 4L), (1L, 5.0, 10.0, 3L)))
+    // empty bins survive with n = 0
+    val sparse = Seq(9.0).toDF("x")
+    val bins = Profile.histogram(sparse, col("x"), bins = 5, lo = 0.0, hi = 10.0)
+      .orderBy("bin").collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bins == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+    assertThrows[IllegalArgumentException](
+      Profile.histogram(d, col("x"), bins = 0, lo = 0, hi = 1))
+    assertThrows[IllegalArgumentException](
+      Profile.histogram(d, col("x"), bins = 2, lo = 1, hi = 1))
+  }
+
+  test("bucketByQuantiles: exceeds-count buckets, ties land low, NULL stays NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 1..8: quartile thresholds (dyadic over integers) = 2.75, 4.5, 6.25
+    val d = (1 to 8).map(i => (i.toLong, i)).toDF("id", "v")
+      .unionAll(Seq((9L, null.asInstanceOf[Integer])).toDF("id", "v"))
+    val got = Profile.bucketByQuantiles(d, col("v"), Seq(0.25, 0.5, 0.75), "b")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) null else r.getInt(2))).toMap
+    assert(got(1L) == 0 && got(2L) == 0)
+    assert(got(3L) == 1 && got(4L) == 1)
+    assert(got(5L) == 2 && got(6L) == 2)
+    assert(got(7L) == 3 && got(8L) == 3)
+    assert(got(9L) == null)
+    // a value exactly AT a threshold lands in the lower bucket
+    val tied = Seq(1, 2, 3).toDF("v") // median threshold = 2.0 exactly
+    val t = Profile.bucketByQuantiles(tied, col("v"), Seq(0.5), "b")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(t(2) == 0 && t(3) == 1)
+  }
+
   test("quantilesApprox: within rank tolerance of exact, constant-state sketch") {
     import spark.implicits._
     val d = (1 to 1001).map(_.toDouble).toDF("x")
