@@ -910,6 +910,21 @@ object SparkEntry {
         .select("doc_id", "split").orderBy("doc_id")
     },
 
+    // L40: the near-dup leakage guard — duplicate-cluster members
+    // split by their CLUSTER id so a whole near-dup family lands on
+    // one side of the train/test cut; singletons split by their own
+    // id, identical to sample_split. Oracle re-derives the clusters
+    // (recursive CTE) and runs the identical hash-cut CASE.
+    "split_safe" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      val clusters = Dedup.duplicateClusters(
+          Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5))
+        .select(col("id"), col("cluster_id"))
+      Sampling.withSplitLeakageSafe(docs, col("doc_id"), clusters, "split",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 21)
+        .select("doc_id", "split").orderBy("doc_id")
+    },
+
     // L16 (fixed budget): exactly n docs per language, deterministic
     // draw order — Spark's WindowGroupLimit keeps the top-n prune
     // map-side partial (plan-asserted).
@@ -2019,6 +2034,27 @@ object SparkEntry {
          |       WHEN substr(md5(doc_id::VARCHAR || ':21'), 1, 8) < '${Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Clusters re-derived by the dedup_clusters recursive CTE, then the
+    // identical hash-cut CASE on the cluster id (own id for singletons).
+    "split_safe" ->
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS ws FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+         |  THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+         |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+         |prs AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+         |edges AS (SELECT ida AS u, idb AS v FROM prs UNION SELECT idb, ida FROM prs),
+         |reach(u, v) AS (SELECT u, v FROM edges
+         |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+         |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+         |k AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS key FROM documents d LEFT JOIN cl USING (doc_id))
+         |SELECT doc_id,
+         |  CASE WHEN substr(md5(key::VARCHAR || ':21'), 1, 8) < '${Sampling.thresholdHex(0.8)}' THEN 'train'
+         |       WHEN substr(md5(key::VARCHAR || ':21'), 1, 8) < '${Sampling.thresholdHex(0.8 + 0.1)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     "sample_exact_n" ->
       """SELECT doc_id, lang FROM documents

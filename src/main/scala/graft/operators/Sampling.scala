@@ -139,6 +139,33 @@ object Sampling {
     df.withColumn(out, when(key.isNotNull, chain))
   }
 
+  /** [[withSplit]] with the NEAR-DUPLICATE leakage guard: hashing the
+    * doc id alone still lets two near-copies land on opposite sides of
+    * the train/test cut — exactly the contamination Lee et al. 2022
+    * (arXiv:2107.06499 §6.2) measure between dedup'd corpora and their
+    * eval splits. Here every duplicate-cluster member splits by its
+    * CLUSTER id (the min member id from [[Dedup.duplicateClusters]]),
+    * so a whole near-dup family lands on ONE side; docs absent from
+    * `clusters` are singletons and split by their own id — which is
+    * the same hash domain, so singleton assignments are IDENTICAL to
+    * plain [[withSplit]] and adding clusters later only moves docs
+    * that gained duplicates. NULL ids still yield NULL splits.
+    *
+    * Scale shape: one equi-join against the cluster map (only
+    * duplicated docs appear in it — the small side; AQE broadcasts it
+    * when it fits) + the same narrow codegen'd CASE; nothing else
+    * shuffles. `clusters` must be `(id, cluster_id)` with unique ids
+    * (the [[Dedup.duplicateClusters]] contract). */
+  def withSplitLeakageSafe(
+      df: DataFrame, id: Column, clusters: DataFrame, out: String,
+      splits: Seq[(String, Double)], seed: Int = 0): DataFrame = {
+    val c = clusters.toDF("_graft_cl_id", "_graft_cl_cid")
+    withSplit(
+      df.join(c, id === col("_graft_cl_id"), "left"),
+      coalesce(col("_graft_cl_cid"), id), out, splits, seed)
+      .drop("_graft_cl_id", "_graft_cl_cid")
+  }
+
   /** Exactly `min(n, |stratum|)` rows per stratum — the FIXED-BUDGET
     * mixture sampler ("2M docs per language"), complementing the
     * rate-based [[sampleStratified]]. Selection order is the same

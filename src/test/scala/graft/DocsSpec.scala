@@ -289,6 +289,22 @@ class DocsSpec extends SparkSpec {
     assert(mixed.count() > docs.count() / 4)
   }
 
+  test("prep recipe: leakage-safe cluster split") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared near duplicate text body alpha beta gamma"),
+      (2L, "shared near duplicate text body alpha beta gamma"),
+      (3L, "completely different standalone document here"),
+    ).toDF("doc_id", "text")
+    val clusters = graft.operators.Dedup.duplicateClusters(
+      graft.operators.Dedup.jaccardPairs(docs, col("doc_id"), col("text"), 0.5))
+      .select(col("id"), col("cluster_id"))
+    val split = graft.operators.Sampling.withSplitLeakageSafe(docs, col("doc_id"),
+      clusters, "split", Seq("train" -> 0.5, "test" -> 0.5))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split(1L) == split(2L), "near-dup family must share one side of the cut")
+  }
+
   test("prep recipe: pack into token-budget shards and join back") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, ("tok " * 20).trim)).toDF("doc_id", "text")

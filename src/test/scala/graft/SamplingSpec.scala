@@ -117,6 +117,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.withSplit(df, col("k"), "s", Seq.empty))
   }
 
+  test("withSplitLeakageSafe: cluster members share one split; singletons match withSplit") {
+    import spark.implicits._
+    val df = (1L to 3000L).toDF("k")
+    // 1..10 and 100..104 are two near-dup families
+    val clusters = ((1L to 10L).map(_ -> 1L) ++ (100L to 104L).map(_ -> 100L))
+      .toDF("id", "cluster_id")
+    val out = Sampling.withSplitLeakageSafe(df, col("k"), clusters, "split",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 21)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every member of a family carries the family's (= min id's) split
+    assert((1L to 10L).map(out).toSet.size == 1)
+    assert((100L to 104L).map(out).toSet.size == 1)
+    // singletons are IDENTICAL to plain withSplit — adding clusters
+    // later only moves docs that gained duplicates
+    val plain = Sampling.withSplit(df, col("k"), "split",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 21)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val singles = (1L to 3000L).filterNot(k => (k >= 1 && k <= 10) || (k >= 100 && k <= 104))
+    assert(singles.forall(k => out(k) == plain(k)))
+    assert(out(1L) == plain(1L), "the cluster rep IS its own key")
+    // NULL ids still yield NULL splits
+    val withNull = Seq(Some(7L), None).toDF("k")
+    val n = Sampling.withSplitLeakageSafe(withNull, col("k"), clusters, "split",
+      Seq("train" -> 1.0), seed = 21)
+    assert(n.where(col("k").isNull).head().isNullAt(1))
+  }
+
   test("exact-n: exactly min(n, |stratum|) rows per stratum, deterministic") {
     val df = (1L to 1000L).map(k => (k, if (k <= 900) "big" else if (k <= 990) "mid" else "tiny"))
       .toDF("k", "g")
