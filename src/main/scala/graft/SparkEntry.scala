@@ -2195,7 +2195,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n
         |  FROM lineitem WHERE l_quantity IS NOT NULL AND l_quantity >= 0.0 AND l_quantity <= 50.0
         |  GROUP BY 1)
-        |SELECT t.range AS bin, 0.0 + t.range * 5.0 AS bin_lo, 0.0 + (t.range + 1) * 5.0 AS bin_hi,
+        |SELECT t.range AS bin, CAST(t.range * 5.0 AS DOUBLE) AS bin_lo, CAST((t.range + 1) * 5.0 AS DOUBLE) AS bin_hi,
         |  coalesce(c.n, 0) AS n
         |FROM range(10) t LEFT JOIN c ON c.bin = t.range
         |ORDER BY bin""".stripMargin,
