@@ -103,7 +103,17 @@ def main():
         except OSError:
             continue
         n_scanned += 1
+        # UrlFnsSpec is the URL-PARSER fixture file: every URL in it is
+        # synthetic by construction (single-letter hosts, made-up
+        # registrable names exercising the eTLD+1/PSL tables), so the
+        # internal-url category would only ever flag its own test data.
+        # Skipped for that ONE category; all other categories still
+        # apply to the file, and real source/docs URLs stay screened.
+        url_fixture_file = rel == os.path.join(
+            "src", "test", "scala", "graft", "UrlFnsSpec.scala")
         for cat, rx in CATEGORIES.items():
+            if cat == "internal-url" and url_fixture_file:
+                continue
             for m in rx.finditer(text):
                 s = m.group(1) if m.groups() else m.group(0)
                 if cat == "internal-import" and PUBLIC_IMPORT.match(s):
