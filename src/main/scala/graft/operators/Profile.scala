@@ -166,13 +166,26 @@ object Profile {
     * integer-valued signals the thresholds are IEEE-exact (see
     * [[quantiles]]), so bucket assignment gates bit-for-bit. */
   def bucketByQuantiles(
-      df: DataFrame, value: Column, qs: Seq[Double], outCol: String): DataFrame = {
+      df: DataFrame, value: Column, qs: Seq[Double], outCol: String): DataFrame =
+    bucketByThresholds(df, value, quantileThresholds(df, value, qs), outCol)
+
+  /** The exact percentile thresholds of `value` at `qs` — ONE
+    * aggregate, collected as a bounded |qs|-row artifact. Compute on a
+    * STATIC reference frame and feed [[bucketByThresholds]] to bucket
+    * a different frame (or a STREAM) under the reference's cuts. */
+  def quantileThresholds(df: DataFrame, value: Column, qs: Seq[Double]): Seq[Double] = {
     require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1), s"fractions must be in (0,1): $qs")
-    val qArr = array(qs.map(lit): _*)
-    val ts = df.agg(percentile(value, qArr).as("_t"))
-      .head().getSeq[Double](0) // bounded artifact: one threshold per fraction
-    val bucket = ts.map(t => (value > lit(t)).cast("int"))
-      .reduce(_ + _)
+    df.agg(percentile(value, array(qs.map(lit): _*)).as("_t"))
+      .head().getSeq[Double](0)
+  }
+
+  /** The assignment half of [[bucketByQuantiles]]: a PURE NARROW
+    * exceeds-count comparison chain against fixed thresholds — no job,
+    * no shuffle, attaches verbatim to a streaming DataFrame. */
+  def bucketByThresholds(
+      df: DataFrame, value: Column, thresholds: Seq[Double], outCol: String): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val bucket = thresholds.map(t => (value > lit(t)).cast("int")).reduce(_ + _)
     df.withColumn(outCol, when(value.isNotNull, bucket))
   }
 

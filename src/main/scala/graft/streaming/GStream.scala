@@ -170,6 +170,27 @@ object GStream {
     Dedup.decontaminatedKeepSet(docs, text, bench, benchText, k)
   }
 
+  // ------------------------------------------------------------- ST5
+  /** Streaming quality gate: the L39 Gopher rule filter applied to a
+    * document STREAM. [[graft.functions.TextFns.gopherFlags]] is one
+    * narrow stateless struct expression (no join, no shuffle, no
+    * state), so it attaches to any streaming DataFrame unchanged; the
+    * wrapper documents the contract and keeps the flag struct in the
+    * output for per-rule monitoring sinks. The same argument covers
+    * quantile bucketing: compute
+    * [[graft.operators.Profile.quantileThresholds]] on a STATIC
+    * reference frame when the query is built, then
+    * [[graft.operators.Profile.bucketByThresholds]] (a narrow
+    * comparison chain) applies to the stream directly.
+    * Model SCORING ([[graft.operators.NaiveBayes.score]], NgramLM) is
+    * NOT narrow (per-doc aggregation); run it per micro-batch via
+    * foreachBatch, the [[dedupStream]] pattern. */
+  def qualityGateStream(docs: DataFrame, text: Column, flagsCol: String = "gopher"): DataFrame = {
+    require(docs.isStreaming, "qualityGateStream expects a streaming DataFrame")
+    docs.withColumn(flagsCol, graft.functions.TextFns.gopherFlags(text))
+      .where(col(s"$flagsCol.keep"))
+  }
+
   // ------------------------------------------------------------- ST2
   /** Input row for sessionization. */
   final case class SEvent(user_id: Long, ts: Timestamp, event_type: String)

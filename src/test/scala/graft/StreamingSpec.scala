@@ -110,6 +110,47 @@ class StreamingSpec extends SparkSpec {
     assert(!streamed.exists(_ % 5 == 0))   // every planted doc dropped
   }
 
+  test("ST5: streaming Gopher gate == batch keep; bucket assignment attaches to a stream") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFns
+    import graft.operators.Profile
+    import spark.implicits._
+    val good = ("the quick brown words flow nicely and that prose has normal " +
+      "shape with enough variety to be kept around here plus filler tokens " +
+      "of usual length and a few more ordinary words to clear the fifty " +
+      "word floor that the published gopher gate requires for any document " +
+      "to be considered long enough to carry real training signal today")
+    val docs = (1L to 40L).map(i =>
+      if (i % 4 == 0) Doc(i, good + s" tail$i") else Doc(i, s"too short $i"))
+    val input = MemoryStream(Encoders.product[Doc], spark)
+    val gated = graft.streaming.GStream.qualityGateStream(input.toDF(), col("text"))
+    val q = gated.writeStream
+      .format("memory").queryName("st5_gate_out").outputMode("append").start()
+    try {
+      input.addData(docs.take(20)); q.processAllAvailable()
+      input.addData(docs.drop(20)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st5_gate_out").select("doc_id").as[Long].collect().toSet
+    val batch = docs.toDF().withColumn("g", TextFns.gopherFlags(col("text")))
+      .where(col("g.keep")).select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.forall(_ % 4 == 0))
+    // bucketByQuantiles: thresholds from a STATIC reference, the narrow
+    // assignment applied to the stream verbatim
+    val ref = (1 to 100).map(i => (i.toLong, i)).toDF("doc_id", "n_chars")
+    val ts = Profile.quantileThresholds(ref, col("n_chars"), Seq(0.5))
+    val input2 = MemoryStream(Encoders.product[(Long, Int)], spark)
+    val bucketed = Profile.bucketByThresholds(
+      input2.toDF().toDF("doc_id", "n_chars"), col("n_chars"), ts, "b")
+    val q2 = bucketed.writeStream
+      .format("memory").queryName("st5_bucket_out").outputMode("append").start()
+    try { input2.addData(Seq((1L, 10), (2L, 90))); q2.processAllAvailable() }
+    finally q2.stop()
+    val got = spark.table("st5_bucket_out")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1))
+  }
+
   test("ST1: MemoryStream sliding window agg == identical batch agg, with overlap") {
     val events = Seq(
       SEvent(1L, t("2024-01-01T10:05:00Z"), "a"),
