@@ -369,6 +369,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L41: C4 heuristic cleaning (Raffel 2020 §2.2) — the corpus has no
+    // newlines or punctuation, so both engines derive the identical
+    // twin: the 10-word-line text_ml with a per-line suffix cycling
+    // terminal-punct/question/none/javascript by (doc_id + line) % 4,
+    // plus a planted lorem-ipsum / curly-brace tail line by doc_id % 5.
+    // minSentences lowered to 2 so both keep outcomes occur at gate
+    // scale; only line counts, booleans, and the rewritten text cross.
+    "text_c4" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.{array_join, split, transform}
+      val ml = docsMultiline(documents(s, dir).toNative)
+      val suffixed = transform(split(col("text_ml"), "\n"), (l, i) => concat(l,
+        when(pmod(col("doc_id") + i, lit(4)) === 0, ".")
+          .when(pmod(col("doc_id") + i, lit(4)) === 1, "?")
+          .when(pmod(col("doc_id") + i, lit(4)) === 2, "")
+          .otherwise(" javascript.")))
+      val t = concat(array_join(suffixed, "\n"),
+        when(pmod(col("doc_id"), lit(5)) === 0, "\nlorem ipsum dolor sit.")
+          .when(pmod(col("doc_id"), lit(5)) === 1, "\nconfig { broken setting.")
+          .otherwise(""))
+      ml.select(col("doc_id"), TextFns.c4Clean(t, minSentences = 2).as("_c"))
+        .select(col("doc_id"), col("_c.*"))
+        .orderBy("doc_id")
+    },
+
     // L9: quality metrics — word/stopword/punct/uppercase counts + ratio.
     // Counts staged once per row; the ratio reads the staged columns
     // (CASE values are excluded from subexpression elimination).
@@ -1667,6 +1691,36 @@ object SparkEntry {
         |  ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet_lines
         |    AND ok_ellipsis_lines AND ok_alpha_words AND ok_stopwords AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // C4 rules re-derived: identical twin construction (10-word lines +
+    // (doc_id+i)%4 suffix cycle + doc_id%5 tail plant), identical
+    // trimmed-line predicates, identical [.!?]-count sentence proxy.
+    "text_c4" ->
+      """WITH ml AS (SELECT doc_id, array_to_string([array_to_string(ws[i*10+1 : i*10+10], ' ') for i in range(0, greatest((len(ws)+9)//10, 1))], chr(10)) AS t
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ws FROM documents)),
+        |tw AS (SELECT doc_id,
+        |  array_to_string([ls[i+1] || CASE (doc_id + i) % 4 WHEN 0 THEN '.' WHEN 1 THEN '?' WHEN 2 THEN '' ELSE ' javascript.' END for i in range(0, len(ls))], chr(10))
+        |  || CASE doc_id % 5 WHEN 0 THEN chr(10) || 'lorem ipsum dolor sit.' WHEN 1 THEN chr(10) || 'config { broken setting.' ELSE '' END AS t
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM ml)),
+        |ln AS (SELECT doc_id, t, [trim(x) for x in string_split(t, chr(10))] AS lines FROM tw),
+        |k AS (SELECT doc_id, t, lines,
+        |  [l for l in lines if (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%"' OR l LIKE '%”')
+        |     AND len(string_split(regexp_replace(l, '\s+', ' ', 'g'), ' ')) >= 3
+        |     AND NOT contains(lower(l), 'javascript')] AS kept
+        |  FROM ln),
+        |r AS (SELECT doc_id, t, lines, kept, coalesce(array_to_string(kept, chr(10)), '') AS clean FROM k),
+        |fl AS (SELECT doc_id, clean, kept, lines,
+        |  NOT contains(lower(t), 'lorem ipsum') AS ok_no_lorem,
+        |  NOT contains(t, '{') AS ok_no_brace,
+        |  true AS ok_no_blocked,
+        |  length(clean) - length(regexp_replace(clean, '[.!?]', '', 'g')) >= 2 AS ok_min_sentences
+        |  FROM r)
+        |SELECT doc_id, clean AS text_clean,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  ok_no_lorem, ok_no_brace, ok_no_blocked, ok_min_sentences,
+        |  ok_no_lorem AND ok_no_brace AND ok_no_blocked AND ok_min_sentences AS keep
+        |FROM fl ORDER BY doc_id""".stripMargin,
 
     "text_quality" ->
       """WITH q AS (SELECT doc_id,

@@ -277,6 +277,64 @@ object TextFns {
         okEllipsis && okAlpha && okStops).as("keep"))
   }
 
+  // --------------------------------------------------------------- L41
+  /** C4's heuristic cleaning (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2 — the published line/document rules behind the C4 corpus,
+    * inherited by most web-scale recipes since): keep only lines that
+    * end in a terminal punctuation mark, carry at least `minLineWords`
+    * words, and do not mention "javascript"; drop DOCUMENTS that
+    * contain "lorem ipsum", a curly brace `{`, any caller-supplied
+    * blocked phrase (the paper's word-list rule, list not embedded
+    * here), or fewer than `minSentences` sentences after line
+    * cleaning. Returns one struct
+    * `(text_clean, n_lines_kept, n_lines, ok_no_lorem, ok_no_brace,
+    * ok_no_blocked, ok_min_sentences, keep)` — the cleaned text is
+    * always produced; `keep` gates the page.
+    *
+    * Conventions (exact SQL mirrors in the text_c4 oracle): lines are
+    * `\n`-split and TRIMMED (output keeps the trimmed form); terminal
+    * punctuation is one of `. ! ? " ”` (the paper's "terminal
+    * punctuation mark incl. end quotation"; straight apostrophe is
+    * excluded — documented subset); the line word count is the
+    * whitespace-collapsed single-space split, so blank lines fail any
+    * floor ≥ 1; the sentence count is the number of `. ! ?` characters
+    * in the CLEANED text — a deterministic proxy for the paper's
+    * sentence splitter, which has no cross-engine mirror; phrase
+    * checks are case-insensitive `contains`. NULL text → NULL
+    * text_clean, zero counts, all-false flags. Pure narrow array
+    * expressions — the 100 TB gate never leaves the scan's codegen
+    * span, and only line counts + booleans (plus the rewritten text)
+    * cross the gate. */
+  def c4Clean(
+      c: Column, minLineWords: Int = 3, minSentences: Int = 5,
+      blockedPhrases: Seq[String] = Nil): Column = {
+    val lines = transform(split(c, "\n"), l => trim(l))
+    val kept = filter(lines, l =>
+      (l.endsWith(".") || l.endsWith("!") || l.endsWith("?") ||
+        l.endsWith("\"") || l.endsWith("”")) &&
+        size(split(regexp_replace(l, "\\s+", " "), " ")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    val cleaned = array_join(kept, "\n")
+    val nSent = length(cleaned) - length(regexp_replace(cleaned, "[.!?]", ""))
+    val lowered = lower(c)
+    def f(b: Column): Column = coalesce(b, lit(false))
+    val okLorem = f(!lowered.contains("lorem ipsum"))
+    val okBrace = f(!c.contains("{"))
+    val okBlocked = f(blockedPhrases
+      .map(p => !lowered.contains(p.toLowerCase))
+      .foldLeft(lit(true))(_ && _))
+    val okSent = f(nSent >= minSentences)
+    struct(
+      cleaned.as("text_clean"),
+      coalesce(size(kept), lit(0)).cast("long").as("n_lines_kept"),
+      coalesce(size(lines), lit(0)).cast("long").as("n_lines"),
+      okLorem.as("ok_no_lorem"),
+      okBrace.as("ok_no_brace"),
+      okBlocked.as("ok_no_blocked"),
+      okSent.as("ok_min_sentences"),
+      (okLorem && okBrace && okBlocked && okSent).as("keep"))
+  }
+
   // --------------------------------------------------------------- L21
   /** Heuristic PII scrubbing — the redaction pass a training corpus
     * runs before anything else sees the text. Patterns stay in the

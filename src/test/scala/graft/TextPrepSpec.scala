@@ -241,6 +241,71 @@ class TextPrepSpec extends SparkSpec {
     assert(!out, "3 symbols / 29 words = 0.103 > 0.1 must trip rule 3")
   }
 
+  test("c4Clean: line rules keep/drop by terminal punct, word floor, javascript") {
+    import spark.implicits._
+    val t = Seq(
+      "A proper sentence with enough words.",  // kept
+      "Ends with a question mark maybe?",      // kept
+      "no terminal punctuation on this line",  // dropped: no ender
+      "Too short.",                            // dropped: 2 words < 3
+      "Please enable JavaScript to continue.", // dropped: javascript
+      "  Trimmed line keeps its content.  ",   // kept (trimmed form)
+      "Quoted line ends in a quote.\"",        // kept (end quotation)
+      "").mkString("\n")
+    val out = Seq((1L, t)).toDF("id", "t")
+      .select(TextFns.c4Clean(col("t")).as("c")).select(col("c.*")).head()
+    assert(out.getAs[String]("text_clean") == Seq(
+      "A proper sentence with enough words.",
+      "Ends with a question mark maybe?",
+      "Trimmed line keeps its content.",
+      "Quoted line ends in a quote.\"").mkString("\n"))
+    assert(out.getAs[Long]("n_lines_kept") == 4L)
+    assert(out.getAs[Long]("n_lines") == 8L)
+  }
+
+  test("c4Clean: document rules — lorem ipsum, curly brace, blocked phrases, sentence floor") {
+    import spark.implicits._
+    val good = (1 to 6).map(i => s"Sentence number $i is here.").mkString("\n")
+    val rows = Seq(
+      (1L, good),                                       // keep
+      (2L, good + "\nAs Lorem Ipsum says."),            // lorem (case-insensitive)
+      (3L, good + "\nvar config = { broken"),           // brace (line also dropped)
+      (4L, good + "\nThe Forbidden Phrase appears."),   // blockedPhrases
+      (5L, "Only two sentences here. That is all."),    // 2 < minSentences=5
+      (6L, null.asInstanceOf[String]))                  // NULL text
+      .toDF("id", "t")
+    val out = rows
+      .select(col("id"),
+        TextFns.c4Clean(col("t"), blockedPhrases = Seq("forbidden phrase")).as("c"))
+      .select(col("id"), col("c.*"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def flag(id: Long, name: String): Boolean =
+      out(id).getBoolean(out(id).fieldIndex(name))
+    assert(flag(1L, "keep"))
+    assert(!flag(2L, "ok_no_lorem") && !flag(2L, "keep"))
+    assert(!flag(3L, "ok_no_brace") && !flag(3L, "keep"))
+    assert(!flag(4L, "ok_no_blocked") && !flag(4L, "keep") && flag(4L, "ok_no_lorem"))
+    // the one-line sentence count: "Only two sentences here. That is all."
+    // stays one LINE (no \n) with two '.' chars -> 2 sentences < 5
+    assert(!flag(5L, "ok_min_sentences") && !flag(5L, "keep"))
+    assert(out(6L).isNullAt(out(6L).fieldIndex("text_clean")))
+    assert(out(6L).getLong(out(6L).fieldIndex("n_lines")) == 0L)
+    assert(!flag(6L, "ok_no_lorem") && !flag(6L, "keep"))
+  }
+
+  test("c4Clean: sentence proxy counts [.!?] in the CLEANED text only") {
+    import spark.implicits._
+    // five dropped lines full of periods must not rescue the floor:
+    // only the retained lines' enders count
+    val t = (Seq.fill(5)("a.b. c.d. mid dots but no ender") :+
+      "One real kept sentence lives here.").mkString("\n")
+    val out = Seq((1L, t)).toDF("id", "t")
+      .select(TextFns.c4Clean(col("t"), minSentences = 2).as("c"))
+      .select(col("c.*")).head()
+    assert(out.getAs[Long]("n_lines_kept") == 1L)
+    assert(!out.getAs[Boolean]("ok_min_sentences"))
+  }
+
   test("packChunks: the id synthesis holds at the documented doc_id bound (2^31 - 1)") {
     import spark.implicits._
     // doc_id = Int.MaxValue is the largest the doc_id·2³² + chunk_id
