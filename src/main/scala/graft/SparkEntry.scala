@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, lit, max, pmod, round, sum, when}
 import graft.functions.{TextFns, UrlFns}
-import graft.operators.{Ann, Chunk, Dedup, Joins, Media, NaiveBayes, NgramLM, Pack, Profile, Sampling, Sketch, TfIdf, Timeline}
+import graft.operators.{Ann, Chunk, Dedup, Dsir, Joins, Media, NaiveBayes, NgramLM, Pack, Profile, Sampling, Sketch, TfIdf, Timeline}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -911,6 +911,21 @@ object SparkEntry {
           org.apache.spark.sql.functions.least(lit(1.0),
             col("n_chars").cast("double") / 4000.0), seed = 7)
         .select("doc_id", "n_chars").orderBy("doc_id")
+    },
+
+    // L42: DSIR importance weights (Xie 2023) — per-doc micro-nat log
+    // ratio of hashed-ngram likelihood under the target (doc_id%10==0
+    // stands in for the high-quality reference) vs the raw corpus.
+    // Both engines hash the identical md5 buckets, fit the identical
+    // add-one integer-ratio models, and quantize the identical IEEE
+    // ln chain per bucket BEFORE the (exact, order-free) doc sum.
+    "dsir_weights" -> { (s, dir) =>
+      val docsT = documents(s, dir).toNative
+      Dsir.weights(docsT, col("doc_id"), col("text"),
+          docsT.where(pmod(col("doc_id"), lit(10)) === 0), col("text"),
+          buckets = 10000)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     },
 
     "sample_hash" -> { (s, dir) =>
@@ -2063,6 +2078,26 @@ object SparkEntry {
         |   OR substr(md5(doc_id::VARCHAR || ':7'), 1, 8) <
         |      lower(lpad(hex(CAST(floor(least(1.0, CAST(n_chars AS DOUBLE) / 4000.0) * 4294967296.0) AS BIGINT)), 8, '0'))
         |ORDER BY doc_id""".stripMargin,
+
+    // DSIR weights re-derived: identical tokenization + bigram windows,
+    // identical md5 bucket hash, identical add-one integer-ratio models
+    // and micro-nat ln chain quantized per bucket before the doc sum.
+    // The HUGEINT sum casts back to BIGINT (the driver-hash class).
+    "dsir_weights" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS ws FROM documents),
+        |grams AS (SELECT doc_id, list_concat(ws, [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gs FROM toks),
+        |occ AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 10000 AS b FROM (SELECT doc_id, unnest(gs) AS g FROM grams)),
+        |tgt AS (SELECT b, count(*) AS c FROM occ WHERE doc_id % 10 = 0 GROUP BY b),
+        |raw AS (SELECT b, count(*) AS c FROM occ GROUP BY b),
+        |np AS (SELECT coalesce(sum(c), 0) AS n FROM tgt),
+        |nq AS (SELECT coalesce(sum(c), 0) AS n FROM raw),
+        |lr AS (SELECT raw.b AS b,
+        |  CAST(round((ln(coalesce(tgt.c, 0) + 1) - ln(np.n + 10000) - ln(raw.c + 1) + ln(nq.n + 10000)) * 1000000.0) AS BIGINT) AS v
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN np CROSS JOIN nq),
+        |w AS (SELECT occ.doc_id AS doc_id, count(*) AS n_grams, sum(lr.v) AS s FROM occ JOIN lr USING (b) GROUP BY occ.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(w.s, 0) AS BIGINT) AS logw_micro
+        |FROM documents d LEFT JOIN w USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // The keep-predicate is the IDENTICAL ANSI expression the engine
     // runs: fixed-width lowercase hex compares lexicographically like

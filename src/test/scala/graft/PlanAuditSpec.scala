@@ -455,6 +455,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dsir_weights: log-ratio table broadcasts; the gram stream never sort-merges") {
+    val plan = q("dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the <=B-row log-ratio table must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the exploded gram stream must not sort-merge:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"per-doc weight sum must combine map-side:\n$plan")
+  }
+
+  test("text_c4: the gate is a pure narrow expression — no join, one output-sort exchange") {
+    val plan = q("text_c4")
+    assert(!plan.contains("Join"), s"C4 cleaning must not join:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 1,
+      s"only the output sort may exchange:\n$plan")
+  }
+
   test("sample_temperature: the data pass is the same narrow codegen'd filter") {
     // rates come from a separate mixture-sized agg at construction;
     // the returned frame itself must stay shuffle- and join-free
