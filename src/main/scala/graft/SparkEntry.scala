@@ -1033,6 +1033,20 @@ object SparkEntry {
     // prefix sum (block cumsum + broadcast offsets — no global
     // single-partition sort). Oracle: the global window cumsum DuckDB
     // can afford at oracle scale.
+    // L43: the Z-order (Morton) data-skipping key — pure 64-bit clamp +
+    // magic-mask bit spread + interleave, bit-identical in any engine.
+    // The layout itself (zorderBy: range exchange + in-task sort) is
+    // spec-gated on measured per-file min/max tightness; the gate pins
+    // the key arithmetic both engines derive.
+    "zorder_key" -> { (s, dir) =>
+      documents(s, dir).toNative
+        .select(col("doc_id"),
+          graft.operators.Layout.zValue2(
+            col("n_chars"), pmod(col("doc_id"), lit(65536)), bits = 16)
+            .cast("long").as("z"))
+        .orderBy("doc_id")
+    },
+
     "pack_shards" -> { (s, dir) =>
       val docs = documents(s, dir).toNative
       Pack.packByBudget(docs, col("doc_id"), TextFns.tokenCountWs(col("text")), budget = 2000)
@@ -2500,6 +2514,18 @@ object SparkEntry {
     // The global-window form of the prefix sum the engine computes in
     // two distributed phases; // is integer division (both sides
     // truncate nonnegative values identically).
+    // The identical mask chain on BIGINT (masks in decimal:
+    // 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555).
+    "zorder_key" ->
+      """WITH c AS (SELECT doc_id,
+        |  greatest(0, least(coalesce(n_chars, 0), 65535)) AS a,
+        |  doc_id % 65536 AS b FROM documents),
+        |s1 AS (SELECT doc_id, (a | (a << 8)) & 16711935 AS a, (b | (b << 8)) & 16711935 AS b FROM c),
+        |s2 AS (SELECT doc_id, (a | (a << 4)) & 252645135 AS a, (b | (b << 4)) & 252645135 AS b FROM s1),
+        |s3 AS (SELECT doc_id, (a | (a << 2)) & 858993459 AS a, (b | (b << 2)) & 858993459 AS b FROM s2),
+        |s4 AS (SELECT doc_id, (a | (a << 1)) & 1431655765 AS a, (b | (b << 1)) & 1431655765 AS b FROM s3)
+        |SELECT doc_id, CAST(a | (b << 1) AS BIGINT) AS z FROM s4 ORDER BY doc_id""".stripMargin,
+
     "pack_shards" ->
       """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
         |SELECT doc_id, n_tokens,
