@@ -898,6 +898,25 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // L44: heavy-hitter audits — exact top tokens globally and per
+    // language, deterministic (cnt desc, item asc) cut in both engines.
+    "top_tokens" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.explode
+      val toks = documents(s, dir).toNative
+        .select(explode(NgramLM.tokens(col("text"))).as("tok"))
+      Sketch.topItems(toks, col("tok"), k = 20)
+        .orderBy(col("cnt").desc, col("item").asc)
+    },
+
+    "top_tokens_lang" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.explode
+      val toks = documents(s, dir).toNative
+        .select(col("lang"), explode(NgramLM.tokens(col("text"))).as("tok"))
+      Sketch.topItemsPerGroup(toks, col("lang"), col("tok"), k = 5)
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang", "item")
+    },
+
     // L16: deterministic hash sample — keep iff the first 8 hex chars of
     // md5(key:seed) fall below rate·2^32. Reproducible under ANY
     // repartitioning (unlike df.sample), pure narrow filter, and the
@@ -2092,6 +2111,21 @@ object SparkEntry {
         |   OR substr(md5(doc_id::VARCHAR || ':7'), 1, 8) <
         |      lower(lpad(hex(CAST(floor(least(1.0, CAST(n_chars AS DOUBLE) / 4000.0) * 4294967296.0) AS BIGINT)), 8, '0'))
         |ORDER BY doc_id""".stripMargin,
+
+    // Heavy hitters re-derived: identical tokenization, exact counts,
+    // identical deterministic (cnt DESC, item ASC) cuts.
+    "top_tokens" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '')) AS item FROM documents),
+        |c AS (SELECT item, count(*) AS cnt FROM toks GROUP BY item)
+        |SELECT item, CAST(cnt AS BIGINT) AS cnt FROM c
+        |ORDER BY cnt DESC, item ASC LIMIT 20""".stripMargin,
+
+    "top_tokens_lang" ->
+      """WITH toks AS (SELECT lang, unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '')) AS item FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT lang, item, count(*) AS cnt FROM toks GROUP BY lang, item)
+        |SELECT lang, item, CAST(cnt AS BIGINT) AS cnt FROM c
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, item ASC) <= 5
+        |ORDER BY lang, item""".stripMargin,
 
     // DSIR weights re-derived: identical tokenization + bigram windows,
     // identical md5 bucket hash, identical add-one integer-ratio models

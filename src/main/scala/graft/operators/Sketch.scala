@@ -258,4 +258,44 @@ object Sketch {
         (col("n_a_est") + col("n_b_est") - col("n_shared_est")))
       .select("group_a", "group_b", "n_a_est", "n_b_est", "n_shared_est", "jaccard_est")
   }
+
+  // ---------------------------------------------------------------- L44
+  // Heavy-hitter audits — "what are the most frequent tokens / domains
+  // / fingerprints, overall and per slice" is the first question asked
+  // of any new corpus (boilerplate shows up as an item whose count is
+  // wildly off the Zipf line). EXACT counting is the right Spark shape
+  // here: the count aggregate combines map-side, so the shuffle
+  // carries each task's DISTINCT (group, item) partials — occurrence
+  // volume never crosses the wire — and the k-cut never materializes
+  // a global sort (TakeOrdered / WindowGroupLimit). A sketch variant
+  // (count-min + candidate stream) only wins when per-task distinct
+  // items outgrow executor memory; restrict the stream with
+  // [[Sampling.sampleHash]] first in that regime (documented, not a
+  // separate code path).
+
+  /** Global top-`k` items by occurrence count, ties broken by item
+    * ascending (deterministic cut). NULL items are skipped. Returns
+    * `(item, cnt)`. One map-side-combined count + a TakeOrdered —
+    * k rows per task reach the driver merge, never a global sort. */
+  def topItems(df: DataFrame, item: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    df.where(item.isNotNull)
+      .groupBy(item.as("item")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("item").asc)
+      .limit(k)
+  }
+
+  /** Per-group top-`k` items (top tokens per language, top domains per
+    * source): count once, then the [[Sampling.topKPerGroup]]
+    * (cnt desc, item asc) cut — the PARTIAL WindowGroupLimit prunes to
+    * ≤ k rows per group map-side before the one exchange. NULL items
+    * and NULL groups are skipped. Returns `(grp, item, cnt)`. */
+  def topItemsPerGroup(
+      df: DataFrame, group: Column, item: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val counts = df.where(item.isNotNull && group.isNotNull)
+      .groupBy(group.as("grp"), item.as("item"))
+      .agg(count(lit(1)).as("cnt"))
+    Sampling.topKPerGroup(counts, col("item"), col("grp"), col("cnt"), k)
+  }
 }
