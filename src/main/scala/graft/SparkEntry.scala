@@ -599,6 +599,22 @@ object SparkEntry {
         .orderBy("column", "q")
     },
 
+    // L45: exact one-pass Pearson correlation matrix — moments as
+    // exact BIGINT sums over quantized columns (quantity is already
+    // integral; price rounds to dollars, discount to percent points),
+    // then the FIXED IEEE r-chain both engines reproduce bit-for-bit.
+    // corr() itself is deliberately not used: its streaming covariance
+    // depends on partial-merge order (no oracle can mirror it).
+    "profile_corr" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.round
+      val li = lineitem(s, dir).toNative.select(
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice"), 0).cast("long").as("price_usd"),
+        round(col("l_discount") * 100.0, 0).cast("long").as("disc_pc"))
+      Profile.corrMatrix(li, Seq("qty", "price_usd", "disc_pc"))
+        .orderBy("col_a", "col_b")
+    },
+
     // L31 (histogram): fixed-width bins over a known domain — every
     // bin present (empty bins count 0), narrow assignment + tiny
     // keyed count + broadcast scaffold join. Edges are the identical
@@ -2366,6 +2382,40 @@ object SparkEntry {
 
     // Dyadic fractions over integer-valued columns: quantile_cont's
     // interpolation is exact in IEEE double -> engine-independent.
+    // Correlation matrix re-derived: identical quantization, exact
+    // BIGINT moments (DuckDB's HUGEINT sums cast to DOUBLE equal the
+    // engine's LONG-to-double casts below 2^63), identical r-chain.
+    // The lineitem columns are non-null, so plain sums equal the
+    // engine's pairwise-complete sums.
+    "profile_corr" ->
+      """WITH t AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice) AS BIGINT) AS price_usd,
+        |  CAST(round(l_discount * 100.0) AS BIGINT) AS disc_pc FROM lineitem),
+        |m AS (SELECT count(*) AS n,
+        |  sum(qty) AS s_q, sum(price_usd) AS s_p, sum(disc_pc) AS s_d,
+        |  sum(qty*price_usd) AS s_qp, sum(qty*disc_pc) AS s_qd, sum(price_usd*disc_pc) AS s_pd,
+        |  sum(qty*qty) AS s_qq, sum(price_usd*price_usd) AS s_pp, sum(disc_pc*disc_pc) AS s_dd
+        |  FROM t)
+        |SELECT * FROM (
+        |  SELECT 'qty' AS col_a, 'price_usd' AS col_b, CAST(n AS BIGINT) AS n,
+        |    (CAST(n AS DOUBLE)*CAST(s_qp AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_p AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE)*CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE)*CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE)*CAST(s_p AS DOUBLE))) AS corr_r
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'qty', 'disc_pc', CAST(n AS BIGINT),
+        |    (CAST(n AS DOUBLE)*CAST(s_qd AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_d AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE)*CAST(s_qq AS DOUBLE) - CAST(s_q AS DOUBLE)*CAST(s_q AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE)*CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE)*CAST(s_d AS DOUBLE)))
+        |  FROM m
+        |  UNION ALL
+        |  SELECT 'price_usd', 'disc_pc', CAST(n AS BIGINT),
+        |    (CAST(n AS DOUBLE)*CAST(s_pd AS DOUBLE) - CAST(s_p AS DOUBLE)*CAST(s_d AS DOUBLE)) /
+        |    (sqrt(CAST(n AS DOUBLE)*CAST(s_pp AS DOUBLE) - CAST(s_p AS DOUBLE)*CAST(s_p AS DOUBLE)) *
+        |     sqrt(CAST(n AS DOUBLE)*CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE)*CAST(s_d AS DOUBLE)))
+        |  FROM m
+        |) ORDER BY col_a, col_b""".stripMargin,
+
     "profile_quantiles" ->
       """SELECT * FROM (
         |SELECT 'l_partkey' AS "column", CAST(0.25 AS DOUBLE) AS q, quantile_cont(l_partkey, 0.25) AS value FROM lineitem

@@ -55,6 +55,54 @@ object Profile {
     meltRow(df.agg(aggs.head, aggs.tail: _*), cols)
   }
 
+  /** Exact pairwise Pearson correlation matrix over INTEGER-VALUED
+    * columns, in ONE aggregate over ONE scan (L45): every pair's
+    * moments (n, Σx, Σy, Σxy, Σx², Σy²) accumulate as exact BIGINT
+    * sums — 6·C(k,2) agg columns, map-side combined, one row out —
+    * then `r = (n·Σxy − Σx·Σy) / (√(n·Σx²−Σx²)·√(n·Σy²−Σy²))` in a
+    * FIXED IEEE chain on the (identical) integers, so any engine
+    * reproduces the double bit-for-bit. `corr()`'s streaming-covariance
+    * implementation is deliberately avoided: its result depends on
+    * partial-merge ORDER, which no oracle can mirror.
+    *
+    * Contract: columns are cast to LONG (quantize reals first — e.g.
+    * cents via `round(x·100)`; the cast itself truncates and is NOT a
+    * substitute), and moments must fit a BIGINT: |x|²·n < 2⁶³, i.e.
+    * rescale so |x| ≲ 2³¹/√n — at 10¹² rows that is |x| ≲ 3·10³.
+    * Overflow wraps silently in a non-ANSI sum (documented; pick the
+    * quantization to fit). NULL handling is pairwise-complete: a row
+    * contributes to exactly the pairs where BOTH sides are non-null.
+    * Zero variance or empty pair → NULL r (never NaN). Returns tall
+    * `(col_a, col_b, n, corr_r)` for the C(k,2) ordered-name pairs. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs >= 2 columns, got $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val pairs = for { i <- cols.indices; j <- (i + 1) until cols.size }
+      yield (cols(i), cols(j))
+    val aggs: Seq[Column] = pairs.flatMap { case (a, b) =>
+      val x = col(a).cast("long"); val y = col(b).cast("long")
+      val both = x.isNotNull && y.isNotNull
+      def s(e: Column, nm: String) =
+        coalesce(sum(when(both, e)), lit(0L)).as(s"_${nm}_${a}_$b")
+      Seq(
+        count(when(both, lit(1))).as(s"_n_${a}_$b"),
+        s(x, "sx"), s(y, "sy"), s(x * y, "sxy"), s(x * x, "sxx"), s(y * y, "syy"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val entries = array(pairs.map { case (a, b) =>
+      def d(nm: String) = col(s"_${nm}_${a}_$b").cast("double")
+      val n = col(s"_n_${a}_$b")
+      val cov = n.cast("double") * d("sxy") - d("sx") * d("sy")
+      val vx = n.cast("double") * d("sxx") - d("sx") * d("sx")
+      val vy = n.cast("double") * d("syy") - d("sy") * d("sy")
+      struct(
+        lit(a).as("col_a"), lit(b).as("col_b"), n.as("n"),
+        when(n > 0 && vx > 0.0 && vy > 0.0,
+          cov / (sqrt(vx) * sqrt(vy))).as("corr_r"))
+    }: _*)
+    row.select(explode(entries).as("p")).select("p.*")
+  }
+
   /** Approximate profile — `n_distinct` is an HLL++ estimate at
     * relative standard deviation `rsd`; everything else exact. Single
     * narrow aggregation pass, no Expand — the 100 TB shape. */

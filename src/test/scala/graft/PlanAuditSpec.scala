@@ -472,6 +472,14 @@ class PlanAuditSpec extends SparkSpec {
       s"only the output sort may exchange:\n$plan")
   }
 
+  test("profile_corr: one aggregate over one scan — no Expand, no join, map-side partials") {
+    val plan = q("profile_corr")
+    assert(!plan.contains("Expand"), s"moment sums must not replicate the input:\n$plan")
+    assert(!plan.contains("Join"), s"corr matrix must not join:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"the moment aggregate must combine map-side:\n$plan")
+  }
+
   test("top_tokens: TakeOrdered merge, no global sort; per-group variant prunes map-side") {
     val global = q("top_tokens")
     assert(global.contains("TakeOrdered"),

@@ -133,4 +133,54 @@ class ProfileSpec extends SparkSpec {
     for (q <- Seq(0.25, 0.5, 0.75))
       assert(math.abs(approx(q) - exact(q)) <= 1.0, s"q=$q: ${approx(q)} vs ${exact(q)}")
   }
+
+  // ---------------------------------------------------------- L45 corr
+
+  test("corrMatrix: perfect linear, anti-linear, and constant columns") {
+    import spark.implicits._
+    val d = (1L to 50L).map(i => (i, 2 * i, -i, 7L)).toDF("x", "y2", "neg", "c")
+    val out = Profile.corrMatrix(d, Seq("x", "y2", "neg", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+    assert(out.size == 6)
+    assert(math.abs(out(("x", "y2"))._2.get - 1.0) < 1e-12)
+    assert(math.abs(out(("x", "neg"))._2.get + 1.0) < 1e-12)
+    // zero-variance pairs are NULL, never NaN
+    assert(out(("x", "c"))._2.isEmpty && out(("y2", "c"))._2.isEmpty)
+    assert(out.values.forall(_._1 == 50L))
+  }
+
+  test("corrMatrix: pairwise-complete NULL handling with per-pair n") {
+    import spark.implicits._
+    val d = Seq(
+      (Some(1L), Some(2L), Some(10L)),
+      (Some(2L), None, Some(20L)),
+      (Some(3L), Some(6L), None),
+      (Some(4L), Some(8L), Some(40L))).toDF("x", "y", "z")
+    val out = Profile.corrMatrix(d, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out(("x", "y")) == 3L) // row 2 drops only where y is NULL
+    assert(out(("x", "z")) == 3L)
+    assert(out(("y", "z")) == 2L)
+    // x~y stays the perfect line on ITS complete rows despite z's nulls
+    val r = Profile.corrMatrix(d, Seq("x", "y", "z"))
+      .where(org.apache.spark.sql.functions.col("col_a") === "x" &&
+        org.apache.spark.sql.functions.col("col_b") === "y").head().getDouble(3)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("corrMatrix: matches a local double computation on mixed data") {
+    import spark.implicits._
+    val xs = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L)
+    val ys = Seq(2L, 7L, 1L, 8L, 2L, 8L, 1L, 8L)
+    val n = xs.size.toDouble
+    val (sx, sy) = (xs.sum.toDouble, ys.sum.toDouble)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum.toDouble
+    val (sxx, syy) = (xs.map(a => a * a).sum.toDouble, ys.map(a => a * a).sum.toDouble)
+    val expected = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = Profile.corrMatrix(xs.zip(ys).toDF("x", "y"), Seq("x", "y"))
+      .head().getDouble(3)
+    assert(got == expected, s"$got vs $expected (the chain is fixed — bit equality)")
+  }
 }
