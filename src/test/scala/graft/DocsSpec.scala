@@ -263,6 +263,69 @@ class DocsSpec extends SparkSpec {
     assert(graft.operators.NgramLM.pmiTop(bm, k = 5, minCount = 2).count() > 0L)
   }
 
+  test("prep recipe: C4 cleaning then DSIR selection toward a reference") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cats sit on warm mats every day.\nshort\nPlease enable javascript now."),
+      (2L, "Dogs run across the open yard often.\nAnother good line stands here."),
+      (3L, "lorem ipsum dolor sit amet for padding.\nA fine line otherwise kept here.")
+    ).toDF("doc_id", "text")
+    val cleaned = docs
+      .withColumn("c", graft.functions.TextFns.c4Clean(col("text"), minSentences = 1))
+      .where(col("c.keep"))
+      .select(col("doc_id"), col("c.text_clean").as("text"))
+    // doc 3 trips the lorem rule; doc 1 keeps only its first line
+    assert(cleaned.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+
+    val reference = Seq((10L, "cats sit on mats"), (11L, "warm cats sit")).toDF("doc_id", "text")
+    val weighted = graft.operators.Dsir.weights(cleaned, col("doc_id"), col("text"),
+      reference, col("text"), buckets = 4096)
+    val selected = weighted
+      .orderBy(col("logw_micro").desc, col("id").asc).limit(1)
+    // the cat-ish doc is more target-like than the dog doc
+    assert(selected.head().getLong(0) == 1L)
+  }
+
+  test("prep recipe: heavy hitters and the correlation matrix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.explode
+    val docs = (1L to 40L)
+      .map(i => (i, if (i % 2 == 0) "en" else "de", s"the tok${i % 5} boiler plate"))
+      .toDF("doc_id", "lang", "text")
+    val toks = docs.select(col("lang"),
+      explode(graft.operators.NgramLM.tokens(col("text"))).as("tok"))
+    val top = graft.operators.Sketch.topItems(toks, col("tok"), k = 3)
+      .collect().map(_.getString(0)).toSeq
+    assert(top.take(3).toSet == Set("the", "boiler", "plate"))
+    val per = graft.operators.Sketch.topItemsPerGroup(toks, col("lang"), col("tok"), k = 2)
+    assert(per.count() == 4L)
+
+    val signals = (1L to 30L).map(i => (i, 2 * i, 61L - i)).toDF("a", "b", "c")
+    val corr = graft.operators.Profile.corrMatrix(signals, Seq("a", "b", "c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(corr(("a", "b")) - 1.0) < 1e-12)
+    assert(math.abs(corr(("a", "c")) + 1.0) < 1e-12)
+  }
+
+  test("shuffle toolkit: z-order layout keeps both dims tight per file") {
+    import spark.implicits._
+    val events = (for (d <- 0 until 32; t <- 0 until 32) yield (d.toLong, t.toLong))
+      .toDF("day_ordinal", "tenant_bucket")
+    val dir = freshDir("zorder") + "/events"
+    graft.operators.Layout.zorderBy(events, col("day_ordinal"), col("tenant_bucket"),
+        bits = 5, numFiles = 4)
+      .write.parquet(dir)
+    val spreads = spark.read.parquet(dir)
+      .groupBy(org.apache.spark.sql.functions.input_file_name())
+      .agg((org.apache.spark.sql.functions.max("day_ordinal") -
+        org.apache.spark.sql.functions.min("day_ordinal")).as("sd"),
+        (org.apache.spark.sql.functions.max("tenant_bucket") -
+          org.apache.spark.sql.functions.min("tenant_bucket")).as("st"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(spreads.forall { case (sd, st) => sd < 32 && st < 32 },
+      s"no file may span a full axis: ${spreads.toSeq}")
+  }
+
   test("prep recipe: sketch-based cross-corpus overlap audit") {
     import spark.implicits._
     val corpus = (1L to 2000L).toDF("doc_fp")
