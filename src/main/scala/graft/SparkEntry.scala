@@ -625,6 +625,16 @@ object SparkEntry {
         .orderBy("bin")
     },
 
+    // L46: per-group exact quantiles — the mixture audit ("length
+    // quartiles per language"), one grouped aggregate, dyadic
+    // fractions over an integer column = bit-exact interpolation.
+    "profile_quantiles_lang" -> { (s, dir) =>
+      Profile.quantilesByGroup(documents(s, dir).toNative, col("lang"),
+          Seq("n_chars"), Seq(0.25, 0.5, 0.75))
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang", "column", "q")
+    },
+
     // L31 (buckets): CCNet-style quantile bucketing — exact dyadic
     // thresholds (one bounded collect), then a PURE NARROW comparison
     // chain; ties land in the lower bucket.
@@ -914,16 +924,9 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     },
 
-    // L44: heavy-hitter audits — exact top tokens globally and per
-    // language, deterministic (cnt desc, item asc) cut in both engines.
-    "top_tokens" -> { (s, dir) =>
-      import org.apache.spark.sql.functions.explode
-      val toks = documents(s, dir).toNative
-        .select(explode(NgramLM.tokens(col("text"))).as("tok"))
-      Sketch.topItems(toks, col("tok"), k = 20)
-        .orderBy(col("cnt").desc, col("item").asc)
-    },
-
+    // L44: per-slice heavy hitters — exact top tokens per language
+    // with the deterministic (cnt desc, item asc) cut both engines
+    // run. (The GLOBAL variant is text_toptokens / Profile.topValues.)
     "top_tokens_lang" -> { (s, dir) =>
       import org.apache.spark.sql.functions.explode
       val toks = documents(s, dir).toNative
@@ -2128,14 +2131,8 @@ object SparkEntry {
         |      lower(lpad(hex(CAST(floor(least(1.0, CAST(n_chars AS DOUBLE) / 4000.0) * 4294967296.0) AS BIGINT)), 8, '0'))
         |ORDER BY doc_id""".stripMargin,
 
-    // Heavy hitters re-derived: identical tokenization, exact counts,
-    // identical deterministic (cnt DESC, item ASC) cuts.
-    "top_tokens" ->
-      """WITH toks AS (SELECT unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '')) AS item FROM documents),
-        |c AS (SELECT item, count(*) AS cnt FROM toks GROUP BY item)
-        |SELECT item, CAST(cnt AS BIGINT) AS cnt FROM c
-        |ORDER BY cnt DESC, item ASC LIMIT 20""".stripMargin,
-
+    // Per-slice heavy hitters re-derived: identical tokenization,
+    // exact counts, identical deterministic (cnt DESC, item ASC) cut.
     "top_tokens_lang" ->
       """WITH toks AS (SELECT lang, unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '')) AS item FROM documents WHERE lang IS NOT NULL),
         |c AS (SELECT lang, item, count(*) AS cnt FROM toks GROUP BY lang, item)
@@ -2415,6 +2412,13 @@ object SparkEntry {
         |     sqrt(CAST(n AS DOUBLE)*CAST(s_dd AS DOUBLE) - CAST(s_d AS DOUBLE)*CAST(s_d AS DOUBLE)))
         |  FROM m
         |) ORDER BY col_a, col_b""".stripMargin,
+
+    "profile_quantiles_lang" ->
+      """SELECT * FROM (
+        |SELECT lang, 'n_chars' AS "column", CAST(0.25 AS DOUBLE) AS q, quantile_cont(n_chars, 0.25) AS value FROM documents WHERE lang IS NOT NULL GROUP BY lang
+        |UNION ALL SELECT lang, 'n_chars', CAST(0.5 AS DOUBLE), quantile_cont(n_chars, 0.5) FROM documents WHERE lang IS NOT NULL GROUP BY lang
+        |UNION ALL SELECT lang, 'n_chars', CAST(0.75 AS DOUBLE), quantile_cont(n_chars, 0.75) FROM documents WHERE lang IS NOT NULL GROUP BY lang
+        |) ORDER BY lang, "column", q""".stripMargin,
 
     "profile_quantiles" ->
       """SELECT * FROM (

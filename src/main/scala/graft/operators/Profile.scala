@@ -167,6 +167,32 @@ object Profile {
     meltQuantiles(df.agg(aggs.head, aggs.tail: _*), cols, qs)
   }
 
+  /** Per-GROUP exact quantiles (L46) — the data-mixture audit shape
+    * ("length quantiles per language", "score quartiles per source"):
+    * [[quantiles]] with a grouping key, melted tall to
+    * `(grp, column, q, value)`. ONE grouped aggregate over one scan
+    * (map-side combined); output is |groups|·|cols|·|qs| rows —
+    * mixture-sized by contract. NULL groups are excluded (they are a
+    * data-quality finding for [[profile]], not a stratum). The same
+    * bounded-cardinality memory contract and dyadic-fraction
+    * cross-engine exactness as [[quantiles]] apply. */
+  def quantilesByGroup(
+      df: DataFrame, group: Column, cols: Seq[String], qs: Seq[Double]): DataFrame = {
+    require(cols.nonEmpty, "quantilesByGroup of zero columns")
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"fractions must be in [0,1]: $qs")
+    val qArr = array(qs.map(lit): _*)
+    val aggs = cols.map(c => percentile(col(c), qArr).as(s"_q_$c"))
+    val rows = df.where(group.isNotNull)
+      .groupBy(group.as("grp")).agg(aggs.head, aggs.tail: _*)
+    val entries = array(cols.map { c =>
+      struct(lit(c).as("column"), col(s"_q_$c").as("_vals"))
+    }: _*)
+    rows.select(col("grp"), explode(entries).as("p"))
+      .select(col("grp"), col("p.column").as("column"),
+        posexplode(col("p._vals")).as(Seq("_i", "value")))
+      .select(col("grp"), col("column"), element_at(qArr, col("_i") + 1).as("q"), col("value"))
+  }
+
   /** Fixed-width histogram of a numeric column over `[lo, hi]`:
     * `(bin, bin_lo, bin_hi, n)` with EVERY bin present (empty bins
     * count 0 — the plotting/monitoring contract), bin width

@@ -260,30 +260,18 @@ object Sketch {
   }
 
   // ---------------------------------------------------------------- L44
-  // Heavy-hitter audits — "what are the most frequent tokens / domains
-  // / fingerprints, overall and per slice" is the first question asked
-  // of any new corpus (boilerplate shows up as an item whose count is
-  // wildly off the Zipf line). EXACT counting is the right Spark shape
-  // here: the count aggregate combines map-side, so the shuffle
+  // Per-slice heavy hitters — "the most frequent tokens / domains per
+  // language / source" (boilerplate shows up as an item whose count is
+  // wildly off its slice's Zipf line). EXACT counting is the right
+  // Spark shape: the count aggregate combines map-side, so the shuffle
   // carries each task's DISTINCT (group, item) partials — occurrence
   // volume never crosses the wire — and the k-cut never materializes
-  // a global sort (TakeOrdered / WindowGroupLimit). A sketch variant
-  // (count-min + candidate stream) only wins when per-task distinct
-  // items outgrow executor memory; restrict the stream with
+  // a global sort. The GLOBAL variant is [[Profile.topValues]] (its
+  // TakeOrdered sends k rows per task to the driver merge); a sketch
+  // variant (count-min + candidate stream) only wins when per-task
+  // distinct items outgrow executor memory — restrict the stream with
   // [[Sampling.sampleHash]] first in that regime (documented, not a
   // separate code path).
-
-  /** Global top-`k` items by occurrence count, ties broken by item
-    * ascending (deterministic cut). NULL items are skipped. Returns
-    * `(item, cnt)`. One map-side-combined count + a TakeOrdered —
-    * k rows per task reach the driver merge, never a global sort. */
-  def topItems(df: DataFrame, item: Column, k: Int): DataFrame = {
-    require(k > 0, s"k must be positive, got $k")
-    df.where(item.isNotNull)
-      .groupBy(item.as("item")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("item").asc)
-      .limit(k)
-  }
 
   /** Per-group top-`k` items (top tokens per language, top domains per
     * source): count once, then the [[Sampling.topKPerGroup]]

@@ -191,6 +191,23 @@ object GStream {
       .where(col(s"$flagsCol.keep"))
   }
 
+  /** ST6 — the C4 line/document cleaning attached to a stream: like
+    * the Gopher gate, [[graft.functions.TextFns.c4Clean]] is one
+    * narrow STATELESS struct expression (line rewrite + page flags),
+    * so it needs no watermark, no state store, and no stream-static
+    * join — micro-batch results are byte-identical to the batch
+    * operator on the same rows. Kept pages get their REWRITTEN text in
+    * `structCol.text_clean`; per-rule flags stay for monitoring sinks. */
+  def c4CleanStream(
+      docs: DataFrame, text: Column, structCol: String = "c4",
+      minLineWords: Int = 3, minSentences: Int = 5,
+      blockedPhrases: Seq[String] = Nil): DataFrame = {
+    require(docs.isStreaming, "c4CleanStream expects a streaming DataFrame")
+    docs.withColumn(structCol,
+        graft.functions.TextFns.c4Clean(text, minLineWords, minSentences, blockedPhrases))
+      .where(col(s"$structCol.keep"))
+  }
+
   // ------------------------------------------------------------- ST2
   /** Input row for sessionization. */
   final case class SEvent(user_id: Long, ts: Timestamp, event_type: String)

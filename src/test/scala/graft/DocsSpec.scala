@@ -294,7 +294,7 @@ class DocsSpec extends SparkSpec {
       .toDF("doc_id", "lang", "text")
     val toks = docs.select(col("lang"),
       explode(graft.operators.NgramLM.tokens(col("text"))).as("tok"))
-    val top = graft.operators.Sketch.topItems(toks, col("tok"), k = 3)
+    val top = graft.operators.Profile.topValues(toks, col("tok"), k = 3)
       .collect().map(_.getString(0)).toSeq
     assert(top.take(3).toSet == Set("the", "boiler", "plate"))
     val per = graft.operators.Sketch.topItemsPerGroup(toks, col("lang"), col("tok"), k = 2)

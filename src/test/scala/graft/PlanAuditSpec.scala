@@ -480,15 +480,12 @@ class PlanAuditSpec extends SparkSpec {
       s"the moment aggregate must combine map-side:\n$plan")
   }
 
-  test("top_tokens: TakeOrdered merge, no global sort; per-group variant prunes map-side") {
-    val global = q("top_tokens")
-    assert(global.contains("TakeOrdered"),
-      s"the global k-cut must be a TakeOrdered driver merge:\n$global")
-    assert(global.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
-      s"the count must combine map-side:\n$global")
+  test("top_tokens_lang: map-side count partials and a WindowGroupLimit k-cut") {
     val grouped = q("top_tokens_lang")
     assert(grouped.contains("WindowGroupLimit"),
       s"the per-group k-cut must push map-side:\n$grouped")
+    assert(grouped.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"the count must combine map-side:\n$grouped")
   }
 
   test("sample_temperature: the data pass is the same narrow codegen'd filter") {

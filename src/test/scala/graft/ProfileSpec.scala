@@ -134,6 +134,22 @@ class ProfileSpec extends SparkSpec {
       assert(math.abs(approx(q) - exact(q)) <= 1.0, s"q=$q: ${approx(q)} vs ${exact(q)}")
   }
 
+  // ------------------------------------------------------ L46 by-group
+
+  test("quantilesByGroup: hand-computed per-group interpolation; NULL group excluded") {
+    import spark.implicits._
+    // en: 1..5 (q50 = 3, q25 = 2); de: 10,20 (q50 = 15 interp.); NULL group dropped
+    val d = ((1 to 5).map(i => (Some("en"), i.toLong)) ++
+      Seq((Some("de"), 10L), (Some("de"), 20L), (None, 999L)))
+      .toDF("lang", "v")
+    val out = Profile.quantilesByGroup(
+        d, org.apache.spark.sql.functions.col("lang"), Seq("v"), Seq(0.25, 0.5))
+      .collect().map(r => (r.getString(0), r.getDouble(2)) -> r.getDouble(3)).toMap
+    assert(out.size == 4)
+    assert(out(("en", 0.5)) == 3.0 && out(("en", 0.25)) == 2.0)
+    assert(out(("de", 0.5)) == 15.0 && out(("de", 0.25)) == 12.5)
+  }
+
   // ---------------------------------------------------------- L45 corr
 
   test("corrMatrix: perfect linear, anti-linear, and constant columns") {

@@ -208,20 +208,6 @@ class SketchSpec extends SparkSpec {
 
   // ---------------------------------------------------------- L44 items
 
-  test("topItems: hand-counted heavy hitters with the asc-item tie cut; NULL skipped") {
-    import spark.implicits._
-    // counts: a=4, b=3, c=3, d=1; at k=3 the (3,3) tie cuts by item asc
-    val rows = (Seq.fill(4)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++
-      Seq("d") ++ Seq(null.asInstanceOf[String])).toDF("it")
-    val out = Sketch.topItems(rows, col("it"), k = 3)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(out == Seq(("a", 4L), ("b", 3L), ("c", 3L)))
-    // k larger than the universe returns everything, still ordered
-    val all = Sketch.topItems(rows, col("it"), k = 10)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    assert(all == Seq(("a", 4L), ("b", 3L), ("c", 3L), ("d", 1L)))
-  }
-
   test("topItemsPerGroup: independent k-cut per group; NULL group/item skipped") {
     import spark.implicits._
     val rows = (Seq.fill(3)(("en", "x")) ++ Seq.fill(2)(("en", "y")) ++

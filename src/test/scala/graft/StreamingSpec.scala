@@ -151,6 +151,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> 0, 2L -> 1))
   }
 
+  test("ST6: streaming C4 cleaning == batch keep with rewritten text across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.TextFns
+    import spark.implicits._
+    val docs = (1L to 30L).map { i =>
+      if (i % 3 == 0)
+        Doc(i, s"A kept sentence number $i stands here.\nAnother fine line follows it too.")
+      else if (i % 3 == 1)
+        Doc(i, s"no terminal punctuation line $i\nstill nothing here")
+      else
+        Doc(i, s"Great line number $i sits here.\nlorem ipsum dolor sit amet.")
+    }
+    val input = MemoryStream(Encoders.product[Doc], spark)
+    val cleaned = graft.streaming.GStream.c4CleanStream(
+      input.toDF(), col("text"), minSentences = 2)
+    val q = cleaned.writeStream
+      .format("memory").queryName("st6_c4_out").outputMode("append").start()
+    try {
+      input.addData(docs.take(15)); q.processAllAvailable()
+      input.addData(docs.drop(15)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st6_c4_out")
+      .select(col("doc_id"), col("c4.text_clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = docs.toDF().withColumn("c", TextFns.c4Clean(col("text"), minSentences = 2))
+      .where(col("c.keep"))
+      .select(col("doc_id"), col("c.text_clean"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.keySet.forall(_ % 3 == 0))   // lorem docs gated, bare lines starve
+  }
+
   test("ST1: MemoryStream sliding window agg == identical batch agg, with overlap") {
     val events = Seq(
       SEvent(1L, t("2024-01-01T10:05:00Z"), "a"),
