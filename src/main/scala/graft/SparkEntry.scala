@@ -780,6 +780,25 @@ object SparkEntry {
         .orderBy("fp")
     },
 
+    // L1 (quality representative): keep the LONGEST raw copy per
+    // normalized-identical group (score = n_chars; ties break to the
+    // lowest id) — the published keep-best convention. The corpus has
+    // no exact duplicates at gate scale, so both engines derive the
+    // identical planted twin: every doc_id%7==0 doc re-appears at
+    // id+100000 with edge whitespace (same normText, +5 raw chars) —
+    // the COPY must win and the original must drop. The oracle runs
+    // the identical md5 grouping with a QUALIFY (score desc, id asc)
+    // row_number cut.
+    "dedup_keep_best" -> { (s, dir) =>
+      val d = documents(s, dir).toNative.select("doc_id", "text", "n_chars")
+      val dup = d.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(lit("  "), col("text"), lit("   ")).as("text"),
+          (col("n_chars") + 5L).as("n_chars"))
+      Dedup.exactKeepBy(d.unionAll(dup), col("text"), col("doc_id"), col("n_chars"))
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // L2+L4: MinHash-LSH near-dedup keep-list (banding join + exact
     // Jaccard verify, min-id representative). 128 hashes in 64 bands of
     // 2 ⇒ P(miss | J≥0.5) ≤ (1-0.25)^64 ≈ 1e-8 — oracle-safe.
@@ -1903,6 +1922,18 @@ object SparkEntry {
         |FROM (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
         |      FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "dedup_keep_best" ->
+      """WITH u AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, '  ' || text || '   ', n_chars + 5
+        |  FROM documents WHERE doc_id % 7 = 0)
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp, n_chars
+        |  FROM u)
+        |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" ->
       """WITH w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),

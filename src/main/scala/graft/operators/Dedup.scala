@@ -51,6 +51,26 @@ object Dedup {
     df.join(keep, id === col("_keep_id"), "left_semi")
   }
 
+  /** [[exactKeep]] with a QUALITY choice of representative — the
+    * published "keep the longest / highest-scoring copy" convention
+    * (normalized-identical pages differ in raw whitespace, markup
+    * damage, or an attached quality score; dropping by min-id throws
+    * that signal away). Per fingerprint group the winner maximizes
+    * `(score, then LOWEST id)` — the id tiebreak keeps the cut
+    * deterministic, and a constant score degrades to [[exactKeep]]
+    * exactly. NULL scores sort below every non-NULL score (they win
+    * only all-NULL groups, again by min id). Same keep-list shape and
+    * scale contract as [[exactKeep]]: the groupBy shuffle carries
+    * (fp, score, id) partials — `max_by` over the (score, −id) struct
+    * combines map-side — and the semi-join stays AQE-broadcastable.
+    * Ids must be unique AND non-negative (the −id tiebreak). */
+  def exactKeepBy(df: DataFrame, text: Column, id: Column, score: Column): DataFrame = {
+    val keep = df.groupBy(TextFns.fingerprintMd5(text).as("_fp"))
+      .agg(max_by(id, struct(score, -id)).as("_keep_id"))
+      .select(col("_keep_id"))
+    df.join(keep, id === col("_keep_id"), "left_semi")
+  }
+
   // ------------------------------------------------------ hot-bucket guard
   /** Hot-bucket guard for the LSH self-joins. A degenerate key —
     * boilerplate/template docs, zero-ish embeddings — puts b rows in one

@@ -46,6 +46,39 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"expected no window exchange, got:\n$plan")
   }
 
+  test("exactKeepBy keeps the best-scored copy; ties and NULL scores break to min id") {
+    import spark.implicits._
+    val rows = Seq(
+      // group A: 2 wins on score
+      (1L, "the quick fox", 13L),
+      (2L, "the  quick  fox", 15L),
+      (3L, "The Quick Fox", 13L),
+      // group B: equal scores -> min id 5
+      (5L, "same score here", 8L),
+      (6L, "same  score  here", 8L),
+      // singleton
+      (4L, "unique doc", 10L)).toDF("doc_id", "text", "score")
+    val kept = Dedup.exactKeepBy(rows, col("text"), col("doc_id"), col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 5L, 4L))
+    // NULL scores lose to any scored copy; an all-NULL group keeps min id
+    val withNulls = Seq(
+      (7L, "partly scored", None: Option[Long]),
+      (8L, "partly  scored", Some(1L)),
+      (9L, "never scored", None: Option[Long]),
+      (10L, "never  scored", None: Option[Long])).toDF("doc_id", "text", "score")
+    val keptN = Dedup.exactKeepBy(withNulls, col("text"), col("doc_id"), col("score"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptN == Set(8L, 9L))
+    // constant score degrades to exactKeep exactly
+    val constKeep = Dedup.exactKeepBy(rows, col("text"), col("doc_id"),
+        org.apache.spark.sql.functions.lit(1))
+      .select("doc_id").as[Long].collect().toSet
+    val plain = Dedup.exactKeep(rows, col("text"), col("doc_id"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(constKeep == plain)
+  }
+
   test("minhash LSH candidates contain every true near-dup pair") {
     val cands = Dedup.minhashCandidates(df, col("doc_id"), col("text"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

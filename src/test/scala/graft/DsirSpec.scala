@@ -4,10 +4,42 @@ import org.apache.spark.sql.functions.col
 
 import graft.operators.Dsir
 
+/** Independent twin of the engine's DSIR model: JVM md5 buckets,
+  * add-one integer-ratio models, per-bucket micro-nat quantization.
+  * Shared by the fixed fixtures and the generated sweep. */
+private[graft] object DsirLocal {
+  def grams(text: String): Seq[String] = {
+    val ws = text.trim.replaceAll("\\s+", " ").toLowerCase
+      .split(" ").filter(_.nonEmpty).toSeq
+    ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+  }
+  def bucket(g: String, buckets: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(g.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % buckets
+  }
+  def weights(
+      corpus: Seq[Doc], target: Seq[Doc], buckets: Int): Map[Long, (Long, Long)] = {
+    def fit(ds: Seq[Doc]) = ds.flatMap(d => grams(Option(d.text).getOrElse("")))
+      .map(bucket(_, buckets)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tm = fit(target); val rm = fit(corpus)
+    val np = tm.values.sum; val nq = rm.values.sum
+    def lr(b: Long): Long = math.round((
+      math.log(tm.getOrElse(b, 0L).toDouble + 1.0) - math.log(np.toDouble + buckets) -
+      math.log(rm.getOrElse(b, 0L).toDouble + 1.0) + math.log(nq.toDouble + buckets)
+      ) * 1000000.0)
+    corpus.map { d =>
+      val bs = grams(Option(d.text).getOrElse("")).map(bucket(_, buckets))
+      d.doc_id -> (bs.size.toLong, bs.map(lr).sum)
+    }.toMap
+  }
+}
+
 /** DSIR hashed-ngram importance weights (L42) — independent local
-  * reimplementation as ground truth, plus the model laws: target ≡ raw
-  * zeroes every weight exactly, unseen grams take the default, weights
-  * are partition-invariant, broadcast ≡ shuffle. */
+  * reimplementation as ground truth (fixed fixtures AND a generated
+  * sweep), plus the model laws: target ≡ raw zeroes every weight
+  * exactly, unseen grams take the default, weights are
+  * partition-invariant, broadcast ≡ shuffle. */
 class DsirSpec extends SparkSpec {
 
   private def docs(rows: Doc*) = {
@@ -15,35 +47,7 @@ class DsirSpec extends SparkSpec {
     rows.toDS.toDF
   }
 
-  /** Independent twin of the engine's model: JVM md5 buckets, add-one
-    * integer-ratio models, per-bucket micro-nat quantization. */
-  private object Local {
-    def grams(text: String): Seq[String] = {
-      val ws = text.trim.replaceAll("\\s+", " ").toLowerCase
-        .split(" ").filter(_.nonEmpty).toSeq
-      ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))
-    }
-    def bucket(g: String, buckets: Int): Long = {
-      val d = java.security.MessageDigest.getInstance("MD5")
-        .digest(g.getBytes("UTF-8"))
-      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16) % buckets
-    }
-    def weights(
-        corpus: Seq[Doc], target: Seq[Doc], buckets: Int): Map[Long, (Long, Long)] = {
-      def fit(ds: Seq[Doc]) = ds.flatMap(d => grams(Option(d.text).getOrElse("")))
-        .map(bucket(_, buckets)).groupBy(identity).view.mapValues(_.size.toLong).toMap
-      val tm = fit(target); val rm = fit(corpus)
-      val np = tm.values.sum; val nq = rm.values.sum
-      def lr(b: Long): Long = math.round((
-        math.log(tm.getOrElse(b, 0L).toDouble + 1.0) - math.log(np.toDouble + buckets) -
-        math.log(rm.getOrElse(b, 0L).toDouble + 1.0) + math.log(nq.toDouble + buckets)
-        ) * 1000000.0)
-      corpus.map { d =>
-        val bs = grams(Option(d.text).getOrElse("")).map(bucket(_, buckets))
-        d.doc_id -> (bs.size.toLong, bs.map(lr).sum)
-      }.toMap
-    }
-  }
+  private val Local = DsirLocal
 
   private val corpus = Seq(
     Doc(1L, "the cat sat on the mat"),
@@ -65,6 +69,24 @@ class DsirSpec extends SparkSpec {
     // the planted split must actually separate: cat-ish docs score
     // higher per gram than the OOV quantum doc
     assert(out(1L)._2 > out(4L)._2)
+  }
+
+  test("generated corpora: engine == independent local implementation (sweep)") {
+    // seeded generated sweep (each case is two tiny Spark jobs)
+    val words = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val rng = new scala.util.Random(7)
+    for (case_ <- 1 to 5) {
+      val n = 1 + rng.nextInt(10)
+      val corpusG = (0 until n).map { i =>
+        Doc(i.toLong, Seq.fill(rng.nextInt(7))(words(rng.nextInt(words.size))).mkString(" "))
+      }
+      val targetG = corpusG.filter(_.doc_id % 3 == 0)
+      val exp = Local.weights(corpusG, targetG, buckets = 512)
+      val out = Dsir.weights(docs(corpusG: _*), col("doc_id"), col("text"),
+          docs(targetG: _*), col("text"), buckets = 512)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out == exp, s"case $case_: engine $out vs local $exp (corpus $corpusG)")
+    }
   }
 
   test("target == raw zeroes every weight EXACTLY (the identity law)") {
