@@ -540,6 +540,30 @@ object SparkEntry {
         .orderBy("click_id", "error_id")
     },
 
+    // L47: interval-OVERLAP equi-join — error windows (1 day) crossed
+    // with click windows (6 h) per user. Covering-bin reduction with
+    // single-bin pair ownership (the bin holding max(start_a, start_b))
+    // so every overlapping pair surfaces exactly once, no dedup pass;
+    // the oracle is the naive theta join DuckDB can afford at gate
+    // scale.
+    "interval_join" -> { (s, dir) =>
+      val ev = events(s, dir).toNative
+      val day = 86400000000L
+      val h6 = 21600000000L
+      val err = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("e_s"),
+          (org.apache.spark.sql.functions.unix_micros(col("ts")) + day).as("e_e"))
+      val clk = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")).as("c_s"),
+          (org.apache.spark.sql.functions.unix_micros(col("ts")) + h6).as("c_e"))
+      Joins.intervalJoin(err, clk, Seq("user_id"),
+          "e_s", "e_e", "c_s", "c_e", binWidth = day)
+        .select("error_id", "click_id", "user_id")
+        .orderBy("error_id", "click_id")
+    },
+
     // L33: gap-based sessionization (30-min gap) + per-session rollup —
     // one exchange on user_id (lag + running-sum + rollup all reuse
     // it); sums are integer cents so the totals are order-exact.
@@ -2305,6 +2329,13 @@ object SparkEntry {
         |i AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS s_us, epoch_us(ts) + 86400000000 AS e_us FROM events WHERE event_type = 'error')
         |SELECT p.click_id, i.error_id, p.user_id
         |FROM p JOIN i ON p.user_id = i.user_id AND p.us >= i.s_us AND p.us <= i.e_us
+        |ORDER BY 1, 2""".stripMargin,
+
+    "interval_join" ->
+      """WITH a AS (SELECT event_id AS error_id, user_id, epoch_us(ts) AS e_s, epoch_us(ts) + 86400000000 AS e_e FROM events WHERE event_type = 'error'),
+        |b AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_s, epoch_us(ts) + 21600000000 AS c_e FROM events WHERE event_type = 'click')
+        |SELECT a.error_id, b.click_id, a.user_id
+        |FROM a JOIN b ON a.user_id = b.user_id AND a.e_s <= b.c_e AND b.c_s <= a.e_e
         |ORDER BY 1, 2""".stripMargin,
 
     // Sessionize: identical lag/running-sum windows; sums are integer

@@ -155,21 +155,59 @@ object Joins {
       points: DataFrame, intervals: DataFrame, keys: Seq[String],
       point: String, start: String, end: String, binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
-    // exact long floor-division: subtract the (always non-negative)
-    // pmod so the dividend is an exact multiple — truncating `div`
-    // then equals floor, with no double rounding anywhere
-    def bin(c: Column): Column = {
-      val v = c.cast("long")
-      call_function("div", v - pmod(v, lit(binWidth)), lit(binWidth))
-    }
     val iv = intervals
       .where(col(start).isNotNull && col(end).isNotNull && col(start) <= col(end))
-      .withColumn("_graft_bin", explode(sequence(bin(col(start)), bin(col(end)))))
+      .withColumn("_graft_bin", explode(sequence(bin(col(start), binWidth), bin(col(end), binWidth))))
     val pt = points
       .where(col(point).isNotNull)
-      .withColumn("_graft_bin", bin(col(point)))
+      .withColumn("_graft_bin", bin(col(point), binWidth))
     pt.join(iv, keys :+ "_graft_bin")
       .where(col(point) >= col(start) && col(point) <= col(end))
+      .drop("_graft_bin")
+  }
+
+  /** Exact long floor-division bin: subtract the (always non-negative)
+    * pmod so the dividend is an exact multiple — truncating `div` then
+    * equals floor, with no double rounding anywhere (exact at ANY
+    * magnitude; a double divide coarsens above 2⁵³). */
+  private def bin(c: Column, binWidth: Long): Column = {
+    val v = c.cast("long")
+    call_function("div", v - pmod(v, lit(binWidth)), lit(binWidth))
+  }
+
+  /** Interval-OVERLAP equi-join (L47) — pairs of left/right intervals
+    * on the same keys whose CLOSED ranges intersect
+    * (`lstart ≤ rend AND rstart ≤ lend`): sessions × outages,
+    * promotions × visits — the interval twin of [[rangeJoin]]. Spark
+    * plans the raw predicate as a broadcast-nested-loop; this is the
+    * same covering-bin reduction as rangeJoin with one extra idea:
+    * a pair of overlapping intervals shares EVERY bin their overlap
+    * covers, so the join would emit it once per shared bin — instead
+    * each pair is OWNED by exactly one bin, the one containing the
+    * overlap's start `max(lstart, rstart)` (a bin both sides cover by
+    * definition), enforced as a residual predicate. Every overlapping
+    * pair then surfaces exactly once with NO distinct/dedup pass.
+    *
+    * Scale shape: replication is len/binWidth per interval per side
+    * (size binWidth to the typical interval length); the (keys, bin)
+    * hash join is AQE-skew-splittable; the residual runs inside the
+    * join's codegen. NULL or inverted intervals drop (module
+    * convention). Column names across the two inputs must be disjoint
+    * apart from `keys` (the rangeJoin contract). */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      lstart: String, lend: String, rstart: String, rend: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def valid(df: DataFrame, s: String, e: String) = df
+      .where(col(s).isNotNull && col(e).isNotNull && col(s) <= col(e))
+    val lv = valid(left, lstart, lend)
+      .withColumn("_graft_bin", explode(sequence(bin(col(lstart), binWidth), bin(col(lend), binWidth))))
+    val rv = valid(right, rstart, rend)
+      .withColumn("_graft_bin", explode(sequence(bin(col(rstart), binWidth), bin(col(rend), binWidth))))
+    lv.join(rv, keys :+ "_graft_bin")
+      .where(col(lstart) <= col(rend) && col(rstart) <= col(lend) &&
+        bin(greatest(col(lstart), col(rstart)), binWidth) === col("_graft_bin"))
       .drop("_graft_bin")
   }
 }

@@ -201,4 +201,44 @@ class JoinOpsSpec extends SparkSpec {
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fast == naive && fast.nonEmpty)
   }
+
+  test("intervalJoin: closed-end semantics, single surfacing, keys separate") {
+    val lefts = Seq(
+      ("k", 0L, 10L, 1L),    // overlaps r1 (touching end), r2 (contained)
+      ("k", 20L, 25L, 2L),   // disjoint from all
+      ("k2", 0L, 10L, 3L))   // same span, other key
+      .toDF("k", "ls", "le", "lid")
+    val rights = Seq(
+      ("k", 10L, 15L, 11L),  // touches left 1 at 10 -> closed ends overlap
+      ("k", 2L, 4L, 12L),    // contained in left 1
+      ("k", 26L, 30L, 13L),  // disjoint
+      ("k2", 3L, 3L, 14L))   // point-interval inside left 3
+      .toDF("k", "rs", "re", "rid")
+    for (w <- Seq(1L, 3L, 100L)) {
+      val got = Joins.intervalJoin(lefts, rights, Seq("k"), "ls", "le", "rs", "re", w)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // each pair exactly once (Seq, not Set — duplicates would show)
+      assert(got.sorted == Seq((1L, 11L), (1L, 12L), (3L, 14L)), s"binWidth=$w: $got")
+    }
+  }
+
+  test("intervalJoin: equals the naive theta-join on random data; NULL/inverted drop") {
+    val rnd = new scala.util.Random(11)
+    def mk(n: Int, tag: String) = (1 to n).map { i =>
+      val s = rnd.nextInt(200).toLong
+      (s"k${i % 3}", s, s + rnd.nextInt(25), i.toLong)
+    }.toDF("k", s"${tag}s", s"${tag}e", s"${tag}id")
+    val a = mk(50, "a"); val b = mk(70, "b")
+    val fast = Joins.intervalJoin(a, b, Seq("k"), "as", "ae", "bs", "be", 16L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val naive = a.join(b, Seq("k"))
+      .where(col("as") <= col("be") && col("bs") <= col("ae"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fast.sorted == naive.sorted && fast.nonEmpty)
+    // NULL and inverted intervals never join
+    val bad = Seq(("k", None: Option[Long], Some(5L), 100L),
+      ("k", Some(9L), Some(3L), 101L))
+      .toDF("k", "as", "ae", "aid")
+    assert(Joins.intervalJoin(bad, b, Seq("k"), "as", "ae", "bs", "be", 16L).count() == 0L)
+  }
 }

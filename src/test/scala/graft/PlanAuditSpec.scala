@@ -529,6 +529,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("Generate explode"), s"expected the interval bin expansion:\n$plan")
   }
 
+  test("interval_join: equi-join on bins — never a nested loop over the raw overlap predicate") {
+    val plan = q("interval_join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"interval join must not nested-loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"expected an equi-join on (keys, bin):\n$plan")
+    assert(plan.contains("Generate explode"), s"expected the covering-bin expansion:\n$plan")
+  }
+
   test("profile: exact variant pays one Expand; approx variant is a single narrow pass") {
     val exact = q("profile_docs")
     assert(exact.contains("Expand"),
