@@ -89,6 +89,30 @@ object SparkEntry {
           "\n").as("text_ml"))
   }
 
+  /** Shared media-payload twin for the L48 pHash gates: consecutive id
+    * pairs (2k, 2k+1) carry the SAME syntheticContainer(k) bytes —
+    * planted exact-duplicate images whose signatures must collide at
+    * hamming 0. (k < 250 at gate scale keeps every k's width unique,
+    * so distinct k never alias.) */
+  private def phashPayloads(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    tables.documents(s, dir).toNative.select(col("doc_id"))
+      .as[Long](Encoders.scalaLong)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { id =>
+          val k = java.lang.Math.floorDiv(id, 2L)
+          // salt the short header bytes with k-derived digest bytes so
+          // DIFFERENT k never tile into near-identical fake images
+          // (header-only payloads are 12-33 bytes — unsalted, whole
+          // container families collide within hamming 3)
+          val salt = md.digest(java.lang.Long.toString(k).getBytes("UTF-8"))
+          Media.MediaRow(id, Media.syntheticContainer(k) ++ salt ++ salt)
+        }
+      }(Encoders.product[Media.MediaRow])
+      .toDF()
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
@@ -1384,6 +1408,19 @@ object SparkEntry {
         .orderBy("media_id")
     },
 
+    // L48: perceptual-hash (pHash) near-dup image pairs — each id pair
+    // (2k, 2k+1) carries the same syntheticContainer(k) payload, so
+    // the deterministic pixel decode + DCT hash lands every planted
+    // pair at hamming 0. PARTIAL oracle like dedup_simhash: Verify
+    // exports the 64-bit signatures (_aux/phash_sigs) and DuckDB
+    // re-derives banding + hot-bucket cap + join + hamming with
+    // xor/bit_count; the DCT kernel itself is spec-gated.
+    "multimodal_phash" -> { (s, dir) =>
+      Media.phashPairs(phashPayloads(s, dir), col("media_id"), col("content"), maxHamming = 3)
+        .select(col("id_a").as("media_id_a"), col("id_b").as("media_id_b"), col("hamming"))
+        .orderBy("media_id_a", "media_id_b")
+    },
+
     // L12 (audio/video): AvHeaderDecoder against well-formed
     // WAV/FLAC/MP3/OGG/MP4 container bytes (Media.syntheticAvContainer —
     // every field is arithmetic in the doc_id, so the oracle states the
@@ -1434,6 +1471,10 @@ object SparkEntry {
     // dedup_simhash upstream: per-doc 64-bit signatures.
     "simhash_sigs" -> { (s, dir) =>
       Dedup.simhashSignatures(documents(s, dir).toNative, col("doc_id"), col("text"))
+    },
+    // multimodal_phash upstream: per-payload perceptual-hash sigs.
+    "phash_sigs" -> { (s, dir) =>
+      Media.phashSignatures(phashPayloads(s, dir), col("media_id"), col("content"))
     },
     // dedup_embedding upstream: sign-LSH candidate pairs (pre-verify).
     "emb_cand" -> { (s, dir) =>
@@ -1543,6 +1584,7 @@ object SparkEntry {
     * whole DuckDB compare loop. */
   def auxBackedOracles: Map[String, String] = Map(
     "dedup_simhash"   -> "simhash_sigs",
+    "multimodal_phash" -> "phash_sigs",
     "dedup_embedding" -> "emb_cand",
     "dedup_semantic"  -> "sem_cand",
     "sample_diverse"  -> "div_assign",
@@ -1737,6 +1779,22 @@ object SparkEntry {
          |  FROM capped a JOIN capped b
          |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
          |SELECT doc_id_a, doc_id_b, hamming FROM pairs
+         |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+
+    // L48 pHash pairs: identical banding re-derivation as dedup_simhash
+    // from the exported 64-bit perceptual hashes.
+    "multimodal_phash" ->
+      s"""WITH sig AS (SELECT doc_id, sig FROM '{AUX}/phash_sigs/*.parquet'),
+         |banded AS (SELECT doc_id, sig, c.chunk, (sig >> (c.chunk * 16)) & 65535 AS ckey
+         |  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS chunk) c),
+         |capped AS (SELECT * FROM
+         |    (SELECT *, count(*) OVER (PARTITION BY chunk, ckey) AS bsz FROM banded)
+         |  WHERE bsz <= ${Dedup.DefaultMaxBucket}),
+         |pairs AS (SELECT DISTINCT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+         |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+         |  FROM capped a JOIN capped b
+         |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
+         |SELECT media_id_a, media_id_b, hamming FROM pairs
          |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
 
     "dedup_embedding" ->

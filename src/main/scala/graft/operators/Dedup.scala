@@ -1368,15 +1368,31 @@ object Dedup {
     df.select(id.as("doc_id"),
       TextFns.simhash64(TextFns.wsTokens(TextFns.normText(text))).as("sig"))
 
+  /** Hamming-ball pairs from ANY 64-bit signature frame `(doc_id,
+    * sig)` — the pigeonhole banding/cap/join stage shared by text
+    * SimHash ([[simhashPairs]]) and image perceptual hashes
+    * ([[graft.operators.Media.phashPairs]]): 4×16-bit chunks guarantee
+    * recall 1 for hamming ≤ 3, the hot-bucket guard bounds degenerate
+    * chunks, and the whole step is re-derivable in plain integer SQL
+    * from the exported signatures (the PARTIAL-oracle contract). */
+  def pairsFromSigs64(
+      sigs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame =
+    simhashJoin(
+      capBuckets(bandSigs64(sigs), Seq("chunk", "ckey"), maxBucket), maxHamming)
+
   /** `(_id, _sh, chunk, ckey)` — one row per (doc, 16-bit chunk). */
-  private def simhashBanded(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val h = simhashSignatures(df, id, text).toDF("_id", "_sh")
+  private def bandSigs64(sigs: DataFrame): DataFrame = {
+    val h = sigs.toDF("_id", "_sh")
     val chunks = (0 until 4).map { i =>
       struct(lit(i).as("chunk"), shiftright(col("_sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("ckey"))
     }
     h.select(col("_id"), col("_sh"), explode(array(chunks: _*)).as("c"))
       .select(col("_id"), col("_sh"), col("c.chunk").as("chunk"), col("c.ckey").as("ckey"))
   }
+
+  private def simhashBanded(df: DataFrame, id: Column, text: Column): DataFrame =
+    bandSigs64(simhashSignatures(df, id, text))
 
   private def simhashJoin(capped: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4-chunk pigeonhole guarantees recall only for hamming <= 3")

@@ -554,6 +554,105 @@ object Media {
       }(Encoders.product[MediaMetaRow])
       .toDF()
 
+  // ---------------------------------------------------------------- L48
+  /** Pixel boundary for perceptual hashing: decode + downsample a
+    * payload to the 32×32 grayscale pHash input. Like
+    * [[MediaDecoder]], the REAL implementation belongs to an image
+    * library absent from this environment — [[FakePixelDecoder]] is
+    * the deterministic stand-in that keeps the Spark-side plumbing and
+    * the hash math real and testable. Return None for undecodable
+    * payloads (they drop out of hashing, like NULL keys). */
+  trait PixelDecoder extends Serializable {
+    /** 1024 grays (32×32 row-major) in [0, 255], or None. */
+    def decodeGray32(content: Array[Byte]): Option[Array[Double]]
+  }
+
+  /** Deterministic fake pixel decode: tile the payload bytes over the
+    * 32×32 grid (`p(i) = content(i mod len) & 0xFF`). Content-local by
+    * construction — byte-identical payloads decode identically and
+    * small byte edits perturb few pixels — so near-duplicate DETECTION
+    * behaves like it would on real pixels while the codec stays
+    * dependency-free. Empty/NULL payloads are undecodable. */
+  object FakePixelDecoder extends PixelDecoder {
+    def decodeGray32(content: Array[Byte]): Option[Array[Double]] =
+      if (content == null || content.isEmpty) None
+      else Some(Array.tabulate(1024)(i => (content(i % content.length) & 0xFF).toDouble))
+  }
+
+  /** 64-bit perceptual hash of a 32×32 grayscale image — the standard
+    * pHash construction (DCT low-frequency signs; the published
+    * image near-dup method behind every "visually identical" dedup):
+    * 2-D DCT-II of the 32×32 grays, keep the top-left 8×8
+    * low-frequency block, threshold each coefficient against the
+    * MEDIAN of the 63 non-DC coefficients (the DC term is overall
+    * brightness — excluding it from the median makes the hash
+    * brightness-shift tolerant), bit k (row-major) set iff coeff >
+    * median. Pure JVM double arithmetic — deterministic everywhere. */
+  def phash64(gray32: Array[Double]): Long = {
+    require(gray32.length == 1024, s"phash64 expects 32x32 grays, got ${gray32.length}")
+    val n = 32
+    // DCT-II separable: first rows, then columns
+    val cosTab = Array.tabulate(n, n)((k, x) => math.cos((2 * x + 1) * k * math.Pi / (2.0 * n)))
+    val rows = Array.ofDim[Double](n, n)
+    var r = 0
+    while (r < n) {
+      var k = 0
+      while (k < 8) { // only the first 8 frequencies are ever read
+        var s = 0.0; var x = 0
+        while (x < n) { s += gray32(r * n + x) * cosTab(k)(x); x += 1 }
+        rows(r)(k) = s; k += 1
+      }
+      r += 1
+    }
+    val coeffs = new Array[Double](64)
+    var kr = 0
+    while (kr < 8) {
+      var kc = 0
+      while (kc < 8) {
+        var s = 0.0; var x = 0
+        while (x < n) { s += rows(x)(kc) * cosTab(kr)(x); x += 1 }
+        coeffs(kr * 8 + kc) = s; kc += 1
+      }
+      kr += 1
+    }
+    val nonDc = coeffs.drop(1).sorted
+    val med = (nonDc(30) + nonDc(31)) / 2.0
+    var bits = 0L; var i = 0
+    while (i < 64) { if (coeffs(i) > med) bits |= (1L << i); i += 1 }
+    bits
+  }
+
+  /** Per-payload perceptual-hash signatures `(doc_id, sig)` — the
+    * [[decodeMeta]] mapPartitions codec boundary feeding
+    * [[graft.operators.Dedup.pairsFromSigs64]]'s banding: only the
+    * 8-byte signature leaves the scan, the payload never shuffles.
+    * Undecodable payloads drop. Column names match the signature
+    * contract (`doc_id`, `sig`) so the export/oracle machinery applies
+    * unchanged. */
+  def phashSignatures(
+      df: DataFrame, id: Column, content: Column,
+      decoder: PixelDecoder = FakePixelDecoder): DataFrame = {
+    df.select(id.cast("long").as("media_id"), content.cast("binary").as("content"))
+      .as[MediaRow](Encoders.product[MediaRow])
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decoder.decodeGray32(r.content).map(g => (r.media_id, phash64(g)))
+        }
+      }(Encoders.product[(Long, Long)])
+      .toDF("doc_id", "sig")
+  }
+
+  /** Perceptual near-duplicate image pairs `(id_a, id_b, hamming)` —
+    * pHash signatures through the shared 4×16-bit pigeonhole
+    * banding (recall 1 for hamming ≤ 3, hot-bucket guard on
+    * degenerate chunks, one narrow (sig, id) shuffle). The image twin
+    * of text SimHash dedup. */
+  def phashPairs(
+      df: DataFrame, id: Column, content: Column, maxHamming: Int = 3,
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      decoder: PixelDecoder = FakePixelDecoder): DataFrame =
+    Dedup.pairsFromSigs64(phashSignatures(df, id, content, decoder), maxHamming, maxBucket)
+
   /** Decode a mixed audio/video/image binary column to the unified
     * metadata frame `(media_id, width, height, sample_rate, channels,
     * bits, format, n_bytes)` — same mapPartitions codec boundary as

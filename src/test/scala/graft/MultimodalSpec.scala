@@ -177,4 +177,63 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("format"), r.getAs[Int]("width"))).toSet
     assert(out == Set(("raw", 1)))
   }
+
+  // ---------------------------------------------------------------- L48
+
+  // smooth image-like content (two gradients + a blob) — DCT energy
+  // concentrates in low frequencies, the regime pHash is built for
+  private val fixtureGray = Array.tabulate(1024) { i =>
+    val r = i / 32; val c = i % 32
+    120.0 + 3.0 * r - 2.0 * c + 40.0 * math.exp(-((r - 10) * (r - 10) + (c - 20) * (c - 20)) / 50.0)
+  }
+
+  test("phash64: deterministic, brightness-shift tolerant, locality-preserving") {
+    // pinned literal: cross-version drift in the hash silently breaks
+    // every persisted signature index — fail loudly instead
+    assert(Media.phash64(fixtureGray) == -5275465353324476181L)
+    assert(Media.phash64(fixtureGray) == Media.phash64(fixtureGray.clone()))
+    // constant brightness shift moves ONLY the DC coefficient -> at
+    // most bit 0 can flip (the design point of the non-DC median)
+    val shifted = fixtureGray.map(_ + 10.0)
+    assert(java.lang.Long.bitCount(
+      Media.phash64(fixtureGray) ^ Media.phash64(shifted)) <= 1)
+    // small perturbations stay close; an unrelated image is far
+    val perturbed = fixtureGray.clone()
+    (0 until 5).foreach(i => perturbed(i * 97 % 1024) += 3.0)
+    assert(java.lang.Long.bitCount(
+      Media.phash64(fixtureGray) ^ Media.phash64(perturbed)) <= 6)
+    val rnd = new scala.util.Random(3)
+    val other = Array.fill(1024)(rnd.nextInt(256).toDouble)
+    val far = java.lang.Long.bitCount(Media.phash64(fixtureGray) ^ Media.phash64(other))
+    assert(far >= 12, s"unrelated images must be far apart, got $far")
+  }
+
+  test("FakePixelDecoder: deterministic byte tiling; empty/NULL undecodable") {
+    val bytes = Array.tabulate(40)(i => (i * 7).toByte)
+    val g = Media.FakePixelDecoder.decodeGray32(bytes).get
+    assert(g.length == 1024)
+    assert(g(0) == (bytes(0) & 0xFF).toDouble && g(41) == (bytes(1) & 0xFF).toDouble)
+    assert(Media.FakePixelDecoder.decodeGray32(bytes).get.sameElements(g))
+    assert(Media.FakePixelDecoder.decodeGray32(Array.emptyByteArray).isEmpty)
+    assert(Media.FakePixelDecoder.decodeGray32(null).isEmpty)
+  }
+
+  test("phashPairs: byte-identical payloads pair at hamming 0; undecodable drop") {
+    import spark.implicits._
+    val a = Array.tabulate(64)(i => (i * 13 + 1).toByte)
+    val b = Array.tabulate(64)(i => (i * 29 + 5).toByte)
+    val rows = Seq(
+      (1L, a), (2L, a.clone()),          // planted identical pair
+      (3L, b),                           // unrelated
+      (4L, Array.emptyByteArray))        // undecodable
+      .toDF("media_id", "content")
+    val pairs = Media.phashPairs(rows, col("media_id"), col("content"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.contains((1L, 2L, 0)), s"planted pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    // signatures: only (doc_id, sig) leave the codec boundary
+    val sigs = Media.phashSignatures(rows, col("media_id"), col("content"))
+    assert(sigs.columns.toSeq == Seq("doc_id", "sig"))
+    assert(sigs.count() == 3L)
+  }
 }
