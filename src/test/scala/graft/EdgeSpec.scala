@@ -162,6 +162,43 @@ class EdgeSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("probe_id", "neighbor_id", "sim", "rank"))
   }
 
+  test("round-15 operators on empty frames degrade cleanly") {
+    import spark.implicits._
+    import graft.operators.{Dsir, Joins, Layout, Media, Profile, Sketch}
+    val d = docs(Nil)
+    // C4 cleaning of an empty frame
+    assert(d.select(TextFns.c4Clean(col("text")).as("c")).count() == 0L)
+    // DSIR: empty corpus AND empty target (Np = Nq = 0 -> the ln
+    // chain still evaluates on the +B smoothing mass)
+    assert(Dsir.weights(d, col("doc_id"), col("text"),
+      d, col("text"), buckets = 64).count() == 0L)
+    // empty target with a real corpus: every gram takes cp=0
+    val one = docs(Seq(Doc(1L, "hello world")))
+    val w = Dsir.weights(one, col("doc_id"), col("text"), d, col("text"), buckets = 64)
+      .collect()
+    assert(w.length == 1 && w(0).getLong(1) == 3L)
+    // keep-best on empty; interval join of empties
+    assert(Dedup.exactKeepBy(
+      d.withColumn("s", col("doc_id")), col("text"), col("doc_id"), col("s")).count() == 0L)
+    val emptyIv = Seq.empty[(String, Long, Long, Long)].toDF("k", "as", "ae", "aid")
+    val emptyIv2 = Seq.empty[(String, Long, Long, Long)].toDF("k", "bs", "be", "bid")
+    assert(Joins.intervalJoin(emptyIv, emptyIv2, Seq("k"), "as", "ae", "bs", "be", 10L)
+      .count() == 0L)
+    // correlation over an empty frame: pair rows exist, n = 0, r NULL
+    val emptyNum = Seq.empty[(Long, Long)].toDF("x", "y")
+    val corr = Profile.corrMatrix(emptyNum, Seq("x", "y")).collect()
+    assert(corr.length == 1 && corr(0).getLong(2) == 0L && corr(0).isNullAt(3))
+    // per-group quantiles and heavy hitters of nothing
+    assert(Profile.quantilesByGroup(
+      d.withColumn("v", col("doc_id")), col("text"), Seq("v"), Seq(0.5)).count() == 0L)
+    assert(Sketch.topItemsPerGroup(d, col("text"), col("doc_id"), k = 3).count() == 0L)
+    // pHash over an empty payload frame; z-order of an empty frame
+    val emptyMedia = Seq.empty[(Long, Array[Byte])].toDF("media_id", "content")
+    assert(Media.phashPairs(emptyMedia, col("media_id"), col("content")).count() == 0L)
+    assert(Layout.zorderBy(emptyNum, col("x"), col("y"), bits = 4, numFiles = 2)
+      .count() == 0L)
+  }
+
   test("cosine_sim: zero-norm is NULL (not NaN), length mismatch is a clear error") {
     import spark.implicits._
     val zero = Seq((Seq(0f, 0f), Seq(1f, 1f))).toDF("a", "b")
