@@ -531,5 +531,31 @@ class DocsSpec extends SparkSpec {
     val intervals = Seq(("k", 10L, 20L, 9L)).toDF("key", "s", "e", "iid")
     assert(Joins.rangeJoin(points, intervals, Seq("key"), "p", "s", "e",
       binWidth = 10L).count() == 1)
+
+    val sessions = Seq(("k", 0L, 100L, 1L)).toDF("key", "s_start", "s_end", "sid")
+    val outages = Seq(("k", 90L, 150L, 9L), ("k", 200L, 210L, 10L))
+      .toDF("key", "o_start", "o_end", "oid")
+    val overlap = Joins.intervalJoin(sessions, outages, Seq("key"),
+      "s_start", "s_end", "o_start", "o_end", binWidth = 50L)
+    assert(overlap.select("sid", "oid").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 9L)))
+  }
+
+  test("dedup recipe: keep-best copy and image pHash pairs") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "the page body", 13L),
+      (2L, "the  page  body", 15L)).toDF("doc_id", "text", "n_chars")
+    val kept = graft.operators.Dedup.exactKeepBy(
+        pages, col("text"), col("doc_id"), col("n_chars"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L)) // the longer raw copy wins
+
+    val payload = Array.tabulate(48)(i => (i * 11 + 3).toByte)
+    val media = Seq((1L, payload), (2L, payload.clone()),
+      (3L, Array.tabulate(48)(i => (i * 23 + 9).toByte))).toDF("media_id", "content")
+    val pairs = graft.operators.Media.phashPairs(
+      media, col("media_id"), col("content"), maxHamming = 3)
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
 }
