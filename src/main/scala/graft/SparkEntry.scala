@@ -1021,9 +1021,14 @@ object SparkEntry {
     // L42: DSIR importance weights (Xie 2023) — per-doc micro-nat log
     // ratio of hashed-ngram likelihood under the target (doc_id%10==0
     // stands in for the high-quality reference) vs the raw corpus.
-    // Both engines hash the identical md5 buckets, fit the identical
-    // add-one integer-ratio models, and quantize the identical IEEE
-    // ln chain per bucket BEFORE the (exact, order-free) doc sum.
+    // Default xxhash64 bucketing (7x the md5 chain's kernel speed at
+    // stress scale) ⇒ PARTIAL oracle, the dedup_simhash pattern:
+    // Verify exports the gram-occurrence stream (_aux/dsir_occ) and
+    // DuckDB re-fits both add-one integer-ratio models and re-derives
+    // the identical micro-nat ln chain + order-free doc sums from it
+    // — everything downstream of the hash kernel is driver-checked;
+    // the kernel itself (and md5Hash=true cross-engine mode) is under
+    // DsirSpec's independent local implementation.
     "dsir_weights" -> { (s, dir) =>
       val docsT = documents(s, dir).toNative
       Dsir.weights(docsT, col("doc_id"), col("text"),
@@ -1472,6 +1477,10 @@ object SparkEntry {
     "simhash_sigs" -> { (s, dir) =>
       Dedup.simhashSignatures(documents(s, dir).toNative, col("doc_id"), col("text"))
     },
+    // dsir_weights upstream: the exploded (doc_id, bucket) gram stream.
+    "dsir_occ" -> { (s, dir) =>
+      Dsir.occurrences(documents(s, dir).toNative, col("doc_id"), col("text"), 10000)
+    },
     // multimodal_phash upstream: per-payload perceptual-hash sigs.
     "phash_sigs" -> { (s, dir) =>
       Media.phashSignatures(phashPayloads(s, dir), col("media_id"), col("content"))
@@ -1585,6 +1594,7 @@ object SparkEntry {
   def auxBackedOracles: Map[String, String] = Map(
     "dedup_simhash"   -> "simhash_sigs",
     "multimodal_phash" -> "phash_sigs",
+    "dsir_weights"    -> "dsir_occ",
     "dedup_embedding" -> "emb_cand",
     "dedup_semantic"  -> "sem_cand",
     "sample_diverse"  -> "div_assign",
@@ -2253,14 +2263,13 @@ object SparkEntry {
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, item ASC) <= 5
         |ORDER BY lang, item""".stripMargin,
 
-    // DSIR weights re-derived: identical tokenization + bigram windows,
-    // identical md5 bucket hash, identical add-one integer-ratio models
-    // and micro-nat ln chain quantized per bucket before the doc sum.
-    // The HUGEINT sum casts back to BIGINT (the driver-hash class).
+    // DSIR weights re-derived from the exported gram-occurrence stream
+    // (PARTIAL oracle — the xxhash64 kernel is spec-gated): identical
+    // add-one integer-ratio models, identical micro-nat ln chain
+    // quantized per bucket before the doc sum. The HUGEINT sum casts
+    // back to BIGINT (the driver-hash class).
     "dsir_weights" ->
-      """WITH toks AS (SELECT doc_id, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS ws FROM documents),
-        |grams AS (SELECT doc_id, list_concat(ws, [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS gs FROM toks),
-        |occ AS (SELECT doc_id, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 10000 AS b FROM (SELECT doc_id, unnest(gs) AS g FROM grams)),
+      """WITH occ AS (SELECT doc_id, b FROM '{AUX}/dsir_occ/*.parquet'),
         |tgt AS (SELECT b, count(*) AS c FROM occ WHERE doc_id % 10 = 0 GROUP BY b),
         |raw AS (SELECT b, count(*) AS c FROM occ GROUP BY b),
         |np AS (SELECT coalesce(sum(c), 0) AS n FROM tgt),

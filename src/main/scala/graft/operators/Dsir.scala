@@ -41,21 +41,57 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Hashed n-gram feature buckets of a document: unigrams + bigrams
-    * of [[NgramLM.tokens]], each mapped to
-    * `int(md5(gram)[0:8]) % buckets`. Empty/NULL text → empty/NULL
-    * array. Pure narrow expression. */
-  def hashedBuckets(text: Column, buckets: Int): Column = {
+    * of [[NgramLM.tokens]], each mapped into `buckets` buckets.
+    * `md5Hash = false` (default) hashes with Spark's native
+    * `xxhash64` — measured 7× faster than the md5 chain at 10×
+    * stress scale, the right kernel for a 100 TB pass; `md5Hash =
+    * true` uses the first 8 hex chars of md5 (the L16/L27 draw),
+    * reproducible in ANY engine — pick it when weights must be
+    * re-derivable outside the JVM (it is what DsirSpec's independent
+    * local model checks). The weight SEMANTICS are identical either
+    * way; only bucket placement differs. Empty/NULL text →
+    * empty/NULL array. Pure narrow expression. CALLERS pass a
+    * MATERIALIZED token array at scale (the [[NgramLM.bigrams]]
+    * staging contract); the module's own paths stage via
+    * [[stagedBuckets]]. */
+  def hashedBuckets(text: Column, buckets: Int, md5Hash: Boolean = false): Column = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val toks = NgramLM.tokens(text)
-    val grams = concat(toks, NgramLM.bigrams(toks))
-    transform(grams, g =>
-      conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long") % buckets)
+    bucketsOfToks(NgramLM.tokens(text), buckets, md5Hash)
   }
+
+  private def bucketsOfToks(toks: Column, buckets: Int, md5Hash: Boolean): Column =
+    transform(concat(toks, NgramLM.bigrams(toks)), g =>
+      if (md5Hash) conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long") % buckets
+      else pmod(xxhash64(g), lit(buckets.toLong)))
+
+  /** `(keep-names…, _graft_bs)` with the tokenization STAGED in its
+    * own projection so the bigram zip never re-tokenizes. */
+  private def stagedBuckets(
+      df: DataFrame, keep: Seq[(String, Column)], text: Column,
+      buckets: Int, md5Hash: Boolean): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    df.select(keep.map { case (n, c) => c.as(n) } :+ NgramLM.tokens(text).as("_graft_toks"): _*)
+      .select(keep.map { case (n, _) => col(n) } :+
+        bucketsOfToks(col("_graft_toks"), buckets, md5Hash).as("_graft_bs"): _*)
+  }
+
+  /** The exploded `(idCols…, b)` gram-occurrence stream — public so
+    * the driver gate can EXPORT it at verify scale and re-derive the
+    * whole model + scoring downstream in SQL (the PARTIAL-oracle
+    * pattern: only the hash kernel rests on the spec). */
+  def occurrences(
+      df: DataFrame, id: Column, text: Column, buckets: Int,
+      md5Hash: Boolean = false): DataFrame =
+    stagedBuckets(df, Seq("doc_id" -> id), text, buckets, md5Hash)
+      .select(col("doc_id"), explode(col("_graft_bs")).as("b"))
 
   /** Fit one side's bucket-count model: `(b, cnt)`, ≤ `buckets` rows,
     * one map-side-combined aggregate over one scan. */
-  def fitBuckets(df: DataFrame, text: Column, buckets: Int): DataFrame =
-    df.select(explode(hashedBuckets(text, buckets)).as("b"))
+  def fitBuckets(
+      df: DataFrame, text: Column, buckets: Int,
+      md5Hash: Boolean = false): DataFrame =
+    stagedBuckets(df, Nil, text, buckets, md5Hash)
+      .select(explode(col("_graft_bs")).as("b"))
       .groupBy("b").agg(count(lit(1)).as("cnt"))
 
   /** The per-bucket micro-nat log-ratio table
@@ -66,8 +102,13 @@ object Dsir {
     * (bounded-artifact contract — the models are ≤ B rows). */
   def logRatioTable(
       target: DataFrame, raw: DataFrame, buckets: Int): (DataFrame, Long) = {
-    val np = target.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
-    val nq = raw.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    // the ≤B-row count models are each read twice more below (the
+    // union merge + the scoring broadcast) — persist so the corpus
+    // fit-scan behind them runs ONCE, not per consumer
+    val t = graft.InternalCaches.register(target.persist())
+    val r = graft.InternalCaches.register(raw.persist())
+    val np = t.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
+    val nq = r.agg(coalesce(sum("cnt"), lit(0L))).head().getLong(0)
     val denP = lit(np.toDouble + buckets)
     val denQ = lit(nq.toDouble + buckets)
     def lr(cp: Column, cq: Column): Column =
@@ -75,8 +116,8 @@ object Dsir {
         log(cq.cast("double") + 1.0) + log(denQ)) * 1000000.0, 0).cast("long")
     // bucket union via tagged UNION + one hash agg — a full-outer join
     // of the two model tables can't broadcast and would sort-merge
-    val table = target.select(col("b"), col("cnt").as("_cp"), lit(0L).as("_cq"))
-      .unionAll(raw.select(col("b"), lit(0L).as("_cp"), col("cnt").as("_cq")))
+    val table = t.select(col("b"), col("cnt").as("_cp"), lit(0L).as("_cq"))
+      .unionAll(r.select(col("b"), lit(0L).as("_cp"), col("cnt").as("_cq")))
       .groupBy("b")
       .agg(sum("_cp").as("_cp"), sum("_cq").as("_cq"))
       .select(col("b"), lr(col("_cp"), col("_cq")).as("lr_micro"))
@@ -94,9 +135,10 @@ object Dsir {
   def scoreWeights(
       df: DataFrame, id: Column, text: Column,
       lrTable: DataFrame, defaultLr: Long, buckets: Int,
-      broadcastModel: Boolean = true): DataFrame = {
+      broadcastModel: Boolean = true, md5Hash: Boolean = false): DataFrame = {
     val side = if (broadcastModel) broadcast(lrTable) else lrTable
-    df.select(id.as("id"), explode_outer(hashedBuckets(text, buckets)).as("b"))
+    stagedBuckets(df, Seq("id" -> id), text, buckets, md5Hash)
+      .select(col("id"), explode_outer(col("_graft_bs")).as("b"))
       .join(side, Seq("b"), "left")
       .groupBy("id")
       .agg(
@@ -112,10 +154,11 @@ object Dsir {
   def weights(
       corpus: DataFrame, id: Column, text: Column,
       target: DataFrame, targetText: Column,
-      buckets: Int = 10000, broadcastModel: Boolean = true): DataFrame = {
+      buckets: Int = 10000, broadcastModel: Boolean = true,
+      md5Hash: Boolean = false): DataFrame = {
     val (table, default) = logRatioTable(
-      fitBuckets(target, targetText, buckets),
-      fitBuckets(corpus, text, buckets), buckets)
-    scoreWeights(corpus, id, text, table, default, buckets, broadcastModel)
+      fitBuckets(target, targetText, buckets, md5Hash),
+      fitBuckets(corpus, text, buckets, md5Hash), buckets)
+    scoreWeights(corpus, id, text, table, default, buckets, broadcastModel, md5Hash)
   }
 }
