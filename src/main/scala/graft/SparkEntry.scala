@@ -1038,6 +1038,17 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L49: deterministic weighted interleaving — the loader's mixing
+    // schedule: en at 3x the rate of de, fr dropped (unweighted).
+    // Both engines compute the identical md5 within-source order and
+    // the identical (r - 0.5)/w stride chain.
+    "sample_interleave" -> { (s, dir) =>
+      Sampling.interleaveByWeight(documents(s, dir).toNative,
+          col("doc_id"), col("lang"), Map("en" -> 3.0, "de" -> 1.0, "zh" -> 2.0), seed = 11)
+        .select("doc_id", "lang", "mix_order")
+        .orderBy("doc_id")
+    },
+
     "sample_hash" -> { (s, dir) =>
       Sampling.sampleHash(documents(s, dir).toNative, col("doc_id"), rate = 0.25, seed = 42)
         .select("doc_id", "lang").orderBy("doc_id")
@@ -2281,6 +2292,16 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
         |  CAST(coalesce(w.s, 0) AS BIGINT) AS logw_micro
         |FROM documents d LEFT JOIN w USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // Interleave re-derived: identical md5 draw, identical per-source
+    // row_number, identical (r - 0.5)/w IEEE chain.
+    "sample_interleave" ->
+      """SELECT doc_id, lang,
+        |  (CAST(row_number() OVER (PARTITION BY lang
+        |     ORDER BY substr(md5(doc_id::VARCHAR || ':11'), 1, 8), doc_id) AS DOUBLE) - 0.5)
+        |  / CASE lang WHEN 'en' THEN 3.0 WHEN 'de' THEN 1.0 WHEN 'zh' THEN 2.0 END AS mix_order
+        |FROM documents WHERE lang IN ('en', 'de', 'zh')
+        |ORDER BY doc_id""".stripMargin,
 
     // The keep-predicate is the IDENTICAL ANSI expression the engine
     // runs: fixed-width lowercase hex compares lexicographically like

@@ -345,6 +345,47 @@ object Sampling {
       .withColumn("shard", conv(col("draw"), 16, 10).cast("long") % nShards)
   }
 
+  /** Deterministic weighted source INTERLEAVING (L49) — the data-loader
+    * mixing schedule: given per-source weights, emit a global order in
+    * which every prefix carries each source in proportion to its
+    * weight (stride scheduling — source g's k-th row lands at time
+    * `(k − 0.5) / w_g`, the classic weighted-fair-queueing virtual
+    * time). This is the ORDER-level twin of the mixture SIZE knobs
+    * (temperature rates, per-group budgets): after choosing how much
+    * of each source to train on, the loader still needs sources
+    * interleaved smoothly rather than concatenated — a curriculum
+    * accident otherwise.
+    *
+    * Determinism: within-source order is the L27 md5 draw of `key`
+    * (ties by key), so the schedule is a pure function of
+    * (key, group, seed) — stable under re-runs, resumes, and any
+    * partitioning. Rows of groups absent from `weights` DROP (the
+    * module's mixture contract); NULL keys drop. Returns the input
+    * plus `mix_order` (double) — materialize with a range exchange +
+    * per-task sort on it (the [[shuffled]] shape), never a global
+    * single-task ORDER BY.
+    *
+    * Scale: ONE keyed window exchange (per-source row_number over the
+    * draw); the arithmetic is a fixed `(r − 0.5) / w` IEEE chain both
+    * engines reproduce bit-for-bit. The keyed-window hot-key caveat
+    * applies per SOURCE — mixture-sized groups by contract. */
+  def interleaveByWeight(
+      df: DataFrame, key: Column, group: Column,
+      weights: Map[String, Double], seed: Int = 0): DataFrame = {
+    require(weights.nonEmpty, "interleaveByWeight needs at least one weighted group")
+    require(weights.values.forall(_ > 0.0), s"weights must be positive: $weights")
+    val w = weights.tail.foldLeft(
+      when(group === weights.head._1, lit(weights.head._2))) {
+      case (acc, (g, wt)) => acc.when(group === g, lit(wt))
+    }
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(group).orderBy(hashDraw(key, seed), key)
+    df.where(key.isNotNull && group.isin(weights.keys.toSeq: _*))
+      .withColumn("_graft_r", row_number().over(win))
+      .withColumn("mix_order", (col("_graft_r").cast("double") - 0.5) / w)
+      .drop("_graft_r")
+  }
+
   /** [[shuffleShards]] materialized into the actual training order:
     * hash-partitioned on `shard` (a task may carry several whole
     * shards — hash placement, not identity) and sorted by

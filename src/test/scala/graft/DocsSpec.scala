@@ -368,6 +368,20 @@ class DocsSpec extends SparkSpec {
     assert(split(1L) == split(2L), "near-dup family must share one side of the cut")
   }
 
+  test("prep recipe: weighted interleave keeps prefixes proportional") {
+    import spark.implicits._
+    val mixture = ((1L to 60L).map(i => (i, "web")) ++ (61L to 70L).map(i => (i, "books")))
+      .toDF("doc_id", "source")
+    val ordered = graft.operators.Sampling.interleaveByWeight(mixture, col("doc_id"),
+        col("source"), Map("web" -> 6.0, "books" -> 1.0))
+      .repartitionByRange(4, col("mix_order"))
+      .sortWithinPartitions("mix_order")
+    val seq = ordered.select("source").collect().map(_.getString(0)).toSeq
+    assert(seq.size == 70)
+    val firstQuarter = seq.take(14)
+    assert(firstQuarter.count(_ == "books") >= 1 && firstQuarter.count(_ == "web") >= 11)
+  }
+
   test("prep recipe: pack into token-budget shards and join back") {
     import spark.implicits._
     val docs = (1L to 50L).map(i => (i, ("tok " * 20).trim)).toDF("doc_id", "text")

@@ -472,6 +472,14 @@ class PlanAuditSpec extends SparkSpec {
       s"only the output sort may exchange:\n$plan")
   }
 
+  test("sample_interleave: one keyed window exchange, no join") {
+    val plan = q("sample_interleave")
+    assert(!plan.contains("Join"), s"interleave must not join:\n$plan")
+    assert(plan.contains("Window"), s"expected the per-source rank window:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"one window exchange + the output sort only:\n$plan")
+  }
+
   test("profile_corr: one aggregate over one scan — no Expand, no join, map-side partials") {
     val plan = q("profile_corr")
     assert(!plan.contains("Expand"), s"moment sums must not replicate the input:\n$plan")

@@ -377,4 +377,39 @@ class SamplingSpec extends SparkSpec {
       .select("k").as[Long].collect().toSet
     assert(again == kept.select("k").as[Long].collect().toSet)
   }
+
+  // ------------------------------------------------------ L49 interleave
+
+  test("interleaveByWeight: every prefix carries sources in weight proportion") {
+    import spark.implicits._
+    val d = ((1L to 90L).map(i => (i, "a")) ++ (101L to 130L).map(i => (i, "b")))
+      .toDF("k", "g")
+    val ord = Sampling.interleaveByWeight(d, col("k"), col("g"), Map("a" -> 3.0, "b" -> 1.0))
+      .orderBy("mix_order")
+      .select("g").as[String].collect().toSeq
+    assert(ord.size == 120)
+    // stride schedule: group g's count in the first n rows is within
+    // one emission slot of proportional — |#a - 3*#b| bounded
+    for (n <- Seq(4, 8, 20, 40, 80, 120)) {
+      val (na, nb) = (ord.take(n).count(_ == "a"), ord.take(n).count(_ == "b"))
+      assert(math.abs(na - 3 * nb) <= 3, s"prefix $n: a=$na b=$nb")
+    }
+  }
+
+  test("interleaveByWeight: unweighted groups and NULL keys drop; schedule is partition-invariant") {
+    import spark.implicits._
+    val d = Seq((Some(1L), "a"), (Some(2L), "a"), (Some(3L), "c"),
+      (None: Option[Long], "a"), (Some(4L), "b"))
+      .toDF("k", "g")
+    val out = Sampling.interleaveByWeight(d, col("k"), col("g"), Map("a" -> 2.0, "b" -> 1.0))
+      .select("k", "mix_order")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 4L)) // c unweighted, NULL key dropped
+    assert(out(4L) == 0.5)                // b's first emission at (1-0.5)/1
+    val repart = Sampling.interleaveByWeight(
+        d.repartition(7), col("k"), col("g"), Map("a" -> 2.0, "b" -> 1.0))
+      .select("k", "mix_order")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(repart == out)
+  }
 }
