@@ -1303,6 +1303,23 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // L50: distributed PCA — train (one treeAggregate Gram pass +
+    // driver eigSym, deterministic: unit-norm sign-canonicalized
+    // basis) then project every vector. PARTIAL oracle: Verify
+    // exports the fitted basis (_aux/pca_model) and DuckDB recomputes
+    // the identical center-then-ascending-index-fold projections,
+    // rounded to 6 decimals (the ann cosine precedent).
+    "pca_project" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.posexplode
+      val e = embeddings(s, dir).toNative
+      val model = graft.operators.Pca.train(e, col("embedding"), dim = 64, k = 8)
+      graft.operators.Pca.project(e, col("embedding"), model)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("cidx", "p")))
+        .select(col("vec_id"), col("cidx"),
+          org.apache.spark.sql.functions.round(col("p"), 6).as("p"))
+        .orderBy("vec_id", "cidx")
+    },
+
     // L23: SemDeDup-style semantic near-dup — k-means partition (the
     // ann_ivf coarse quantizer, identical training) + within-cluster
     // exact-cosine pairs. PARTIAL oracle like dedup_embedding: the
@@ -1496,6 +1513,13 @@ object SparkEntry {
     "phash_sigs" -> { (s, dir) =>
       Media.phashSignatures(phashPayloads(s, dir), col("media_id"), col("content"))
     },
+    // pca_project upstream: the fitted basis (identical deterministic
+    // re-train — same files, same splits, same tree combine).
+    "pca_model" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      graft.operators.Pca.toFrame(
+        graft.operators.Pca.train(e, col("embedding"), dim = 64, k = 8), s)
+    },
     // dedup_embedding upstream: sign-LSH candidate pairs (pre-verify).
     "emb_cand" -> { (s, dir) =>
       Dedup.embeddingCandidates(embeddings(s, dir).toNative,
@@ -1606,6 +1630,7 @@ object SparkEntry {
     "dedup_simhash"   -> "simhash_sigs",
     "multimodal_phash" -> "phash_sigs",
     "dsir_weights"    -> "dsir_occ",
+    "pca_project"     -> "pca_model",
     "dedup_embedding" -> "emb_cand",
     "dedup_semantic"  -> "sem_cand",
     "sample_diverse"  -> "div_assign",
@@ -1817,6 +1842,20 @@ object SparkEntry {
          |    ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id)
          |SELECT media_id_a, media_id_b, hamming FROM pairs
          |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
+
+    // L50 PCA: projections re-derived from the exported basis with the
+    // identical center-then-index-order-fold arithmetic.
+    "pca_project" ->
+      """WITH model AS (SELECT cidx, comp FROM '{AUX}/pca_model/*.parquet'),
+        |mean AS (SELECT comp AS mv FROM model WHERE cidx = -1),
+        |comps AS (SELECT cidx, comp FROM model WHERE cidx >= 0),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+        |cent AS (SELECT vec_id, [ev[i+1] - mv[i+1] for i in range(0, len(ev))] AS cv FROM v, mean),
+        |p AS (SELECT vec_id, c.cidx AS cidx,
+        |  list_sum([cv[i+1] * c.comp[i+1] for i in range(0, len(cv))]) AS pd
+        |  FROM cent, comps c)
+        |SELECT vec_id, CAST(cidx AS INTEGER) AS cidx, round(pd, 6) AS p
+        |FROM p ORDER BY vec_id, cidx""".stripMargin,
 
     "dedup_embedding" ->
       """WITH cand AS (SELECT id_a, id_b FROM '{AUX}/emb_cand/*.parquet'),

@@ -326,6 +326,21 @@ class DocsSpec extends SparkSpec {
       s"no file may span a full axis: ${spreads.toSeq}")
   }
 
+  test("ann recipe: PCA basis train/save/load and narrow projection") {
+    import spark.implicits._
+    val rng = new scala.util.Random(4)
+    val table = (1L to 100L).map(i =>
+      (i, Seq.fill(8)(rng.nextGaussian()))).toDF("vec_id", "embedding")
+    val basisPath = freshDir("pca") + "/basis"
+    val basis = graft.operators.Pca.train(table, col("embedding"), dim = 8, k = 3)
+    graft.operators.Pca.save(basis, basisPath, spark)
+    val reduced = graft.operators.Pca.project(table, col("embedding"),
+        graft.operators.Pca.load(spark, basisPath))
+      .select(col("vec_id"), col("proj").as("embedding"))
+    assert(reduced.head().getSeq[Double](1).size == 3)
+    assert(reduced.count() == 100L)
+  }
+
   test("prep recipe: sketch-based cross-corpus overlap audit") {
     import spark.implicits._
     val corpus = (1L to 2000L).toDF("doc_fp")
