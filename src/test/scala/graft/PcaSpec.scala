@@ -67,6 +67,32 @@ class PcaSpec extends SparkSpec {
     assert(ex.getMessage.contains("at least 2"))
   }
 
+  test("composition: ANN over PCA-reduced vectors still finds the planted neighbors") {
+    import spark.implicits._
+    // three tight 16-d clusters; reduce to 4-d and brute-force search
+    val rng2 = new scala.util.Random(9)
+    val centers = Array.fill(3)(Array.fill(16)(rng2.nextGaussian() * 5.0))
+    val pts = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(_ + rng2.nextGaussian() * 0.05).toSeq)
+    }
+    val table = pts.toDF("vec_id", "embedding")
+    val basis = Pca.train(table, col("embedding"), dim = 16, k = 4)
+    val reduced = Pca.project(table, col("embedding"), basis)
+      .select(col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("proj"),
+          x => x.cast("float")).as("embedding"))
+    val probes = reduced.where(col("vec_id") < 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val top = graft.operators.Ann.topKBrute(reduced, col("vec_id"), col("embedding"),
+        probes, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    // every neighbor of probe p must come from p's cluster (id % 3)
+    for ((p, ns) <- top)
+      assert(ns.forall { case (_, n) => n % 3 == p % 3 },
+        s"probe $p pulled cross-cluster neighbors: ${ns.toSeq}")
+  }
+
   test("training is partition-invariant (within eigensolver tolerance); save/load == direct") {
     val a = Pca.train(vecs(cloud), col("embedding"), dim = 3, k = 2)
     val b = Pca.train(vecs(cloud).repartition(13), col("embedding"), dim = 3, k = 2)
