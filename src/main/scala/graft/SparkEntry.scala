@@ -1600,6 +1600,20 @@ object SparkEntry {
         .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("jaccard"))
         .orderBy("doc_id_a", "doc_id_b")
     },
+    // The r15 interpreted HOF projection vs the codegen'd
+    // PcaProjectExpr kernel pca_project now runs — same train, same
+    // output shape, so the per-round sidecar keeps measuring exactly
+    // the interpretation tax the kernel removed.
+    "pca_project_hof" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.posexplode
+      val e = embeddings(s, dir).toNative
+      val model = graft.operators.Pca.train(e, col("embedding"), dim = 64, k = 8)
+      graft.operators.Pca.projectHof(e, col("embedding"), model)
+        .select(col("vec_id"), posexplode(col("proj")).as(Seq("cidx", "p")))
+        .select(col("vec_id"), col("cidx"),
+          org.apache.spark.sql.functions.round(col("p"), 6).as("p"))
+        .orderBy("vec_id", "cidx")
+    },
   )
 
   /** The shared exact-rerank oracle over an exported ANN candidate set:

@@ -328,6 +328,43 @@ object VecUtil {
     }
     new GenericArrayData(out)
   }
+
+  /** PCA projection: center `v` on the mean then take k dot products,
+    * each an ASCENDING-index fold from 0.0 — the exact IEEE chain the
+    * SQL oracle (and the old `zip_with`+`aggregate` HOF form) compute,
+    * so swapping the interpreted chain for this kernel is
+    * bit-invisible. `mc` packs `[mean(d) :: comp_0(d) :: … ::
+    * comp_{k-1}(d)]` as ONE flat reference array. Faithful to the HOF
+    * chain's edge semantics: a wrong-length vector or one with NULL
+    * elements yields k NULL components (zip_with padding / null
+    * arithmetic did the same); NaN elements propagate to NaN
+    * components. */
+  def pcaProject(v: ArrayData, mc: Array[Double], d: Int, k: Int, isFloat: Boolean): ArrayData = {
+    if (v.numElements() != d) return new GenericArrayData(new Array[Any](k))
+    var i = 0
+    while (i < d) {
+      if (v.isNullAt(i)) return new GenericArrayData(new Array[Any](k))
+      i += 1
+    }
+    val centered = new Array[Double](d)
+    i = 0
+    while (i < d) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      centered(i) = x - mc(i)
+      i += 1
+    }
+    val out = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val off = (c + 1) * d
+      var s = 0.0
+      var j = 0
+      while (j < d) { s += centered(j) * mc(off + j); j += 1 }
+      out(c) = s
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 object SimHashUtil {

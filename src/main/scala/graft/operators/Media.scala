@@ -579,20 +579,26 @@ object Media {
       else Some(Array.tabulate(1024)(i => (content(i % content.length) & 0xFF).toDouble))
   }
 
+  // 32×32 DCT-II basis, built once per JVM — rebuilding inside
+  // phash64 cost 1024 cos() calls per image (ADVICE r15).
+  private lazy val phashCosTab: Array[Array[Double]] =
+    Array.tabulate(32, 32)((k, x) => math.cos((2 * x + 1) * k * math.Pi / 64.0))
+
   /** 64-bit perceptual hash of a 32×32 grayscale image — the standard
     * pHash construction (DCT low-frequency signs; the published
     * image near-dup method behind every "visually identical" dedup):
     * 2-D DCT-II of the 32×32 grays, keep the top-left 8×8
     * low-frequency block, threshold each coefficient against the
-    * MEDIAN of the 63 non-DC coefficients (the DC term is overall
-    * brightness — excluding it from the median makes the hash
-    * brightness-shift tolerant), bit k (row-major) set iff coeff >
-    * median. Pure JVM double arithmetic — deterministic everywhere. */
+    * MEDIAN of the 63 non-DC coefficients — sorted index 31, the true
+    * middle of 63 values (the DC term is overall brightness —
+    * excluding it from the median makes the hash brightness-shift
+    * tolerant), bit k (row-major) set iff coeff > median. Pure JVM
+    * double arithmetic — deterministic everywhere. */
   def phash64(gray32: Array[Double]): Long = {
     require(gray32.length == 1024, s"phash64 expects 32x32 grays, got ${gray32.length}")
     val n = 32
     // DCT-II separable: first rows, then columns
-    val cosTab = Array.tabulate(n, n)((k, x) => math.cos((2 * x + 1) * k * math.Pi / (2.0 * n)))
+    val cosTab = phashCosTab
     val rows = Array.ofDim[Double](n, n)
     var r = 0
     while (r < n) {
@@ -616,7 +622,9 @@ object Media {
       kr += 1
     }
     val nonDc = coeffs.drop(1).sorted
-    val med = (nonDc(30) + nonDc(31)) / 2.0
+    val med = nonDc(31) // true median of 63 values (ADVICE r15: the
+    // rank-30/31 average was an even-count formula applied to an odd
+    // count — consistent, but not the canonical pHash threshold)
     var bits = 0L; var i = 0
     while (i < 64) { if (coeffs(i) > med) bits |= (1L << i); i += 1 }
     bits

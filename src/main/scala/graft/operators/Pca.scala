@@ -6,7 +6,13 @@ import org.apache.spark.sql.functions._
 /** Fitted PCA basis: `mean` (length dim) and `components` — k rows of
   * length dim, unit-norm, ordered by DESCENDING explained variance,
   * each sign-canonicalized (the entry of largest magnitude is
-  * positive) so training is fully deterministic. */
+  * positive). Training is deterministic FOR A FIXED INPUT LAYOUT: the
+  * treeAggregate double sums depend on partition/combine order, so two
+  * trains over the same files with the same splits agree bit-for-bit
+  * (what the pca_model aux export relies on — it re-trains in the same
+  * session over the same reads), while a differently-partitioned input
+  * agrees only to float tolerance (PcaSpec pins 1e-8 under
+  * repartition). */
 final case class PcaModel(mean: Array[Double], components: Array[Array[Double]]) {
   def dim: Int = mean.length
   def k: Int = components.length
@@ -83,8 +89,31 @@ object Pca {
 
   /** Project `vec` onto the basis: appends `outCol` =
     * `[dot(v − mean, c_0), …, dot(v − mean, c_{k-1})]` (array of
-    * double). Explicit ascending-index fold — mirrorable in SQL. */
+    * double). Explicit ascending-index fold — mirrorable in SQL — but
+    * executed as ONE native codegen'd kernel
+    * ([[org.apache.spark.sql.graftexpr.PcaProjectExpr]]): the basis
+    * ships once per task as a reference object and the per-row cost is
+    * a primitive k·d loop. The interpreted HOF chain this replaces
+    * ([[projectHof]], kept as the measured A/B twin) paid SURVEY §4's
+    * 64–80× per-element interpretation tax on exactly the pass L50
+    * exists to make cheap. Bit-identical arithmetic — PcaSpec pins the
+    * two forms equal through `==` on every component. `vec` must be
+    * array<float> or array<double> (embeddings' native types — no
+    * pre-cast copy). */
   def project(df: DataFrame, vec: Column, model: PcaModel,
+      outCol: String = "proj"): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val flat = (model.mean.toSeq ++ model.components.toSeq.flatten).toIndexedSeq
+    df.withColumn(outCol, Bridge.column(
+      org.apache.spark.sql.graftexpr.PcaProjectExpr(
+        Bridge.expr(vec), flat, model.dim, model.k)))
+  }
+
+  /** The round-15 interpreted `zip_with`+`aggregate` projection — kept
+    * ONLY as [[project]]'s measurement twin (bench variant
+    * `pca_project_hof` and the PcaSpec bit-equality law). Do not use
+    * in pipelines. */
+  def projectHof(df: DataFrame, vec: Column, model: PcaModel,
       outCol: String = "proj"): DataFrame = {
     val meanLit = array(model.mean.map(lit): _*)
     val staged = df.withColumn("_graft_cv",

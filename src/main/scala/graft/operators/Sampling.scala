@@ -357,33 +357,93 @@ object Sampling {
     * accident otherwise.
     *
     * Determinism: within-source order is the L27 md5 draw of `key`
-    * (ties by key), so the schedule is a pure function of
-    * (key, group, seed) — stable under re-runs, resumes, and any
-    * partitioning. Rows of groups absent from `weights` DROP (the
-    * module's mixture contract); NULL keys drop. Returns the input
-    * plus `mix_order` (double) — materialize with a range exchange +
-    * per-task sort on it (the [[shuffled]] shape), never a global
-    * single-task ORDER BY.
+    * (ties by key — KEYS MUST BE UNIQUE, the module convention), so
+    * the schedule is a pure function of (key, group, seed) — stable
+    * under re-runs, resumes, and any partitioning. Rows of groups
+    * absent from `weights` DROP (the module's mixture contract); NULL
+    * keys drop. Returns the input plus `mix_order` (double) —
+    * materialize with a range exchange + per-task sort on it (the
+    * [[shuffled]] shape), never a global single-task ORDER BY.
+    * TIE-BREAK: whenever two sources share a weight (and for any
+    * rational weight ratio) distinct rows land on the SAME mix_order
+    * by construction — `(k−0.5)/w` collides across sources — so a
+    * sort on mix_order alone is not a total order. Consumers that
+    * need a fully deterministic sequence MUST sort by
+    * `(mix_order, group, key)`; the appended column is the schedule
+    * TIME, not a unique sequence number.
     *
-    * Scale: ONE keyed window exchange (per-source row_number over the
-    * draw); the arithmetic is a fixed `(r − 0.5) / w` IEEE chain both
-    * engines reproduce bit-for-bit. The keyed-window hot-key caveat
-    * applies per SOURCE — mixture-sized groups by contract. */
+    * Scale: the per-source rank is computed with the two-phase
+    * distributed rank ([[Pack.selectByBudget]]'s shape), NOT a
+    * per-source `row_number` window — a window keyed on the source
+    * caps parallelism at |sources| tasks, which at 100 TB would
+    * stream the whole corpus through a handful of WindowExec sorts.
+    * Here: (1) a NARROW (group, draw, key) projection is
+    * range-partitioned on exactly that triple (each group's rows form
+    * contiguous partition runs), sorted in-partition, and pinned with
+    * `localCheckpoint` so both passes see one frozen layout (bytes
+    * per row, not the corpus — the full rows never materialize);
+    * (2) per-(partition, group) counts — a bounded
+    * partitions×|sources| collect, like Pack's offsets — become
+    * driver-computed exclusive prefix offsets; (3) the rank is the
+    * narrow codegen'd `in-partition position + offset` (positions
+    * from `monotonically_increasing_id`, assigned in the frozen sort
+    * order), the offsets joined back as a BROADCAST of the tiny
+    * addend table; (4) the `(r − 0.5) / w` IEEE chain both engines
+    * reproduce bit-for-bit, then ONE equi-join on the unique key
+    * re-attaches the full rows (corpus-wide shuffle — the same single
+    * wide exchange the window version spent, now at full
+    * parallelism). EAGER: runs the checkpoint + counts jobs at call
+    * time; consume before releasing executor storage (the
+    * [[Pack.selectByBudget]] contract). */
   def interleaveByWeight(
       df: DataFrame, key: Column, group: Column,
       weights: Map[String, Double], seed: Int = 0): DataFrame = {
     require(weights.nonEmpty, "interleaveByWeight needs at least one weighted group")
     require(weights.values.forall(_ > 0.0), s"weights must be positive: $weights")
-    val w = weights.tail.foldLeft(
-      when(group === weights.head._1, lit(weights.head._2))) {
-      case (acc, (g, wt)) => acc.when(group === g, lit(wt))
+    val spark = df.sparkSession
+    val filtered = df.where(key.isNotNull && group.isin(weights.keys.toSeq: _*))
+    // Phase 1: frozen narrow global order. monotonically_increasing_id
+    // encodes (partitionId << 33 | position), assigned in the
+    // in-partition sort order and FROZEN by the checkpoint, so
+    // position-within-partition is (mid − min mid of the group's run).
+    val sorted = filtered
+      .select(group.cast("string").as("_graft_g"),
+        hashDraw(key, seed).as("_graft_d"), key.as("_graft_k"))
+      .repartitionByRange(col("_graft_g"), col("_graft_d"), col("_graft_k"))
+      .sortWithinPartitions("_graft_g", "_graft_d", "_graft_k")
+      .select(col("_graft_g"), col("_graft_k"),
+        spark_partition_id().as("_graft_p"),
+        monotonically_increasing_id().as("_graft_mid"))
+      .localCheckpoint(true)
+    // Phase 2: bounded counts → exclusive per-group prefix offsets.
+    // addend(p, g) = (rows of g in earlier partitions) + 1 − first mid
+    // of g's run in p, so rank = mid + addend in one narrow add.
+    val counts = sorted.groupBy("_graft_p", "_graft_g")
+      .agg(count(lit(1)).as("_n"), min("_graft_mid").as("_first"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val addRows = counts.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+      var start = 0L
+      rows.sortBy(_._1).map { case (p, _, n, first) =>
+        val a = (p, g, start + 1L - first); start += n; a
+      }
     }
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(group).orderBy(hashDraw(key, seed), key)
-    df.where(key.isNotNull && group.isin(weights.keys.toSeq: _*))
-      .withColumn("_graft_r", row_number().over(win))
-      .withColumn("mix_order", (col("_graft_r").cast("double") - 0.5) / w)
-      .drop("_graft_r")
+    import spark.implicits._
+    val addTable = addRows.toDF("_graft_p", "_graft_g", "_graft_add")
+    // Phase 3: narrow rank + the fixed (r − 0.5)/w stride chain.
+    val w = weights.tail.foldLeft(
+      when(col("_graft_g") === weights.head._1, lit(weights.head._2))) {
+      case (acc, (g, wt)) => acc.when(col("_graft_g") === g, lit(wt))
+    }
+    val mixed = sorted
+      .join(broadcast(addTable), Seq("_graft_p", "_graft_g"))
+      .select(col("_graft_k"),
+        (((col("_graft_mid") + col("_graft_add")).cast("double") - 0.5) / w)
+          .as("mix_order"))
+    // Phase 4: one wide equi-join re-attaches the full rows.
+    filtered.join(mixed.withColumnRenamed("_graft_k", "_graft_jk"),
+        key === col("_graft_jk"))
+      .drop("_graft_jk")
   }
 
   /** [[shuffleShards]] materialized into the actual training order:

@@ -290,6 +290,45 @@ final case class PqAdcExpr(left: Expression, right: Expression, k: Int)
     copy(left = l, right = r)
 }
 
+/** PCA projection (center + k ascending-index dot folds) as ONE
+  * codegen'd kernel — the `zip_with`+`aggregate` HOF chain this
+  * replaces is interpreted per element with boxing AND embeds a k·d
+  * literal array in the plan (SURVEY §4's measured 64–80× tax; the
+  * design rule the r15 verdict flagged). `meanComps` packs
+  * `[mean :: comp_0 :: … :: comp_{k-1}]` flat and ships ONCE per task
+  * via `addReferenceObj` (the [[CentroidIdsExpr]]/[[PqLutExpr]]
+  * pattern); held as an immutable Seq so structurally equal instances
+  * canonicalize. Arithmetic is bit-identical to the HOF chain (see
+  * [[graft.hashing.VecUtil.pcaProject]]). */
+final case class PcaProjectExpr(child: Expression, meanComps: Seq[Double], dim: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(dim > 0 && k > 0 && meanComps.length == (k + 1) * dim,
+    s"meanComps length ${meanComps.length} != (k+1)*dim = ${(k + 1) * dim}")
+
+  @transient private lazy val mcArr: Array[Double] = meanComps.toArray
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(TypeCollection(ArrayType(FloatType), ArrayType(DoubleType)))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "pca_project"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.VecUtil.pcaProject(input.asInstanceOf[ArrayData], mcArr, dim, k, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mcRef = ctx.addReferenceObj("pcaMeanComps", mcArr, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.hashing.VecUtil.pcaProject($c, $mcRef, $dim, $k, $isFloat)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PcaProjectExpr =
+    copy(child = newChild)
+}
+
 final case class SimHash64Expr(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
 

@@ -93,6 +93,40 @@ class PcaSpec extends SparkSpec {
         s"probe $p pulled cross-cluster neighbors: ${ns.toSeq}")
   }
 
+  test("codegen kernel == interpreted HOF chain, bit-for-bit; edge semantics match") {
+    import spark.implicits._
+    val m = Pca.train(vecs(cloud), col("embedding"), dim = 3, k = 3)
+    // exact == on every component: the kernel's ascending-index fold is
+    // the HOF chain's arithmetic, not an approximation of it
+    val fast = Pca.project(vecs(cloud), col("embedding"), m)
+      .select("vec_id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val slow = Pca.projectHof(vecs(cloud), col("embedding"), m)
+      .select("vec_id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fast.keySet == slow.keySet)
+    for ((id, f) <- fast; (a, b) <- f.zip(slow(id)))
+      assert(a == b, s"vec $id: kernel $a != hof $b")
+    // float input: cast-to-double-then-center equals getFloat-toDouble
+    val fl = Seq((1L, Seq(1.5f, -2.25f, 8.0f))).toDF("vec_id", "embedding")
+    val pf = Pca.project(fl, col("embedding"), m).select("proj")
+      .head().getSeq[Double](0)
+    val pd = Pca.projectHof(
+        fl.select(col("vec_id"), col("embedding").cast("array<double>").as("embedding")),
+        col("embedding"), m)
+      .select("proj").head().getSeq[Double](0)
+    assert(pf == pd)
+    // wrong-length vector -> k NULL components (the zip_with padding
+    // semantics the kernel preserves); NaN propagates to NaN
+    val edge = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(Double.NaN, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val rows = Pca.project(edge, col("embedding"), m)
+      .select("vec_id", "proj").collect()
+      .map(r => r.getLong(0) -> r.getSeq[java.lang.Double](1)).toMap
+    assert(rows(1L).forall(_ == null), rows(1L).toString)
+    assert(rows(2L).forall(x => x != null && x.isNaN), rows(2L).toString)
+  }
+
   test("training is partition-invariant (within eigensolver tolerance); save/load == direct") {
     val a = Pca.train(vecs(cloud), col("embedding"), dim = 3, k = 2)
     val b = Pca.train(vecs(cloud).repartition(13), col("embedding"), dim = 3, k = 2)

@@ -472,12 +472,17 @@ class PlanAuditSpec extends SparkSpec {
       s"only the output sort may exchange:\n$plan")
   }
 
-  test("sample_interleave: one keyed window exchange, no join") {
+  test("sample_interleave: two-phase rank — no per-source window, offsets broadcast") {
+    // The r15 shape (row_number OVER (PARTITION BY source)) capped
+    // parallelism at |sources| tasks — the giant-per-key-window
+    // scale-killer. The two-phase rank must show: zero WindowExec
+    // anywhere, and the partitions×|sources| addend table joined as a
+    // BROADCAST, never shuffled against the corpus.
     val plan = q("sample_interleave")
-    assert(!plan.contains("Join"), s"interleave must not join:\n$plan")
-    assert(plan.contains("Window"), s"expected the per-source rank window:\n$plan")
-    assert(plan.linesIterator.count(_.contains("Exchange")) <= 2,
-      s"one window exchange + the output sort only:\n$plan")
+    assert(!plan.contains("Window"),
+      s"interleave must not rank through a per-source window:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the bounded addend table must broadcast:\n$plan")
   }
 
   test("profile_corr: one aggregate over one scan — no Expand, no join, map-side partials") {

@@ -43,6 +43,11 @@ PUBLIC_HOST = re.compile(
     r"acm\.org|vldb\.org|wikipedia\.org|duckdb\.org|w3\.org|ietf\.org|"
     r"example\.com|localhost|127\.0\.0\.1)$")
 
+# The exact synthetic hostnames UrlFnsSpec's PSL/eTLD+1 fixtures use —
+# allowlisted ONLY inside that file (see the url_fixture_file check).
+FIXTURE_HOSTS = re.compile(
+    r"h|ok\.org|(?:www\.|sub\.)?(?:ok|bad)\.com(?:\.tr)?")
+
 CATEGORIES = {
     # package imports rooted at a TLD-style namespace outside the public
     # allowlist (local value imports like `spark.implicits._` and
@@ -103,17 +108,15 @@ def main():
         except OSError:
             continue
         n_scanned += 1
-        # UrlFnsSpec is the URL-PARSER fixture file: every URL in it is
+        # UrlFnsSpec is the URL-PARSER fixture file: its URLs are
         # synthetic by construction (single-letter hosts, made-up
-        # registrable names exercising the eTLD+1/PSL tables), so the
-        # internal-url category would only ever flag its own test data.
-        # Skipped for that ONE category; all other categories still
-        # apply to the file, and real source/docs URLs stay screened.
+        # registrable names exercising the eTLD+1/PSL tables). Only the
+        # SPECIFIC fixture hostnames are allowlisted — a whole-file
+        # category skip (rounds ≤15) would have let any REAL internal
+        # URL later added to the file pass unflagged (ADVICE r15).
         url_fixture_file = rel == os.path.join(
             "src", "test", "scala", "graft", "UrlFnsSpec.scala")
         for cat, rx in CATEGORIES.items():
-            if cat == "internal-url" and url_fixture_file:
-                continue
             for m in rx.finditer(text):
                 s = m.group(1) if m.groups() else m.group(0)
                 if cat == "internal-import" and PUBLIC_IMPORT.match(s):
@@ -121,6 +124,9 @@ def main():
                 # allowlist by the URL's HOST only: a public domain in the
                 # path must not whitelist a private host
                 if cat == "internal-url" and PUBLIC_HOST.search(url_host(s)):
+                    continue
+                if (cat == "internal-url" and url_fixture_file
+                        and FIXTURE_HOSTS.fullmatch(url_host(s))):
                     continue
                 line = text.count("\n", 0, m.start()) + 1
                 hits[cat].append(f"{rel}:{line}: {s[:120]}")
