@@ -847,6 +847,17 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // L2 (keep-best): the NEAR-dup keep-best convention — per
+    // duplicate CLUSTER (connected components of the verified pairs,
+    // transitively closed) keep the longest member, ties to lowest
+    // id. FULL oracle: the dedup_clusters recursive CTE + the
+    // dedup_keep_best QUALIFY cut over the cluster key.
+    "dedup_keep_best_near" -> { (s, dir) =>
+      Dedup.minhashKeepBy(documents(s, dir).toNative, col("doc_id"), col("text"),
+          col("n_chars"), 0.5)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // L2+L4: MinHash-LSH near-dedup keep-list (banding join + exact
     // Jaccard verify, min-id representative). 128 hashes in 64 bands of
     // 2 ⇒ P(miss | J≥0.5) ≤ (1-0.25)^64 ≈ 1e-8 — oracle-safe.
@@ -1034,6 +1045,23 @@ object SparkEntry {
       Dsir.weights(docsT, col("doc_id"), col("text"),
           docsT.where(pmod(col("doc_id"), lit(10)) === 0), col("text"),
           buckets = 10000)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
+
+    // L42 (md5 mode): the cross-engine DSIR twin — identical model and
+    // scoring, but the bucket kernel is the L16/L27 md5 draw instead
+    // of xxhash64, so the ENTIRE flow (tokenize → bigram → bucket →
+    // two add-one fits → micro-nat ratio table → order-free doc sums)
+    // re-derives in DuckDB as a FULL oracle from the raw documents
+    // table — no aux export, no spec-only kernel. Closes the one r15
+    // text operator whose hash rested on specs alone; xxhash64 stays
+    // the production default (measured 7× faster at 10× scale).
+    "dsir_weights_md5" -> { (s, dir) =>
+      val docsT = documents(s, dir).toNative
+      Dsir.weights(docsT, col("doc_id"), col("text"),
+          docsT.where(pmod(col("doc_id"), lit(10)) === 0), col("text"),
+          buckets = 10000, md5Hash = true)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     },
@@ -1454,6 +1482,27 @@ object SparkEntry {
         .orderBy("media_id_a", "media_id_b")
     },
 
+    // L48 (real codec): the REAL PNG/BMP pixel decoder end-to-end —
+    // ids 2k and 2k+1 render the SAME k-derived block pattern through
+    // DIFFERENT format/colorType/scale paths (zlib-deflated PNG
+    // gray/RGB/RGBA at 32 or 64 px, 24-bit BMP), so every planted
+    // pair reaching hamming 0 certifies inflate + defilter + luma +
+    // box-resize agree across codecs. FULL oracle: the expected pair
+    // set is exactly the consecutive-id pairs — plain SQL over
+    // documents, no byte parsed (the multimodal_real discipline).
+    "multimodal_phash_real" -> { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      val payloads = documents(s, dir).toNative.select(col("doc_id"))
+        .as[Long](Encoders.scalaLong)
+        .mapPartitions(it => it.map(id =>
+          Media.MediaRow(id, Media.syntheticPixelImage(id))))(Encoders.product[Media.MediaRow])
+        .toDF()
+      Media.phashPairs(payloads, col("media_id"), col("content"), maxHamming = 3,
+          decoder = Media.RealPixelDecoder)
+        .select(col("id_a").as("media_id_a"), col("id_b").as("media_id_b"), col("hamming"))
+        .orderBy("media_id_a", "media_id_b")
+    },
+
     // L12 (audio/video): AvHeaderDecoder against well-formed
     // WAV/FLAC/MP3/OGG/MP4 container bytes (Media.syntheticAvContainer —
     // every field is arithmetic in the doc_id, so the oracle states the
@@ -1857,6 +1906,19 @@ object SparkEntry {
          |SELECT media_id_a, media_id_b, hamming FROM pairs
          |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
 
+    // L48 (real codec) FULL oracle: ids 2k / 2k+1 carry the same
+    // k-derived pixels through different real codec paths, and
+    // distinct k give independent 64-bit block patterns (cross-pair
+    // hamming ≤ 3 has probability ~2⁻⁴⁸ per pair) — so the expected
+    // output is EXACTLY the consecutive-id pairs at hamming 0, stated
+    // without parsing a byte.
+    "multimodal_phash_real" ->
+      """SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0
+        |ORDER BY 1, 2""".stripMargin,
+
     // L50 PCA: projections re-derived from the exported basis with the
     // identical center-then-index-order-fold arithmetic.
     "pca_project" ->
@@ -2089,6 +2151,27 @@ object SparkEntry {
         |  SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp, n_chars
         |  FROM u)
         |QUALIFY row_number() OVER (PARTITION BY fp ORDER BY n_chars DESC, doc_id ASC) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    // Near-dup keep-best: clusters re-derived by the dedup_clusters
+    // recursive CTE (singletons keep their own id as the cluster key),
+    // then the dedup_keep_best (score DESC, id ASC) QUALIFY cut.
+    "dedup_keep_best_near" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 3
+        |  THEN list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, len(ws) - 1)])
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |prs AS (SELECT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+        |edges AS (SELECT ida AS u, idb AS v FROM prs UNION SELECT idb, ida FROM prs),
+        |reach(u, v) AS (SELECT u, v FROM edges
+        |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+        |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u),
+        |k AS (SELECT d.doc_id, d.n_chars, coalesce(cl.cluster_id, d.doc_id) AS ck
+        |  FROM documents d LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id FROM k
+        |QUALIFY row_number() OVER (PARTITION BY ck ORDER BY n_chars DESC, doc_id ASC) = 1
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_minhash" ->
@@ -2345,6 +2428,26 @@ object SparkEntry {
         |SELECT d.doc_id, CAST(coalesce(w.n_grams, 0) AS BIGINT) AS n_grams,
         |  CAST(coalesce(w.s, 0) AS BIGINT) AS logw_micro
         |FROM documents d LEFT JOIN w USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    // DSIR md5 mode — FULL oracle from the raw table: the lm_bigram
+    // tokenization, the sample_shuffle md5→int bucket draw, then the
+    // identical add-one integer-ratio models and micro-nat ln chain
+    // of the dsir_weights partial oracle, with nothing exported.
+    "dsir_weights_md5" ->
+      """WITH w AS (SELECT doc_id, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_concat(ws, CASE WHEN len(ws) >= 2 THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] ELSE []::VARCHAR[] END)) AS gram FROM w),
+        |occ AS (SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 10000 AS b FROM g),
+        |tgt AS (SELECT b, count(*) AS c FROM occ WHERE doc_id % 10 = 0 GROUP BY b),
+        |raw AS (SELECT b, count(*) AS c FROM occ GROUP BY b),
+        |np AS (SELECT coalesce(sum(c), 0) AS n FROM tgt),
+        |nq AS (SELECT coalesce(sum(c), 0) AS n FROM raw),
+        |lr AS (SELECT raw.b AS b,
+        |  CAST(round((ln(coalesce(tgt.c, 0) + 1) - ln(np.n + 10000) - ln(raw.c + 1) + ln(nq.n + 10000)) * 1000000.0) AS BIGINT) AS v
+        |  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN np CROSS JOIN nq),
+        |ws2 AS (SELECT occ.doc_id AS doc_id, count(*) AS n_grams, sum(lr.v) AS s FROM occ JOIN lr USING (b) GROUP BY occ.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(ws2.n_grams, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(ws2.s, 0) AS BIGINT) AS logw_micro
+        |FROM documents d LEFT JOIN ws2 USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
     // Interleave re-derived: identical md5 draw, identical per-source
     // row_number, identical (r - 0.5)/w IEEE chain.

@@ -368,6 +368,40 @@ object Dedup {
     }
   }
 
+  /** [[minhashKeep]]'s KEEP-BEST sibling — the near-dup twin of
+    * [[exactKeepBy]]: per near-duplicate CLUSTER keep the member with
+    * the highest `score` (quality/length), ties to the LOWEST id —
+    * the published keep-best convention, instead of minhashKeep's
+    * min-id representative. Clusters are the connected components of
+    * the verified pairs ([[duplicateClusters]] — transitively closed,
+    * so a chain A~B~C keeps exactly one member even when A and C
+    * never pair directly); docs in no cluster are singletons and keep
+    * themselves. NULL scores lose to any scored member; an all-NULL
+    * cluster keeps its min id (the `max_by` over the (score, −id)
+    * struct — ids must be unique and non-negative, as exactKeepBy).
+    *
+    * Scale shape: pair generation + clustering is the dedup_clusters
+    * path (banded LSH, narrow signatures, iterative propagation);
+    * the cut itself adds ONE equi-join against the cluster map (only
+    * duplicated docs appear in it — AQE-broadcastable), one map-side
+    * combined groupBy over (cluster, score, id) partials, and a
+    * semi-join keep. The text column never shuffles. */
+  def minhashKeepBy(
+      df: DataFrame, id: Column, text: Column, score: Column, threshold: Double,
+      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
+      maxBucket: Int = DefaultMaxBucket, collapseExact: Boolean = true): DataFrame = {
+    val pairs = jaccardPairs(df, id, text, threshold, shingleK, numHashes, bands,
+      maxBucket, collapseExact)
+    val cl = duplicateClusters(pairs)
+      .select(col("id").as("_graft_cl_id"), col("cluster_id").as("_graft_cl_cid"))
+    val keep = df
+      .join(cl, id === col("_graft_cl_id"), "left")
+      .groupBy(coalesce(col("_graft_cl_cid"), id).as("_graft_ck"))
+      .agg(max_by(id, struct(score, -id)).as("_keep_id"))
+      .select(col("_keep_id"))
+    df.join(keep, id === col("_keep_id"), "left_semi")
+  }
+
   // ------------------------------------------------- persisted index (L2+)
   /** Write a persisted MinHash-LSH index for [[minhashKeepIncremental]] —
     * the re-runnable form of [[minhashKeep]]: a production 100 TB corpus

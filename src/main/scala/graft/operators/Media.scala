@@ -579,6 +579,303 @@ object Media {
       else Some(Array.tabulate(1024)(i => (content(i % content.length) & 0xFF).toDouble))
   }
 
+  /** REAL pixel decoder for the two formats a dependency-free JVM can
+    * fully decode from the public specs alone: PNG (zlib `Inflater` +
+    * the five §9 scanline filters — bit depth 8, color types 0/2/6,
+    * non-interlaced) and BMP (uncompressed 24-bit BI_RGB, bottom-up or
+    * top-down). RGB collapses to gray through the integer-weight BT.601
+    * luma `(299·R + 587·G + 114·B) / 1000.0` — exact for R=G=B, no
+    * float-coefficient drift — then a deterministic box average
+    * downsamples to the 32×32 pHash input (ascending-index sums; when
+    * source dims are exact multiples of 32 the average is exact, so a
+    * block-replicated upscale hashes IDENTICALLY to its base image —
+    * the law the multimodal_phash_real gate plants across formats and
+    * scales). Everything else — palette/16-bit/interlaced PNG,
+    * compressed or non-24-bit BMP, truncated streams, dims outside
+    * (0, 4096] — degrades to None (drops out of hashing), the
+    * [[HeaderDecoder]] corrupt-tolerance discipline: a bad blob in
+    * 100 TB of crawl bytes must not kill the job. IDAT CRCs are NOT
+    * verified (the inflate itself detects truncation/garbage; CRC adds
+    * a full extra pass per image for integrity the hash doesn't need). */
+  object RealPixelDecoder extends PixelDecoder {
+    import B._
+
+    private val PngSig: Array[Byte] =
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+    def decodeGray32(content: Array[Byte]): Option[Array[Double]] = {
+      if (content == null || content.length < 2) None
+      else if (content.length >= 33 && content.startsWith(PngSig)) pngGray(content)
+      else if (content(0) == 'B' && content(1) == 'M') bmpGray(content)
+      else None
+    }.map { case (px, w, h) => boxResize32(px, w, h) }
+
+    private def luma(r: Int, g: Int, b: Int): Double =
+      (299 * r + 587 * g + 114 * b) / 1000.0
+
+    /** Deterministic 32×32 box downsample: output (r, c) averages the
+      * source block [⌊r·h/32⌋, ⌊(r+1)·h/32⌋) × [⌊c·w/32⌋, ⌊(c+1)·w/32⌋)
+      * (at least one pixel — upscaling small images point-samples). */
+    private def boxResize32(px: Array[Double], w: Int, h: Int): Array[Double] = {
+      val out = new Array[Double](1024)
+      var r = 0
+      while (r < 32) {
+        val y0 = (r.toLong * h / 32).toInt
+        val y1 = math.max(y0 + 1, ((r + 1).toLong * h / 32).toInt)
+        var c = 0
+        while (c < 32) {
+          val x0 = (c.toLong * w / 32).toInt
+          val x1 = math.max(x0 + 1, ((c + 1).toLong * w / 32).toInt)
+          var s = 0.0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += px(y * w + x); x += 1 }
+            y += 1
+          }
+          out(r * 32 + c) = s / ((y1 - y0) * (x1 - x0))
+          c += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def pngGray(c: Array[Byte]): Option[(Array[Double], Int, Int)] = try {
+      if (!(c(12) == 'I' && c(13) == 'H' && c(14) == 'D' && c(15) == 'R')) return None
+      val w = be32(c, 16); val h = be32(c, 20)
+      val depth = c(24) & 0xFF; val ctype = c(25) & 0xFF; val interlace = c(28) & 0xFF
+      if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return None
+      if (depth != 8 || interlace != 0) return None
+      val ch = ctype match { case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None }
+      // walk the chunk stream, concatenating IDAT payloads
+      val idat = new java.io.ByteArrayOutputStream()
+      var off = 8
+      var sawEnd = false
+      while (!sawEnd) {
+        if (off + 12 > c.length) return None // truncated chunk header
+        val len = be32(c, off)
+        if (len < 0 || off + 12 + len > c.length) return None
+        if (c(off + 4) == 'I' && c(off + 5) == 'D' && c(off + 6) == 'A' && c(off + 7) == 'T')
+          idat.write(c, off + 8, len)
+        if (c(off + 4) == 'I' && c(off + 5) == 'E' && c(off + 6) == 'N' && c(off + 7) == 'D')
+          sawEnd = true
+        off += 12 + len
+      }
+      if (idat.size == 0) return None
+      val inf = new java.util.zip.Inflater()
+      val stride = w * ch
+      val raw = new Array[Byte]((stride + 1) * h)
+      try {
+        inf.setInput(idat.toByteArray)
+        var got = 0
+        while (got < raw.length && !inf.finished()) {
+          val k = inf.inflate(raw, got, raw.length - got)
+          if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+          got += k
+        }
+        if (got < raw.length) return None
+      } finally inf.end()
+      // defilter scanlines (PNG §9: None/Sub/Up/Average/Paeth) and
+      // collapse to luma in one pass
+      val px = new Array[Double](w * h)
+      val prev = new Array[Int](stride)
+      val cur = new Array[Int](stride)
+      var y = 0
+      while (y < h) {
+        val base = y * (stride + 1)
+        val ft = raw(base) & 0xFF
+        if (ft > 4) return None
+        var i = 0
+        while (i < stride) {
+          val x = raw(base + 1 + i) & 0xFF
+          val a = if (i >= ch) cur(i - ch) else 0
+          val b = prev(i)
+          val d = if (i >= ch) prev(i - ch) else 0
+          cur(i) = (ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + ((a + b) >> 1)
+            case _ => x + paeth(a, b, d)
+          }) & 0xFF
+          i += 1
+        }
+        var xx = 0
+        while (xx < w) {
+          px(y * w + xx) =
+            if (ch == 1) cur(xx).toDouble
+            else luma(cur(xx * ch), cur(xx * ch + 1), cur(xx * ch + 2))
+          xx += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      Some((px, w, h))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+    private def bmpGray(c: Array[Byte]): Option[(Array[Double], Int, Int)] = try {
+      if (c.length < 54 || le32(c, 14) < 40) return None
+      val w = le32(c, 18); val hRaw = le32(c, 22)
+      val bpp = le16(c, 28); val comp = le32(c, 30)
+      if (bpp != 24 || comp != 0) return None
+      if (hRaw == Int.MinValue) return None
+      val h = math.abs(hRaw); val topDown = hRaw < 0
+      if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return None
+      val dataOff = le32(c, 10)
+      val rowBytes = ((w * 3 + 3) / 4) * 4
+      if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * h > c.length) return None
+      val px = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        val srcRow = if (topDown) y else h - 1 - y
+        val base = dataOff + srcRow * rowBytes
+        var x = 0
+        while (x < w) {
+          val b = c(base + x * 3) & 0xFF
+          val g = c(base + x * 3 + 1) & 0xFF
+          val r = c(base + x * 3 + 2) & 0xFF
+          px(y * w + x) = luma(r, g, b)
+          x += 1
+        }
+        y += 1
+      }
+      Some((px, w, h))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Well-formed image bytes whose PIXELS are arithmetic in `k` — the
+    * [[syntheticContainer]] discipline extended below the header: an
+    * 8×8 grid of 4×4-pixel blocks, block b bright (220) iff bit b of
+    * the splitmix64 finalizer of `k` is set, else dark (35). Emitted
+    * as a real zlib-deflated PNG (gray / RGB / RGBA with R=G=B, so
+    * luma reproduces the gray exactly) or a real 24-bit BMP, at an
+    * integer `scale` via block replication — the box resize averages
+    * scale² IDENTICAL values, so every (format, scale) rendering of
+    * the same `k` decodes to the SAME 32×32 grays and pHash-collides
+    * at hamming 0. Different `k` give independent 64-bit block
+    * patterns (far apart with overwhelming probability). */
+  def syntheticPixelPattern(k: Long): Array[Int] = {
+    var z = k + 0x9E3779B97F4A7C15L // splitmix64 finalizer
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    val bits = z ^ (z >>> 31)
+    Array.tabulate(1024) { i =>
+      val blk = (i / 32 / 4) * 8 + (i % 32 / 4)
+      if (((bits >>> blk) & 1L) == 1L) 220 else 35
+    }
+  }
+
+  /** PNG writer for the synthetic gates/specs: filter-0 scanlines,
+    * one deflated IDAT, valid CRCs. `colorType` 0 (gray), 2 (RGB) or
+    * 6 (RGBA); RGB(A) channels all carry the gray value. */
+  def pngBytes(grays: Array[Int], w: Int, h: Int, colorType: Int): Array[Byte] = {
+    require(grays.length == w * h, s"pixel count ${grays.length} != $w x $h")
+    val ch = colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case other => throw new IllegalArgumentException(s"unsupported colorType $other")
+    }
+    val raw = new Array[Byte]((w * ch + 1) * h)
+    var y = 0
+    while (y < h) {
+      val base = y * (w * ch + 1)
+      raw(base) = 0 // filter: None
+      var x = 0
+      while (x < w) {
+        val g = grays(y * w + x).toByte
+        var j = 0
+        while (j < math.min(ch, 3)) { raw(base + 1 + x * ch + j) = g; j += 1 }
+        if (ch == 4) raw(base + 1 + x * ch + 3) = 0xFF.toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      b.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** 24-bit uncompressed bottom-up BMP with R=G=B=gray. */
+  def bmpBytes(grays: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(grays.length == w * h, s"pixel count ${grays.length} != $w x $h")
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val b = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h).putInt(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1.toShort).putShort(24.toShort)
+    b.putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) {
+      val imgRow = h - 1 - y // bottom-up storage
+      var x = 0
+      while (x < w) {
+        val g = grays(imgRow * w + x).toByte
+        b.put(g).put(g).put(g)
+        x += 1
+      }
+      var pad = rowBytes - w * 3
+      while (pad > 0) { b.put(0.toByte); pad -= 1 }
+      y += 1
+    }
+    b.array()
+  }
+
+  /** The per-doc payload of the multimodal_phash_real gate: ids 2k and
+    * 2k+1 render the SAME `k` pattern through DIFFERENT (format,
+    * colorType, scale) paths — even ids as PNG at scale 1+(k mod 2)
+    * with colorType cycling gray/RGB/RGBA by k mod 3; odd ids as BMP
+    * at scale 2 when k mod 4 = 0, else PNG at the OTHER scale with the
+    * next colorType — so a hamming-0 pair certifies decode + defilter
+    * + luma + resize end-to-end across codecs, not just byte equality. */
+  def syntheticPixelImage(id: Long): Array[Byte] = {
+    val k = java.lang.Math.floorDiv(id, 2L)
+    val base = syntheticPixelPattern(k)
+    def scaled(s: Int): (Array[Int], Int, Int) =
+      (Array.tabulate(32 * s * 32 * s) { i =>
+        val y = i / (32 * s); val x = i % (32 * s)
+        base((y / s) * 32 + x / s)
+      }, 32 * s, 32 * s)
+    val km2 = java.lang.Math.floorMod(k, 2L).toInt
+    val ctypes = Array(0, 2, 6)
+    if (java.lang.Math.floorMod(id, 2L) == 0L) {
+      val (px, w, h) = scaled(1 + km2)
+      pngBytes(px, w, h, ctypes(java.lang.Math.floorMod(k, 3L).toInt))
+    } else if (java.lang.Math.floorMod(k, 4L) == 0L) {
+      val (px, w, h) = scaled(2)
+      bmpBytes(px, w, h)
+    } else {
+      val (px, w, h) = scaled(2 - km2)
+      pngBytes(px, w, h, ctypes(java.lang.Math.floorMod(k + 1L, 3L).toInt))
+    }
+  }
+
   // 32×32 DCT-II basis, built once per JVM — rebuilding inside
   // phash64 cost 1024 cos() calls per image (ADVICE r15).
   private lazy val phashCosTab: Array[Array[Double]] =

@@ -100,6 +100,39 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L))
   }
 
+  test("minhashKeepBy keeps the best-scored cluster member; ties, NULLs, and chains behave") {
+    import spark.implicits._
+    // fixture cluster {1, 2, 3}: 1~2 exact, 1~3 near (J=0.75) — one
+    // transitive cluster; 4 is a singleton. Score = favor doc 3.
+    val scored = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", Some(10L)),
+      (2L, "The quick  brown fox jumps over the lazy dog", Some(10L)),
+      (3L, "the quick brown fox jumps over the lazy cat", Some(99L)),
+      (4L, "spark shuffles partitions across the cluster executors nightly", Some(1L)))
+      .toDF("doc_id", "text", "score")
+    val kept = Dedup.minhashKeepBy(scored, col("doc_id"), col("text"), col("score"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"highest score must represent the cluster: $kept")
+    // tie on score -> lowest id; NULL score loses to any scored member
+    val ties = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", Some(10L)),
+      (2L, "The quick  brown fox jumps over the lazy dog", Some(10L)),
+      (3L, "the quick brown fox jumps over the lazy cat", None: Option[Long]),
+      (4L, "spark shuffles partitions across the cluster executors nightly", None: Option[Long]))
+      .toDF("doc_id", "text", "score")
+    val keptT = Dedup.minhashKeepBy(ties, col("doc_id"), col("text"), col("score"), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptT == Set(1L, 4L), s"tie -> min id, NULL loses, all-NULL singleton keeps: $keptT")
+    // constant score degrades to exactly one member per cluster = the
+    // min id (the minhashKeep representative)
+    val constKeep = Dedup.minhashKeepBy(df, col("doc_id"), col("text"),
+        org.apache.spark.sql.functions.lit(1), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = Dedup.minhashKeep(df, col("doc_id"), col("text"), 0.5)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(constKeep == plain)
+  }
+
   test("collapseExact is a pure optimization: pairs and keeps match the raw path on real data") {
     val d = graft.tables.documents(spark, "/root/testdata/sf0.001").toNative
     def pairs(collapse: Boolean) =

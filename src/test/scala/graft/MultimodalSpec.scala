@@ -219,6 +219,136 @@ class MultimodalSpec extends SparkSpec {
     assert(Media.FakePixelDecoder.decodeGray32(null).isEmpty)
   }
 
+  test("RealPixelDecoder: PNG gray/RGB/RGBA, BMP, and 2x block upscale all decode to the same grays") {
+    val k = 42L
+    val base = Media.syntheticPixelPattern(k).map(_.toDouble)
+    def scaled2 = {
+      val b = Media.syntheticPixelPattern(k)
+      Array.tabulate(64 * 64)(i => b((i / 64 / 2) * 32 + (i % 64) / 2))
+    }
+    val renders = Seq(
+      "png gray 32" -> Media.pngBytes(Media.syntheticPixelPattern(k), 32, 32, 0),
+      "png rgb 32" -> Media.pngBytes(Media.syntheticPixelPattern(k), 32, 32, 2),
+      "png rgba 64" -> Media.pngBytes(scaled2, 64, 64, 6),
+      "bmp 32" -> Media.bmpBytes(Media.syntheticPixelPattern(k), 32, 32),
+      "bmp 64" -> Media.bmpBytes(scaled2, 64, 64))
+    for ((name, bytes) <- renders) {
+      val g = Media.RealPixelDecoder.decodeGray32(bytes)
+      assert(g.isDefined, s"$name must decode")
+      assert(g.get.sameElements(base), s"$name grays differ from the base pattern")
+    }
+    // a different k decodes to a different pattern
+    val other = Media.RealPixelDecoder.decodeGray32(
+      Media.pngBytes(Media.syntheticPixelPattern(k + 1), 32, 32, 0)).get
+    assert(!other.sameElements(base))
+  }
+
+  test("RealPixelDecoder: PNG Sub/Up/Average/Paeth filters defilter per the spec") {
+    // hand-built 4x2 gray PNG with per-row filter types; expected
+    // reconstruction computed by the §9 formulas by hand
+    def png(rows: Seq[(Int, Seq[Int])], w: Int, h: Int): Array[Byte] = {
+      val raw = rows.flatMap { case (ft, bs) => ft +: bs }.map(_.toByte).toArray
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val out = new java.io.ByteArrayOutputStream()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(12 + data.length)
+        b.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+        b.putInt(crc.getValue.toInt).array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    // row 0 Sub:   [10, 5, 5, 5]  -> 10 15 20 25
+    // row 1 Up:    [1, 2, 3, 4]   -> 11 17 23 29
+    val subUp = png(Seq((1, Seq(10, 5, 5, 5)), (2, Seq(1, 2, 3, 4))), 4, 2)
+    // resize 4x2 -> point/average samples; easier: decode then check
+    // via the internals — read back through a 32x32 resize of constant
+    // regions is lossy, so check with a 32-wide image instead below.
+    assert(Media.RealPixelDecoder.decodeGray32(subUp).isDefined)
+    // full-size 32x32 single-row-filter checks: Sub row then Paeth row
+    // reconstructed == filter-0 encoding of the same pixels
+    val pix = Array.tabulate(1024)(i => (i * 7 + 3) % 256)
+    def filt(ft: Int, row: Array[Int], prev: Array[Int]): Seq[Int] = {
+      def paeth(a: Int, b: Int, c: Int) = {
+        val p = a + b - c
+        val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      row.indices.map { i =>
+        val a = if (i > 0) row(i - 1) else 0
+        val b = prev(i)
+        val c = if (i > 0) prev(i - 1) else 0
+        val pred = ft match {
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) >> 1
+          case 4 => paeth(a, b, c)
+        }
+        (row(i) - pred) & 0xFF
+      }
+    }
+    val rows = (0 until 32).map(r => pix.slice(r * 32, r * 32 + 32))
+    val filtered = rows.zipWithIndex.map { case (row, r) =>
+      val prev = if (r == 0) Array.fill(32)(0) else rows(r - 1)
+      val ft = 1 + (r % 4) // cycle Sub/Up/Average/Paeth
+      (ft, filt(ft, row, prev))
+    }
+    val fancy = Media.RealPixelDecoder.decodeGray32(png(filtered, 32, 32)).get
+    val plain = Media.RealPixelDecoder.decodeGray32(
+      png(rows.map(r => (0, r.toSeq)), 32, 32)).get
+    assert(fancy.sameElements(plain), "filtered encoding must reconstruct the same pixels")
+    assert(plain.sameElements(pix.map(_.toDouble)))
+  }
+
+  test("RealPixelDecoder: corrupt/unsupported payloads degrade to None") {
+    val good = Media.pngBytes(Media.syntheticPixelPattern(7L), 32, 32, 0)
+    assert(Media.RealPixelDecoder.decodeGray32(good).isDefined)
+    assert(Media.RealPixelDecoder.decodeGray32(null).isEmpty)
+    assert(Media.RealPixelDecoder.decodeGray32(Array.emptyByteArray).isEmpty)
+    assert(Media.RealPixelDecoder.decodeGray32("not an image at all".getBytes).isEmpty)
+    // truncated IDAT stream
+    assert(Media.RealPixelDecoder.decodeGray32(good.dropRight(30)).isEmpty)
+    // header-only PNG (the multimodal_real synthetic container: no IDAT)
+    assert(Media.RealPixelDecoder.decodeGray32(Media.syntheticContainer(0L)).isEmpty)
+    // interlaced flag / 16-bit depth / palette type are out of scope
+    // (IHDR data sits at absolute offsets 16..28; CRC is not checked)
+    val interlaced = good.clone(); interlaced(28) = 1
+    assert(Media.RealPixelDecoder.decodeGray32(interlaced).isEmpty)
+    val deep = good.clone(); deep(24) = 16.toByte
+    assert(Media.RealPixelDecoder.decodeGray32(deep).isEmpty)
+    val pal = good.clone(); pal(25) = 3.toByte
+    assert(Media.RealPixelDecoder.decodeGray32(pal).isEmpty)
+    // BMP: 8-bit and compressed reject; 24-bit BI_RGB decodes
+    val bmp = Media.bmpBytes(Media.syntheticPixelPattern(7L), 32, 32)
+    assert(Media.RealPixelDecoder.decodeGray32(bmp).isDefined)
+    val bpp8 = bmp.clone(); bpp8(28) = 8.toByte
+    assert(Media.RealPixelDecoder.decodeGray32(bpp8).isEmpty)
+    val rle = bmp.clone(); rle(30) = 1.toByte
+    assert(Media.RealPixelDecoder.decodeGray32(rle).isEmpty)
+  }
+
+  test("syntheticPixelImage: every (format, scale) path of a pair hashes identically") {
+    // cover all residue classes: k mod 12 spans the colorType/scale/bmp
+    // branches on both the even and odd member
+    for (k <- 0L to 23L) {
+      val a = Media.RealPixelDecoder.decodeGray32(Media.syntheticPixelImage(2 * k))
+      val b = Media.RealPixelDecoder.decodeGray32(Media.syntheticPixelImage(2 * k + 1))
+      assert(a.isDefined && b.isDefined, s"k=$k must decode on both sides")
+      assert(Media.phash64(a.get) == Media.phash64(b.get), s"k=$k pair must collide")
+      assert(a.get.sameElements(b.get), s"k=$k grays must be identical")
+    }
+  }
+
   test("phashPairs: byte-identical payloads pair at hamming 0; undecodable drop") {
     import spark.implicits._
     val a = Array.tabulate(64)(i => (i * 13 + 1).toByte)
