@@ -11,15 +11,25 @@ import org.apache.spark.sql.SparkSession
   * materialized (a plain count() lets Catalyst prune the projection and
   * would under-report the real work).
   *
-  * Artifact contract (round 10): the driver tail-captures stdout and
-  * parses the LAST JSON line, which therefore carries ONLY the compact
-  * summary — total, per-query mins, n_failed, sf. Round 9's per-pass
-  * telemetry made the line outgrow the tail capture and the official
-  * artifact landed `parsed: null`; the telemetry (every per-pass
-  * sample, load averages, core count, pass orders + seed) now goes to
-  * a SIDECAR file instead (`bench_passes.json`, or
-  * $SPARK_GRAFT_BENCH_SIDECAR), so diagnosability is kept without
-  * risking the machine-readable record.
+  * Artifact contract (round 16): the driver tail-captures the LAST
+  * ~2000 bytes of stdout and parses the last JSON line — a hard
+  * budget the full per-query map no longer fits (r15: 103 queries ≈
+  * 2.5 KB, and the official artifact landed `parsed: null` with its
+  * line head cut off; r9 hit the same wall with per-pass telemetry).
+  * So the record is SPLIT by consumer:
+  *   - LAST stdout line (the driver's machine-readable record, ≤ ~1 KB
+  *     by construction): total, sf, n_failed/failed, flags, plus
+  *     `queries` restricted to the 31 BASELINE-SHARED names (the
+  *     BENCH_r04 snapshot the 2× bar is judged against — the one
+  *     per-query set the artifact MUST carry), `n_queries`, and
+  *     `queries_full` naming the full-map file.
+  *   - `bench_summary.json` (or $SPARK_GRAFT_BENCH_SUMMARY): the
+  *     COMPLETE official line — same fields, full per-query map —
+  *     also printed to stdout BEFORE the last line so the run log
+  *     carries it even if the file is lost.
+  *   - `bench_passes.json` (or $SPARK_GRAFT_BENCH_SIDECAR): per-pass
+  *     telemetry + `query_mins` (the same full map, machine-readable
+  *     without stdout forensics).
   *
   * Pass hygiene: three passes, each a SEEDED random permutation of the
   * query list (seed recorded in the sidecar; override with
@@ -245,6 +255,21 @@ object Bench {
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The per-query set BENCH_r04 (the BASELINE snapshot) carries — the
+    // names the round-over-round 2× comparison is computed on. Static
+    // by definition: it is a historical artifact's key set.
+    val baselineShared = Set(
+      "ann_ivf", "ann_lsh", "ann_topk", "dedup_embedding", "dedup_exact",
+      "dedup_jaccard", "dedup_minhash", "dedup_simhash", "multimodal_meta",
+      "q10_null_handling", "q11_distinct", "q12_concat", "q13_cast_schema",
+      "q14_agg_global", "q15_semi_join", "q16_anti_join", "q17_list_ops",
+      "q18_events_window", "q1_agg", "q2_filter_sort", "q3_join_agg",
+      "q4_left_join", "q5_multi_join", "q6_conditional", "q7_string_ops",
+      "q8_date_ops", "q9_window", "text_fingerprint", "text_langid",
+      "text_quality", "text_tokens")
+    val sharedQjson = results.collect {
+      case (k, v) if baselineShared(k) => s"\"" + k + "\":" + f(v)
+    }.mkString("{", ",", "}")
 
     // dedup_incremental phase attribution (sidecar-only): the official
     // per-query number gates the full production flow (cut + index
@@ -303,7 +328,7 @@ object Bench {
     // not happen again by construction.
     val contendedAny = contended || anyPassHot
     val sidecar =
-      s"""{"seed":$seed,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"ambient_cores_per_pass":$ambJson,"pass_quiet":$quietJson,"quiet_retry_pass":$retriedQuiet,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contendedAny,"contended_prewarmup":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"incremental_phases":$incrPhases,"variants":$variantJson,"pass_orders":$ojson,"passes":$pjson}"""
+      s"""{"seed":$seed,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"ambient_cores_per_pass":$ambJson,"pass_quiet":$quietJson,"quiet_retry_pass":$retriedQuiet,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contendedAny,"contended_prewarmup":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"incremental_phases":$incrPhases,"variants":$variantJson,"query_mins":$qjson,"pass_orders":$ojson,"passes":$pjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecarPath), sidecar)
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     System.err.println(s"[bench] telemetry sidecar: $sidecarPath (seed=$seed)")
@@ -312,10 +337,12 @@ object Bench {
     // run still prints its machine-readable line below.
     try spark.stop()
     catch { case e: Throwable => System.err.println(s"[bench] spark.stop failed: ${e.getMessage}") }
-    // LAST stdout line, compact: the driver's machine-readable record.
-    // Non-default knobs stamp themselves onto the line (a filtered or
-    // 1-pass probe run must be distinguishable from an official sweep
-    // without forensics on the query list — ADVICE r11), as does
+    // Stdout record, in two lines (see the artifact contract above):
+    // FIRST the complete summary (full per-query map — also written to
+    // the summary file), LAST the tail-budgeted line the driver
+    // parses. Non-default knobs stamp themselves onto both (a filtered
+    // or 1-pass probe run must be distinguishable from an official
+    // sweep without forensics on the query list — ADVICE r11), as does
     // persistent ambient contention. Since round 13 every line also
     // carries the explicit "failed" list (empty on a clean run) —
     // failed queries are no longer encoded as in-map sentinels.
@@ -326,7 +353,13 @@ object Bench {
     if (contendedAny) flags ++= s""","contended":true,"load_avg_before":${f(loadBefore)}"""
     if (retriedQuiet) flags ++= ""","quiet_retry_pass":true"""
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson$flags}""")
+    val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")
+    val fullLine =
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson$flags}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(summaryPath), fullLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] summary write failed: ${e.getMessage}") }
+    println(fullLine)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$sharedQjson,"n_queries":${results.size},"queries_full":"$summaryPath","sf":"$sfDir","n_failed":${failed.size},"failed":$failedJson$flags}""")
     if (failed.nonEmpty) {
       System.err.println(s"[bench] ${failed.size} queries failed: ${failed.toSeq.sorted.mkString(", ")}")
       sys.exit(2)
