@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, lit, max, pmod, round, sum, when}
 import graft.functions.{TextFns, UrlFns}
-import graft.operators.{Ann, Chunk, Dedup, Dsir, Joins, Media, NaiveBayes, NgramLM, Pack, Profile, Sampling, Sketch, TfIdf, Timeline}
+import graft.operators.{Ann, Bm25, Chunk, Dedup, Dsir, Joins, LogReg, Media, NaiveBayes, NgramLM, Pack, Profile, RankFusion, Sampling, Sketch, TfIdf, Timeline}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -1348,6 +1348,70 @@ object SparkEntry {
         .orderBy("vec_id", "cidx")
     },
 
+    // L51: Okapi BM25 — fit is ONE tagged scan (df stream + per-doc
+    // length stats), scoring filters the token stream to the query
+    // terms in the row before anything shuffles. FULL oracle:
+    // DuckDB re-derives the identical micro-quantized weights (the
+    // non-negative idf, tf saturation, length norm against the
+    // frozen integer avgdl) with verbatim-mirrored double arithmetic.
+    "bm25_score" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      Bm25.score(docs, col("doc_id"), col("text"),
+          Seq("spark", "window", "merge"), Bm25.fit(docs, col("text")))
+        .select(col("id").as("doc_id"), col("dl"), col("n_hits"), col("bm25_micro"))
+        .orderBy("doc_id")
+    },
+
+    // L51 (retrieval cut): top-5 docs for the query — scoring +
+    // TakeOrderedAndProject (per-partition partial top-n, no global
+    // sort); rank window runs over the 5 survivors only.
+    "bm25_topk" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      Bm25.topK(docs, col("doc_id"), col("text"),
+          Seq("spark", "window", "merge"), Bm25.fit(docs, col("text")), n = 5)
+        .select(col("id").as("doc_id"), col("dl"), col("n_hits"),
+          col("bm25_micro"), col("rank"))
+        .orderBy("rank")
+    },
+
+    // L52: reciprocal-rank fusion — the hybrid-retrieval combiner:
+    // sparse leg = BM25 top-20 over documents, dense leg = exact
+    // cosine top-20 around probe vec 0 (documents and embeddings
+    // share the 0..N-1 id space); fused by Σ 1/(60+rank) in exact
+    // nano units. FULL oracle re-derives both legs (the bm25 CTE
+    // chain + list_cosine_similarity) and the identical fusion.
+    "rank_fusion" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      val e = embeddings(s, dir).toNative
+      val sparse = Bm25.topK(docs, col("doc_id"), col("text"),
+          Seq("spark", "window", "merge"), Bm25.fit(docs, col("text")), n = 20)
+        .select(col("id"), col("rank"))
+      val probes = e.where(col("vec_id") === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val dense = Ann.topKBrute(e, col("vec_id"), col("embedding"), probes, k = 20)
+        .select(col("neighbor_id").as("id"), col("rank"))
+      RankFusion.fuseTopK(Seq(sparse, dense), n = 10)
+        .select(col("id").as("doc_id"), col("n_lists"), col("rrf_nano"), col("rank"))
+        .orderBy("rank")
+    },
+
+    // L53: logistic-regression quality classifier — the GPT-3-shaped
+    // corpus filter: DISTILL the Gopher rule gate into a smooth
+    // score (train = bounded-sample GD, deterministic pinned-order
+    // combine; score = one narrow sigmoid projection). PARTIAL
+    // oracle: Verify exports the trained weights (_aux/lr_model) and
+    // DuckDB rebuilds the exact integer-ratio features, the identical
+    // left-associative w·x chain, and the micro-quantized sigmoid.
+    "quality_lr" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      val labeled = docs.withColumn("_label",
+        TextFns.gopherFlags(col("text")).getField("keep"))
+      val m = LogReg.train(labeled, col("text"), col("_label"))
+      LogReg.score(docs, col("doc_id"), col("text"), m)
+        .select(col("id").as("doc_id"), col("score_micro"), col("keep"))
+        .orderBy("doc_id")
+    },
+
     // L23: SemDeDup-style semantic near-dup — k-means partition (the
     // ann_ivf coarse quantizer, identical training) + within-cluster
     // exact-cosine pairs. PARTIAL oracle like dedup_embedding: the
@@ -1569,6 +1633,15 @@ object SparkEntry {
       graft.operators.Pca.toFrame(
         graft.operators.Pca.train(e, col("embedding"), dim = 64, k = 8), s)
     },
+    // quality_lr upstream: the trained weights (identical
+    // deterministic re-train — same reads, same layout, pinned
+    // partition-index combine order).
+    "lr_model" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      val labeled = docs.withColumn("_label",
+        TextFns.gopherFlags(col("text")).getField("keep"))
+      LogReg.toFrame(LogReg.train(labeled, col("text"), col("_label")), s)
+    },
     // dedup_embedding upstream: sign-LSH candidate pairs (pre-verify).
     "emb_cand" -> { (s, dir) =>
       Dedup.embeddingCandidates(embeddings(s, dir).toNative,
@@ -1694,6 +1767,7 @@ object SparkEntry {
     "multimodal_phash" -> "phash_sigs",
     "dsir_weights"    -> "dsir_occ",
     "pca_project"     -> "pca_model",
+    "quality_lr"      -> "lr_model",
     "dedup_embedding" -> "emb_cand",
     "dedup_semantic"  -> "sem_cand",
     "sample_diverse"  -> "div_assign",
@@ -2551,6 +2625,78 @@ object SparkEntry {
         |FROM w
         |QUALIFY rank <= 3
         |ORDER BY doc_id, rank""".stripMargin,
+
+    // BM25: identical tokenization, the frozen integer avgdl, and the
+    // verbatim-mirrored left-associative weight arithmetic (idf ×
+    // saturation), micro-quantized per (doc, term) before the exact sum.
+    "bm25_score" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS toks FROM documents),
+        |st AS (SELECT count(*) AS nd, CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS ntk FROM tk),
+        |ad AS (SELECT CAST(round(1000000.0 * ntk / nd) AS BIGINT) AS adl FROM st),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tk) WHERE token IN ('spark', 'window', 'merge') GROUP BY 1),
+        |hit AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(list_filter(toks, t -> t IN ('spark', 'window', 'merge'))) AS token FROM tk),
+        |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM hit GROUP BY 1, 2, 3),
+        |w AS (SELECT t.doc_id, CAST(round(1000000.0 * (ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(d.dfc AS DOUBLE) + 0.5) / (CAST(d.dfc AS DOUBLE) + 0.5)) * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(t.dl AS DOUBLE) * 1000000.0 / CAST(ad.adl AS DOUBLE))))))) AS BIGINT) AS wm
+        |  FROM tf t JOIN dfq d USING (token), st, ad),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, CAST(sum(wm) AS BIGINT) AS bm25_micro FROM w GROUP BY 1)
+        |SELECT k.doc_id, CAST(coalesce(len(k.toks), 0) AS BIGINT) AS dl, coalesce(a.n_hits, 0) AS n_hits, coalesce(a.bm25_micro, 0) AS bm25_micro
+        |FROM tk k LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Same chain + the deterministic (score desc, id asc) top-5 cut.
+    "bm25_topk" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS toks FROM documents),
+        |st AS (SELECT count(*) AS nd, CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS ntk FROM tk),
+        |ad AS (SELECT CAST(round(1000000.0 * ntk / nd) AS BIGINT) AS adl FROM st),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tk) WHERE token IN ('spark', 'window', 'merge') GROUP BY 1),
+        |hit AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(list_filter(toks, t -> t IN ('spark', 'window', 'merge'))) AS token FROM tk),
+        |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM hit GROUP BY 1, 2, 3),
+        |w AS (SELECT t.doc_id, CAST(round(1000000.0 * (ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(d.dfc AS DOUBLE) + 0.5) / (CAST(d.dfc AS DOUBLE) + 0.5)) * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(t.dl AS DOUBLE) * 1000000.0 / CAST(ad.adl AS DOUBLE))))))) AS BIGINT) AS wm
+        |  FROM tf t JOIN dfq d USING (token), st, ad),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, CAST(sum(wm) AS BIGINT) AS bm25_micro FROM w GROUP BY 1),
+        |fl AS (SELECT k.doc_id, CAST(coalesce(len(k.toks), 0) AS BIGINT) AS dl, coalesce(a.n_hits, 0) AS n_hits, coalesce(a.bm25_micro, 0) AS bm25_micro
+        |  FROM tk k LEFT JOIN agg a USING (doc_id))
+        |SELECT doc_id, dl, n_hits, bm25_micro, CAST(row_number() OVER (ORDER BY bm25_micro DESC, doc_id) AS INTEGER) AS rank
+        |FROM fl QUALIFY rank <= 5 ORDER BY rank""".stripMargin,
+
+    // RRF: both legs re-derived (the bm25 chain + the ann_topk cosine
+    // shape around probe 0), fused by the identical nano-quantized
+    // 1/(60+rank) sum, ties by id.
+    "rank_fusion" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS toks FROM documents),
+        |st AS (SELECT count(*) AS nd, CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS ntk FROM tk),
+        |ad AS (SELECT CAST(round(1000000.0 * ntk / nd) AS BIGINT) AS adl FROM st),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tk) WHERE token IN ('spark', 'window', 'merge') GROUP BY 1),
+        |hit AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(list_filter(toks, t -> t IN ('spark', 'window', 'merge'))) AS token FROM tk),
+        |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM hit GROUP BY 1, 2, 3),
+        |w AS (SELECT t.doc_id, CAST(round(1000000.0 * (ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(d.dfc AS DOUBLE) + 0.5) / (CAST(d.dfc AS DOUBLE) + 0.5)) * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(t.dl AS DOUBLE) * 1000000.0 / CAST(ad.adl AS DOUBLE))))))) AS BIGINT) AS wm
+        |  FROM tf t JOIN dfq d USING (token), st, ad),
+        |agg AS (SELECT doc_id, CAST(sum(wm) AS BIGINT) AS bm25_micro FROM w GROUP BY 1),
+        |bfull AS (SELECT k.doc_id AS id, coalesce(a.bm25_micro, 0) AS bm25_micro FROM tk k LEFT JOIN agg a USING (doc_id)),
+        |b20 AS (SELECT id, CAST(row_number() OVER (ORDER BY bm25_micro DESC, id) AS INTEGER) AS rank FROM bfull QUALIFY rank <= 20),
+        |pv AS (SELECT CAST(embedding AS DOUBLE[]) AS pv FROM embeddings WHERE vec_id = 0),
+        |sims AS (SELECT e.vec_id AS id, round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6) AS sim FROM embeddings e, pv p WHERE e.vec_id <> 0),
+        |d20 AS (SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id) AS INTEGER) AS rank FROM sims QUALIFY rank <= 20),
+        |u AS (SELECT id, CAST(round(1000000000.0 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT) AS c FROM b20
+        |  UNION ALL SELECT id, CAST(round(1000000000.0 / (60.0 + CAST(rank AS DOUBLE))) AS BIGINT) AS c FROM d20),
+        |f AS (SELECT id, CAST(count(*) AS BIGINT) AS n_lists, CAST(sum(c) AS BIGINT) AS rrf_nano FROM u GROUP BY 1)
+        |SELECT id AS doc_id, n_lists, rrf_nano, CAST(row_number() OVER (ORDER BY rrf_nano DESC, id) AS INTEGER) AS rank
+        |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
+    // Quality LR (partial, over _aux/lr_model): exact integer-ratio
+    // features, the identical left-associative w·x chain, and the
+    // micro-quantized sigmoid; keep derives from the quantum.
+    "quality_lr" ->
+      """WITH wt AS (SELECT i, w FROM '{AUX}/lr_model/*.parquet'),
+        |tk AS (SELECT doc_id, text, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
+        |f AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(norm, ' '), t -> t <> '')) AS BIGINT) AS nt,
+        |    length(text) AS nc, length(norm) AS nn FROM tk),
+        |x AS (SELECT doc_id, CAST(nt AS DOUBLE) / 100.0 AS x1, CAST(nc AS DOUBLE) / 1000.0 AS x2,
+        |    CASE WHEN nt > 0 THEN CAST(nn - (nt - 1) AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0 END AS x3 FROM f),
+        |z AS (SELECT doc_id,
+        |    ((((SELECT w FROM wt WHERE i = 0) * 1.0 + (SELECT w FROM wt WHERE i = 1) * x1) + (SELECT w FROM wt WHERE i = 2) * x2) + (SELECT w FROM wt WHERE i = 3) * x3) AS z FROM x),
+        |s AS (SELECT doc_id, CAST(round(1000000.0 * (1.0 / (1.0 + exp(-z)))) AS BIGINT) AS score_micro FROM z)
+        |SELECT doc_id, score_micro, coalesce(score_micro >= 500000, false) AS keep FROM s ORDER BY doc_id""".stripMargin,
 
     "asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Okapi BM25 ranking (SURVEY §2.5 L51) — the standard sparse-retrieval
+  * score (Robertson & Spärck Jones; the probabilistic-relevance BM25 of
+  * Robertson et al., TREC-3 1994; Lucene's default since 6.0) used in
+  * pipeline practice for keyword retrieval over a corpus, seed-document
+  * expansion, and the sparse leg of hybrid (sparse+dense) retrieval —
+  * [[RankFusion]] fuses this with the [[Ann]] cosine leg.
+  *
+  * Model: the non-negative idf `ln(1 + (N − df + 0.5)/(df + 0.5))`
+  * (Lucene's variant — never negative for df ≤ N) with the classic
+  * saturation `tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))`. As with
+  * [[TfIdf]]/[[NgramLM]], every per-(doc, term) weight is quantized to
+  * integer MICRO-units (`round(w·1e6)` BIGINT) BEFORE the per-doc sum,
+  * so scores are exact, order-free, and engine-reproducible; `avgdl`
+  * itself is frozen at fit time as integer micro-tokens
+  * (`avgDlMicro`), so both engines divide the same exact scalar.
+  * Every double expression is written in one fixed left-associative
+  * order, mirrored verbatim by the SQL oracle. Tokenization is the
+  * module contract ([[NgramLM.tokens]]).
+  *
+  * Scale shape (100 TB): fit is ONE corpus scan — each doc explodes
+  * its DISTINCT tokens (tagged `d`, the df stream) plus ONE stats row
+  * (tagged `s`, carrying its length) into a single map-side-combined
+  * word-count (the [[NgramLM.fitBigram]] one-scan discipline; the `s`
+  * key is hot but combines to one row per task). Scoring filters the
+  * token stream to the query terms IN THE ROW (narrow) before
+  * anything shuffles — only hit occurrences reach the two map-side-
+  * combined exchanges ((doc, term) tf, then the per-doc sum); the
+  * corpus text itself never shuffles. The |query|-row df slice rides
+  * a broadcast. [[topK]] is scoring + `TakeOrderedAndProject`
+  * (per-partition partial top-k, never a global sort). */
+object Bm25 {
+
+  /** Fitted model: `docFreq` = (token, df) with df = distinct docs
+    * containing the token; `nDocs` = ALL docs in the fit split
+    * (token-less included — they are part of the collection);
+    * `avgDlMicro` = round(1e6·totalTokens/nDocs) as the frozen
+    * integer scalar both engines normalize lengths against. */
+  final case class Bm25Model(docFreq: DataFrame, nDocs: Long, avgDlMicro: Long)
+
+  /** Null-safe token array: NULL text → empty array (the doc still
+    * counts toward N and contributes dl = 0 to avgdl). */
+  private def toksOrEmpty(text: Column): Column =
+    coalesce(NgramLM.tokens(text), typedLit(Seq.empty[String]))
+
+  /** Fit document frequencies AND the length stats from ONE corpus
+    * scan: per doc, the distinct tokens (tag `d`) and one `s` row
+    * carrying dl explode into a single tagged stream feeding one
+    * map-side-combined aggregate; only the vocab-sized count table
+    * persists (drained at the flow's job boundary). */
+  def fit(df: DataFrame, text: Column): Bm25Model = {
+    val toked = df.select(toksOrEmpty(text).as("_toks"))
+    val counts = graft.InternalCaches.register(toked
+      .select(explode(concat(
+        transform(array_distinct(col("_toks")),
+          t => struct(lit("d").as("tag"), t.as("gram"), lit(1L).as("w"))),
+        array(struct(lit("s").as("tag"), lit("").as("gram"),
+          size(col("_toks")).cast("long").as("w")))
+      )).as("_tg"))
+      .groupBy(col("_tg.tag").as("tag"), col("_tg.gram").as("gram"))
+      .agg(count(lit(1)).as("cnt"), sum(col("_tg.w")).as("wsum"))
+      .persist())
+    val docFreq = counts.where(col("tag") === "d")
+      .select(col("gram").as("token"), col("cnt").as("df"))
+    val stats = counts.where(col("tag") === "s")
+      .select(col("cnt"), col("wsum")).head()
+    val (nDocs, totalTokens) = (stats.getLong(0), stats.getLong(1))
+    require(nDocs > 0, "BM25 fit needs at least one document")
+    require(totalTokens > 0, "BM25 fit needs at least one token in the corpus")
+    // identical op order to the SQL mirror: (1e6 * nt) / nd, half-up
+    Bm25Model(docFreq, nDocs, math.round(1000000.0 * totalTokens / nDocs))
+  }
+
+  /** The per-(doc, term) BM25 weight in integer micro-units. Fixed
+    * left-associative double arithmetic — the SQL mirror is
+    * `CAST(round(1000000.0 * (ln(1.0 + (nd - dfc + 0.5)/(dfc + 0.5))
+    * * (tf*(1.2 + 1.0)) / (tf + 1.2*((1.0 - 0.75) + 0.75*(dl *
+    * 1000000.0 / adl))))) AS BIGINT)` with dfc/tf/dl/adl cast to
+    * DOUBLE. OOV terms (df absent) take df = 0. */
+  private def weightMicro(
+      tf: Column, dfc: Column, dl: Column,
+      nDocs: Long, avgDlMicro: Long, k1: Double, b: Double): Column = {
+    val dfd  = dfc.cast("double")
+    val tfd  = tf.cast("double")
+    val idf  = log(lit(1.0) + (lit(nDocs.toDouble) - dfd + lit(0.5)) / (dfd + lit(0.5)))
+    val norm = lit(k1) * ((lit(1.0) - lit(b)) +
+      lit(b) * (dl.cast("double") * lit(1000000.0) / lit(avgDlMicro.toDouble)))
+    val sat  = tfd * (lit(k1) + lit(1.0)) / (tfd + norm)
+    round(lit(1000000.0) * (idf * sat), 0).cast("long")
+  }
+
+  /** Score every doc against `query`: `(id, dl, n_hits, bm25_micro)`
+    * where `n_hits` = distinct query terms present and `bm25_micro` =
+    * Σ_terms weightMicro (0 for docs matching nothing — every doc
+    * gets a row). The in-row `isin` filter drops non-query tokens
+    * before the explode output reaches any exchange; `explode_outer`
+    * over the filtered array keeps zero-hit docs on one placeholder
+    * row each. */
+  def score(
+      df: DataFrame, id: Column, text: Column, query: Seq[String],
+      model: Bm25Model, k1: Double = 1.2, b: Double = 0.75,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(query.nonEmpty, "BM25 needs at least one query term")
+    val qdf = model.docFreq.where(col("token").isin(query: _*))
+    val vocab = if (broadcastModel) broadcast(qdf) else qdf
+    df.select(id.as("id"), toksOrEmpty(text).as("_toks"))
+      .select(col("id"), size(col("_toks")).cast("long").as("dl"),
+        explode_outer(filter(col("_toks"), t => t.isin(query: _*))).as("token"))
+      .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
+      .join(vocab, Seq("token"), "left")
+      .groupBy("id", "dl")
+      .agg(
+        count(when(col("token").isNotNull, lit(1))).as("n_hits"),
+        coalesce(sum(when(col("token").isNotNull,
+          weightMicro(col("tf"), coalesce(col("df"), lit(0L)), col("dl"),
+            model.nDocs, model.avgDlMicro, k1, b))), lit(0L))
+          .as("bm25_micro"))
+  }
+
+  /** Top-`n` docs for `query` by `(bm25_micro desc, id asc)` —
+    * deterministic cut, executed as `TakeOrderedAndProject` (partial
+    * per-partition top-n, combined on the driver; never a global
+    * sort). Zero-score docs compete too (BM25's contract: they rank
+    * last). Returns `(id, dl, n_hits, bm25_micro, rank)`. */
+  def topK(
+      df: DataFrame, id: Column, text: Column, query: Seq[String],
+      model: Bm25Model, n: Int, k1: Double = 1.2, b: Double = 0.75,
+      broadcastModel: Boolean = true): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val cut = score(df, id, text, query, model, k1, b, broadcastModel)
+      .orderBy(col("bm25_micro").desc, col("id").asc)
+      .limit(n)
+    // rank over the n surviving rows only (bounded, single tiny task)
+    cut.withColumn("rank",
+      row_number().over(Window.orderBy(col("bm25_micro").desc, col("id").asc)).cast("int"))
+  }
+
+  /** Persist a fitted model (the [[TfIdf.save]] shape): df table +
+    * one-row params. The loaded `docFreq` stays a LAZY scan. */
+  def save(model: Bm25Model, path: String): Unit = {
+    model.docFreq.write.mode("overwrite").parquet(s"$path/df")
+    val spark = model.docFreq.sparkSession
+    import spark.implicits._
+    Seq((model.nDocs, model.avgDlMicro)).toDF("n_docs", "avgdl_micro")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Load a model saved by [[save]] (params read BY NAME). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Model = {
+    val p = spark.read.parquet(s"$path/params").select("n_docs", "avgdl_micro").head()
+    Bm25Model(spark.read.parquet(s"$path/df"), p.getLong(0), p.getLong(1))
+  }
+}
+
+/** Reciprocal-rank fusion (SURVEY §2.5 L52) — Cormack, Clarke &
+  * Büttcher 2009 (SIGIR): fuse several rankings of the same id space
+  * by `Σ_lists 1/(κ + rank)`, the standard way hybrid retrieval
+  * combines the sparse ([[Bm25]]) and dense ([[Ann]] cosine) legs
+  * without score calibration — only RANKS cross lists, so the legs'
+  * score scales never need reconciling.
+  *
+  * Each list's contribution is quantized to integer NANO-units
+  * (`round(1e9/(κ + rank))` BIGINT — rank and κ are exact integers,
+  * so both engines divide the same values) and summed exactly; ties
+  * in the fused score break by id ascending.
+  *
+  * Scale shape: a union of (id, rank) lists → ONE map-side-combined
+  * groupBy(id). [[fuse]] returns the scored set un-ranked (callers
+  * compose: filter, join, further fusion); [[fuseTopK]] adds the
+  * deterministic top-n cut via `TakeOrderedAndProject` + a rank
+  * window over the n survivors only — never a global sort or an
+  * unbounded window. */
+object RankFusion {
+
+  /** Fuse rankings (each `(id, rank)`, rank 1-based): returns
+    * `(id, n_lists, rrf_nano)` — `n_lists` = lists the id appeared
+    * in, `rrf_nano` = Σ round(1e9/(κ + rank)). */
+  def fuse(rankings: Seq[DataFrame], kappa: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kappa >= 0, s"kappa must be non-negative, got $kappa")
+    val contrib = round(lit(1.0E9) / (lit(kappa.toDouble) + col("rank").cast("double")), 0)
+      .cast("long")
+    rankings
+      .map(_.select(col("id"), contrib.as("_c")))
+      .reduce(_.union(_))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lists"), sum(col("_c")).as("rrf_nano"))
+  }
+
+  /** [[fuse]] + the deterministic top-`n` cut
+    * (`rrf_nano desc, id asc`): `(id, n_lists, rrf_nano, rank)`. */
+  def fuseTopK(rankings: Seq[DataFrame], n: Int, kappa: Int = 60): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    fuse(rankings, kappa)
+      .orderBy(col("rrf_nano").desc, col("id").asc)
+      .limit(n)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf_nano").desc, col("id").asc)).cast("int"))
+  }
+}

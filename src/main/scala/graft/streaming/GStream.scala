@@ -208,6 +208,22 @@ object GStream {
       .where(col(s"$structCol.keep"))
   }
 
+  /** ST7 — the L53 quality-classifier score attached to a stream:
+    * [[graft.operators.LogReg.score]] is one narrow stateless
+    * projection (exact-ratio features + a sigmoid — no join, no
+    * shuffle, no state), so a model TRAINED on a static labeled
+    * reference frame (the published fit-once-score-everything
+    * classifier contract) scores an unbounded document stream with
+    * micro-batch results byte-identical to the batch operator on the
+    * same rows. Re-training requires restarting the query — the
+    * model rides the plan, the [[decontamStream]] caveat. */
+  def qualityScoreStream(
+      docs: DataFrame, id: Column, text: Column,
+      model: graft.operators.LrModel): DataFrame = {
+    require(docs.isStreaming, "qualityScoreStream expects a streaming DataFrame")
+    graft.operators.LogReg.score(docs, id, text, model)
+  }
+
   // ------------------------------------------------------------- ST2
   /** Input row for sessionization. */
   final case class SEvent(user_id: Long, ts: Timestamp, event_type: String)

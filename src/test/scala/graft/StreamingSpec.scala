@@ -151,6 +151,36 @@ class StreamingSpec extends SparkSpec {
     assert(got == Map(1L -> 0, 2L -> 1))
   }
 
+  test("ST7: streaming quality-LR score == batch score bit-for-bit across micro-batches") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.LogReg
+    import spark.implicits._
+    // model trained on a STATIC labeled reference frame at build time
+    val ref = ((1L to 20L).map(i =>
+      (i, Array.fill(15)("the quick brown fox and that dog").mkString(" "), true)) ++
+      (21L to 40L).map(i => (i, s"tiny $i", false))).toDF("doc_id", "text", "label")
+    val model = LogReg.train(ref, col("text"), col("label"))
+    val docs = (1L to 30L).map(i =>
+      if (i % 2 == 0) Doc(i, Array.fill(20)("plenty of good words here").mkString(" "))
+      else Doc(i, s"tiny $i"))
+    val input = MemoryStream(Encoders.product[Doc], spark)
+    val scored = graft.streaming.GStream.qualityScoreStream(
+      input.toDF(), col("doc_id"), col("text"), model)
+    val q = scored.writeStream
+      .format("memory").queryName("st7_score_out").outputMode("append").start()
+    try {
+      input.addData(docs.take(15)); q.processAllAvailable()
+      input.addData(docs.drop(15)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("st7_score_out")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val batch = LogReg.score(docs.toDF(), col("doc_id"), col("text"), model)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the long docs clear the threshold, the tiny ones don't
+    assert(streamed.forall { case (id, _, keep) => keep == (id % 2 == 0) })
+  }
+
   test("ST6: streaming C4 cleaning == batch keep with rewritten text across micro-batches") {
     import org.apache.spark.sql.functions.col
     import graft.functions.TextFns
