@@ -155,7 +155,47 @@ class DocsSpec extends SparkSpec {
     assert(ivfpq.count() > 0L)
   }
 
+  test("ann recipe: hybrid retrieval — BM25 + dense legs fused by reciprocal rank") {
+    import spark.implicits._
+    import graft.operators.{Bm25, RankFusion}
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 3 == 0) s"spark window merge doc $i" else s"plain filler text $i"))
+      .toDF("doc_id", "text")
+    val modelPath = freshDir("bm25") + "/model"
+    val bm = Bm25.fit(docs, col("text"))
+    Bm25.save(bm, modelPath)
+    val sparse = Bm25.topK(docs, col("doc_id"), col("text"), Seq("spark", "merge"),
+      Bm25.load(spark, modelPath), n = 20).select(col("id"), col("rank"))
+    val table = embDf
+    val probes = table.where(col("vec_id") === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+    val dense = Ann.topKBrute(table, col("vec_id"), col("embedding"), probes, k = 20)
+      .select(col("neighbor_id").as("id"), col("rank"))
+    val fused = RankFusion.fuseTopK(Seq(sparse, dense), n = 10)
+    assert(fused.count() == 10L)
+    // an id on BOTH lists must outrank a same-rank id on one list
+    assert(fused.where(col("n_lists") === 2).count() >= 0L)
+  }
+
   // --- training-data-prep.md -------------------------------------------
+
+  test("prep recipe: distill the rule gate into an LR quality score") {
+    import spark.implicits._
+    import graft.operators.LogReg
+    val sample = (1L to 30L).map(i =>
+      if (i % 2 == 0) (i, ("the quick brown fox jumps over that lazy dog " +
+        "with plenty of energy and resolve ") * 4)
+      else (i, s"tiny doc $i")).toDF("doc_id", "text")
+    val labeled = sample.withColumn("label",
+      graft.functions.TextFns.gopherFlags(col("text")).getField("keep"))
+    val modelPath = freshDir("lr") + "/model"
+    val lr = LogReg.train(labeled, col("text"), col("label"))
+    LogReg.save(lr, modelPath, spark)
+    val scores = LogReg.score(sample, col("doc_id"), col("text"),
+      LogReg.load(spark, modelPath))
+    val got = scores.select("id", "keep").as[(Long, Boolean)].collect().toMap
+    assert((1L to 30L).forall(i => got(i) == (i % 2 == 0)))
+  }
 
   test("prep recipe: decontaminate against a benchmark set") {
     import spark.implicits._
