@@ -1412,6 +1412,46 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L54: HTML→text extraction — the pre-gate step every web corpus
+    // pays; documents carry plain text, so the gate synthesizes a
+    // full page around each doc (title/style/script/comment/entities
+    // — the url_canon synthetic-input precedent) and extracts it
+    // back. FULL oracle: identical page construction, the identical
+    // strip/decode chain (RE2∩Java patterns, mirrored options), and
+    // the module word count over the extraction.
+    "html_text" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      val did = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), did,
+        lit("</title><style>p{color:red}</style>" +
+          "<script>if (1 < 2) { x(); }</script></head><body><!-- id "), did,
+        lit(" --><h1>Doc &amp; "), did,
+        lit("</h1><p class=\"main\">"), col("text"),
+        lit("&nbsp;&lt;end&gt;</p></body></html>"))
+      docs.select(col("doc_id"), TextFns.htmlToText(html).as("text_plain"))
+        .withColumn("n_words", TextFns.wordCount(col("text_plain")).cast("long"))
+        .orderBy("doc_id")
+    },
+
+    // L54 (links): href extraction in document order — the link-graph
+    // side of web-corpus prep, composing with the L30 URL hygiene.
+    // Page synthesized around the L30 synthetic URL (one absolute
+    // full-surface link + one relative, attribute noise, case/space
+    // variance). FULL oracle: identical construction + extraction.
+    "html_links" -> { (s, dir) =>
+      import org.apache.spark.sql.functions.posexplode
+      val html = concat(
+        lit("<html><body><a href=\""), synthUrl,
+        lit("\">one</a><p>no links here</p><a class=\"x\" HREF = \"/about/"),
+        col("doc_id").cast("string"), lit("\">two</a></body></html>"))
+      documents(s, dir).toNative
+        .select(col("doc_id"), TextFns.htmlLinks(html).as("_links"))
+        .select(col("doc_id"), posexplode(col("_links")).as(Seq("pos", "link")))
+        .select(col("doc_id"), col("pos").cast("int").as("pos"), col("link"))
+        .orderBy("doc_id", "pos")
+    },
+
     // L23: SemDeDup-style semantic near-dup — k-means partition (the
     // ann_ivf coarse quantizer, identical training) + within-cluster
     // exact-cosine pairs. PARTIAL oracle like dedup_embedding: the
@@ -2681,6 +2721,51 @@ object SparkEntry {
         |f AS (SELECT id, CAST(count(*) AS BIGINT) AS n_lists, CAST(sum(c) AS BIGINT) AS rrf_nano FROM u GROUP BY 1)
         |SELECT id AS doc_id, n_lists, rrf_nano, CAST(row_number() OVER (ORDER BY rrf_nano DESC, id) AS INTEGER) AS rank
         |FROM f QUALIFY rank <= 10 ORDER BY rank""".stripMargin,
+
+    // HTML extraction: identical synthetic page, identical strip/decode
+    // chain (script/style dotall-insensitive, comments, tags, entities
+    // with &amp; last), identical word count.
+    "html_text" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><style>p{color:red}</style><script>if (1 < 2) { x(); }</script></head><body><!-- id ' || CAST(doc_id AS VARCHAR) || ' --><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) || '</h1><p class="main">' || text || '&nbsp;&lt;end&gt;</p></body></html>' AS html
+        |  FROM documents),
+        |x AS (SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'gis'),
+        |      '<!--.*?-->', ' ', 'gs'),
+        |      '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'),
+        |      '&apos;', '''', 'g'),
+        |      '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS text_plain FROM h)
+        |SELECT doc_id, text_plain,
+        |  CAST(CASE WHEN trim(text_plain) = '' THEN 0
+        |    ELSE len(string_split(lower(trim(regexp_replace(text_plain, '\s+', ' ', 'g'))), ' ')) END AS BIGINT) AS n_words
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    // Link extraction: identical synthetic page around the url_canon
+    // synthetic URL, identical capture-group extraction, 0-based
+    // document order.
+    "html_links" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  (CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTP://' ELSE 'Https://' END)
+        |  || 'User@WWW.' || source
+        |  || (CASE WHEN doc_id % 2 = 0 THEN '.CO.UK' ELSE '.COM' END)
+        |  || (CASE doc_id % 3 WHEN 0 THEN ':443' WHEN 1 THEN ':80' ELSE ':8080' END)
+        |  || '/Docs/' || CAST(doc_id AS VARCHAR)
+        |  || (CASE WHEN doc_id % 2 = 1 THEN '?b=2&utm_source=x&a=1&ref=abc' ELSE '?fbclid=1' END)
+        |  || (CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END) AS url FROM documents),
+        |h AS (SELECT doc_id,
+        |  '<html><body><a href="' || url || '">one</a><p>no links here</p><a class="x" HREF = "/about/' || CAST(doc_id AS VARCHAR) || '">two</a></body></html>' AS html
+        |  FROM u),
+        |x AS (SELECT doc_id, regexp_extract_all(html, 'href\s*=\s*"([^"]*)"', 1, 'i') AS links FROM h)
+        |SELECT doc_id, CAST(i.i - 1 AS INTEGER) AS pos, links[i.i] AS link
+        |FROM x, unnest(range(1, len(links) + 1)) AS i(i)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // Quality LR (partial, over _aux/lr_model): exact integer-ratio
     // features, the identical left-associative w·x chain, and the

@@ -305,6 +305,57 @@ object TextFns {
     * expressions — the 100 TB gate never leaves the scan's codegen
     * span, and only line counts + booleans (plus the rewritten text)
     * cross the gate. */
+  // --------------------------------------------------------------- L54
+  /** Dependency-free HTML→text extraction — the step every web corpus
+    * pays BEFORE any text gate runs (the published pipelines start
+    * from WARC/WET HTML: C4 arXiv:1910.10683 §2.2 "extracted text";
+    * RefinedWeb arXiv:2306.01116 §3.2 runs trafilatura). This is the
+    * deterministic rule-based core of that step, with an exact SQL
+    * mirror (a full content-extraction heuristic like trafilatura has
+    * no cross-engine oracle and carries a dependency):
+    *
+    *  1. `<script…>…</script>` / `<style…>…</style>` blocks drop
+    *     whole (case-insensitive, non-greedy, dot-matches-newline) —
+    *     their CONTENT is code, never text;
+    *  2. `<!-- … -->` comments drop;
+    *  3. every remaining `<…>` tag → one space (block structure
+    *     survives as whitespace, inline tags don't glue words);
+    *  4. the common entities decode literally — `&nbsp;`→space,
+    *     `&lt; &gt; &quot; &#39; &apos;` → `< > " ' '` — and `&amp;`
+    *     → `&` LAST, so double-escaped text single-unescapes
+    *     (`&amp;lt;` → `&lt;`, the correct one-level decode);
+    *     entity names are case-sensitive (documented subset);
+    *  5. whitespace collapses to single spaces, trimmed.
+    *
+    * NULL → NULL. One narrow regexp/replace chain — the 100 TB
+    * extraction pass never leaves the scan's codegen span. Patterns
+    * are Java∩RE2 (no backrefs, no \\b), so DuckDB mirrors them
+    * verbatim with `'gis'/'gs'/'g'` options. */
+  def htmlToText(c: Column): Column = {
+    val noScript = regexp_replace(c,
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    // entity strings are regex-metachar-free, so regexp_replace is an
+    // exact literal replace in BOTH engines; &amp; must decode last
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Outbound links of an HTML page: every double-quoted `href`
+    * attribute value, in document order (`href = "…"`,
+    * case-insensitive, whitespace around `=` tolerated; unquoted and
+    * single-quoted hrefs are out of the documented subset). The
+    * companion of [[htmlToText]] for the link-graph/URL-hygiene side
+    * of web-corpus prep — feed [[graft.functions.UrlFns]]. NULL →
+    * NULL, no links → empty array. One narrow `regexp_extract_all`
+    * (Java∩RE2), SQL mirror `regexp_extract_all(c, pat, 1)`. */
+  def htmlLinks(c: Column): Column =
+    regexp_extract_all(c, lit("(?i)href\\s*=\\s*\"([^\"]*)\""), lit(1))
+
   def c4Clean(
       c: Column, minLineWords: Int = 3, minSentences: Int = 5,
       blockedPhrases: Seq[String] = Nil): Column = {

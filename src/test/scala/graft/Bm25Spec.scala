@@ -132,4 +132,15 @@ class Bm25Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("plan: the top-k cuts are TakeOrderedAndProject, never a global sort") {
+    val m = Bm25.fit(docs, col("text"))
+    val pTop = Bm25.topK(docs, col("doc_id"), col("text"), Seq("cat"), m, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(pTop.contains("TakeOrderedAndProject"), pTop)
+    val l = (1L to 50L).map(i => (i, i.toInt)).toDF("id", "rank")
+    val pFuse = RankFusion.fuseTopK(Seq(l), n = 2)
+      .queryExecution.executedPlan.toString
+    assert(pFuse.contains("TakeOrderedAndProject"), pFuse)
+  }
 }

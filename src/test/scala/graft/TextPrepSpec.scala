@@ -324,4 +324,61 @@ class TextPrepSpec extends SparkSpec {
     assert(out == Seq(
       (1L, 0, 2, 0L), (big, 0, 2, 0L), (big, 1, 2, 1L), (big, 2, 1, 1L)))
   }
+
+  test("htmlToText: script/style/comment stripping, tags to spaces, one-level entities") {
+    import spark.implicits._
+    val cases = Seq(
+      // script content with a raw '<' inside; case-insensitive close tag
+      (1L, "<p>keep</p><script>var x = 1 < 2;</SCRIPT><p>too</p>", "keep too"),
+      // style + multi-line comment spanning newlines
+      (2L, "<style>p{color:red}</style>a<!-- drop\nme -->b", "a b"),
+      // attribute-bearing and inline tags become single spaces
+      (3L, "<div class=\"x\">one<b>two</b> three</div>", "one two three"),
+      // entities: one-level decode, &amp; last; unknown entities survive
+      (4L, "a&nbsp;b &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp;lt; &bogus;",
+        "a b <tag> \"q\" 's' &lt; &bogus;"),
+      // whitespace collapse + trim
+      (5L, "  <br>  spaced \n out  <hr/>  ", "spaced out"),
+      (6L, null.asInstanceOf[String], null),
+      (7L, "", ""))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "html")
+      .select(col("id"), graft.functions.TextFns.htmlToText(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, _, want) <- cases) assert(got(id) == want, s"case $id: ${got(id)}")
+  }
+
+  test("htmlLinks: double-quoted hrefs in order; case/space tolerant; NULL and no-link edges") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "<a href=\"http://a.com/x\">a</a> <link HREF = \"https://b.org\">",
+        Seq("http://a.com/x", "https://b.org")),
+      (2L, "<a href='single-quoted.com'>out of subset</a><p>none</p>", Seq()),
+      (3L, null.asInstanceOf[String], null),
+      (4L, "", Seq()))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "html")
+      .select(col("id"), graft.functions.TextFns.htmlLinks(col("html")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(got(1L) == Seq("http://a.com/x", "https://b.org"))
+    assert(got(2L) == Seq() && got(4L) == Seq())
+    assert(got(3L) == null)
+    // composition: extracted links feed the URL hygiene ops
+    val canon = Seq((1L, "<a href=\"HTTP://A.com:80/p?utm_source=x\">z</a>"))
+      .toDF("id", "html")
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFns.htmlLinks(col("html"))).as("url"))
+      .select(graft.functions.UrlFns.canonicalizeUrl(col("url")).as("c"))
+      .as[String].head()
+    assert(canon == "http://a.com/p")
+  }
+
+  test("htmlToText composes with the text gates: extract, then word count / c4") {
+    import spark.implicits._
+    val df = Seq((1L, "<html><body><p>The quick brown fox jumps here.</p>" +
+      "<script>skip()</script></body></html>")).toDF("doc_id", "html")
+    val out = df.select(
+        graft.functions.TextFns.wordCount(
+          graft.functions.TextFns.htmlToText(col("html"))).as("n"))
+      .as[Int].head()
+    assert(out == 6)
+  }
 }
