@@ -350,25 +350,25 @@ class TextPrepSpec extends SparkSpec {
   test("htmlLinks: double-quoted hrefs in order; case/space tolerant; NULL and no-link edges") {
     import spark.implicits._
     val cases = Seq(
-      (1L, "<a href=\"http://a.com/x\">a</a> <link HREF = \"https://b.org\">",
-        Seq("http://a.com/x", "https://b.org")),
-      (2L, "<a href='single-quoted.com'>out of subset</a><p>none</p>", Seq()),
+      (1L, "<a href=\"http://example.com/x\">a</a> <link HREF = \"https://sub.example.com/y\">",
+        Seq("http://example.com/x", "https://sub.example.com/y")),
+      (2L, "<a href='single-quoted'>out of subset</a><p>none</p>", Seq()),
       (3L, null.asInstanceOf[String], null),
       (4L, "", Seq()))
     val got = cases.map(c => (c._1, c._2)).toDF("id", "html")
       .select(col("id"), graft.functions.TextFns.htmlLinks(col("html")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    assert(got(1L) == Seq("http://a.com/x", "https://b.org"))
+    assert(got(1L) == Seq("http://example.com/x", "https://sub.example.com/y"))
     assert(got(2L) == Seq() && got(4L) == Seq())
     assert(got(3L) == null)
     // composition: extracted links feed the URL hygiene ops
-    val canon = Seq((1L, "<a href=\"HTTP://A.com:80/p?utm_source=x\">z</a>"))
+    val canon = Seq((1L, "<a href=\"HTTP://EXAMPLE.com:80/p?utm_source=x\">z</a>"))
       .toDF("id", "html")
       .select(org.apache.spark.sql.functions.explode(
         graft.functions.TextFns.htmlLinks(col("html"))).as("url"))
       .select(graft.functions.UrlFns.canonicalizeUrl(col("url")).as("c"))
       .as[String].head()
-    assert(canon == "http://a.com/p")
+    assert(canon == "http://example.com/p")
   }
 
   test("htmlToText composes with the text gates: extract, then word count / c4") {
