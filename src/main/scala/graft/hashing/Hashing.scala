@@ -398,3 +398,32 @@ object SimHashUtil {
     out
   }
 }
+
+/** Token-set membership kernel for the retrieval operators
+  * ([[graft.operators.Bm25]] score): filter a token array to the
+  * elements of a fixed keep-set in ONE tight pass, preserving
+  * duplicates and order (term frequency must survive, so
+  * `array_intersect` — which dedups — cannot express this). The
+  * lambda form (`filter(toks, t => t.isin(query: _*))`) evaluates an
+  * INTERPRETED predicate per token with an O(|query|) scan per call —
+  * on the one full-corpus scan BM25 scoring pays, that is a measured
+  * CPU tax; here it is one hash-set probe per token inside codegen. */
+object TokenSetUtil {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Elements of `tokens` present in `set` (duplicates kept, order
+    * kept; null elements never match). */
+  def keep(tokens: ArrayData, set: java.util.HashSet[UTF8String]): ArrayData = {
+    val n = tokens.numElements()
+    val buf = new java.util.ArrayList[Any](math.min(n, 16))
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        if (set.contains(t)) buf.add(t)
+      }
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+}

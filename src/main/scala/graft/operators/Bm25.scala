@@ -66,10 +66,12 @@ object Bm25 {
       .persist())
     val docFreq = counts.where(col("tag") === "d")
       .select(col("gram").as("token"), col("cnt").as("df"))
+    // an empty corpus has no `s` row at all — headOption, so the
+    // caller sees the intended message, not head()'s NoSuchElement
     val stats = counts.where(col("tag") === "s")
-      .select(col("cnt"), col("wsum")).head()
-    val (nDocs, totalTokens) = (stats.getLong(0), stats.getLong(1))
-    require(nDocs > 0, "BM25 fit needs at least one document")
+      .select(col("cnt"), col("wsum")).collect().headOption
+    require(stats.nonEmpty, "BM25 fit needs at least one document")
+    val (nDocs, totalTokens) = (stats.get.getLong(0), stats.get.getLong(1))
     require(totalTokens > 0, "BM25 fit needs at least one token in the corpus")
     // identical op order to the SQL mirror: (1e6 * nt) / nd, half-up
     Bm25Model(docFreq, nDocs, math.round(1000000.0 * totalTokens / nDocs))
@@ -93,23 +95,41 @@ object Bm25 {
     round(lit(1000000.0) * (idf * sat), 0).cast("long")
   }
 
+  /** Query terms normalized through the same contract the corpus
+    * tokens passed (trim + lowercase; blanks out, duplicates
+    * collapsed — a repeated query term never contributed twice, the
+    * df join is by distinct token). Terms containing whitespace can
+    * never match a single token and are the caller's bug to fix. */
+  private def normQuery(query: Seq[String]): Seq[String] =
+    query.iterator
+      .map(t => if (t == null) "" else t.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).toSeq.distinct
+
   /** Score every doc against `query`: `(id, dl, n_hits, bm25_micro)`
     * where `n_hits` = distinct query terms present and `bm25_micro` =
     * Σ_terms weightMicro (0 for docs matching nothing — every doc
-    * gets a row). The in-row `isin` filter drops non-query tokens
-    * before the explode output reaches any exchange; `explode_outer`
-    * over the filtered array keeps zero-hit docs on one placeholder
-    * row each. */
+    * gets a row). Query terms pass [[normQuery]], so a caller's
+    * mixed-case term matches the lowercased corpus tokens. The in-row
+    * keep-set filter ([[org.apache.spark.sql.graftexpr.KeepTokensExpr]]
+    * — one codegen'd hash-set probe per token, never an interpreted
+    * per-token lambda) drops non-query tokens before the explode
+    * output reaches any exchange; `explode_outer` over the filtered
+    * array keeps zero-hit docs on one placeholder row each. */
   def score(
       df: DataFrame, id: Column, text: Column, query: Seq[String],
       model: Bm25Model, k1: Double = 1.2, b: Double = 0.75,
       broadcastModel: Boolean = true): DataFrame = {
-    require(query.nonEmpty, "BM25 needs at least one query term")
-    val qdf = model.docFreq.where(col("token").isin(query: _*))
+    val qn = normQuery(query)
+    require(qn.nonEmpty, "BM25 needs at least one non-blank query term")
+    val qdf = model.docFreq.where(col("token").isin(qn: _*))
     val vocab = if (broadcastModel) broadcast(qdf) else qdf
+    import org.apache.spark.sql.graftbridge.Bridge
+    val kept = Bridge.column(
+      org.apache.spark.sql.graftexpr.KeepTokensExpr(
+        Bridge.expr(col("_toks")), qn))
     df.select(id.as("id"), toksOrEmpty(text).as("_toks"))
       .select(col("id"), size(col("_toks")).cast("long").as("dl"),
-        explode_outer(filter(col("_toks"), t => t.isin(query: _*))).as("token"))
+        explode_outer(kept).as("token"))
       .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
       .join(vocab, Seq("token"), "left")
       .groupBy("id", "dl")

@@ -345,3 +345,38 @@ final case class SimHash64Expr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
 }
+
+/** Keep-set token filter — [[graft.hashing.TokenSetUtil.keep]] as a
+  * codegen'd expression: filters a string array to the members of a
+  * fixed set (duplicates and order preserved — term frequencies
+  * survive, unlike `array_intersect`). The set ships ONCE per task as
+  * a codegen reference object (the [[PcaProjectExpr]]/[[PqLutExpr]]
+  * pattern); each element costs one hash-set probe, vs the interpreted
+  * O(|keep|) per-token lambda of `filter(arr, t => t.isin(...))`. Used
+  * by [[graft.operators.Bm25.score]]'s hot corpus scan. */
+final case class KeepTokensExpr(child: Expression, keep: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(keep.nonEmpty, "keep set must be non-empty")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "keep_tokens"
+
+  @transient private lazy val keepSet: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](keep.size * 2)
+    keep.foreach(t => s.add(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.TokenSetUtil.keep(input.asInstanceOf[ArrayData], keepSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("keepSet", keepSet, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.hashing.TokenSetUtil.keep($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): KeepTokensExpr =
+    copy(child = newChild)
+}

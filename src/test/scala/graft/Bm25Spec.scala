@@ -124,6 +124,27 @@ class Bm25Spec extends SparkSpec {
     assert(k0 == Seq(1L, 2L, 3L))
   }
 
+  test("fit: empty corpus fails with the intended message, not head()'s NoSuchElement") {
+    val e = intercept[IllegalArgumentException] {
+      Bm25.fit(docs.where(col("doc_id") > 100), col("text"))
+    }
+    assert(e.getMessage.contains("at least one document"), e.getMessage)
+  }
+
+  test("score: query terms normalize through the token contract (case/blank/dup)") {
+    val m = Bm25.fit(docs, col("text"))
+    def rows(q: Seq[String]) =
+      Bm25.score(docs, col("doc_id"), col("text"), q, m)
+        .select("id", "dl", "n_hits", "bm25_micro")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val base = rows(Seq("cat", "mat"))
+    assert(rows(Seq(" CAT ", "Mat", "cat", "", "  ")) == base)
+    val e = intercept[IllegalArgumentException] {
+      Bm25.score(docs, col("doc_id"), col("text"), Seq("", "  "), m)
+    }
+    assert(e.getMessage.contains("non-blank query term"), e.getMessage)
+  }
+
   test("plan: score broadcasts the model slice and never builds a cartesian") {
     val m = Bm25.fit(docs, col("text"))
     val plan = Bm25.score(docs, col("doc_id"), col("text"), Seq("cat"), m)

@@ -169,12 +169,22 @@ class DocsSpec extends SparkSpec {
     val table = embDf
     val probes = table.where(col("vec_id") === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
-    val dense = Ann.topKBrute(table, col("vec_id"), col("embedding"), probes, k = 20)
+    val denseReal = Ann.topKBrute(table, col("vec_id"), col("embedding"), probes, k = 20)
       .select(col("neighbor_id").as("id"), col("rank"))
+    // Plant a guaranteed two-list id: the sparse rank-1 doc also tops
+    // the dense leg (real dense ranks shift down one). Its fused score
+    // 2·1/(κ+1) strictly beats any id reachable from one list (max
+    // 1/(κ+1)) or from rank ≥2 on both (max 2/(κ+2)).
+    val sparseTop = sparse.where(col("rank") === 1).select("id").as[Long].head()
+    val dense = Seq((sparseTop, 1)).toDF("id", "rank")
+      .union(denseReal.select(col("id"), (col("rank") + 1).as("rank")))
     val fused = RankFusion.fuseTopK(Seq(sparse, dense), n = 10)
     assert(fused.count() == 10L)
-    // an id on BOTH lists must outrank a same-rank id on one list
-    assert(fused.where(col("n_lists") === 2).count() >= 0L)
+    // the id on BOTH lists outranks every single-list id
+    val lead = fused.where(col("rank") === 1)
+      .select("id", "n_lists").as[(Long, Long)].head()
+    assert(lead._1 == sparseTop && lead._2 >= 2L, s"fused leader: $lead")
+    assert(fused.where(col("n_lists") >= 2).count() >= 1L)
   }
 
   // --- training-data-prep.md -------------------------------------------

@@ -485,6 +485,24 @@ class PlanAuditSpec extends SparkSpec {
       s"the bounded addend table must broadcast:\n$plan")
   }
 
+  test("bm25_topk / rank_fusion: k-cuts are TakeOrderedAndProject, scoring broadcasts the df slice") {
+    // The corpus-scale cut must be a partial per-partition top-n
+    // (TakeOrderedAndProject), never a global Sort+Limit over all
+    // scored docs; the |query|-row df slice must ride a broadcast,
+    // never a shuffle or a cartesian.
+    val pTop = q("bm25_topk")
+    assert(pTop.contains("TakeOrderedAndProject"),
+      s"bm25_topk cut must be TakeOrdered:\n$pTop")
+    assert(pTop.contains("BroadcastHashJoin"),
+      s"bm25 df slice must broadcast:\n$pTop")
+    assert(!pTop.contains("CartesianProduct") && !pTop.contains("BroadcastNestedLoopJoin"),
+      s"bm25 scoring must stay an equi-join:\n$pTop")
+    val pFuse = q("rank_fusion")
+    assert(pFuse.contains("TakeOrderedAndProject"),
+      s"rank_fusion cut must be TakeOrdered:\n$pFuse")
+    assert(!pFuse.contains("CartesianProduct"), s"cartesian in rank_fusion:\n$pFuse")
+  }
+
   test("profile_corr: one aggregate over one scan — no Expand, no join, map-side partials") {
     val plan = q("profile_corr")
     assert(!plan.contains("Expand"), s"moment sums must not replicate the input:\n$plan")
