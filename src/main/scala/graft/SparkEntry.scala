@@ -1404,8 +1404,12 @@ object SparkEntry {
     // left-associative w·x chain, and the micro-quantized sigmoid.
     "quality_lr" -> { (s, dir) =>
       val docs = documents(s, dir).toNative
+      // the SAME relaxed gate text_gopher applies to this corpus —
+      // default thresholds label every synthetic doc false (degenerate
+      // distillation target; the gate never varies)
       val labeled = docs.withColumn("_label",
-        TextFns.gopherFlags(col("text")).getField("keep"))
+        TextFns.gopherFlags(col("text"), minWords = 25, minStopwords = 1)
+          .getField("keep"))
       val m = LogReg.train(labeled, col("text"), col("_label"))
       LogReg.score(docs, col("doc_id"), col("text"), m)
         .select(col("id").as("doc_id"), col("score_micro"), col("keep"))
@@ -1679,7 +1683,8 @@ object SparkEntry {
     "lr_model" -> { (s, dir) =>
       val docs = documents(s, dir).toNative
       val labeled = docs.withColumn("_label",
-        TextFns.gopherFlags(col("text")).getField("keep"))
+        TextFns.gopherFlags(col("text"), minWords = 25, minStopwords = 1)
+          .getField("keep"))
       LogReg.toFrame(LogReg.train(labeled, col("text"), col("_label")), s)
     },
     // dedup_embedding upstream: sign-LSH candidate pairs (pre-verify).
@@ -2773,13 +2778,21 @@ object SparkEntry {
     "quality_lr" ->
       """WITH wt AS (SELECT i, w FROM '{AUX}/lr_model/*.parquet'),
         |tk AS (SELECT doc_id, text, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm FROM documents),
-        |f AS (SELECT doc_id,
-        |    CAST(len(list_filter(string_split(norm, ' '), t -> t <> '')) AS BIGINT) AS nt,
-        |    length(text) AS nc, length(norm) AS nn FROM tk),
+        |tw AS (SELECT doc_id, text, norm, list_filter(string_split(norm, ' '), t -> t <> '') AS ws FROM tk),
+        |f AS (SELECT doc_id, ws,
+        |    CAST(len(ws) AS BIGINT) AS nt,
+        |    length(text) AS nc, length(norm) AS nn,
+        |    len(text) - len(regexp_replace(text, '[#…]', '', 'g')) + len(regexp_extract_all(text, '\.{3,}')) AS nsym,
+        |    list_transform(string_split(text, chr(10)), l -> trim(l)) AS ls FROM tw),
         |x AS (SELECT doc_id, CAST(nt AS DOUBLE) / 100.0 AS x1, CAST(nc AS DOUBLE) / 1000.0 AS x2,
-        |    CASE WHEN nt > 0 THEN CAST(nn - (nt - 1) AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0 END AS x3 FROM f),
+        |    CASE WHEN nt > 0 THEN CAST(nn - (nt - 1) AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0 END AS x3,
+        |    CASE WHEN nt > 0 THEN CAST(nsym AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0 END AS x4,
+        |    CAST(len(list_filter(ls, l -> l LIKE '•%' OR l LIKE '-%' OR l LIKE '*%')) AS DOUBLE) / len(ls) AS x5,
+        |    CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls) AS x6,
+        |    CASE WHEN nt > 0 THEN CAST(len(list_filter(ws, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE) / CAST(nt AS DOUBLE) ELSE 0.0 END AS x7,
+        |    CAST(len(list_intersect(list_distinct(ws), ['the','be','to','of','and','that','have','with'])) AS DOUBLE) / 8.0 AS x8 FROM f),
         |z AS (SELECT doc_id,
-        |    ((((SELECT w FROM wt WHERE i = 0) * 1.0 + (SELECT w FROM wt WHERE i = 1) * x1) + (SELECT w FROM wt WHERE i = 2) * x2) + (SELECT w FROM wt WHERE i = 3) * x3) AS z FROM x),
+        |    ((((((((SELECT w FROM wt WHERE i = 0) * 1.0 + (SELECT w FROM wt WHERE i = 1) * x1) + (SELECT w FROM wt WHERE i = 2) * x2) + (SELECT w FROM wt WHERE i = 3) * x3) + (SELECT w FROM wt WHERE i = 4) * x4) + (SELECT w FROM wt WHERE i = 5) * x5) + (SELECT w FROM wt WHERE i = 6) * x6) + ((SELECT w FROM wt WHERE i = 7) * x7) + (SELECT w FROM wt WHERE i = 8) * x8) AS z FROM x),
         |s AS (SELECT doc_id, CAST(round(1000000.0 * (1.0 / (1.0 + exp(-z)))) AS BIGINT) AS score_micro FROM z)
         |SELECT doc_id, score_micro, coalesce(score_micro >= 500000, false) AS keep FROM s ORDER BY doc_id""".stripMargin,
 
