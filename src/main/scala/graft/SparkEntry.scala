@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, lit, max, pmod, round, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, lit, max, pmod, regexp_extract, round, sum, when}
 import graft.functions.{TextFns, UrlFns}
 import graft.operators.{Ann, Bm25, Chunk, Dedup, Dsir, Joins, LogReg, Media, NaiveBayes, NgramLM, Pack, Profile, RankFusion, Sampling, Sketch, TfIdf, Timeline}
 import graft.tables._
@@ -1438,6 +1438,41 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L55: WARC ingestion — the crawl-archive entry point the published
+    // pipelines start from (C4/RefinedWeb read CommonCrawl WARC/WET;
+    // r16 verdict gap #3). The gate is the REAL flow end-to-end: each
+    // partition writes a synthetic archive shard (plain .warc on even
+    // partitions, per-record-gzip .warc.gz on odd — both crawl
+    // layouts) of full HTML pages (the html_text synthesis), then
+    // Warc.read parses the archives back — header map, target URI,
+    // payload bytes — and the L54 extraction runs over the payloads.
+    // FULL oracle: the html_text SQL on the same doc subset — any
+    // archive-framing, payload, or header corruption breaks the hash.
+    // doc_id % 8 bounds the fixture I/O (the oracle mirrors the cut).
+    "warc_ingest" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative.where(col("doc_id") % 8 === 0)
+      val did = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title>Doc "), did,
+        lit("</title><style>p{color:red}</style>" +
+          "<script>if (1 < 2) { x(); }</script></head><body><!-- id "), did,
+        lit(" --><h1>Doc &amp; "), did,
+        lit("</h1><p class=\"main\">"), col("text"),
+        lit("&nbsp;&lt;end&gt;</p></body></html>"))
+      val shardDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_warc_gate_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+      val glob = graft.sources.Warc.writeSyntheticShards(
+        docs.select(col("doc_id"), html.as("html")), shardDir)
+      graft.sources.Warc.read(s, glob)
+        .where(col("valid") && col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("payload").cast("string").as("_page"))
+        .select(col("doc_id"), TextFns.htmlToText(col("_page")).as("text_plain"))
+        .withColumn("n_words", TextFns.wordCount(col("text_plain")).cast("long"))
+        .orderBy("doc_id")
+    },
+
     // L54 (links): href extraction in document order — the link-graph
     // side of web-corpus prep, composing with the L30 URL hygiene.
     // Page synthesized around the L30 synthetic URL (one absolute
@@ -2026,11 +2061,13 @@ object SparkEntry {
          |WHERE hamming <= 3 ORDER BY 1, 2""".stripMargin,
 
     // L48 (real codec) FULL oracle: ids 2k / 2k+1 carry the same
-    // k-derived pixels through different real codec paths, and
-    // distinct k give independent 64-bit block patterns (cross-pair
-    // hamming ≤ 3 has probability ~2⁻⁴⁸ per pair) — so the expected
-    // output is EXACTLY the consecutive-id pairs at hamming 0, stated
-    // without parsing a byte.
+    // k-derived pixels through different real codec paths — deflated
+    // PNG gray/RGB/RGBA, 24-bit BMP, and baseline JPEG gray + YCbCr
+    // 4:2:0 (flat-block patterns with all-ones quantization cross the
+    // lossy boundary exactly) — and distinct k give independent 64-bit
+    // block patterns (cross-pair hamming ≤ 3 has probability ~2⁻⁴⁸ per
+    // pair), so the expected output is EXACTLY the consecutive-id
+    // pairs at hamming 0, stated without parsing a byte.
     "multimodal_phash_real" ->
       """SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
         |  CAST(0 AS INTEGER) AS hamming
@@ -2734,6 +2771,32 @@ object SparkEntry {
       """WITH h AS (SELECT doc_id,
         |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><style>p{color:red}</style><script>if (1 < 2) { x(); }</script></head><body><!-- id ' || CAST(doc_id AS VARCHAR) || ' --><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) || '</h1><p class="main">' || text || '&nbsp;&lt;end&gt;</p></body></html>' AS html
         |  FROM documents),
+        |x AS (SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'gis'),
+        |      '<!--.*?-->', ' ', 'gs'),
+        |      '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'),
+        |      '&apos;', '''', 'g'),
+        |      '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS text_plain FROM h)
+        |SELECT doc_id, text_plain,
+        |  CAST(CASE WHEN trim(text_plain) = '' THEN 0
+        |    ELSE len(string_split(lower(trim(regexp_replace(text_plain, '\s+', ' ', 'g'))), ' ')) END AS BIGINT) AS n_words
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    // L55 WARC ingestion: the html_text mirror on the gate's doc
+    // subset — the WARC framing (shard write, gzip members, record
+    // walk, header parse, payload recovery) must be TRANSPARENT, so
+    // the expected rows are exactly the direct-extraction rows.
+    "warc_ingest" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><style>p{color:red}</style><script>if (1 < 2) { x(); }</script></head><body><!-- id ' || CAST(doc_id AS VARCHAR) || ' --><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) || '</h1><p class="main">' || text || '&nbsp;&lt;end&gt;</p></body></html>' AS html
+        |  FROM documents WHERE doc_id % 8 = 0),
         |x AS (SELECT doc_id, trim(regexp_replace(
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
         |      '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'gis'),

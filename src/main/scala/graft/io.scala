@@ -80,6 +80,16 @@ object Tio {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
   }
 
+  /** WARC/WET crawl-archive read (ISO 28500; `.warc` / `.warc.gz`,
+    * globs ok) — the published pipelines' raw entry point, one task
+    * per archive file, corrupt records degrade to tombstone rows.
+    * Untyped by design (the record schema is WARC's, not a GSchema):
+    * see [[graft.sources.Warc.read]] for the row layout and the scale
+    * shape. */
+  def readWarc(spark: SparkSession, path: String,
+      maxPayloadBytes: Int = 16 * 1024 * 1024): DataFrame =
+    graft.sources.Warc.read(spark, path, maxPayloadBytes)
+
   def writeParquet[S <: GSchema](tf: TFrame[S], path: String,
       partitionBy: Seq[String] = Nil, mode: String = "overwrite"): Unit = {
     val w = tf.df.write.mode(mode)
