@@ -293,6 +293,32 @@ object Bench {
         "null"
       }
 
+    // corpus_prep(_near) stage attribution (sidecar-only, r17): the
+    // sf10 sweeps saw corpus_prep swing 97→278 s across same-HEAD
+    // passes with no way to say which stage moved. Each stage thunk
+    // materializes its own boundary (the flow's localCheckpoints), so
+    // the stage times sum to ~the official flow time. Skipped on
+    // filtered probe runs (the official artifact's deltas are what
+    // need attributing).
+    val corpusPhases: String =
+      if (only.isDefined) "null"
+      else try {
+        def split(near: Boolean): String = {
+          val parts = SparkEntry.corpusPrepPhases(spark, sfDir, near).map {
+            case (name, fn) =>
+              val t0 = System.nanoTime()
+              fn().queryExecution.toRdd.count()
+              s"\"" + name + "\":" + f((System.nanoTime() - t0) / 1e9)
+          }
+          release()
+          parts.mkString("{", ",", "}")
+        }
+        s"""{"corpus_prep":${split(false)},"corpus_prep_near":${split(true)}}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] corpus_prep phase split failed: ${e.getMessage}")
+        "null"
+      }
+
     // Sidecar-only A/B variants (e.g. collapseExact=false twins of the
     // dedup queries) — one timed run each, never on the official line.
     // Skipped for filtered probe runs: they exist to make the OFFICIAL
@@ -328,7 +354,7 @@ object Bench {
     // not happen again by construction.
     val contendedAny = contended || anyPassHot
     val sidecar =
-      s"""{"seed":$seed,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"ambient_cores_per_pass":$ambJson,"pass_quiet":$quietJson,"quiet_retry_pass":$retriedQuiet,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contendedAny,"contended_prewarmup":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"incremental_phases":$incrPhases,"variants":$variantJson,"query_mins":$qjson,"pass_orders":$ojson,"passes":$pjson}"""
+      s"""{"seed":$seed,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"ambient_cores_per_pass":$ambJson,"pass_quiet":$quietJson,"quiet_retry_pass":$retriedQuiet,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contendedAny,"contended_prewarmup":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"incremental_phases":$incrPhases,"corpus_phases":$corpusPhases,"variants":$variantJson,"query_mins":$qjson,"pass_orders":$ojson,"passes":$pjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecarPath), sidecar)
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     System.err.println(s"[bench] telemetry sidecar: $sidecarPath (seed=$seed)")

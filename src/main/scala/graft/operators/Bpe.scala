@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/** Byte-pair-encoding token counting (SURVEY §2.5 L56) — training
+  * budgets are TOKENIZER tokens, not regex words: Pack/Chunk budget
+  * cuts counted whitespace tokens until now, but a 2048-token packing
+  * budget in published practice means 2048 BPE pieces (the r16
+  * verdict's item #6). This is the original published BPE formulation
+  * (Sennrich, Haddow & Birch 2016, arXiv:1508.07909 — character-level
+  * merges; GPT-2's byte-level variant is the same algorithm over a
+  * byte alphabet): a word starts as its character sequence and the
+  * caller-supplied ordered MERGE LIST is applied exhaustively — at
+  * each step the adjacent pair with the LOWEST merge rank merges
+  * (leftmost occurrence on ties) — and the pieces that remain are the
+  * word's tokens. No vocabulary ships with the library: merges are
+  * caller input (`fitMerges` trains one, or load any published
+  * merges.txt shape as ordered pairs).
+  *
+  * Scale shape (100 TB): counting is a NATIVE codegen'd expression
+  * ([[org.apache.spark.sql.graftexpr.BpeCountExpr]]) — the merge
+  * table ships ONCE per task as a codegen reference object (the
+  * PcaProjectExpr pattern) and each row costs one pass over its words
+  * with a per-task memo of word → piece-count (Zipf makes the hit
+  * rate extreme: the 1000 most frequent words cover most tokens), so
+  * the corpus-scale pass is a pure narrow projection — no exchange,
+  * no UDF, no state. Training is driver-side over a BOUNDED
+  * (word, count) sample — the published practice (tokenizers train on
+  * a corpus sample, not the corpus) and the LogReg sample contract. */
+object Bpe {
+
+  /** Count BPE pieces per document: the module tokenization contract
+    * ([[NgramLM.tokens]]) splits words, each word BPE-segments under
+    * `merges`, and the per-word piece counts sum. NULL text → NULL. */
+  def count(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(org.apache.spark.sql.graftexpr.BpeCountExpr(
+      Bridge.expr(NgramLM.tokens(text)), flatten(merges)))
+
+  /** The BPE pieces themselves, in document order (specs, packing
+    * inspection; prefer [[count]] on the hot path — it never
+    * materializes the piece array). */
+  def segments(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(org.apache.spark.sql.graftexpr.BpeSegmentsExpr(
+      Bridge.expr(NgramLM.tokens(text)), flatten(merges)))
+
+  private def flatten(merges: Seq[(String, String)]): Seq[String] =
+    merges.flatMap { case (l, r) => Seq(l, r) }
+
+  /** Train `numMerges` BPE merges (Sennrich 2016 §3.2, verbatim): from
+    * the corpus word frequencies, repeatedly merge the most frequent
+    * adjacent symbol pair. Deterministic: ties break lexicographically
+    * on (left, right). The (word, count) table collects to the driver
+    * and is REQUIRED bounded (`maxDistinctWords` fail-fast) — pass a
+    * sample ([[Sampling]]) for corpus-scale input; one distributed
+    * word-count aggregate is the only cluster work. */
+  def fitMerges(
+      df: DataFrame, text: Column, numMerges: Int,
+      maxDistinctWords: Int = 1000000): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val wc = df.select(explode(NgramLM.tokens(text)).as("w"))
+      .groupBy("w").agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .limit(maxDistinctWords + 1)
+      .collect()
+    require(wc.length <= maxDistinctWords,
+      s"more than $maxDistinctWords distinct words — train on a bounded sample")
+    // word -> (symbols, count); symbols start as characters
+    var vocab: Array[(Array[String], Long)] = wc.map { r =>
+      (r.getString(0).map(_.toString).toArray, r.getLong(1))
+    }
+    val merges = Vector.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        // most frequent; ties lexicographic on (left, right) — pinned
+        var best: (String, String) = null
+        var bestC = -1L
+        pairCounts.foreach { case (k, v) =>
+          if (v > bestC || (v == bestC &&
+              (k._1 < best._1 || (k._1 == best._1 && k._2 < best._2)))) {
+            best = k; bestC = v
+          }
+        }
+        merges += best
+        val (l, r) = best
+        val lr = l + r
+        vocab = vocab.map { case (syms, c) =>
+          if (syms.length < 2) (syms, c)
+          else {
+            val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+            var i = 0
+            while (i < syms.length) {
+              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                out += lr; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, c)
+          }
+        }
+        m += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Merges as a frame `(rank, left, right)` — the persisted/aux-export
+    * shape (the lr_model pattern). */
+  def toFrame(merges: Seq[(String, String)],
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+  }
+
+  /** Load merges saved as [[toFrame]] parquet (by rank order). */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Seq[(String, String)] =
+    spark.read.parquet(path).select("rank", "left", "right")
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+}

@@ -380,3 +380,58 @@ final case class KeepTokensExpr(child: Expression, keep: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): KeepTokensExpr =
     copy(child = newChild)
 }
+
+/** BPE piece count over a token array — [[graft.hashing.BpeUtil]]'s
+  * Sennrich-2016 exhaustive-merge segmentation as a codegen'd
+  * expression: the frozen merge-rank table ships ONCE per task as a
+  * codegen reference object; per word one memoized segmentation
+  * (per-THREAD memo — the reference object is shared across task
+  * threads). `mergesFlat` is the (left, right) pair list flattened —
+  * see [[graft.operators.Bpe]] for the operator surface. */
+final case class BpeCountExpr(child: Expression, mergesFlat: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(mergesFlat.length % 2 == 0, "merges must be (left, right) pairs")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
+
+  @transient private lazy val table = new graft.hashing.BpeUtil.Table(mergesFlat.toArray)
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.BpeUtil.countTokens(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bpeTable", table, "graft.hashing.BpeUtil.Table")
+    defineCodeGen(ctx, ev, c => s"graft.hashing.BpeUtil.countTokens($c, $tRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountExpr =
+    copy(child = newChild)
+}
+
+/** The BPE pieces themselves in document order (see [[BpeCountExpr]];
+  * prefer the count on hot paths — this materializes the array). */
+final case class BpeSegmentsExpr(child: Expression, mergesFlat: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(mergesFlat.length % 2 == 0, "merges must be (left, right) pairs")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segments"
+
+  @transient private lazy val table = new graft.hashing.BpeUtil.Table(mergesFlat.toArray)
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.BpeUtil.segmentsAll(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bpeTable", table, "graft.hashing.BpeUtil.Table")
+    defineCodeGen(ctx, ev, c => s"graft.hashing.BpeUtil.segmentsAll($c, $tRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegmentsExpr =
+    copy(child = newChild)
+}

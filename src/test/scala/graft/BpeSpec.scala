@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bpe, Pack}
+
+/** L56 BPE token counting: hand-checked exhaustive-merge apply
+  * (lowest rank first, leftmost on ties), training on a tiny corpus
+  * (most-frequent pair, lexicographic ties, early exhaustion),
+  * determinism, NULL/empty text, save/load round trip, the narrow
+  * codegen plan, and the Pack budget composition the counts exist
+  * for. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // merges: t+h -> th (0), th+e -> the (1), a+n -> an (2)
+  private val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"))
+
+  test("apply: exhaustive lowest-rank-leftmost merge, hand-checked") {
+    val df = Seq(
+      (1L, "the"),        // t h e -> th e -> the            = 1 piece
+      (2L, "than"),       // t h a n -> th a n -> th an      = 2
+      (3L, "theather"),   // -> the a the r                  = 4
+      (4L, "x y"),        // no merges                       = 2
+      (5L, "the than x")  // 1 + 2 + 1                       = 4
+    ).toDF("id", "text")
+    val got = df.select(col("id"), Bpe.count(col("text"), merges).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 4L, 4L -> 2L, 5L -> 4L))
+    val segs = df.where(col("id") === 3)
+      .select(Bpe.segments(col("text"), merges)).as[Seq[String]].head()
+    assert(segs == Seq("the", "a", "the", "r"))
+  }
+
+  test("apply: rank order beats text order — the earlier merge wins first") {
+    // with b+c ranked BEFORE a+b, "abc" must become a bc, not ab c
+    val m = Seq(("b", "c"), ("a", "b"))
+    val got = Seq((1L, "abc")).toDF("id", "text")
+      .select(Bpe.segments(col("text"), m)).as[Seq[String]].head()
+    assert(got == Seq("a", "bc"))
+  }
+
+  test("NULL text counts NULL; empty/blank counts 0; case normalizes") {
+    val df = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "  "), (4L, "THE"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), Bpe.count(col("text"), merges).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isEmpty)
+    assert(got(2L).contains(0L) && got(3L).contains(0L))
+    assert(got(4L).contains(1L)) // tokens lowercase first: "the" -> 1 piece
+  }
+
+  test("fitMerges: most-frequent pair first, lexicographic ties, exhaustion stops early") {
+    // corpus: "aa" x3, "ab" x1 -> pair (a,a) count 3 beats (a,b) count 1
+    val df = Seq.fill(3)("aa").map(t => (1L, t)).++(Seq((2L, "ab"))).toDF("id", "text")
+    val m = Bpe.fitMerges(df, col("text"), numMerges = 10)
+    assert(m.head == (("a", "a")))
+    // exhaustion: every word fully merged before 10 merges
+    assert(m.length < 10)
+    val counts = df.select(Bpe.count(col("text"), m).as("n")).as[Long].collect()
+    assert(counts.forall(_ == 1L)) // each doc = one fully-merged word
+    // determinism
+    assert(Bpe.fitMerges(df, col("text"), numMerges = 10) == m)
+  }
+
+  test("fitMerges: bounded-sample contract fails fast on unbounded vocab") {
+    val big = (1L to 50L).map(i => (i, s"w$i unique$i")).toDF("id", "text")
+    intercept[IllegalArgumentException] {
+      Bpe.fitMerges(big, col("text"), numMerges = 4, maxDistinctWords = 10)
+    }
+  }
+
+  test("save/load round trip preserves rank order") {
+    val df = Seq((1L, "the cat sat on the mat")).toDF("id", "text")
+    val m = Bpe.fitMerges(df, col("text"), numMerges = 6)
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    Bpe.toFrame(m, spark).repartition(1).write.mode("overwrite").parquet(dir)
+    assert(Bpe.load(spark, dir) == m)
+  }
+
+  test("plan: the count is a pure narrow projection — no exchange, no join, no UDF") {
+    // a parquet-backed scan (a local Seq relation would be folded away
+    // by ConvertToLocalRelation and show no plan at all)
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = df.select(col("doc_id"), Bpe.count(col("text"), merges).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("bpe_count"), plan)
+  }
+
+  test("composition: Pack.selectByBudget cuts by BPE tokens, not whitespace words") {
+    // two docs with the SAME word count but different BPE counts: the
+    // budget admits the cheap one and rejects the expensive one
+    val df = Seq(
+      (1L, "the the the", 1.0),   // 3 words -> 3 pieces under `merges`
+      (2L, "xq zj vw", 0.9)       // 3 words -> 6 pieces (no merges apply)
+    ).toDF("doc_id", "text", "score")
+    val withW = df.withColumn("w", Bpe.count(col("text"), merges))
+    val kept = Pack.selectByBudget(withW, col("doc_id"), col("w"), col("score"), budget = 4L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L)) // 3 fits in 4; adding 6 more would not
+  }
+}
