@@ -1833,6 +1833,17 @@ object SparkEntry {
         .select(col("id_a").as("doc_id_a"), col("id_b").as("doc_id_b"), col("jaccard"))
         .orderBy("doc_id_a", "doc_id_b")
     },
+    // The r16 interpreted HOF token filter vs the codegen'd
+    // KeepTokensExpr kernel bm25_score now runs — same fit, same
+    // output, so the sidecar keeps measuring the per-token
+    // interpretation tax the kernel removed (r17).
+    "bm25_score_hof" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      Bm25.scoreHof(docs, col("doc_id"), col("text"),
+          Seq("spark", "window", "merge"), Bm25.fit(docs, col("text")))
+        .select(col("id").as("doc_id"), col("dl"), col("n_hits"), col("bm25_micro"))
+        .orderBy("doc_id")
+    },
     // The r15 interpreted HOF projection vs the codegen'd
     // PcaProjectExpr kernel pca_project now runs — same train, same
     // output shape, so the per-round sidecar keeps measuring exactly

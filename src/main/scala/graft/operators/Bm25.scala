@@ -118,15 +118,34 @@ object Bm25 {
   def score(
       df: DataFrame, id: Column, text: Column, query: Seq[String],
       model: Bm25Model, k1: Double = 1.2, b: Double = 0.75,
-      broadcastModel: Boolean = true): DataFrame = {
+      broadcastModel: Boolean = true): DataFrame =
+    scoreImpl(df, id, text, query, model, k1, b, broadcastModel, hofFilter = false)
+
+  /** Sidecar-A/B twin of [[score]] keeping the r16 INTERPRETED HOF
+    * token filter (`filter(toks, t => t.isin(query: _*))` — an
+    * interpreted predicate per token with an O(|query|) isin per
+    * call) so the per-round sidecar keeps measuring exactly the
+    * interpretation tax [[org.apache.spark.sql.graftexpr.KeepTokensExpr]]
+    * removed (the pca_project_hof pattern). Output-identical. */
+  private[graft] def scoreHof(
+      df: DataFrame, id: Column, text: Column, query: Seq[String],
+      model: Bm25Model): DataFrame =
+    scoreImpl(df, id, text, query, model, 1.2, 0.75, broadcastModel = true, hofFilter = true)
+
+  private def scoreImpl(
+      df: DataFrame, id: Column, text: Column, query: Seq[String],
+      model: Bm25Model, k1: Double, b: Double,
+      broadcastModel: Boolean, hofFilter: Boolean): DataFrame = {
     val qn = normQuery(query)
     require(qn.nonEmpty, "BM25 needs at least one non-blank query term")
     val qdf = model.docFreq.where(col("token").isin(qn: _*))
     val vocab = if (broadcastModel) broadcast(qdf) else qdf
     import org.apache.spark.sql.graftbridge.Bridge
-    val kept = Bridge.column(
-      org.apache.spark.sql.graftexpr.KeepTokensExpr(
-        Bridge.expr(col("_toks")), qn))
+    val kept =
+      if (hofFilter) filter(col("_toks"), t => t.isin(qn: _*))
+      else Bridge.column(
+        org.apache.spark.sql.graftexpr.KeepTokensExpr(
+          Bridge.expr(col("_toks")), qn))
     df.select(id.as("id"), toksOrEmpty(text).as("_toks"))
       .select(col("id"), size(col("_toks")).cast("long").as("dl"),
         explode_outer(kept).as("token"))

@@ -124,6 +124,15 @@ class Bm25Spec extends SparkSpec {
     assert(k0 == Seq(1L, 2L, 3L))
   }
 
+  test("scoreHof (the sidecar A/B twin) is output-identical to the kernel path") {
+    val m = Bm25.fit(docs, col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "dl", "n_hits", "bm25_micro")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(rows(Bm25.scoreHof(docs, col("doc_id"), col("text"), Seq("cat", "mat"), m)) ==
+      rows(Bm25.score(docs, col("doc_id"), col("text"), Seq("cat", "mat"), m)))
+  }
+
   test("fit: empty corpus fails with the intended message, not head()'s NoSuchElement") {
     val e = intercept[IllegalArgumentException] {
       Bm25.fit(docs.where(col("doc_id") > 100), col("text"))
