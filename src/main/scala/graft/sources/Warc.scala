@@ -233,6 +233,14 @@ object Warc {
     override def toString: String = s"WarcRecords($file)"
   }
 
+  /** Parse one in-memory archive — the streaming source
+    * ([[graft.streaming.GStream.readStreamWarc]]) hands whole files as
+    * byte arrays; same lazy record walk and degrade contract as
+    * [[read]]. */
+  def parseBytes(file: String, bytes: Array[Byte],
+      maxPayloadBytes: Int = 16 * 1024 * 1024): Iterator[WarcRow] =
+    new RecordIterator(file, new java.io.ByteArrayInputStream(bytes), maxPayloadBytes)
+
   // ------------------------------------------------------------------
   // Fixture builders (gates/specs — the Media.syntheticContainer precedent)
   // ------------------------------------------------------------------

@@ -233,6 +233,41 @@ object GStream {
   // which a private case class blocks at runtime.
   final case class SessState(startMs: Long, endMs: Long, n: Long)
 
+  /** ST7 — streaming WARC/WET ingestion: the incremental-crawl twin of
+    * [[Tio.readWarc]] for archives LANDING in a directory (the
+    * continuous-crawl flow — new segments appear as files; batch
+    * ingestion re-lists everything). Spark's `binaryFile` streaming
+    * source tracks newly-arrived files (whole-file `content` per row,
+    * exactly the not-splittable-archive unit [[graft.sources.Warc]]
+    * parallelizes by) and the same ISO 28500 record walk flat-maps
+    * each archive into WarcRows — the batch reader's degrade-not-die
+    * contract unchanged. Source state is the seen-files log only;
+    * record parsing is stateless, so any downstream watermark/agg
+    * composes. `maxFilesPerTrigger` bounds a micro-batch (an archive
+    * is ~1 GB — a handful per trigger keeps executor memory flat). */
+  def readStreamWarc(spark: SparkSession, path: String,
+      maxPayloadBytes: Int = 16 * 1024 * 1024,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
+    // binaryFile's schema is FIXED by the source; the streaming API
+    // still requires it stated (a stream cannot infer)
+    val binarySchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("modificationTime", TimestampType),
+      StructField("length", LongType),
+      StructField("content", BinaryType)))
+    var reader = spark.readStream.format("binaryFile").schema(binarySchema)
+    maxFilesPerTrigger.foreach(n => reader = reader.option("maxFilesPerTrigger", n.toString))
+    reader.load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .flatMap { case (file, bytes) =>
+        graft.sources.Warc.parseBytes(file, bytes, maxPayloadBytes)
+      }(Encoders.product[graft.sources.Warc.WarcRow])
+      .toDF()
+  }
+
   /** ST2 — gap-based sessionization with `flatMapGroupsWithState`:
     * events within `gapMs` of the session's end extend it; a larger gap
     * (or event-time timeout once the watermark passes end+gap) closes it

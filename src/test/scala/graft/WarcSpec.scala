@@ -116,6 +116,26 @@ class WarcSpec extends SparkSpec {
     assert(rows.length == 1 && !rows(0).getAs[Boolean]("valid"), rows.mkString("; "))
   }
 
+  test("ST7 streaming twin: readStreamWarc over arriving archives equals the batch read") {
+    val dir = tmpDir()
+    write(dir, "a.warc", rec(1, "alpha"), rec(2, "beta"))
+    write(dir, "b.warc.gz", Warc.gzipMember(rec(3, "gamma")))
+    val q = graft.streaming.GStream.readStreamWarc(spark, dir + "/*", maxFilesPerTrigger = Some(1))
+      .select("record_ix", "valid", "target_uri", "payload")
+      .writeStream.format("memory").queryName("warc_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir() + "/ckpt")
+      .start()
+    q.awaitTermination(120000)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getBoolean(1), r.getString(2),
+        new String(r.getAs[Array[Byte]](3), "UTF-8"))).sortBy(x => (x._3, x._1)).toSeq
+    val got = norm(spark.table("warc_stream"))
+    val want = norm(Warc.read(spark, dir + "/*")
+      .select("record_ix", "valid", "target_uri", "payload"))
+    assert(got == want && got.length == 3, s"got $got")
+  }
+
   test("shard write -> read -> extract composition equals direct extraction") {
     val docs = Seq(
       (0L, "plain words here"),
