@@ -207,6 +207,40 @@ class DocsSpec extends SparkSpec {
     assert((1L to 30L).forall(i => got(i) == (i % 2 == 0)))
   }
 
+  test("prep recipe: WARC ingestion feeds the HTML->text gate chain") {
+    import graft.sources.Warc
+    val dir = java.nio.file.Files.createTempDirectory("docswarc").toString
+    val page = "<html><body><p>the quick brown fox</p></body></html>"
+    val bytes = Warc.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://example.com/doc/1",
+      "Content-Type" -> "text/html"), page.getBytes("UTF-8"))
+    val os = new java.io.FileOutputStream(s"$dir/seg.warc.gz")
+    os.write(Warc.gzipMember(bytes)); os.close()
+    val docs = Tio.readWarc(spark, dir + "/*")
+      .where(col("valid") && col("warc_type") === "response")
+      .select(col("target_uri"),
+        graft.functions.TextFns.htmlToText(col("payload").cast("string")).as("text"))
+    val got = docs.collect()
+    assert(got.length == 1 && got(0).getString(1) == "the quick brown fox")
+  }
+
+  test("prep recipe: pack shards by BPE tokens, not whitespace words") {
+    import spark.implicits._
+    import graft.operators.{Bpe, Pack}
+    val docs = Seq((1L, "aa aa"), (2L, "aa ab"), (3L, "zz zz")).toDF("doc_id", "text")
+    // one merge: (a,a) -> every doc has 2 WORDS but 2/3/4 PIECES
+    val merges = Bpe.fitMerges(docs, col("text"), numMerges = 1)
+    val assignment = Pack.packByBudget(
+      docs, col("doc_id"), Bpe.count(col("text"), merges), budget = 4)
+    val got = assignment.select("id", "weight", "shard_id")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // weights are PIECE counts (2/3/4), not the uniform word count (2);
+    // shards by start offset: doc1 starts 0, doc2 starts 2 (shard 0),
+    // doc3 starts 5 (shard 1)
+    assert(got == Map(1L -> ((2L, 0L)), 2L -> ((3L, 0L)), 3L -> ((4L, 1L))), got.toString)
+  }
+
   test("prep recipe: decontaminate against a benchmark set") {
     import spark.implicits._
     val corpus = Seq(
