@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.graftexpr.{MinHashBandsExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr}
+import org.apache.spark.sql.graftexpr.{MinHashBandsExpr, MinHashSigExpr, ShinglesExpr, SimHash64Expr, TextStatsExpr}
 
 /** Text-analysis column functions for LLM-data pipelines (SURVEY §2.5
   * L8–L11): language ID, quality metrics, token counting, document
@@ -146,6 +146,15 @@ object TextFns {
   def wordCount(c: Column): Column =
     when(trim(c) === "", 0).otherwise(size(wsTokens(normText(c))))
 
+  /** One-pass document statistics (the r17 kernel,
+    * [[org.apache.spark.sql.graftexpr.TextStatsExpr]]): struct
+    * `(n_tokens, n_words, char_sum, n_sym, n_lines, n_bullet,
+    * n_ellipsis, n_alpha, n_stop)` — the integer counts
+    * [[gopherFlags]] and [[graft.operators.LogReg.featureExprs]]
+    * ratio against, each bit-compatible with its Column twin. */
+  def textStats(c: Column): Column =
+    Bridge.column(TextStatsExpr(Bridge.expr(c)))
+
   def stopwordHits(c: Column): Column = {
     val stops = stopwordsEn
     size(filter(wsTokens(lower(c)), t => t.isin(stops: _*)))
@@ -238,24 +247,22 @@ object TextFns {
       maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
       maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
       minStopwords: Int = 2): Column = {
-    val ws = wsTokens(normText(c))
-    val nWords = wordCount(c)
+    // ONE kernel pass (TextStatsExpr — r17) replaces what was five
+    // regex passes + interpreted per-line/per-token HOF lambdas; every
+    // count is bit-compatible with the Column formulation (the
+    // text_gopher oracle gates it), and the ratio/threshold arithmetic
+    // below is unchanged. The kernel freezes [[gopherStopwords]].
+    val st = textStats(c)
+    val nWords = st.getField("n_words")
     val hasWords = nWords > 0
     val nw = nWords.cast("double")
-    val charSum = aggregate(ws, lit(0), (acc, t) => acc + length(t))
-    val meanLen = charSum.cast("double") / nw
-    val nSymbols =
-      (length(c) - length(regexp_replace(c, "[#…]", ""))) +
-        size(regexp_extract_all(c, lit("\\.{3,}"), lit(0)))
-    val lines = transform(split(c, "\n"), l => trim(l))
-    val nLines = size(lines).cast("double")
-    val bulletFrac =
-      size(filter(lines, l => substring(l, 1, 1).isin("•", "-", "*"))).cast("double") / nLines
-    val ellipsisFrac =
-      size(filter(lines, l => l.endsWith("...") || l.endsWith("…"))).cast("double") / nLines
-    val alphaFrac = size(filter(ws, t => t.rlike("[a-z]"))).cast("double") / nw
-    val nStops = size(array_intersect(array_distinct(ws),
-      array(gopherStopwords.map(lit): _*)))
+    val meanLen = st.getField("char_sum").cast("double") / nw
+    val nSymbols = st.getField("n_sym")
+    val nLines = st.getField("n_lines").cast("double")
+    val bulletFrac = st.getField("n_bullet").cast("double") / nLines
+    val ellipsisFrac = st.getField("n_ellipsis").cast("double") / nLines
+    val alphaFrac = st.getField("n_alpha").cast("double") / nw
+    val nStops = st.getField("n_stop")
     def f(b: Column): Column = coalesce(b, lit(false))
     val okWordCount = f(nWords >= minWords && nWords <= maxWords)
     val okMeanLen = f(hasWords && meanLen >= minMeanLen && meanLen <= maxMeanLen)

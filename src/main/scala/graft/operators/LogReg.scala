@@ -78,27 +78,28 @@ object LogReg {
     * contract, nt = len(toks), ls = trimmed lines).
     * NULL text → NULL x1/x2 (score propagates NULL, keep false). */
   def featureExprs(text: Column): Seq[Column] = {
-    val norm = TextFns.normText(text)
-    val ws = NgramLM.tokens(text)
-    val nt = size(ws).cast("long")
+    // ONE kernel pass (TextStatsExpr, r17) — the Column formulation
+    // (five regexes + interpreted per-line/per-token lambdas) put
+    // quality_lr at 114.8 s in the sf10 sweep, almost all of it
+    // feature extraction. Counts are bit-compatible; the ratio
+    // arithmetic below is unchanged (x3's numerator: len(norm) −
+    // (nt − 1) IS the lowered-token char sum — norm is the tokens
+    // joined by single spaces).
+    val st = TextFns.textStats(text)
+    val nt = st.getField("n_tokens").cast("long")
     val ntd = nt.cast("double")
-    val nSym = (length(text) - length(regexp_replace(text, "[#…]", ""))) +
-      size(regexp_extract_all(text, lit("\\.{3,}"), lit(0)))
-    val lines = transform(split(text, "\n"), l => trim(l))
-    val nLines = size(lines).cast("double")
+    val nLines = st.getField("n_lines").cast("double")
     Seq(
       ntd / lit(100.0),
       length(text).cast("double") / lit(1000.0),
-      when(nt > 0,
-        (length(norm) - (nt - lit(1L))).cast("double") / ntd)
+      when(nt > 0, st.getField("char_sum").cast("double") / ntd)
         .otherwise(lit(0.0)),
-      when(nt > 0, nSym.cast("double") / ntd).otherwise(lit(0.0)),
-      size(filter(lines, l => substring(l, 1, 1).isin("•", "-", "*"))).cast("double") / nLines,
-      size(filter(lines, l => l.endsWith("...") || l.endsWith("…"))).cast("double") / nLines,
-      when(nt > 0, size(filter(ws, t => t.rlike("[a-z]"))).cast("double") / ntd)
+      when(nt > 0, st.getField("n_sym").cast("double") / ntd).otherwise(lit(0.0)),
+      st.getField("n_bullet").cast("double") / nLines,
+      st.getField("n_ellipsis").cast("double") / nLines,
+      when(nt > 0, st.getField("n_alpha").cast("double") / ntd)
         .otherwise(lit(0.0)),
-      size(array_intersect(array_distinct(ws),
-        array(TextFns.gopherStopwords.map(lit): _*))).cast("double") / lit(8.0))
+      st.getField("n_stop").cast("double") / lit(8.0))
   }
 
   /** Train by full-batch IRLS (iteratively reweighted least squares —

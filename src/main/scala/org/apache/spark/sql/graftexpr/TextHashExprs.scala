@@ -435,3 +435,37 @@ final case class BpeSegmentsExpr(child: Expression, mergesFlat: Seq[String])
   override protected def withNewChildInternal(newChild: Expression): BpeSegmentsExpr =
     copy(child = newChild)
 }
+
+/** One-pass document statistics — [[graft.hashing.TextStatsUtil.stats]]
+  * as a codegen'd expression: the integer counts behind the Gopher
+  * rule gate and the LR quality features (token/word counts, lowered
+  * token char sum, symbol count, line/bullet/ellipsis counts, alpha
+  * tokens, distinct stopword hits) in two tight char scans, replacing
+  * five regex passes plus interpreted per-line/per-token HOF lambdas
+  * per document. Each count is bit-compatible with its Column twin —
+  * the text_gopher/quality_lr oracles gate it. */
+final case class TextStatsExpr(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("char_sum", IntegerType, nullable = false),
+    StructField("n_sym", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_bullet", IntegerType, nullable = false),
+    StructField("n_ellipsis", IntegerType, nullable = false),
+    StructField("n_alpha", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+  override def prettyName: String = "text_stats"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.TextStatsUtil.stats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.hashing.TextStatsUtil.stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TextStatsExpr =
+    copy(child = newChild)
+}
