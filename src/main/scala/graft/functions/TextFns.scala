@@ -120,15 +120,21 @@ object TextFns {
     * multi-referenced non-cheap expressions materialized; CASE branch
     * values are excluded from subexpression elimination, so the inline
     * form re-evaluates each score up to 4× and the split up to 32×). */
+  /** All four per-language distinct-hit counts + the CJK count in ONE
+    * kernel pass ([[org.apache.spark.sql.graftexpr.LangHitsExpr]],
+    * r17): `struct(hits array<int> (en, de, fr, es), cjk int)`. The
+    * Column formulation ran 32 `array_contains` scans of the token
+    * array per document. */
+  def langSig(c: Column): Column =
+    Bridge.column(org.apache.spark.sql.graftexpr.LangHitsExpr(
+      Bridge.expr(c), Seq(stopwordsEn, stopwordsDe, stopwordsFr, stopwordsEs)))
+
   def withLangId(df: org.apache.spark.sql.DataFrame, text: Column, out: String): org.apache.spark.sql.DataFrame = {
-    val (en, de, fr, es, cjk) =
-      (col("_lid_en"), col("_lid_de"), col("_lid_fr"), col("_lid_es"), col("_lid_cjk"))
-    df.withColumn("_lid_toks", wsTokens(lower(text)))
-      .withColumn("_lid_cjk", cjkChars(text))
-      .withColumn("_lid_en", langHits(col("_lid_toks"), stopwordsEn))
-      .withColumn("_lid_de", langHits(col("_lid_toks"), stopwordsDe))
-      .withColumn("_lid_fr", langHits(col("_lid_toks"), stopwordsFr))
-      .withColumn("_lid_es", langHits(col("_lid_toks"), stopwordsEs))
+    val sig = col("_lid_sig")
+    val hits = sig.getField("hits")
+    val (en, de, fr, es) = (hits.getItem(0), hits.getItem(1), hits.getItem(2), hits.getItem(3))
+    val cjk = sig.getField("cjk")
+    df.withColumn("_lid_sig", langSig(text))
       .withColumn(out,
         when(cjk > 0, "zh")
           .when(en >= de && en >= fr && en >= es && en > 0, "en")
@@ -136,7 +142,7 @@ object TextFns {
           .when(fr >= es && fr > 0, "fr")
           .when(es > 0, "es")
           .otherwise("und"))
-      .drop("_lid_toks", "_lid_cjk", "_lid_en", "_lid_de", "_lid_fr", "_lid_es")
+      .drop("_lid_sig")
   }
 
   // ---------------------------------------------------------------- L9

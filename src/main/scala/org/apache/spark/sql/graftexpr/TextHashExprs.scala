@@ -469,3 +469,37 @@ final case class TextStatsExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): TextStatsExpr =
     copy(child = newChild)
 }
+
+/** Per-list distinct stop-word hits + CJK count in one pass —
+  * [[graft.hashing.LangSigUtil]] as a codegen'd expression over the
+  * RAW text (the L8 language-ID signals). The Column twin ran one
+  * `array_contains` scan per (list, word) — 32 token-array scans per
+  * document for the four 8-word lists. Output:
+  * `struct(hits array<int>, cjk int)` with hits(i) = distinct words of
+  * `lists(i)` present among the text's space-delimited segments. */
+final case class LangHitsExpr(child: Expression, lists: Seq[Seq[String]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(lists.nonEmpty && lists.forall(_.nonEmpty), "probe lists must be non-empty")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("hits", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("cjk", IntegerType, nullable = false)))
+  override def prettyName: String = "lang_hits"
+
+  @transient private lazy val table =
+    new graft.hashing.LangSigUtil.Table(lists.map(_.toArray).toArray)
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.LangSigUtil.sig(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("langTable", table, "graft.hashing.LangSigUtil.Table")
+    defineCodeGen(ctx, ev, c => s"graft.hashing.LangSigUtil.sig($c, $tRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangHitsExpr =
+    copy(child = newChild)
+}
