@@ -1394,12 +1394,17 @@ object SparkEntry {
     // r16 verdict gap #3). The gate is the REAL flow end-to-end: each
     // partition writes a synthetic archive shard (plain .warc on even
     // partitions, per-record-gzip .warc.gz on odd — both crawl
-    // layouts) of full HTML pages (the html_text synthesis), then
-    // Warc.read parses the archives back — header map, target URI,
-    // payload bytes — and the L54 extraction runs over the payloads.
+    // layouts) of full HTML pages (the html_text synthesis plus a
+    // planted « café § » literal — Latin-1-encodable non-ASCII, so the
+    // ISO-8859-1-variant shards are byte-DISTINCT from UTF-8 and only
+    // the charset-param decode reproduces the text), then Warc.read
+    // parses the archives back — header map, target URI, charset-
+    // decoded payload_text — and the L54 extraction runs over it.
     // FULL oracle: the html_text SQL on the same doc subset — any
-    // archive-framing, payload, or header corruption breaks the hash.
-    // doc_id % 8 bounds the fixture I/O (the oracle mirrors the cut).
+    // archive-framing, payload, charset, or header corruption breaks
+    // the hash. doc_id % 8 bounds the fixture I/O (oracle mirrors it);
+    // the shard dir carries the PID so concurrent Bench/Verify runs
+    // over the same data dir can't race each other's shards.
     "warc_ingest" -> { (s, dir) =>
       val docs = documents(s, dir).toNative.where(col("doc_id") % 8 === 0)
       val did = col("doc_id").cast("string")
@@ -1409,16 +1414,17 @@ object SparkEntry {
           "<script>if (1 < 2) { x(); }</script></head><body><!-- id "), did,
         lit(" --><h1>Doc &amp; "), did,
         lit("</h1><p class=\"main\">"), col("text"),
-        lit("&nbsp;&lt;end&gt;</p></body></html>"))
+        lit(" « café § »&nbsp;&lt;end&gt;</p></body></html>"))
       val shardDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_warc_gate_" + Integer.toHexString(dir.hashCode)).getAbsolutePath
+        "graft_warc_gate_" + Integer.toHexString(dir.hashCode) +
+          "_p" + ProcessHandle.current().pid()).getAbsolutePath
       val glob = graft.sources.Warc.writeSyntheticShards(
         docs.select(col("doc_id"), html.as("html")), shardDir)
       graft.sources.Warc.read(s, glob)
         .where(col("valid") && col("warc_type") === "response")
         .select(
           regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
-          col("payload").cast("string").as("_page"))
+          col("payload_text").as("_page"))
         .select(col("doc_id"), TextFns.htmlToText(col("_page")).as("text_plain"))
         .withColumn("n_words", TextFns.wordCount(col("text_plain")).cast("long"))
         .orderBy("doc_id")
@@ -2864,11 +2870,13 @@ object SparkEntry {
 
     // L55 WARC ingestion: the html_text mirror on the gate's doc
     // subset — the WARC framing (shard write, gzip members, record
-    // walk, header parse, payload recovery) must be TRANSPARENT, so
-    // the expected rows are exactly the direct-extraction rows.
+    // walk, header parse, charset decode, payload recovery) must be
+    // TRANSPARENT, so the expected rows are exactly the
+    // direct-extraction rows (incl. the planted Latin-1 literal the
+    // ISO-8859-1 shards must decode through the charset param).
     "warc_ingest" ->
       """WITH h AS (SELECT doc_id,
-        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><style>p{color:red}</style><script>if (1 < 2) { x(); }</script></head><body><!-- id ' || CAST(doc_id AS VARCHAR) || ' --><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) || '</h1><p class="main">' || text || '&nbsp;&lt;end&gt;</p></body></html>' AS html
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title><style>p{color:red}</style><script>if (1 < 2) { x(); }</script></head><body><!-- id ' || CAST(doc_id AS VARCHAR) || ' --><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) || '</h1><p class="main">' || text || ' « café § »&nbsp;&lt;end&gt;</p></body></html>' AS html
         |  FROM documents WHERE doc_id % 8 = 0),
         |x AS (SELECT doc_id, trim(regexp_replace(
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,

@@ -65,9 +65,20 @@ object Bpe {
       .collect()
     require(wc.length <= maxDistinctWords,
       s"more than $maxDistinctWords distinct words — train on a bounded sample")
-    // word -> (symbols, count); symbols start as characters
+    // word -> (symbols, count); symbols seed by CODE POINT — the same
+    // alphabet BpeUtil.segment applies and the oracle splits, so
+    // supplementary-plane text (emoji) never trains lone-surrogate
+    // merges the apply path can't use
     var vocab: Array[(Array[String], Long)] = wc.map { r =>
-      (r.getString(0).map(_.toString).toArray, r.getLong(1))
+      val word = r.getString(0)
+      val syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
+      var i = 0
+      while (i < word.length) {
+        val cp = word.codePointAt(i)
+        syms += new String(Character.toChars(cp))
+        i += Character.charCount(cp)
+      }
+      (syms.toArray, r.getLong(1))
     }
     val merges = Vector.newBuilder[(String, String)]
     var m = 0

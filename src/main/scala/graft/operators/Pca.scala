@@ -6,13 +6,12 @@ import org.apache.spark.sql.functions._
 /** Fitted PCA basis: `mean` (length dim) and `components` — k rows of
   * length dim, unit-norm, ordered by DESCENDING explained variance,
   * each sign-canonicalized (the entry of largest magnitude is
-  * positive). Training is deterministic FOR A FIXED INPUT LAYOUT: the
-  * treeAggregate double sums depend on partition/combine order, so two
-  * trains over the same files with the same splits agree bit-for-bit
-  * (what the pca_model aux export relies on — it re-trains in the same
-  * session over the same reads), while a differently-partitioned input
-  * agrees only to float tolerance (PcaSpec pins 1e-8 under
-  * repartition). */
+  * positive). Training is BIT-deterministic FOR A FIXED INPUT LAYOUT:
+  * per-partition (n, Σv, Σvvᵀ) partials combine on the driver in
+  * partition INDEX order (the LogReg.train pattern), so two trains
+  * over the same files with the same splits agree bit-for-bit; a
+  * differently-partitioned input agrees only to float tolerance
+  * (PcaSpec pins 1e-8 under repartition). */
 final case class PcaModel(mean: Array[Double], components: Array[Array[Double]]) {
   def dim: Int = mean.length
   def k: Int = components.length
@@ -26,9 +25,12 @@ final case class PcaModel(mean: Array[Double], components: Array[Array[Double]])
   * small by contract (d ≤ 1024), so the d×d Gram fits any driver
   * while the DATA pass stays one scan.
   *
-  * TRAIN is a single `treeAggregate` over the vectors — per-partition
-  * state is (n, Σv, Σvvᵀ), d²+d+1 doubles, combined associatively
-  * (the 1000-executor shape: no shuffle, log-depth combine) — then a
+  * TRAIN is a single scan over the vectors — per-partition state is
+  * (n, Σv, Σvvᵀ), d²+d+1 doubles, one partial per partition collected
+  * to the driver and folded in partition-INDEX order (the 1000-executor
+  * shape: no shuffle, ~8 KB per partition at d=32; the pinned fold
+  * order is what makes the pass bit-deterministic for a fixed layout —
+  * `treeAggregate` merges in task-ARRIVAL order and is not) — then a
   * driver-side d×d eigendecomposition (breeze `eigSym`, ships with
   * Spark). Covariance is the POPULATION form Σvvᵀ/n − μμᵀ
   * (documented; the n vs n−1 choice shifts eigenVALUES only, never
@@ -51,9 +53,14 @@ object Pca {
           x === Double.NegativeInfinity))
       .rdd.map(_.getSeq[Double](0).toArray)
     val d = dim
-    val zero = (0L, new Array[Double](d), new Array[Double](d * d))
-    val (n, s, g) = rows.treeAggregate(zero)(
-      seqOp = { case ((cnt, sum, gram), v) =>
+    // collect() returns partials in partition INDEX order — the pinned
+    // combine order that makes the pass bit-deterministic for a fixed
+    // layout (treeAggregate merges in task-arrival order and is not).
+    val partials = rows.mapPartitions { vs =>
+      val sum = new Array[Double](d)
+      val gram = new Array[Double](d * d)
+      var cnt = 0L
+      vs.foreach { v =>
         var i = 0
         while (i < d) {
           sum(i) += v(i)
@@ -61,15 +68,20 @@ object Pca {
           while (j < d) { gram(i * d + j) += v(i) * v(j); j += 1 }
           i += 1
         }
-        (cnt + 1L, sum, gram)
-      },
-      combOp = { case ((c1, s1, g1), (c2, s2, g2)) =>
-        var i = 0
-        while (i < d) { s1(i) += s2(i); i += 1 }
-        i = 0
-        while (i < d * d) { g1(i) += g2(i); i += 1 }
-        (c1 + c2, s1, g1)
-      })
+        cnt += 1L
+      }
+      Iterator.single((cnt, sum, gram))
+    }.collect()
+    var n = 0L
+    val s = new Array[Double](d)
+    val g = new Array[Double](d * d)
+    partials.foreach { case (c2, s2, g2) =>
+      var i = 0
+      while (i < d) { s(i) += s2(i); i += 1 }
+      i = 0
+      while (i < d * d) { g(i) += g2(i); i += 1 }
+      n += c2
+    }
     require(n >= 2, s"PCA needs at least 2 usable vectors, got $n")
     val mean = s.map(_ / n)
     val cov = breeze.linalg.DenseMatrix.tabulate[Double](d, d) { (i, j) =>

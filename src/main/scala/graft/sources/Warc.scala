@@ -24,11 +24,21 @@ import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
   * discipline): a truncated or garbled record yields ONE row with
   * `valid = false` and the error text; in a plain `.warc` the parser
   * then resyncs by scanning for the next `WARC/` version line, in a
-  * `.warc.gz` (whose member boundaries the stream API cannot recover
-  * once a member is corrupt) the file's remaining records are lost
-  * with that one row as the tombstone. Gzip is detected per-file by
-  * magic, and concatenated members — the per-record-gzip layout crawl
-  * archives use — read transparently.
+  * `.warc.gz` it rescans the RAW byte stream for the next gzip member
+  * magic (0x1F 0x8B) and resumes the member chain — a corrupt member
+  * costs ONE record, not the file's tail (the member walk is this
+  * module's own RFC 1952 inflater, [[GzipChain]], kept exactly so the
+  * raw position is recoverable; `java.util.zip.GZIPInputStream` hides
+  * it). Gzip is detected per-file by magic, and concatenated members —
+  * the per-record-gzip layout crawl archives use — read transparently.
+  *
+  * Charset (RefinedWeb §3.2's extraction stack sniffs; several percent
+  * of real crawl is non-UTF-8 legacy pages): textual payloads decode
+  * to `payload_text` per the Content-Type `charset` parameter, falling
+  * back to an HTML `<meta charset>` sniff over the head bytes, then
+  * UTF-8; unsupported charset names degrade down the chain and
+  * malformed byte sequences decode with replacement — never a throw.
+  * Raw `payload` bytes stay alongside for binary consumers.
   */
 object Warc {
 
@@ -49,7 +59,8 @@ object Warc {
       content_length: Long,
       truncated: Boolean,
       headers: Map[String, String],
-      payload: Array[Byte])
+      payload: Array[Byte],
+      payload_text: String)
 
   private val MaxLineBytes = 64 * 1024
   private val MaxHeaders = 256
@@ -64,7 +75,12 @@ object Warc {
       else spark.sparkContext.defaultParallelism
     val rows = spark.sparkContext.binaryFiles(path, minParts)
       .flatMap { case (file, pds) =>
-        new RecordIterator(file, pds.open(), maxPayloadBytes)
+        val it = new RecordIterator(file, pds.open(), maxPayloadBytes)
+        // close on task end, not just iterator EOF: a consumer that
+        // stops early (limit/take) must not leak the open file stream
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => it.closeNow()))
+        it
       }
     spark.createDataset(rows)(Encoders.product[WarcRow]).toDF()
   }
@@ -84,14 +100,14 @@ object Warc {
       buf.mark(2)
       val b0 = buf.read(); val b1 = buf.read()
       buf.reset()
-      if (b0 == 0x1F && b1 == 0x8B)
-        (new java.util.zip.GZIPInputStream(buf, 1 << 16), true)
+      if (b0 == 0x1F && b1 == 0x8B) (new GzipChain(buf): java.io.InputStream, true)
       else (buf: java.io.InputStream, false)
     }
     // pushback lets resync() unread the matched "WARC/" prefix so the
     // next parseOne sees a whole version line
     private val in = new java.io.PushbackInputStream(gz._1, 8)
     private val isGzip = gz._2
+    private def chain: GzipChain = gz._1.asInstanceOf[GzipChain]
 
     private var ix = 0
     private var degrades = 0
@@ -114,6 +130,9 @@ object Warc {
 
     private def close(): Unit = try in.close() catch { case _: Throwable => () }
 
+    /** Idempotent external close (task-completion listener). */
+    def closeNow(): Unit = { finished = true; close() }
+
     /** Parse the next record; on corruption emit a tombstone and (for
       * plain streams) resync. Returns null at clean EOF. */
     private def advance(): WarcRow = {
@@ -129,11 +148,19 @@ object Warc {
             error = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(200),
             warc_type = null, record_id = null, target_uri = null,
             warc_date = null, content_type = null, content_length = -1L,
-            truncated = false, headers = Map.empty, payload = Array.emptyByteArray)
+            truncated = false, headers = Map.empty, payload = Array.emptyByteArray,
+            payload_text = null)
           ix += 1
-          // a corrupt gzip member loses the rest of the stream; a
-          // plain stream resyncs on the next WARC/ version line
-          if (isGzip || degrades >= MaxDegradesPerFile || !resync()) finished = true
+          // a corrupt gzip member rescans the RAW bytes for the next
+          // member magic (loss bounded to one record); a plain stream
+          // resyncs on the next WARC/ version line
+          // (the pushback buffer is only ever filled by the plain-path
+          // resync below, so the gzip rescan starts from clean state)
+          val recovered =
+            if (degrades >= MaxDegradesPerFile) false
+            else if (isGzip) chain.resyncToNextMember()
+            else resync()
+          if (!recovered) finished = true
           row
       }
     }
@@ -178,13 +205,22 @@ object Warc {
       if (line == null) return None
       if (!line.startsWith("WARC/")) throw new ParseError(s"expected WARC/ version, got '${line.take(40)}'")
       val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      var lastKey: String = null
       var h = readLine()
       while (h != null && h.nonEmpty) {
         if (headers.size >= MaxHeaders) throw new ParseError("too many headers")
-        val i = h.indexOf(':')
-        if (i <= 0) throw new ParseError(s"malformed header '${h.take(40)}'")
-        headers.put(h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT),
-          h.substring(i + 1).trim)
+        val c0 = h.charAt(0)
+        if (c0 == ' ' || c0 == '\t') {
+          // obs-fold continuation (ISO 28500 permits folded values):
+          // append to the previous header's value
+          if (lastKey == null) throw new ParseError("continuation line before any header")
+          headers.put(lastKey, headers(lastKey) + " " + h.trim)
+        } else {
+          val i = h.indexOf(':')
+          if (i <= 0) throw new ParseError(s"malformed header '${h.take(40)}'")
+          lastKey = h.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT)
+          headers.put(lastKey, h.substring(i + 1).trim)
+        }
         h = readLine()
       }
       if (h == null) throw new ParseError("EOF inside header block")
@@ -197,17 +233,19 @@ object Warc {
       val payload = new Array[Byte](keep)
       readFully(payload, keep)
       if (len > keep) skipFully(len - keep)
+      val ctype = headers.getOrElse("content-type", null)
       Some(WarcRow(
         file, ix, valid = true, error = null,
         warc_type = headers.getOrElse("warc-type", null),
         record_id = headers.getOrElse("warc-record-id", null),
         target_uri = headers.getOrElse("warc-target-uri", null),
         warc_date = headers.getOrElse("warc-date", null),
-        content_type = headers.getOrElse("content-type", null),
+        content_type = ctype,
         content_length = len,
         truncated = len > keep,
         headers = headers.toMap,
-        payload = payload))
+        payload = payload,
+        payload_text = decodeText(ctype, payload)))
     }
 
     /** Scan forward for "\nWARC/" — the next version line — then
@@ -231,6 +269,228 @@ object Warc {
     }
 
     override def toString: String = s"WarcRecords($file)"
+  }
+
+  // ------------------------------------------------------------------
+  // Member-chain gzip (RFC 1952) with corrupt-member resync
+  // ------------------------------------------------------------------
+
+  /** Reads a chain of concatenated gzip members as one stream (the
+    * crawl-archive layout), like `GZIPInputStream` — but keeps exact
+    * control of the RAW byte position so that after a corrupt member
+    * [[resyncToNextMember]] can rescan for the next member magic and
+    * resume, bounding the loss to one record instead of the file tail.
+    * Data CRC32 and ISIZE verify per member (corruption surfaces as a
+    * `ZipException`, which the record walk tombstones). */
+  private final class GzipChain(raw: java.io.InputStream) extends java.io.InputStream {
+    import java.util.zip.ZipException
+
+    private val cbuf = new Array[Byte](1 << 16)
+    private var cpos = 0 // next unread raw byte in cbuf
+    private var clen = 0 // valid raw bytes in cbuf
+    private val inf = new java.util.zip.Inflater(true)
+    private val crc = new java.util.zip.CRC32
+    private var eof = false
+    private var inMember = false
+    // resync() already consumed the magic (and CM/FLG) of the next header
+    private var pendingMagic = false
+    private var pendingCm = -1
+    private var pendingFlg = -1
+    // inflater input bookkeeping: the slice handed to setInput is
+    // cbuf[lastSetStart, lastSetEnd); reclaim() rewinds cpos over the
+    // unconsumed suffix exactly once; fillGen guards rescans against a
+    // cbuf refill having replaced the slice bytes
+    private var lastSetStart = 0
+    private var lastSetEnd = 0
+    private var lastSetGen = -1L
+    private var fillGen = 0L
+    private var unreclaimed = false
+    private val one = new Array[Byte](1)
+
+    private def fillRaw(): Boolean = {
+      if (cpos < clen) return true
+      val k = raw.read(cbuf)
+      if (k <= 0) false else { cpos = 0; clen = k; fillGen += 1; true }
+    }
+    private def rawByte(): Int =
+      if (!fillRaw()) -1 else { val b = cbuf(cpos) & 0xFF; cpos += 1; b }
+    private def needByte(): Int = {
+      val b = rawByte()
+      if (b < 0) throw new ZipException("truncated gzip member")
+      b
+    }
+    private def reclaim(): Unit =
+      if (unreclaimed) { cpos = lastSetEnd - inf.getRemaining; unreclaimed = false }
+
+    /** False at clean EOF before any magic byte. */
+    private def readHeader(): Boolean = {
+      var cm = -1; var flg = -1
+      if (pendingMagic) { pendingMagic = false; cm = pendingCm; flg = pendingFlg }
+      else {
+        val b0 = rawByte()
+        if (b0 < 0) return false
+        val b1 = needByte()
+        if (b0 != 0x1F || b1 != 0x8B)
+          throw new ZipException(f"bad gzip magic $b0%02x $b1%02x")
+        cm = needByte()
+        flg = needByte()
+      }
+      if (cm != 8) throw new ZipException(s"unsupported gzip method $cm")
+      var i = 0
+      while (i < 6) { needByte(); i += 1 } // MTIME(4) XFL OS
+      if ((flg & 4) != 0) { // FEXTRA
+        val xl = needByte() | (needByte() << 8)
+        var j = 0
+        while (j < xl) { needByte(); j += 1 }
+      }
+      if ((flg & 8) != 0) while (needByte() != 0) () // FNAME
+      if ((flg & 16) != 0) while (needByte() != 0) () // FCOMMENT
+      if ((flg & 2) != 0) { needByte(); needByte() } // FHCRC (data CRC verifies below)
+      inf.reset(); crc.reset()
+      true
+    }
+
+    private def readTrailer(): Unit = {
+      reclaim()
+      var v = 0L; var i = 0
+      while (i < 4) { v |= needByte().toLong << (8 * i); i += 1 }
+      if (v != crc.getValue) throw new ZipException("gzip member CRC mismatch")
+      var isize = 0L; i = 0
+      while (i < 4) { isize |= needByte().toLong << (8 * i); i += 1 }
+      if (isize != (inf.getBytesWritten & 0xFFFFFFFFL))
+        throw new ZipException("gzip member ISIZE mismatch")
+    }
+
+    override def read(): Int = {
+      val n = read(one, 0, 1)
+      if (n < 0) -1 else one(0) & 0xFF
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (!eof) {
+        if (!inMember) {
+          if (!readHeader()) { eof = true; return -1 }
+          inMember = true
+        }
+        val n = try inf.inflate(b, off, len) catch {
+          case e: java.util.zip.DataFormatException =>
+            throw new ZipException("corrupt deflate data: " +
+              Option(e.getMessage).getOrElse(""))
+        }
+        if (n > 0) { crc.update(b, off, n); return n }
+        if (inf.finished()) { readTrailer(); inMember = false } // next member or EOF
+        else if (inf.needsInput()) {
+          if (!fillRaw()) throw new ZipException("truncated gzip member")
+          inf.setInput(cbuf, cpos, clen - cpos)
+          lastSetStart = cpos; lastSetEnd = clen; lastSetGen = fillGen
+          cpos = clen; unreclaimed = true
+        } else throw new ZipException("gzip needs preset dictionary")
+      }
+      -1
+    }
+
+    /** After a member error: scan the raw bytes for the next member
+      * magic (0x1F 0x8B + CM 8 + sane FLG — the 2-byte validation
+      * rejects most false positives inside deflate data) and position
+      * so the next [[read]] resumes at that header. The scan restarts
+      * from the BEGINNING of the last slice handed to the inflater (the
+      * error was detected somewhere inside it, and the next member's
+      * header bytes may already have been consumed as bogus deflate
+      * input) — valid because the slice starts strictly after the
+      * corrupt member's own header, so no already-emitted record can
+      * replay. A rejected candidate's lookahead re-feeds the matcher
+      * (overlapping 1F 8B sequences stay detectable). */
+    def resyncToNextMember(): Boolean = {
+      val rescanFrom = if (unreclaimed && lastSetGen == fillGen) lastSetStart else -1
+      reclaim()
+      if (rescanFrom >= 0) cpos = rescanFrom
+      inf.reset(); crc.reset()
+      inMember = false
+      var pend: List[Int] = Nil
+      def nextByte(): Int = pend match {
+        case h :: t => pend = t; h
+        case Nil => rawByte()
+      }
+      var prev = -1
+      var c = nextByte()
+      while (c >= 0) {
+        if (prev == 0x1F && c == 0x8B) {
+          val cm = nextByte()
+          val flg = if (cm == 8) nextByte() else -1
+          if (cm == 8 && flg >= 0 && (flg & 0xE0) == 0) {
+            pendingMagic = true; pendingCm = cm; pendingFlg = flg
+            return true
+          }
+          // not a header: re-feed the lookahead through the matcher
+          pend = (if (flg >= 0) List(cm, flg) else if (cm >= 0) List(cm) else Nil) ::: pend
+        }
+        prev = c
+        c = nextByte()
+      }
+      eof = true
+      false
+    }
+
+    override def close(): Unit = {
+      inf.end()
+      raw.close()
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Charset resolution (Content-Type param > meta sniff > UTF-8)
+  // ------------------------------------------------------------------
+
+  private val CharsetParam =
+    java.util.regex.Pattern.compile("(?i)charset\\s*=\\s*\"?([A-Za-z0-9][A-Za-z0-9_.:+-]*)")
+  private val MetaCharset = java.util.regex.Pattern.compile(
+    "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9][A-Za-z0-9_.:+-]*)")
+  private val MetaSniffBytes = 1024
+
+  /** Is this Content-Type a text payload worth decoding? (WET
+    * conversion records are text/plain; warcinfo blocks are
+    * application/warc-fields.) */
+  private def isTextual(contentType: String): Boolean = {
+    if (contentType == null) return false
+    val semi = contentType.indexOf(';')
+    val mt = (if (semi >= 0) contentType.substring(0, semi) else contentType)
+      .trim.toLowerCase(java.util.Locale.ROOT)
+    mt.startsWith("text/") || mt == "application/xhtml+xml" ||
+      mt == "application/xml" || mt == "application/json" ||
+      mt == "application/javascript" || mt == "application/warc-fields" ||
+      mt.endsWith("+xml") || mt.endsWith("+json")
+  }
+
+  private def lookupCharset(name: String): java.nio.charset.Charset =
+    try java.nio.charset.Charset.forName(name)
+    catch { case _: Exception => null } // unsupported/illegal → next fallback
+
+  /** Decode a textual payload: Content-Type charset param, else HTML
+    * meta-charset sniff over the head bytes, else UTF-8; malformed
+    * sequences decode with replacement (degrade, never throw).
+    * Non-textual or absent Content-Type → null. */
+  def decodeText(contentType: String, payload: Array[Byte]): String = {
+    if (!isTextual(contentType)) return null
+    if (payload.length == 0) return ""
+    var cs: java.nio.charset.Charset = null
+    val m = CharsetParam.matcher(contentType)
+    if (m.find()) cs = lookupCharset(m.group(1))
+    if (cs == null) {
+      // ISO-8859-1 maps bytes 1:1 — safe for scanning ASCII meta tags
+      val head = new String(payload, 0, math.min(payload.length, MetaSniffBytes),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val mm = MetaCharset.matcher(head)
+      if (mm.find()) cs = lookupCharset(mm.group(1))
+    }
+    if (cs == null) cs = java.nio.charset.StandardCharsets.UTF_8
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    try dec.decode(java.nio.ByteBuffer.wrap(payload)).toString
+    catch { case _: Exception => // pathological decoder state: UTF-8 replace
+      new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    }
   }
 
   /** Parse one in-memory archive — the streaming source
@@ -268,15 +528,29 @@ object Warc {
     bos.toByteArray
   }
 
+  /** Deterministic per-doc charset variant for [[writeSyntheticShards]]
+    * (Fibonacci mixing so any id stride hits all variants): 0 = UTF-8
+    * with an explicit charset param, 1 = ISO-8859-1 with a charset
+    * param (when the page encodes), 2 = bare Content-Type (the UTF-8
+    * fallback path), 3 = UTF-8 param. */
+  private def charsetVariant(id: Long): Int =
+    (((id * 0x9E3779B97F4A7C15L) >>> 33) & 3L).toInt
+
   /** Distributed synthetic-archive writer for the warc_ingest gate:
     * each partition of `pages` — (doc_id LONG, html STRING) — writes
     * one shard into `outDir`, EVEN partition indexes as plain `.warc`,
     * ODD as `.warc.gz` with one gzip member per record (both layouts
     * crawl dumps ship), response records keyed by
-    * `https://example.com/doc/<id>`. The dir is wiped first (the
-    * fixture is deterministic in the input). Local-filesystem writer —
-    * the gate runs local[*]; production [[read]] consumes existing
-    * archives from whatever FS Spark is pointed at. Returns the glob. */
+    * `https://example.com/doc/<id>`. Per-record charset varies
+    * deterministically ([[charsetVariant]]): most pages write UTF-8
+    * (param or bare Content-Type), and Latin-1-encodable pages on
+    * variant 1 write ISO-8859-1 bytes with the charset declared in
+    * Content-Type — reading them back through `payload_text` is what
+    * exercises the decode chain end-to-end. The dir is wiped first
+    * (the fixture is deterministic in the input). Local-filesystem
+    * writer — the gate runs local[*]; production [[read]] consumes
+    * existing archives from whatever FS Spark is pointed at. Returns
+    * the glob. */
   def writeSyntheticShards(pages: DataFrame, outDir: String): String = {
     val dir = new java.io.File(outDir)
     def del(f: java.io.File): Unit = {
@@ -293,17 +567,26 @@ object Warc {
           val gzip = pid % 2 == 1
           val f = new java.io.File(dir, f"shard-$pid%05d.warc" + (if (gzip) ".gz" else ""))
           val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16)
+          val latin1Enc = java.nio.charset.StandardCharsets.ISO_8859_1.newEncoder()
           try {
             while (it.hasNext) {
               val r = it.next()
               val id = r.getLong(0)
+              val html = r.getString(1)
+              val (ctype, body) = charsetVariant(id) match {
+                case 1 if latin1Enc.canEncode(html) =>
+                  ("text/html; charset=ISO-8859-1",
+                    html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+                case 2 => ("text/html", html.getBytes("UTF-8"))
+                case _ => ("text/html; charset=UTF-8", html.getBytes("UTF-8"))
+              }
               val rec = record(Seq(
                 "WARC-Type" -> "response",
                 "WARC-Record-ID" -> s"<urn:graft:$id>",
                 "WARC-Date" -> "2026-01-01T00:00:00Z",
                 "WARC-Target-URI" -> s"https://example.com/doc/$id",
-                "Content-Type" -> "text/html"),
-                r.getString(1).getBytes("UTF-8"))
+                "Content-Type" -> ctype),
+                body)
               os.write(if (gzip) gzipMember(rec) else rec)
             }
           } finally os.close()

@@ -127,6 +127,21 @@ class PcaSpec extends SparkSpec {
     assert(rows(2L).forall(x => x != null && x.isNaN), rows(2L).toString)
   }
 
+  test("same layout ⇒ bit-identical basis (partition-index-order combine)") {
+    // The fold over per-partition partials is pinned to partition INDEX
+    // order, so re-training over the SAME layout is exact ==, not a
+    // tolerance — even with 13 partitions racing task completion.
+    val in = vecs(cloud).repartition(13, col("vec_id")).cache()
+    try {
+      val a = Pca.train(in, col("embedding"), dim = 3, k = 3)
+      val b = Pca.train(in, col("embedding"), dim = 3, k = 3)
+      assert(a.mean.sameElements(b.mean))
+      for (j <- 0 until 3)
+        assert(a.components(j).sameElements(b.components(j)),
+          s"component $j differs between same-layout trains")
+    } finally { in.unpersist(); () }
+  }
+
   test("training is partition-invariant (within eigensolver tolerance); save/load == direct") {
     val a = Pca.train(vecs(cloud), col("embedding"), dim = 3, k = 2)
     val b = Pca.train(vecs(cloud).repartition(13), col("embedding"), dim = 3, k = 2)

@@ -106,6 +106,95 @@ class WarcSpec extends SparkSpec {
     assert(!rows(1).getAs[Boolean]("valid"))
   }
 
+  test("corrupt MIDDLE gzip member: loss bounded to one record — the member chain resyncs") {
+    val dir = tmpDir()
+    val r = new scala.util.Random(41)
+    def big(id: Long) = rec(id, Seq.fill(4096)(('a' + r.nextInt(26)).toChar).mkString)
+    val whole = Warc.gzipMember(big(3))
+    val members = Array(
+      Warc.gzipMember(big(1)), Warc.gzipMember(big(2)),
+      whole.take(whole.length / 2), // mid-deflate cut
+      Warc.gzipMember(big(4)), Warc.gzipMember(big(5)))
+    write(dir, "a.warc.gz", members: _*)
+    val rows = Warc.read(spark, dir + "/*").orderBy("record_ix").collect()
+    // 2 good + 1 tombstone + the 2 TRAILING members recovered by the
+    // raw-byte magic rescan (pre-resync behavior lost the file tail)
+    assert(rows.length == 5, rows.map(x => (x.getAs[Int]("record_ix"),
+      x.getAs[Boolean]("valid"))).mkString("; "))
+    assert(rows.count(_.getAs[Boolean]("valid")) == 4)
+    assert(!rows(2).getAs[Boolean]("valid"))
+    val uris = rows.filter(_.getAs[Boolean]("valid"))
+      .map(_.getAs[String]("target_uri")).toSet
+    assert(uris == Set(1L, 2L, 4L, 5L).map(i => s"https://example.com/doc/$i"))
+  }
+
+  test("gzip member with a flipped payload byte: CRC catches it, chain continues") {
+    val dir = tmpDir()
+    // STORED-ish small member: flip one byte inside the compressed data
+    // so inflate still succeeds but the member CRC must mismatch; use
+    // an incompressible payload so deflate stores it near-verbatim
+    val r = new scala.util.Random(7)
+    val bytes = Array.fill[Byte](2048)(r.nextInt().toByte)
+    val m = Warc.gzipMember(Warc.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://example.com/doc/9"), bytes))
+    m(m.length / 2) = (m(m.length / 2) ^ 0x01).toByte
+    write(dir, "a.warc.gz", m, Warc.gzipMember(rec(10, "after")))
+    val rows = Warc.read(spark, dir + "/*").orderBy("record_ix").collect()
+    // the flip either breaks the deflate stream or survives to the CRC
+    // check — both degrade to a tombstone; the trailing member recovers
+    assert(rows.exists(x => !x.getAs[Boolean]("valid")), rows.mkString("; "))
+    assert(rows.exists(x => x.getAs[Boolean]("valid") &&
+      x.getAs[String]("target_uri") == "https://example.com/doc/10"))
+  }
+
+  test("obs-fold header continuation appends to the previous value") {
+    val dir = tmpDir()
+    val body = "hi"
+    val raw = ("WARC/1.0\r\n" +
+      "WARC-Type: response\r\n" +
+      "WARC-Target-URI: https://example.com/very/long\r\n" +
+      " /folded/tail\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n" + body + "\r\n\r\n").getBytes("UTF-8")
+    write(dir, "a.warc", raw, rec(2, "next"))
+    val rows = Warc.read(spark, dir + "/*").orderBy("record_ix").collect()
+    assert(rows.length == 2 && rows.forall(_.getAs[Boolean]("valid")), rows.mkString("; "))
+    assert(rows(0).getAs[String]("target_uri") ==
+      "https://example.com/very/long /folded/tail")
+  }
+
+  test("charset: Content-Type param > meta sniff > UTF-8; degrade on bad names/bytes") {
+    val dir = tmpDir()
+    def r(id: Long, ct: String, body: Array[Byte]) = Warc.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> s"https://example.com/doc/$id",
+      "Content-Type" -> ct), body)
+    write(dir, "a.warc",
+      r(1, "text/html; charset=ISO-8859-1", "café §".getBytes("ISO-8859-1")),
+      r(2, "text/plain; charset=Shift_JIS", "日本語".getBytes("Shift_JIS")),
+      // meta sniff: bare type, charset only in the head bytes
+      r(3, "text/html",
+        "<html><head><meta charset=\"windows-1252\"></head><body>“quoted”</body></html>"
+          .getBytes("windows-1252")),
+      // unsupported charset name degrades to UTF-8 (not a throw)
+      r(4, "text/plain; charset=not-a-charset-9x", "plain utf8 ü".getBytes("UTF-8")),
+      // malformed UTF-8 bytes decode with replacement, never die
+      r(5, "text/plain", Array[Byte](0x68, 0x69, 0xFF.toByte, 0xFE.toByte, 0x21)),
+      // non-textual content types do not decode
+      r(6, "image/png", Array[Byte](1, 2, 3)),
+      r(7, "application/warc-fields", "k: v".getBytes("UTF-8")))
+    val got = Warc.read(spark, dir + "/*")
+      .select("target_uri", "payload_text").collect()
+      .map(x => x.getString(0).split("/doc/")(1).toLong -> x.getString(1)).toMap
+    assert(got(1L) == "café §")
+    assert(got(2L) == "日本語")
+    assert(got(3L).contains("“quoted”"), got(3L))
+    assert(got(4L) == "plain utf8 ü")
+    assert(got(5L) == "hi��!", got(5L))
+    assert(got(6L) == null)
+    assert(got(7L) == "k: v")
+  }
+
   test("empty file yields no rows; pure garbage yields one tombstone") {
     val dir = tmpDir()
     write(dir, "empty.warc", Array.emptyByteArray)
@@ -137,18 +226,22 @@ class WarcSpec extends SparkSpec {
   }
 
   test("shard write -> read -> extract composition equals direct extraction") {
+    // doc 8 lands the ISO-8859-1 writer variant AND has Latin-1
+    // non-ASCII text, so its shard bytes are byte-distinct from UTF-8 —
+    // only the payload_text charset decode reproduces the page
     val docs = Seq(
       (0L, "plain words here"),
-      (8L, "the quick <brown> fox"),
-      (16L, "unicode § and ümlauts")).toDF("doc_id", "text")
+      (8L, "unicode § and ümlauts"),
+      (16L, "the quick <brown> fox")).toDF("doc_id", "text")
     val html = concat(lit("<html><body><p>"), col("text"), lit("</p></body></html>"))
     val pages = docs.select(col("doc_id"), html.as("html")).repartition(3)
     val glob = Warc.writeSyntheticShards(pages, tmpDir() + "/shards")
-    val got = Warc.read(spark, glob)
+    val read = Warc.read(spark, glob)
       .where(col("valid") && col("warc_type") === "response")
+    val got = read
       .select(
         regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
-        col("payload").cast("string").as("page"))
+        col("payload_text").as("page"))
       .select(col("doc_id"),
         graft.functions.TextFns.htmlToText(col("page")).as("text_plain"))
       .as[(Long, String)].collect().toMap
@@ -156,6 +249,13 @@ class WarcSpec extends SparkSpec {
         graft.functions.TextFns.htmlToText(html).as("text_plain"))
       .as[(Long, String)].collect().toMap
     assert(got == want)
+    // the Latin-1 variant really wrote non-UTF-8 bytes: a UTF-8
+    // reinterpretation of doc 8's payload garbles where decode doesn't
+    val raw8 = read.where(col("target_uri").endsWith("/doc/8"))
+      .select("payload", "content_type").head()
+    assert(raw8.getString(1).contains("ISO-8859-1"), raw8.getString(1))
+    assert(new String(raw8.getAs[Array[Byte]](0), "UTF-8") !=
+      new String(raw8.getAs[Array[Byte]](0), "ISO-8859-1"))
     // both shard layouts were written (3 partitions -> plain + gzip)
     val files = new java.io.File(glob.stripSuffix("/*")).listFiles.map(_.getName)
     assert(files.exists(_.endsWith(".warc")) && files.exists(_.endsWith(".warc.gz")), files.toSeq)
