@@ -1448,6 +1448,26 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L56b: BYTE-level BPE (GPT-2 / Radford et al. 2019 — the published
+    // merges.txt shape): regex pretokenization (leading spaces attach),
+    // UTF-8 bytes lifted to the printable unicode space, exhaustive
+    // lowest-rank-leftmost merges. The corpus text is augmented with a
+    // planted suffix (by doc_id % 4) that forces every path the oracle
+    // must reproduce: multi-space runs before words/digits/punct (the
+    // lookahead split), a contraction after spaces (the " '"+tail-merge
+    // case), tabs/newlines, 2/3/4-byte UTF-8, trailing whitespace.
+    // PARTIAL oracle, the bpe_tokens pattern: _aux/bpe_bytes_merges
+    // exports the deterministic re-train and DuckDB re-derives the
+    // ENTIRE apply — lookahead-free pretokenizer emulation, per-char
+    // UTF-8 byte expansion, GPT-2 byte map, 24 unrolled merge steps.
+    "bpe_tokens_bytes" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      val t2 = bpeBytesText
+      val merges = Bpe.fitMergesBytes(docs.select(t2.as("_t2")), col("_t2"), numMerges = 40)
+      docs.select(col("doc_id"), Bpe.countBytes(t2, merges).as("n_bpe_bytes"))
+        .orderBy("doc_id")
+    },
+
     // L54 (links): href extraction in document order — the link-graph
     // side of web-corpus prep, composing with the L30 URL hygiene.
     // Page synthesized around the L30 synthetic URL (one absolute
@@ -1759,6 +1779,13 @@ object SparkEntry {
     "bpe_merges" -> { (s, dir) =>
       Bpe.toFrame(Bpe.fitMerges(documents(s, dir).toNative, col("text"), numMerges = 12), s)
     },
+    // bpe_tokens_bytes upstream: the byte-level merges, same
+    // deterministic re-train contract over the augmented text.
+    "bpe_bytes_merges" -> { (s, dir) =>
+      Bpe.toFrame(Bpe.fitMergesBytes(
+        documents(s, dir).toNative.select(bpeBytesText.as("_t2")),
+        col("_t2"), numMerges = 40), s)
+    },
     // dedup_embedding upstream: sign-LSH candidate pairs (pre-verify).
     "emb_cand" -> { (s, dir) =>
       Dedup.embeddingCandidates(embeddings(s, dir).toNative,
@@ -1897,6 +1924,7 @@ object SparkEntry {
     "pca_project"     -> "pca_model",
     "quality_lr"      -> "lr_model",
     "bpe_tokens"      -> "bpe_merges",
+    "bpe_tokens_bytes" -> "bpe_bytes_merges",
     "dedup_embedding" -> "emb_cand",
     "dedup_semantic"  -> "sem_cand",
     "sample_diverse"  -> "div_assign",
@@ -1917,6 +1945,93 @@ object SparkEntry {
     * surface as a hash mismatch, never a silent pass, because the
     * Spark side merges exhaustively). */
   private val BpeUnrollSteps = 24
+
+  /** The bpe_tokens_bytes augmented text: corpus text plus a planted
+    * suffix (by doc_id % 4) that exercises every pretokenizer and
+    * byte-expansion path — mirrored character-for-character in
+    * [[bpeBytesOracleSql]]. */
+  private def bpeBytesText: org.apache.spark.sql.Column = {
+    val m = pmod(col("doc_id"), lit(4))
+    concat(col("text"),
+      when(m === 0, lit(" it's No  42\n\nEnd…  "))
+        .when(m === 1, lit("  'since naïve café  !!"))
+        .when(m === 2, lit("\tTab 12 ±3 日本語!!"))
+        .otherwise(lit(" we'll 𝄞 x  y z's  ")))
+  }
+
+  /** The bpe_tokens_bytes partial oracle: re-derive the ENTIRE
+    * byte-level apply in DuckDB from the exported merges. RE2 has no
+    * lookahead, so the GPT-2 pretokenizer's `\s+(?!\S)` branch is
+    * EMULATED exactly: pass A tokenizes with a greedy `\s+` fallback
+    * (identical earlier branches — a whitespace run only reaches `\s+`
+    * when the single-space `? `-prefix branches can't take it), then a
+    * window pass splits each non-trailing whitespace run into
+    * `run[:-1]` plus its last char `c` bound forward: `c = ' '` merges
+    * into the next token (` word` / ` 42` / ` !!`), EXCEPT a
+    * contraction, which re-splits as ` '` + tail — and the tail, being
+    * letters, absorbs an immediately-following pure-letter token
+    * (" 'since" → ` '` + `since`, the one-step ripple; letters after
+    * letters can't extend further because pass-A letter runs are
+    * maximal). `c ≠ ' '` (tab/newline) stays its own token. Each
+    * distinct word then expands to UTF-8 bytes per code point
+    * (arithmetic 1–4-byte encoding), lifts through the GPT-2 byte map
+    * (printable bytes identity; the 68 others to 256+n ascending), and
+    * runs the same 24 unrolled lowest-rank-leftmost merge steps as the
+    * char-level oracle. */
+  private def bpeBytesOracleSql: String = {
+    def step(i: Int): String =
+      s""",
+         |s$i AS (SELECT word, CASE WHEN best_i IS NULL THEN toks
+         |  ELSE toks[1:best_i-1] || [toks[best_i] || toks[best_i+1]] || toks[best_i+2:] END AS toks
+         |  FROM (SELECT word, toks,
+         |    (SELECT i FROM unnest(range(1, len(toks))) AS t(i)
+         |      JOIN mg ON mg.l = toks[i] AND mg.r = toks[i+1]
+         |      ORDER BY mg.rank, i LIMIT 1) AS best_i FROM s${i - 1}))""".stripMargin
+    val ctr = "('''s','''t','''re','''ve','''m','''ll','''d')"
+    s"""WITH mg AS (SELECT rank, "left" AS l, "right" AS r FROM '{AUX}/bpe_bytes_merges/*.parquet'),
+       |h AS (SELECT doc_id, text || CASE CAST(doc_id % 4 AS INTEGER)
+       |  WHEN 0 THEN ' it''s No  42' || chr(10) || chr(10) || 'End…  '
+       |  WHEN 1 THEN '  ''since naïve café  !!'
+       |  WHEN 2 THEN chr(9) || 'Tab 12 ±3 日本語!!'
+       |  ELSE ' we''ll 𝄞 x  y z''s  ' END AS t2 FROM documents),
+       |pa AS (SELECT doc_id, regexp_extract_all(t2, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+', 0) AS toks FROM h),
+       |tt AS (SELECT doc_id, i.i AS pos, toks[i.i] AS tok FROM pa, unnest(range(1, len(toks) + 1)) AS i(i)),
+       |t1 AS (SELECT doc_id, pos, tok, regexp_matches(tok, '^\\s+$$') AS is_ws,
+       |  substr(tok, length(tok), 1) AS last_ch FROM tt),
+       |t2c AS (SELECT doc_id, pos, tok, is_ws, last_ch,
+       |  lead(tok) OVER w AS nxt,
+       |  coalesce(lag(is_ws) OVER w, false) AS prv_ws,
+       |  lag(last_ch) OVER w AS prv_last
+       |  FROM t1 WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |t3 AS (SELECT doc_id, pos, tok, is_ws, last_ch, nxt, prv_ws, prv_last,
+       |  (tok IN $ctr AND prv_ws AND prv_last = ' ') AS ac FROM t2c),
+       |t4 AS (SELECT doc_id, pos, tok, is_ws, last_ch, nxt, prv_ws, prv_last, ac,
+       |  coalesce(lag(ac) OVER (PARTITION BY doc_id ORDER BY pos), false) AS prv_ac FROM t3),
+       |te AS (SELECT doc_id, CASE
+       |  WHEN is_ws AND nxt IS NOT NULL THEN
+       |    [substr(tok, 1, length(tok) - 1),
+       |     CASE WHEN last_ch = ' ' THEN (CASE WHEN nxt IN $ctr THEN ' ''' ELSE NULL END) ELSE last_ch END]
+       |  WHEN prv_ac AND regexp_matches(tok, '^\\p{L}+$$') THEN [CAST(NULL AS VARCHAR)]
+       |  WHEN ac THEN [substr(tok, 2) || (CASE WHEN coalesce(regexp_matches(nxt, '^\\p{L}+$$'), false) THEN nxt ELSE '' END)]
+       |  WHEN prv_ws AND prv_last = ' ' THEN [' ' || tok]
+       |  ELSE [tok] END AS emitted FROM t4),
+       |words AS (SELECT doc_id, unnest(list_filter(emitted, x -> x IS NOT NULL AND x <> '')) AS word FROM te),
+       |ch AS (SELECT word, regexp_extract_all(word, '.', 0, 's') AS chars FROM (SELECT DISTINCT word FROM words)),
+       |cb AS (SELECT word, flatten(list_transform(chars, c ->
+       |  CASE WHEN unicode(c) < 128 THEN [unicode(c)]
+       |       WHEN unicode(c) < 2048 THEN [192 + unicode(c) // 64, 128 + unicode(c) % 64]
+       |       WHEN unicode(c) < 65536 THEN [224 + unicode(c) // 4096, 128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64]
+       |       ELSE [240 + unicode(c) // 262144, 128 + (unicode(c) // 4096) % 64, 128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64] END)) AS bts FROM ch),
+       |s0 AS (SELECT word, list_transform(bts, b ->
+       |  CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172) OR (b BETWEEN 174 AND 255) THEN chr(b)
+       |       WHEN b <= 32 THEN chr(256 + b)
+       |       WHEN b <= 160 THEN chr(256 + 33 + b - 127)
+       |       ELSE chr(323) END) AS toks FROM cb)${(1 to BpeUnrollSteps).map(step).mkString},
+       |wl AS (SELECT word, CAST(len(toks) AS BIGINT) AS n FROM s$BpeUnrollSteps),
+       |agg AS (SELECT w.doc_id, CAST(sum(wl.n) AS BIGINT) AS n_bpe_bytes FROM words w JOIN wl USING (word) GROUP BY 1)
+       |SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(a.n_bpe_bytes, 0) END AS n_bpe_bytes
+       |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
 
   private def bpeOracleSql: String = {
     def step(i: Int): String =
@@ -2919,6 +3034,10 @@ object SparkEntry {
     // BPE token counts (partial, over _aux/bpe_merges): the full apply
     // re-derived in DuckDB — see [[bpeOracleSql]].
     "bpe_tokens" -> bpeOracleSql,
+
+    // Byte-level BPE (partial, over _aux/bpe_bytes_merges): lookahead
+    // pretokenizer emulated, bytes re-derived — see [[bpeBytesOracleSql]].
+    "bpe_tokens_bytes" -> bpeBytesOracleSql,
 
     // Quality LR (partial, over _aux/lr_model): exact integer-ratio
     // features, the identical left-associative w·x chain, and the

@@ -83,6 +83,87 @@ object BpeUtil {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Byte-level variant (GPT-2 / Radford et al. 2019, the published
+  // merges.txt format): words come from regex pretokenization, seed as
+  // UTF-8 BYTES lifted to printable unicode, and the SAME exhaustive
+  // lowest-rank-leftmost merge engine applies — [[Table.segment]] seeds
+  // by code point and every mapped byte-char is one BMP code point.
+  // ------------------------------------------------------------------
+
+  /** The GPT-2 byte→unicode printable map (encoder.py
+    * `bytes_to_unicode`, re-derived from the published algorithm):
+    * printable latin-1 bytes map to themselves, the 68 others —
+    * controls, space, DEL..NBSP region, SHY — map to 256+n in
+    * ascending byte order, so every byte is a VISIBLE single char and
+    * published merges.txt files (written in this space: `Ġ` = 0x20,
+    * `Ċ` = 0x0A) load verbatim. */
+  val ByteToChar: Array[Char] = {
+    val out = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      val printable = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174 && b <= 255)
+      if (printable) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    out
+  }
+
+  /** A word lifted to the mapped byte space: UTF-8 bytes, each as its
+    * [[ByteToChar]] char ("hi " → "hiĠ"). */
+  def toByteWord(word: String): String = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) { sb.append(ByteToChar(bytes(i) & 0xFF)); i += 1 }
+    sb.toString
+  }
+
+  /** The GPT-2 pretokenizer (Radford et al. 2019; the tiktoken/HF
+    * `gpt2` pattern) with one documented variance: `\s` is the
+    * Java∩RE2 ASCII class, not Python's Unicode one — Unicode spaces
+    * (NBSP etc.) fall to the punctuation branch on BOTH engines, which
+    * keeps the oracle cross-engine exact. Leftmost-first alternation:
+    * contractions, space?+letters, space?+digits, space?+punct,
+    * whitespace-not-before-word, whitespace. */
+  val Gpt2Pretokenizer: java.util.regex.Pattern = java.util.regex.Pattern.compile(
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+")
+
+  /** Pretokenize into GPT-2 words (leading spaces attached — the
+    * published behavior). Driver/spec helper; the hot path inlines the
+    * matcher walk in [[countBytes]]. */
+  def pretokenize(text: String): Array[String] = {
+    val m = Gpt2Pretokenizer.matcher(text)
+    val out = new scala.collection.mutable.ArrayBuffer[String](16)
+    while (m.find()) out += m.group()
+    out.toArray
+  }
+
+  /** Σ byte-level piece counts over raw text: one matcher walk, each
+    * word lifted to the byte space and segmented through the shared
+    * per-thread memo. */
+  def countBytes(text: UTF8String, t: Table): Long = {
+    val m = Gpt2Pretokenizer.matcher(text.toString)
+    var total = 0L
+    while (m.find()) total += t.segmentCached(toByteWord(m.group())).length
+    total
+  }
+
+  /** All byte-level pieces in document order (mapped space — specs and
+    * packing inspection). */
+  def segmentsBytes(text: UTF8String, t: Table): ArrayData = {
+    val m = Gpt2Pretokenizer.matcher(text.toString)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+    while (m.find()) {
+      val pieces = t.segmentCached(toByteWord(m.group()))
+      var j = 0
+      while (j < pieces.length) { out += UTF8String.fromString(pieces(j)); j += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Σ per-word piece counts over a token array (null elements skip). */
   def countTokens(tokens: ArrayData, t: Table): Long = {
     val n = tokens.numElements()

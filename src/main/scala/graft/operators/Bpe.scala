@@ -45,6 +45,33 @@ object Bpe {
     Bridge.column(org.apache.spark.sql.graftexpr.BpeSegmentsExpr(
       Bridge.expr(NgramLM.tokens(text)), flatten(merges)))
 
+  /** BYTE-level BPE piece count (GPT-2 / Radford et al. 2019 — the
+    * published merges.txt shape): GPT-2 regex pretokenization (leading
+    * spaces attach to words), UTF-8 bytes lifted to the printable
+    * unicode space ([[graft.hashing.BpeUtil.ByteToChar]]; `Ġ` = space),
+    * then the same exhaustive lowest-rank-leftmost merges. `merges`
+    * pairs are in the MAPPED space, so a published GPT-2-format
+    * merges.txt ([[loadMergesLines]]) counts real training budgets
+    * verbatim. Same codegen shape as [[count]]: pure narrow
+    * projection, frozen rank table as a reference object, per-thread
+    * word→pieces memo. NULL text → NULL. */
+  def countBytes(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(org.apache.spark.sql.graftexpr.BpeCountBytesExpr(
+      Bridge.expr(text), flatten(merges)))
+
+  /** The byte-level pieces in document order, in the mapped space
+    * (specs/inspection; prefer [[countBytes]] on the hot path). */
+  def segmentsBytes(text: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(org.apache.spark.sql.graftexpr.BpeSegmentsBytesExpr(
+      Bridge.expr(text), flatten(merges)))
+
+  /** The GPT-2 pretokenizer as a Column (training word counts and
+    * specs; Spark's `regexp_extract_all` runs the same Java pattern the
+    * kernel walks). */
+  def pretokens(text: Column): Column =
+    regexp_extract_all(text,
+      lit(graft.hashing.BpeUtil.Gpt2Pretokenizer.pattern()), lit(0))
+
   private def flatten(merges: Seq[(String, String)]): Seq[String] =
     merges.flatMap { case (l, r) => Seq(l, r) }
 
@@ -69,7 +96,7 @@ object Bpe {
     // alphabet BpeUtil.segment applies and the oracle splits, so
     // supplementary-plane text (emoji) never trains lone-surrogate
     // merges the apply path can't use
-    var vocab: Array[(Array[String], Long)] = wc.map { r =>
+    val vocab: Array[(Array[String], Long)] = wc.map { r =>
       val word = r.getString(0)
       val syms = new scala.collection.mutable.ArrayBuffer[String](word.length)
       var i = 0
@@ -80,6 +107,38 @@ object Bpe {
       }
       (syms.toArray, r.getLong(1))
     }
+    mergeLoop(vocab, numMerges)
+  }
+
+  /** Train `numMerges` BYTE-level merges (the [[fitMerges]] algorithm
+    * over the GPT-2 alphabet): words come from [[pretokens]] (leading
+    * spaces attached), seed as mapped UTF-8 bytes, and the returned
+    * pairs are in the mapped space — directly [[countBytes]]/[[save]]
+    * input, format-compatible with published merges.txt. Same bounded
+    * driver-side (word, count) contract as [[fitMerges]]. */
+  def fitMergesBytes(
+      df: DataFrame, text: Column, numMerges: Int,
+      maxDistinctWords: Int = 1000000): Seq[(String, String)] = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    val wc = df.select(explode(pretokens(text)).as("w"))
+      .groupBy("w").agg(org.apache.spark.sql.functions.count(lit(1)).as("c"))
+      .limit(maxDistinctWords + 1)
+      .collect()
+    require(wc.length <= maxDistinctWords,
+      s"more than $maxDistinctWords distinct words — train on a bounded sample")
+    val vocab: Array[(Array[String], Long)] = wc.map { r =>
+      val bw = graft.hashing.BpeUtil.toByteWord(r.getString(0))
+      (bw.toCharArray.map(_.toString), r.getLong(1))
+    }
+    mergeLoop(vocab, numMerges)
+  }
+
+  /** The shared Sennrich merge loop: repeatedly merge the most
+    * frequent adjacent pair (ties lexicographic on (left, right) —
+    * pinned, so the re-train oracle is deterministic). */
+  private def mergeLoop(vocab0: Array[(Array[String], Long)],
+      numMerges: Int): Seq[(String, String)] = {
+    var vocab = vocab0
     val merges = Vector.newBuilder[(String, String)]
     var m = 0
     var done = false
@@ -125,6 +184,19 @@ object Bpe {
     }
     merges.result()
   }
+
+  /** Parse published merges.txt lines (the GPT-2/HF export format:
+    * optional `#version:` header, then one `left right` pair per line
+    * in rank order, already in the mapped byte space). Blank lines
+    * skip; a line without exactly one separating space is rejected. */
+  def loadMergesLines(lines: Seq[String]): Seq[(String, String)] =
+    lines.iterator
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        val i = l.indexOf(' ')
+        require(i > 0 && l.indexOf(' ', i + 1) < 0, s"malformed merges line '$l'")
+        (l.substring(0, i), l.substring(i + 1))
+      }.toVector
 
   /** Merges as a frame `(rank, left, right)` — the persisted/aux-export
     * shape (the lr_model pattern). */

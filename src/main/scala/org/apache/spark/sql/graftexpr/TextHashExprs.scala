@@ -436,6 +436,61 @@ final case class BpeSegmentsExpr(child: Expression, mergesFlat: Seq[String])
     copy(child = newChild)
 }
 
+/** Byte-level BPE piece count over RAW text (GPT-2 shape: regex
+  * pretokenization + UTF-8 bytes lifted to the printable unicode
+  * space, then the same exhaustive lowest-rank-leftmost merges) — see
+  * [[BpeCountExpr]] for the codegen/memo discipline; `mergesFlat` is
+  * in the MAPPED space (published merges.txt loads verbatim). */
+final case class BpeCountBytesExpr(child: Expression, mergesFlat: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(mergesFlat.length % 2 == 0, "merges must be (left, right) pairs")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count_bytes"
+
+  @transient private lazy val table = new graft.hashing.BpeUtil.Table(mergesFlat.toArray)
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.BpeUtil.countBytes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bpeTable", table, "graft.hashing.BpeUtil.Table")
+    defineCodeGen(ctx, ev, c => s"graft.hashing.BpeUtil.countBytes($c, $tRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountBytesExpr =
+    copy(child = newChild)
+}
+
+/** The byte-level BPE pieces in document order, in the mapped space
+  * (see [[BpeCountBytesExpr]]; prefer the count on hot paths). */
+final case class BpeSegmentsBytesExpr(child: Expression, mergesFlat: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(mergesFlat.length % 2 == 0, "merges must be (left, right) pairs")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segments_bytes"
+
+  @transient private lazy val table = new graft.hashing.BpeUtil.Table(mergesFlat.toArray)
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.hashing.BpeUtil.segmentsBytes(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bpeTable", table, "graft.hashing.BpeUtil.Table")
+    defineCodeGen(ctx, ev, c => s"graft.hashing.BpeUtil.segmentsBytes($c, $tRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegmentsBytesExpr =
+    copy(child = newChild)
+}
+
 /** One-pass document statistics — [[graft.hashing.TextStatsUtil.stats]]
   * as a codegen'd expression: the integer counts behind the Gopher
   * rule gate and the LR quality features (token/word counts, lowered

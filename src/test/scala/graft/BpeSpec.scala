@@ -88,6 +88,96 @@ class BpeSpec extends SparkSpec {
     assert(plan.contains("bpe_count"), plan)
   }
 
+  // ------------------------------------------------------------------
+  // L56b byte-level (GPT-2 shape)
+  // ------------------------------------------------------------------
+
+  test("byte map matches the published GPT-2 bytes_to_unicode values") {
+    val m = graft.hashing.BpeUtil.ByteToChar
+    assert(m(' '.toInt) == 'Ġ')  // Ġ — the famous leading-space marker
+    assert(m('\n'.toInt) == 'Ċ') // Ċ
+    assert(m('\t'.toInt) == 'ĉ') // ĉ
+    assert(m('A'.toInt) == 'A' && m('~'.toInt) == '~') // printables identity
+    assert(m(0) == 'Ā')          // first excluded byte -> 256
+    assert(m(127) == 'ġ')        // DEL -> 256+33
+    assert(m(160) == 'ł')        // NBSP byte -> 256+66
+    assert(m(173) == 'Ń')        // SHY -> 256+67
+    assert(m(0xFF) == 'ÿ' && m(0xA1) == '¡')
+    assert(m.distinct.length == 256)  // bijective
+  }
+
+  test("pretokenizer: GPT-2 semantics hand-checked (contractions, lookahead splits)") {
+    def p(s: String) = graft.hashing.BpeUtil.pretokenize(s).toSeq
+    assert(p("Hello world") == Seq("Hello", " world"))
+    assert(p("it's fine") == Seq("it", "'s", " fine"))
+    assert(p("we'll go") == Seq("we", "'ll", " go"))
+    // multi-space: \s+(?!\S) keeps the last space for the word
+    assert(p("a  b") == Seq("a", " ", " b"))
+    assert(p("No  42!!") == Seq("No", " ", " 42", "!!"))
+    // apostrophe after spaces: punct takes " '", letters take the rest
+    assert(p("a  'since") == Seq("a", " ", " '", "since"))
+    assert(p("a 'since") == Seq("a", " '", "since"))
+    // non-space whitespace binds alone
+    assert(p("x\n\ny") == Seq("x", "\n", "\n", "y"))
+    assert(p("tab\tz") == Seq("tab", "\t", "z"))
+    // trailing whitespace stays one run
+    assert(p("x  ") == Seq("x", "  "))
+    assert(p("") == Seq())
+  }
+
+  test("byte-level apply: a GPT-2-format merges.txt fixture loads and counts hand-derived") {
+    val lines = Seq("#version: 0.2", "t h", "th e", "Ġ t", "Ġt he")
+    val m = Bpe.loadMergesLines(lines)
+    assert(m == Seq(("t", "h"), ("th", "e"), ("Ġ", "t"), ("Ġt", "he")))
+    // "the the": word "the" -> [the]; word " the" = Ġthe ->
+    // (t,h)@0 -> [Ġ,th,e] -> (th,e)@1 -> [Ġ,the] = 2 pieces
+    val df = Seq((1L, "the the")).toDF("id", "text")
+    val segs = df.select(Bpe.segmentsBytes(col("text"), m)).as[Seq[String]].head()
+    assert(segs == Seq("the", "Ġ", "the"), segs)
+    val n = df.select(Bpe.countBytes(col("text"), m).as("n")).as[Long].head()
+    assert(n == 3L)
+    // malformed lines reject
+    intercept[IllegalArgumentException] { Bpe.loadMergesLines(Seq("a b c")) }
+  }
+
+  test("byte-level: multi-byte UTF-8 seeds one symbol per BYTE") {
+    val none = Seq.empty[(String, String)]
+    val df = Seq((1L, "é"), (2L, "日"), (3L, "𝄞"), (4L, "aé"))
+      .toDF("id", "text")
+    val got = df.select(col("id"), Bpe.countBytes(col("text"), none).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 3L), got.toString)
+  }
+
+  test("fitMergesBytes: trains in the mapped space; NULL/empty semantics; determinism") {
+    val df = Seq((1L, "aa aa"), (2L, "aa")).toDF("id", "text")
+    val m = Bpe.fitMergesBytes(df, col("text"), numMerges = 2)
+    // words: "aa" x2, " aa"=Ġaa x1 -> (a,a) count 3 first, then (Ġ,aa)
+    assert(m == Seq(("a", "a"), ("Ġ", "aa")), m.toString)
+    assert(Bpe.fitMergesBytes(df, col("text"), numMerges = 2) == m)
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "aa aa aa"))
+      .toDF("id", "text")
+    val got = edge.select(col("id"), Bpe.countBytes(col("text"), m).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isEmpty)
+    assert(got(2L).contains(0L))
+    assert(got(3L).contains(3L)) // "aa" + Ġaa + Ġaa, each fully merged
+    // save/load round trip survives the mapped-space chars
+    val dir = java.nio.file.Files.createTempDirectory("bpeb").toString
+    Bpe.toFrame(m, spark).repartition(1).write.mode("overwrite").parquet(dir)
+    assert(Bpe.load(spark, dir) == m)
+  }
+
+  test("plan: byte-level count is a pure narrow projection too") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = df.select(col("doc_id"),
+        Bpe.countBytes(col("text"), Seq(("a", "b"))).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("bpe_count_bytes"), plan)
+  }
+
   test("composition: Pack.selectByBudget cuts by BPE tokens, not whitespace words") {
     // two docs with the SAME word count but different BPE counts: the
     // budget admits the cheap one and rejects the expensive one
