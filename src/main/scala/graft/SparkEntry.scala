@@ -1325,6 +1325,27 @@ object SparkEntry {
         .orderBy("rank")
     },
 
+    // L51 (batch retrieval): ONE corpus pass scores ALL queries — the
+    // keep-set kernel filters to the union of terms, tf aggregates
+    // once, then the broadcast (term, qid, df) table fans hits out per
+    // query AFTER the heavy exchange. Query table exercises shared
+    // terms, case/blank normalization, and a term absent from some
+    // queries. FULL oracle: the bm25_score CTE chain per qid, hits
+    // only (zero-hit (doc, query) pairs get no row by contract).
+    "bm25_many" -> { (s, dir) =>
+      import s.implicits._
+      val docs = documents(s, dir).toNative
+      val queries = Seq(
+        (0L, "spark"), (0L, "window"), (0L, "merge"),
+        (1L, "spark"), (1L, "stream"),
+        (2L, "data"), (2L, " Merge"), (2L, "")).toDF("qid", "term")
+      Bm25.scoreMany(docs, col("doc_id"), col("text"), queries,
+          Bm25.fit(docs, col("text")))
+        .select(col("qid"), col("id").as("doc_id"), col("dl"),
+          col("n_hits"), col("bm25_micro"))
+        .orderBy("qid", "doc_id")
+    },
+
     // L52: reciprocal-rank fusion — the hybrid-retrieval combiner:
     // sparse leg = BM25 top-20 over documents, dense leg = exact
     // cosine top-20 around probe vec 0 (documents and embeddings
@@ -2917,6 +2938,20 @@ object SparkEntry {
         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits, CAST(sum(wm) AS BIGINT) AS bm25_micro FROM w GROUP BY 1)
         |SELECT k.doc_id, CAST(coalesce(len(k.toks), 0) AS BIGINT) AS dl, coalesce(a.n_hits, 0) AS n_hits, coalesce(a.bm25_micro, 0) AS bm25_micro
         |FROM tk k LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Batch scoring: the same weight chain per (qid, token); hits only.
+    "bm25_many" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS toks FROM documents),
+        |st AS (SELECT count(*) AS nd, CAST(coalesce(sum(len(toks)), 0) AS BIGINT) AS ntk FROM tk),
+        |ad AS (SELECT CAST(round(1000000.0 * ntk / nd) AS BIGINT) AS adl FROM st),
+        |qt AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'window'), (0, 'merge'), (1, 'spark'), (1, 'stream'), (2, 'data'), (2, 'merge')) AS q(qid, token)),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS dfc FROM (SELECT doc_id, unnest(list_distinct(toks)) AS token FROM tk) WHERE token IN ('spark', 'window', 'merge', 'stream', 'data') GROUP BY 1),
+        |hit AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, unnest(list_filter(toks, t -> t IN ('spark', 'window', 'merge', 'stream', 'data'))) AS token FROM tk),
+        |tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf FROM hit GROUP BY 1, 2, 3),
+        |w AS (SELECT q.qid, t.doc_id, t.dl, CAST(round(1000000.0 * (ln(1.0 + (CAST(st.nd AS DOUBLE) - CAST(d.dfc AS DOUBLE) + 0.5) / (CAST(d.dfc AS DOUBLE) + 0.5)) * ((CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) / (CAST(t.tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * (CAST(t.dl AS DOUBLE) * 1000000.0 / CAST(ad.adl AS DOUBLE))))))) AS BIGINT) AS wm
+        |  FROM tf t JOIN qt q USING (token) JOIN dfq d USING (token), st, ad)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, dl, CAST(count(*) AS BIGINT) AS n_hits, CAST(sum(wm) AS BIGINT) AS bm25_micro
+        |FROM w GROUP BY 1, 2, 3 ORDER BY qid, doc_id""".stripMargin,
 
     // Same chain + the deterministic (score desc, id asc) top-5 cut.
     "bm25_topk" ->

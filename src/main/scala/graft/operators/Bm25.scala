@@ -160,6 +160,79 @@ object Bm25 {
           .as("bm25_micro"))
   }
 
+  /** MULTI-query scoring — the retrieval batch shape (seed-document
+    * expansion, hybrid search: hundreds of queries against one
+    * corpus). ONE corpus pass for ALL queries: the keep-set kernel
+    * filters the token stream to the UNION of every query's terms in
+    * the row (narrow, one hash probe per token), the (doc, term) tf
+    * aggregate map-side-combines ONCE, and only then does the tiny
+    * broadcast (term → qid, df) table fan hits out per query — the
+    * per-query expansion happens AFTER the heavy exchange, so exchange
+    * volume is hit-occurrences, not hits × queries. `queries` is a
+    * (qid, term) frame; terms pass the [[normQuery]] contract per
+    * term (trim + lower, blanks out, (qid, term) dups collapsed) and
+    * the table is a BOUNDED driver artifact (`maxQueryTerms`
+    * fail-fast — batch shape, not a corpus join).
+    *
+    * Returns `(qid, id, dl, n_hits, bm25_micro)` for (doc, query)
+    * pairs with ≥ 1 hit — unlike [[score]], zero-hit docs get NO row
+    * (an all-docs × all-queries dense result is exactly the blow-up
+    * batch retrieval exists to avoid; absent = 0 by contract). */
+  def scoreMany(
+      df: DataFrame, id: Column, text: Column, queries: DataFrame,
+      model: Bm25Model, k1: Double = 1.2, b: Double = 0.75,
+      maxQueryTerms: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.graftbridge.Bridge
+    val qt = queries.select(col("qid").cast("long").as("qid"),
+        lower(trim(col("term"))).as("token"))
+      .where(col("token").isNotNull && col("token") =!= "")
+      .distinct()
+      .limit(maxQueryTerms + 1)
+      .collect()
+    require(qt.length <= maxQueryTerms,
+      s"more than $maxQueryTerms distinct (qid, term) pairs — batch the queries")
+    require(qt.nonEmpty, "scoreMany needs at least one non-blank query term")
+    val allTerms = qt.map(_.getString(1)).distinct.toSeq
+    import spark.implicits._
+    val qtDf = qt.map(r => (r.getLong(0), r.getString(1))).toSeq.toDF("qid", "token")
+    // df slice for the union of terms: broadcast-pruned vocab scan,
+    // then the (token, qid, df) fan-out table broadcasts whole (left
+    // join keeps OOV terms at df = 0, the score() convention)
+    val qdfSlice = model.docFreq
+      .join(broadcast(qtDf.select("token").distinct()), Seq("token"))
+    val qvocab = broadcast(qtDf.join(qdfSlice, Seq("token"), "left"))
+    val kept = Bridge.column(org.apache.spark.sql.graftexpr.KeepTokensExpr(
+      Bridge.expr(col("_toks")), allTerms))
+    df.select(id.as("id"), toksOrEmpty(text).as("_toks"))
+      .select(col("id"), size(col("_toks")).cast("long").as("dl"),
+        explode(kept).as("token"))
+      .groupBy("id", "dl", "token").agg(count(lit(1)).as("tf"))
+      .join(qvocab, Seq("token"))
+      .groupBy("qid", "id", "dl")
+      .agg(
+        count(lit(1)).as("n_hits"),
+        sum(weightMicro(col("tf"), coalesce(col("df"), lit(0L)), col("dl"),
+          model.nDocs, model.avgDlMicro, k1, b)).as("bm25_micro"))
+  }
+
+  /** [[scoreMany]] + the deterministic per-query top-`n` cut
+    * (`bm25_micro desc, id asc` within each qid): adds `rank`. The
+    * rank-filter compiles to `WindowGroupLimit` (partial per-partition
+    * group top-n before the shuffle — the select_topk_group shape),
+    * never a global sort. */
+  def topKMany(
+      df: DataFrame, id: Column, text: Column, queries: DataFrame,
+      model: Bm25Model, n: Int, k1: Double = 1.2, b: Double = 0.75,
+      maxQueryTerms: Int = 100000): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    scoreMany(df, id, text, queries, model, k1, b, maxQueryTerms)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("bm25_micro").desc, col("id").asc)).cast("int"))
+      .where(col("rank") <= n)
+  }
+
   /** Top-`n` docs for `query` by `(bm25_micro desc, id asc)` —
     * deterministic cut, executed as `TakeOrderedAndProject` (partial
     * per-partition top-n, combined on the driver; never a global

@@ -187,6 +187,44 @@ class DocsSpec extends SparkSpec {
     assert(fused.where(col("n_lists") >= 2).count() >= 1L)
   }
 
+  test("ann recipe: batch retrieval — scoreMany ≡ per-query score, topKMany cuts per qid") {
+    import spark.implicits._
+    import graft.operators.Bm25
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 3 == 0) s"spark window merge doc $i"
+          else if (i % 3 == 1) s"stream data doc $i" else s"plain filler text $i"))
+      .toDF("doc_id", "text")
+    val bm = Bm25.fit(docs, col("text"))
+    val qs = Map(
+      0L -> Seq("spark", "merge"),
+      1L -> Seq("stream", "data"),
+      2L -> Seq("Spark ", "", "data")) // normalization: case/blank/trim
+    val qdf = qs.toSeq.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("qid", "term")
+    val many = Bm25.scoreMany(docs, col("doc_id"), col("text"), qdf, bm)
+      .select("qid", "id", "dl", "n_hits", "bm25_micro")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(r => (r._2, r._3, r._4, r._5)).toSet }
+    // law: each qid's rows are exactly score()'s non-zero-hit rows
+    for ((q, ts) <- qs) {
+      val one = Bm25.score(docs, col("doc_id"), col("text"), ts, bm)
+        .where(col("n_hits") > 0)
+        .select("id", "dl", "n_hits", "bm25_micro")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(many.getOrElse(q, Set.empty) == one, s"qid $q diverges from score()")
+    }
+    // per-query cut: every qid gets its own top-n, ranks 1..n
+    val top = Bm25.topKMany(docs, col("doc_id"), col("text"), qdf, bm, n = 3)
+      .select("qid", "rank").as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).sorted.toSeq }
+    assert(top.keySet == qs.keySet)
+    assert(top.values.forall(_ == Seq(1, 2, 3)), top.toString)
+    // blank-only query table fails fast
+    intercept[IllegalArgumentException] {
+      Bm25.scoreMany(docs, col("doc_id"), col("text"),
+        Seq((9L, " ")).toDF("qid", "term"), bm)
+    }
+  }
+
   // --- training-data-prep.md -------------------------------------------
 
   test("prep recipe: distill the rule gate into an LR quality score") {

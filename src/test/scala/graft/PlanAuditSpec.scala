@@ -503,6 +503,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pFuse.contains("CartesianProduct"), s"cartesian in rank_fusion:\n$pFuse")
   }
 
+  test("bm25_many: ONE corpus scan for all queries, fan-out broadcast, no per-query jobs") {
+    // Batch retrieval's whole point: the corpus text is scanned ONCE
+    // for the entire query batch (no per-query scan/job), the tf
+    // aggregate combines map-side, and the (term, qid, df) fan-out
+    // table rides a broadcast equi-join — never a shuffle/cartesian.
+    val plan = q("bm25_many")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the (term, qid, df) fan-out must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"batch scoring must stay an equi-join:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("HashAggregate") && l.contains("partial")),
+      s"the tf aggregate must combine map-side:\n$plan")
+    // one-scan law measured lineage-free: with the model LOADED (its
+    // docFreq scan points at the saved path, not the corpus), the
+    // scoreMany plan reads the corpus parquet exactly once for the
+    // whole 3-query batch; the in-gate plan adds fit()'s own scans
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Bm25
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("bm25many").toString + "/model"
+    Bm25.save(Bm25.fit(docs, col("text")), dir)
+    val model = Bm25.load(spark, dir)
+    val queries = Seq((0L, "spark"), (1L, "merge"), (2L, "window")).toDF("qid", "term")
+    val pMany = Bm25.scoreMany(docs, col("doc_id"), col("text"), queries, model)
+      .queryExecution.executedPlan.toString
+    assert(pMany.linesIterator.count(l =>
+        l.contains("Scan parquet") && l.contains("documents")) == 1,
+      s"the corpus must scan exactly once for the whole batch:\n$pMany")
+    // the per-query k-cut compiles to WindowGroupLimit (partial group
+    // top-n before the shuffle), never a global sort
+    val pTop = Bm25.topKMany(docs, col("doc_id"), col("text"), queries,
+      model, n = 5).queryExecution.executedPlan.toString
+    assert(pTop.contains("WindowGroupLimit"),
+      s"per-query cut must push a partial group limit:\n$pTop")
+  }
+
   test("profile_corr: one aggregate over one scan — no Expand, no join, map-side partials") {
     val plan = q("profile_corr")
     assert(!plan.contains("Expand"), s"moment sums must not replicate the input:\n$plan")
