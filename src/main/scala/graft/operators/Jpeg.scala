@@ -1,26 +1,35 @@
 package graft.operators
 
-/** Dependency-free baseline JPEG codec (ITU-T T.81, public spec) for
-  * the pHash pixel path (SURVEY §2.5 L48).
+/** Dependency-free JPEG codec (ITU-T T.81, public spec) for the pHash
+  * pixel path (SURVEY §2.5 L48).
   *
   * Most web-crawl images are JPEG; before this, [[Media.RealPixelDecoder]]
   * covered PNG/BMP only, so the dominant crawl format silently dropped
   * out of image near-dup (the r16 verdict's top capability gap). This
   * decoder covers BASELINE SEQUENTIAL DCT (SOF0, and SOF1's identical
-  * 8-bit case): Annex B marker segments, Annex C canonical Huffman
+  * 8-bit case) and PROGRESSIVE DCT (SOF2, T.81 Annex G — a meaningful
+  * share of web JPEGs; the r17 verdict's remaining crawl-image blind
+  * spot): Annex B marker segments, Annex C canonical Huffman
   * construction, the F.2.2 entropy decoder with byte unstuffing and
-  * restart markers, dequantization, inverse zigzag, a separable
-  * double-precision 8×8 IDCT, and Y-plane assembly.
+  * restart markers, progressive spectral selection + successive
+  * approximation (DC first/refine, AC first with EOB runs, the
+  * G.1.2.3 AC refinement correction-bit walk), dequantization,
+  * inverse zigzag, a separable double-precision 8×8 IDCT, and Y-plane
+  * assembly.
   *
   * Only the LUMA plane is materialized: pHash consumes gray, and
   * JPEG's Y channel IS the BT.601 luma the PNG/BMP paths compute from
   * RGB — so all three codecs meet on the same gray contract. Chroma
   * blocks are entropy-decoded (the interleaved MCU stream cannot be
-  * advanced without them) but never dequantized or transformed.
+  * advanced without them; progressive chroma scans must also be
+  * walked to keep the coefficient history their refinement bits
+  * depend on) but never dequantized or transformed. Progressive holds
+  * per-component coefficient arrays across scans (the format requires
+  * it) — 4 bytes/coefficient, bounded by the same 4096² dims cap.
   *
   * Out-of-subset → `None`, never a throw (the [[Media.HeaderDecoder]]
   * corrupt-tolerance discipline: a bad blob in 100 TB of crawl bytes
-  * must not kill the job): progressive (SOF2) and arithmetic coding,
+  * must not kill the job): arithmetic coding, lossless/hierarchical,
   * 12-bit precision, 16-bit quant tables, dims outside (0, 4096],
   * truncated or garbled streams.
   *
@@ -197,6 +206,15 @@ object Jpeg {
     var yPlane: Array[Int] = null
     var yW = 0
     var yH = 0
+    var yStride = 0
+    // progressive state: per-component coefficient arrays (the format
+    // sends each block's spectrum across several scans)
+    var progressive = false
+    var coefs: Array[Array[Int]] = null
+    var blocksW: Array[Int] = null
+    var blocksH: Array[Int] = null
+    var mcusW = 0
+    var mcusH = 0
 
     def be16(i: Int): Int = {
       if (i + 2 > c.length) bail()
@@ -251,7 +269,8 @@ object Jpeg {
             p += 17 + n
           }
           pos = end
-        case 0xC0 | 0xC1 => // SOF0 / SOF1 (8-bit sequential)
+        case 0xC0 | 0xC1 | 0xC2 => // SOF0/1 (8-bit sequential), SOF2 (progressive)
+          progressive = marker == 0xC2
           val len = be16(pos)
           if ((c(pos + 2) & 0xFF) != 8) bail() // precision
           h = be16(pos + 3)
@@ -267,8 +286,8 @@ object Jpeg {
             comp
           }
           pos += len
-        case m if m >= 0xC2 && m <= 0xCF && m != 0xC4 =>
-          return None // progressive, lossless, arithmetic, hierarchical
+        case m if m >= 0xC3 && m <= 0xCF && m != 0xC4 =>
+          return None // lossless, arithmetic, hierarchical
         case 0xDD => // DRI
           val len = be16(pos)
           restartInterval = be16(pos + 2)
@@ -289,31 +308,89 @@ object Jpeg {
           }
           val hMax = comps.map(_.h).max
           val vMax = comps.map(_.v).max
-          if (yPlane == null) {
-            // luma = the first frame component (JFIF: id 1)
-            val y = comps(0)
-            yW = ceilDiv(w * y.h, hMax)
-            yH = ceilDiv(h * y.v, vMax)
-            yPlane = new Array[Int](ceilDiv(yW, 8) * 8 * ceilDiv(yH, 8) * 8)
+          if (!progressive) {
+            if (yPlane == null) {
+              // luma = the first frame component (JFIF: id 1)
+              val y = comps(0)
+              yW = ceilDiv(w * y.h, hMax)
+              yH = ceilDiv(h * y.v, vMax)
+              yStride = ceilDiv(yW, 8) * 8
+              yPlane = new Array[Int](yStride * ceilDiv(yH, 8) * 8)
+            }
+            val reader = new BitReader(c, pos + len)
+            decodeScan(reader, scan, comps(0), w, h, hMax, vMax,
+              restartInterval, qtabs, dcTabs, acTabs, yPlane, yW, yH)
+            pos = reader.pos
+          } else {
+            // progressive scan header: spectral band + approximation
+            val pSs = c(pos + 3 + 2 * ns) & 0xFF
+            val pSe = c(pos + 4 + 2 * ns) & 0xFF
+            val ahal = c(pos + 5 + 2 * ns) & 0xFF
+            val ah = (ahal >> 4) & 0xF
+            val al = ahal & 0xF
+            if (pSs == 0) { if (pSe != 0) bail() } // DC scan
+            else if (ns != 1 || pSe < pSs || pSe > 63) bail() // AC: one comp
+            if (ah > 13 || al > 13) bail()
+            if (coefs == null) {
+              mcusW = ceilDiv(w, 8 * hMax)
+              mcusH = ceilDiv(h, 8 * vMax)
+              blocksW = comps.map(cp => mcusW * cp.h)
+              blocksH = comps.map(cp => mcusH * cp.v)
+              coefs = Array.tabulate(comps.length)(i =>
+                new Array[Int](blocksW(i) * blocksH(i) * 64))
+            }
+            val reader = new BitReader(c, pos + len)
+            decodeScanProgressive(reader, scan, comps, pSs, pSe, ah, al,
+              restartInterval, dcTabs, acTabs, coefs, blocksW, blocksH,
+              mcusW, mcusH, w, h, hMax, vMax)
+            pos = reader.pos
           }
-          val reader = new BitReader(c, pos + len)
-          decodeScan(reader, scan, comps(0), w, h, hMax, vMax,
-            restartInterval, qtabs, dcTabs, acTabs, yPlane, yW, yH)
-          pos = reader.pos
         case _ => // APPn, COM, anything else with a length field
           val len = be16(pos)
           if (len < 2) bail()
           pos += len
       }
     }
+    if (progressive && coefs != null) {
+      // all scans accumulated: dequantize + IDCT the luma blocks now
+      val yC = comps(0)
+      val q = qtabs(yC.tq)
+      if (q == null) bail()
+      val hMax = comps.map(_.h).max
+      val vMax = comps.map(_.v).max
+      yW = ceilDiv(w * yC.h, hMax)
+      yH = ceilDiv(h * yC.v, vMax)
+      val bw = blocksW(0)
+      val bh = blocksH(0)
+      yStride = bw * 8
+      yPlane = new Array[Int](yStride * bh * 8)
+      val cf = coefs(0)
+      val coefBlk = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val base64 = (by * bw + bx) * 64
+          var k = 0
+          while (k < 64) {
+            val raster = Zigzag(k)
+            coefBlk(raster) = cf(base64 + raster) * q(k)
+            k += 1
+          }
+          idctToPlane(coefBlk, tmp, yPlane, by * 8 * yStride + bx * 8, yStride)
+          bx += 1
+        }
+        by += 1
+      }
+    }
     if (yPlane == null || w == 0) return None
     // crop the padded block grid to the component dims as doubles
-    val stride = ceilDiv(yW, 8) * 8
     val out = new Array[Double](yW * yH)
     var y = 0
     while (y < yH) {
       var x = 0
-      while (x < yW) { out(y * yW + x) = yPlane(y * stride + x).toDouble; x += 1 }
+      while (x < yW) { out(y * yW + x) = yPlane(y * yStride + x).toDouble; x += 1 }
       y += 1
     }
     Some((out, yW, yH))
@@ -420,6 +497,190 @@ object Jpeg {
             by += 1
           }
           ci += 1
+        }
+        mcu += 1
+      }
+    }
+  }
+
+  /** Decode one PROGRESSIVE scan (T.81 Annex G) into the per-component
+    * coefficient arrays. DC scans (Ss = 0) may interleave; AC scans
+    * are single-component over that component's own block grid. First
+    * scans (Ah = 0) Huffman-decode magnitudes shifted by the point
+    * transform; refinement scans (Ah > 0) add one bit of precision —
+    * DC as a raw bit, AC via the G.1.2.3 correction-bit walk in which
+    * every already-nonzero coefficient passed consumes a correction
+    * bit and zero-history run lengths count only zero-history
+    * positions. EOB runs (G.1.2.2) span blocks and reset at restarts. */
+  private def decodeScanProgressive(
+      r: BitReader, scan: Array[Component], comps: Array[Component],
+      ss: Int, se: Int, ah: Int, al: Int, ri: Int,
+      dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+      coefs: Array[Array[Int]], blocksW: Array[Int], blocksH: Array[Int],
+      mcusW: Int, mcusH: Int, w: Int, h: Int, hMax: Int, vMax: Int): Unit = {
+
+    var eobrun = 0
+
+    def receive(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) { v = (v << 1) | r.nextBit(); i += 1 }
+      v
+    }
+
+    def dcFirst(comp: Component, ci: Int, blockIx: Int): Unit = {
+      val t = dcTabs(comp.td)
+      if (t == null) bail()
+      val s = r.decodeHuff(t)
+      if (s > 11) bail()
+      comp.pred += r.receiveExtend(s)
+      coefs(ci)(blockIx * 64) = comp.pred << al
+    }
+
+    def dcRefine(ci: Int, blockIx: Int): Unit =
+      if (r.nextBit() == 1) coefs(ci)(blockIx * 64) |= (1 << al)
+
+    def acFirst(comp: Component, ci: Int, blockIx: Int): Unit = {
+      if (eobrun > 0) { eobrun -= 1; return }
+      val t = acTabs(comp.ta)
+      if (t == null) bail()
+      val cf = coefs(ci)
+      val base = blockIx * 64
+      var k = ss
+      var open = true
+      while (open && k <= se) {
+        val rs = r.decodeHuff(t)
+        val run = (rs >> 4) & 0xF
+        val size = rs & 0xF
+        if (size == 0) {
+          if (run < 15) { // EOBn: this block ends, run-counted more skip
+            eobrun = (1 << run) - 1 + (if (run > 0) receive(run) else 0)
+            open = false
+          } else k += 16 // ZRL
+        } else {
+          k += run
+          if (k > se) bail()
+          cf(base + Zigzag(k)) = r.receiveExtend(size) << al
+          k += 1
+        }
+      }
+    }
+
+    def acRefine(comp: Component, ci: Int, blockIx: Int): Unit = {
+      val t = acTabs(comp.ta)
+      if (t == null) bail()
+      val cf = coefs(ci)
+      val base = blockIx * 64
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var k = ss
+      if (eobrun == 0) {
+        var open = true
+        while (open && k <= se) {
+          val rs = r.decodeHuff(t)
+          var run = (rs >> 4) & 0xF
+          val size = rs & 0xF
+          var newVal = 0
+          if (size == 0) {
+            if (run < 15) { // EOBn: only correction bits remain here
+              eobrun = (1 << run) - 1 + (if (run > 0) receive(run) else 0)
+              open = false
+            }
+            // run == 15 (ZRL): 15 decrements + the stopping zero-history
+            // position = 16 zero-history positions, newVal stays 0
+          } else {
+            if (size != 1) bail() // refinement introduces exactly ±1
+            newVal = if (r.nextBit() == 1) p1 else m1
+          }
+          if (open) {
+            // advance over `run` zero-history positions, consuming a
+            // correction bit at every nonzero-history one passed; place
+            // the new coefficient at the run's end
+            var cont = true
+            while (cont && k <= se) {
+              val z = base + Zigzag(k)
+              if (cf(z) != 0) {
+                if (r.nextBit() == 1 && (cf(z) & p1) == 0) {
+                  if (cf(z) >= 0) cf(z) += p1 else cf(z) += m1
+                }
+              } else if (run == 0) {
+                if (newVal != 0) cf(z) = newVal
+                cont = false
+              } else run -= 1
+              k += 1
+            }
+          }
+        }
+      } else eobrun -= 1
+      // inside an EOB run (or after entering one): correction bits for
+      // every remaining nonzero coefficient of the band
+      while (k <= se) {
+        val z = base + Zigzag(k)
+        if (cf(z) != 0) {
+          if (r.nextBit() == 1 && (cf(z) & p1) == 0) {
+            if (cf(z) >= 0) cf(z) += p1 else cf(z) += m1
+          }
+        }
+        k += 1
+      }
+    }
+
+    def decodeOne(comp: Component, ci: Int, blockIx: Int): Unit =
+      if (ss == 0) { if (ah == 0) dcFirst(comp, ci, blockIx) else dcRefine(ci, blockIx) }
+      else { if (ah == 0) acFirst(comp, ci, blockIx) else acRefine(comp, ci, blockIx) }
+
+    var nextRst = 0
+    def restartIfDue(mcu: Int): Unit =
+      if (ri > 0 && mcu > 0 && mcu % ri == 0) {
+        if (!r.restart(nextRst)) bail()
+        nextRst = (nextRst + 1) & 7
+        scan.foreach(_.pred = 0)
+        eobrun = 0
+      }
+
+    if (scan.length == 1) {
+      // non-interleaved: the component's own (un-padded) block grid,
+      // written with the MCU-padded stride
+      val comp = scan(0)
+      val ci = comps.indexWhere(_ eq comp)
+      if (ci < 0) bail()
+      val cw = ceilDiv(w * comp.h, hMax)
+      val ch = ceilDiv(h * comp.v, vMax)
+      val bw = ceilDiv(cw, 8)
+      val bh = ceilDiv(ch, 8)
+      val stride = blocksW(ci)
+      var mcu = 0
+      val total = bw * bh
+      while (mcu < total) {
+        restartIfDue(mcu)
+        decodeOne(comp, ci, (mcu / bw) * stride + (mcu % bw))
+        mcu += 1
+      }
+    } else {
+      // interleaved MCU walk — DC scans only in progressive
+      if (ss != 0) bail()
+      var mcu = 0
+      val total = mcusW * mcusH
+      while (mcu < total) {
+        restartIfDue(mcu)
+        val mx = mcu % mcusW
+        val my = mcu / mcusW
+        var i = 0
+        while (i < scan.length) {
+          val comp = scan(i)
+          val ci = comps.indexWhere(_ eq comp)
+          if (ci < 0) bail()
+          var by = 0
+          while (by < comp.v) {
+            var bx = 0
+            while (bx < comp.h) {
+              decodeOne(comp, ci,
+                (my * comp.v + by) * blocksW(ci) + (mx * comp.h + bx))
+              bx += 1
+            }
+            by += 1
+          }
+          i += 1
         }
         mcu += 1
       }
@@ -714,4 +975,277 @@ object Jpeg {
   private lazy val lumAcEnc = new HuffEnc(LumAcBits, LumAcVals)
   private lazy val chmDcEnc = new HuffEnc(ChmDcBits, ChmDcVals)
   private lazy val chmAcEnc = new HuffEnc(ChmAcBits, ChmAcVals)
+
+  // ------------------------------------------------------------------
+  // Progressive encoder (fixtures/specs)
+  // ------------------------------------------------------------------
+
+  // Progressive AC scans emit EOBn symbols (0x10..0xE0) the baseline
+  // K.3 tables don't contain (real encoders ship custom tables per
+  // scan). The fixture table covers the WHOLE rs alphabet: 255 codes
+  // of length 8 + one of length 9 (canonical; the 9-bit code is 510,
+  // so no all-ones code exists and any decoder accepts it).
+  private val ProgAcBits = Array(0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val ProgAcVals = Array.tabulate(256)(identity)
+  private lazy val progAcEnc = new HuffEnc(ProgAcBits, ProgAcVals)
+
+  /** Emit EOB-run codes covering exactly `count` block-ends (G.1.2.2:
+    * EOBn covers (1<<n)+appended blocks; the code sits where the first
+    * covered block's end falls). */
+  private def putEobRun(bw: BitWriter, ac: HuffEnc, count0: Int): Unit = {
+    var count = count0
+    while (count > 0) {
+      val chunk = math.min(count, 32767)
+      var n = 0
+      while ((1 << (n + 1)) <= chunk) n += 1
+      bw.put(ac.codes(n << 4), ac.sizes(n << 4))
+      if (n > 0) bw.put(chunk - (1 << n), n)
+      count -= chunk
+    }
+  }
+
+  /** One block's AC 1..63 under point transform `al` (toward-zero),
+    * progressive first-scan coding. Returns the updated pending
+    * EOB-run count (flushes it first when the block has codes to
+    * write; a block whose last nonzero lands before 63 re-opens it). */
+  private def putAcFirstBlock(
+      bw: BitWriter, zz: Array[Int], al: Int, ac: HuffEnc, pending0: Int): Int = {
+    var lastNz = 0
+    var k = 1
+    while (k < 64) {
+      val v0 = zz(k)
+      if ((if (v0 >= 0) v0 >>> al else (-v0) >>> al) != 0) lastNz = k
+      k += 1
+    }
+    if (lastNz == 0) return pending0 + 1 // wholly zero: owes one end-marker
+    var pending = pending0
+    if (pending > 0) { putEobRun(bw, ac, pending); pending = 0 }
+    var run = 0
+    k = 1
+    while (k <= lastNz) {
+      val v0 = zz(k)
+      val v = if (v0 >= 0) v0 >>> al else -((-v0) >>> al)
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { bw.put(ac.codes(0xF0), ac.sizes(0xF0)); run -= 16 }
+        val sz = magnitude(v)
+        bw.put(ac.codes((run << 4) | sz), ac.sizes((run << 4) | sz))
+        bw.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+        run = 0
+      }
+      k += 1
+    }
+    if (lastNz < 63) pending = 1 // its own end-marker batches forward
+    pending
+  }
+
+  /** Progressive (SOF2) grayscale JPEG of `grays`, all-ones
+    * quantization — the decoder-fixture twin of [[encodeGray]].
+    * Spectral-selection script: scan 1 = DC, scan 2 = AC 1..63 with
+    * EOB-run batching across zero blocks. With `useSA`, a successive-
+    * approximation script instead: DC at Al=1, DC refinement, AC at
+    * Al=1, AC refinement — supported for AC-FREE content (flat 8×8
+    * blocks, the gate patterns) where both AC scans are pure EOB runs
+    * and the refinement paths still fully exercise the decoder's
+    * correction-bit machinery on the DC band. `restartInterval` > 0
+    * plants DRI + per-scan RSTn markers (progressive restarts reset
+    * both predictors and EOB runs). */
+  def encodeGrayProgressive(
+      grays: Array[Int], w: Int, h: Int,
+      useSA: Boolean = false, restartInterval: Int = 0): Array[Byte] = {
+    require(grays.length == w * h, s"pixel count ${grays.length} != $w x $h")
+    require(w % 8 == 0 && h % 8 == 0, s"fixture dims must be block-aligned: $w x $h")
+    val bwBlocks = w / 8
+    val blocks = Array.tabulate(bwBlocks * (h / 8)) { b =>
+      val px = new Array[Int](64)
+      val zz = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        px(i) = grays(((b / bwBlocks) * 8 + i / 8) * w + (b % bwBlocks) * 8 + i % 8)
+        i += 1
+      }
+      fdctQuantOnes(px, zz)
+      zz
+    }
+    if (useSA)
+      require(blocks.forall(zz => (1 until 64).forall(zz(_) == 0)),
+        "SA fixture script needs AC-free content (flat 8x8 blocks)")
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(0xFF); o.write(0xD8)
+    dqtOnes(o, 0)
+    writeSeg(o, 0xC2, Array(8, (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF,
+      1, 1, 0x11, 0))
+    dht(o, 0x00, LumDcBits, LumDcVals)
+    dht(o, 0x10, ProgAcBits, ProgAcVals)
+    if (restartInterval > 0)
+      writeSeg(o, 0xDD, Array((restartInterval >> 8) & 0xFF, restartInterval & 0xFF))
+
+    def dcScan(al: Int): Unit = {
+      writeSeg(o, 0xDA, Array(1, 1, 0x00, 0, 0, al))
+      var bw = new BitWriter(o)
+      var pred = 0
+      var rst = 0
+      var mcu = 0
+      blocks.foreach { zz =>
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush(); o.write(0xFF); o.write(0xD0 + rst)
+          rst = (rst + 1) & 7; pred = 0; bw = new BitWriter(o)
+        }
+        val v = zz(0) >> al // DC point transform: arithmetic shift
+        val diff = v - pred
+        pred = v
+        val s = magnitude(diff)
+        bw.put(lumDcEnc.codes(s), lumDcEnc.sizes(s))
+        if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        mcu += 1
+      }
+      bw.flush()
+    }
+
+    def dcRefineScan(al: Int): Unit = {
+      writeSeg(o, 0xDA, Array(1, 1, 0x00, 0, 0, ((al + 1) << 4) | al))
+      var bw = new BitWriter(o)
+      var rst = 0
+      var mcu = 0
+      blocks.foreach { zz =>
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          bw.flush(); o.write(0xFF); o.write(0xD0 + rst)
+          rst = (rst + 1) & 7; bw = new BitWriter(o)
+        }
+        bw.put((zz(0) >> al) & 1, 1)
+        mcu += 1
+      }
+      bw.flush()
+    }
+
+    def acScan(al: Int): Unit = {
+      writeSeg(o, 0xDA, Array(1, 1, 0x00, 1, 63, al))
+      var bw = new BitWriter(o)
+      var pending = 0
+      var rst = 0
+      var mcu = 0
+      blocks.foreach { zz =>
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          if (pending > 0) { putEobRun(bw, progAcEnc, pending); pending = 0 }
+          bw.flush(); o.write(0xFF); o.write(0xD0 + rst)
+          rst = (rst + 1) & 7; bw = new BitWriter(o)
+        }
+        pending = putAcFirstBlock(bw, zz, al, progAcEnc, pending)
+        mcu += 1
+      }
+      if (pending > 0) putEobRun(bw, progAcEnc, pending)
+      bw.flush()
+    }
+
+    def acRefineScan(al: Int): Unit = {
+      // AC-free contract: history and this bit-plane are all zero, so
+      // the whole scan is EOB runs (split only at restarts)
+      writeSeg(o, 0xDA, Array(1, 1, 0x00, 1, 63, ((al + 1) << 4) | al))
+      var bw = new BitWriter(o)
+      var rst = 0
+      var left = blocks.length
+      var chunkStart = 0
+      while (left > 0) {
+        val chunk = if (restartInterval > 0) math.min(left, restartInterval) else left
+        if (chunkStart > 0) {
+          bw.flush(); o.write(0xFF); o.write(0xD0 + rst)
+          rst = (rst + 1) & 7; bw = new BitWriter(o)
+        }
+        putEobRun(bw, progAcEnc, chunk)
+        left -= chunk
+        chunkStart += 1
+      }
+      bw.flush()
+    }
+
+    if (useSA) { dcScan(1); dcRefineScan(0); acScan(1); acRefineScan(0) }
+    else { dcScan(0); acScan(0) }
+    o.write(0xFF); o.write(0xD9)
+    o.toByteArray
+  }
+
+  /** Progressive 3-component YCbCr 4:2:0 of a GRAY image (the
+    * [[encodeGray420]] geometry; chroma blocks all-zero): scan 1 is
+    * the INTERLEAVED DC scan (the multi-component progressive path),
+    * then per-component AC scans — Y with real coefficients + EOB-run
+    * batching, Cb/Cr as pure EOB runs the decoder must still walk to
+    * stay bit-synchronized. Dims must be multiples of 16. */
+  def encodeGray420Progressive(grays: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(grays.length == w * h, s"pixel count ${grays.length} != $w x $h")
+    require(w % 16 == 0 && h % 16 == 0, s"fixture dims must be MCU-aligned: $w x $h")
+    val ybw = w / 8
+    val yBlocks = Array.tabulate(ybw * (h / 8)) { b =>
+      val px = new Array[Int](64)
+      val zz = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        px(i) = grays(((b / ybw) * 8 + i / 8) * w + (b % ybw) * 8 + i % 8)
+        i += 1
+      }
+      fdctQuantOnes(px, zz)
+      zz
+    }
+    val o = new java.io.ByteArrayOutputStream()
+    o.write(0xFF); o.write(0xD8)
+    dqtOnes(o, 0)
+    dqtOnes(o, 1)
+    writeSeg(o, 0xC2, Array(8, (h >> 8) & 0xFF, h & 0xFF, (w >> 8) & 0xFF, w & 0xFF,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    dht(o, 0x00, LumDcBits, LumDcVals)
+    dht(o, 0x10, ProgAcBits, ProgAcVals)
+    dht(o, 0x01, ChmDcBits, ChmDcVals)
+    dht(o, 0x11, ProgAcBits, ProgAcVals)
+
+    // scan 1: interleaved DC, MCU order — 4 Y + Cb + Cr per MCU
+    writeSeg(o, 0xDA, Array(3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0))
+    locally {
+      val bw = new BitWriter(o)
+      var predY = 0
+      val mcusW = w / 16
+      val mcusH = h / 16
+      var mcu = 0
+      while (mcu < mcusW * mcusH) {
+        val mx = mcu % mcusW
+        val my = mcu / mcusW
+        var by = 0
+        while (by < 2) {
+          var bx = 0
+          while (bx < 2) {
+            val v = yBlocks((my * 2 + by) * ybw + (mx * 2 + bx))(0)
+            val diff = v - predY
+            predY = v
+            val s = magnitude(diff)
+            bw.put(lumDcEnc.codes(s), lumDcEnc.sizes(s))
+            if (s > 0) bw.put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+            bx += 1
+          }
+          by += 1
+        }
+        // chroma DC: flat 128 → 0, diff 0 (magnitude-0 code), twice
+        bw.put(chmDcEnc.codes(0), chmDcEnc.sizes(0))
+        bw.put(chmDcEnc.codes(0), chmDcEnc.sizes(0))
+        mcu += 1
+      }
+      bw.flush()
+    }
+    // scan 2: Y AC 1..63 over Y's own raster block grid
+    writeSeg(o, 0xDA, Array(1, 1, 0x00, 1, 63, 0))
+    locally {
+      val bw = new BitWriter(o)
+      var pending = 0
+      yBlocks.foreach(zz => pending = putAcFirstBlock(bw, zz, 0, progAcEnc, pending))
+      if (pending > 0) putEobRun(bw, progAcEnc, pending)
+      bw.flush()
+    }
+    // scans 3/4: Cb, Cr AC — all-zero blocks, one EOB run each
+    val chromaBlocks = (w / 16) * (h / 16)
+    Seq(2, 3).foreach { cid =>
+      writeSeg(o, 0xDA, Array(1, cid, 0x11, 1, 63, 0))
+      val bw = new BitWriter(o)
+      putEobRun(bw, progAcEnc, chromaBlocks)
+      bw.flush()
+    }
+    o.write(0xFF); o.write(0xD9)
+    o.toByteArray
+  }
 }

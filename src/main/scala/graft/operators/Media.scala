@@ -856,18 +856,24 @@ object Media {
     * 2k+1 render the SAME `k` pattern through DIFFERENT (format,
     * colorType, scale) paths — even ids as PNG at scale 1+(k mod 2)
     * with colorType cycling gray/RGB/RGBA by k mod 3; odd ids by
-    * k mod 4: 0 → BMP at scale 2; 1 → baseline JPEG grayscale at
+    * k mod 6: 0 → BMP at scale 2; 1 → baseline JPEG grayscale at
     * scale 2; 2 → baseline JPEG YCbCr 4:2:0 (restart markers every 3
-    * MCUs) at scale 2; 3 → PNG at scale 1 with the next colorType —
-    * so a hamming-0 pair certifies decode + defilter/dequant + luma +
-    * resize end-to-end across codecs, not just byte equality.
+    * MCUs) at scale 2; 3 → PNG at scale 1 with the next colorType;
+    * 4 → PROGRESSIVE JPEG grayscale (successive approximation: DC
+    * first/refine + AC first/refine scans) at scale 2; 5 → PROGRESSIVE
+    * JPEG YCbCr 4:2:0 (interleaved DC scan + per-component AC scans)
+    * at scale 2 — so a hamming-0 pair certifies decode + defilter/
+    * dequant + luma + resize end-to-end across codecs AND both JPEG
+    * coding processes, not just byte equality.
     *
     * JPEG crosses its LOSSY boundary exactly because the pattern's
     * 4×4 cells land as flat 8×8 blocks at scale 2 (cell edges at
-    * multiples of 8) and [[Jpeg]]'s fixture encoder uses all-ones
+    * multiples of 8) and [[Jpeg]]'s fixture encoders use all-ones
     * quantization: a flat block's DCT is the lone integer DC, so
     * encode→decode reproduces the grays bit-for-bit — the verdict-
-    * prescribed "patterns quantization preserves". */
+    * prescribed "patterns quantization preserves" (and, for the
+    * progressive variants, the exactness survives the spectral/
+    * approximation scan splits). */
   def syntheticPixelImage(id: Long): Array[Byte] = {
     val k = java.lang.Math.floorDiv(id, 2L)
     val base = syntheticPixelPattern(k)
@@ -881,7 +887,7 @@ object Media {
     if (java.lang.Math.floorMod(id, 2L) == 0L) {
       val (px, w, h) = scaled(1 + km2)
       pngBytes(px, w, h, ctypes(java.lang.Math.floorMod(k, 3L).toInt))
-    } else java.lang.Math.floorMod(k, 4L).toInt match {
+    } else java.lang.Math.floorMod(k, 6L).toInt match {
       case 0 =>
         val (px, w, h) = scaled(2)
         bmpBytes(px, w, h)
@@ -891,9 +897,15 @@ object Media {
       case 2 =>
         val (px, w, h) = scaled(2)
         Jpeg.encodeGray420(px, w, h, restartInterval = 3)
-      case _ =>
+      case 3 =>
         val (px, w, h) = scaled(1)
         pngBytes(px, w, h, ctypes(java.lang.Math.floorMod(k + 1L, 3L).toInt))
+      case 4 =>
+        val (px, w, h) = scaled(2)
+        Jpeg.encodeGrayProgressive(px, w, h, useSA = true, restartInterval = 5)
+      case _ =>
+        val (px, w, h) = scaled(2)
+        Jpeg.encodeGray420Progressive(px, w, h)
     }
   }
 
