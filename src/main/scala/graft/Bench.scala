@@ -191,6 +191,24 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench warmup] $name: ${e.getMessage}") }
       release()
     }
+    // Shared-input prewarm (r17 verdict #7): when the full warmup pass
+    // is OFF (the sf10 single-pass stress config), whichever query
+    // first touches a big table pays its cold scan — the as-of twins
+    // recorded 5-10x first-vs-second swings from exactly this across
+    // r15-r17, poisoning round-over-round comparisons. One counted
+    // raw scan per input table warms the page cache + file listings
+    // for everyone equally, so per-query times measure the OPERATOR,
+    // not scan lottery. Cost: one sequential read of the dataset —
+    // tiny next to the pass it de-noises. Recorded in the sidecar.
+    val inputPrewarm = !doWarmup
+    if (inputPrewarm) {
+      Seq("events", "documents", "embeddings", "lineitem", "orders",
+          "customer", "supplier", "part", "nation", "region").foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").queryExecution.toRdd.count(): Unit
+        catch { case e: Throwable => System.err.println(s"[bench prewarm] $t: ${e.getMessage}") }
+      }
+      release()
+    }
 
     var failed = Set.empty[String]
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
@@ -354,7 +372,7 @@ object Bench {
     // not happen again by construction.
     val contendedAny = contended || anyPassHot
     val sidecar =
-      s"""{"seed":$seed,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"ambient_cores_per_pass":$ambJson,"pass_quiet":$quietJson,"quiet_retry_pass":$retriedQuiet,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contendedAny,"contended_prewarmup":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"incremental_phases":$incrPhases,"corpus_phases":$corpusPhases,"variants":$variantJson,"query_mins":$qjson,"pass_orders":$ojson,"passes":$pjson}"""
+      s"""{"seed":$seed,"input_prewarm":$inputPrewarm,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"ambient_cores_per_pass":$ambJson,"pass_quiet":$quietJson,"quiet_retry_pass":$retriedQuiet,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contendedAny,"contended_prewarmup":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"incremental_phases":$incrPhases,"corpus_phases":$corpusPhases,"variants":$variantJson,"query_mins":$qjson,"pass_orders":$ojson,"passes":$pjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecarPath), sidecar)
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     System.err.println(s"[bench] telemetry sidecar: $sidecarPath (seed=$seed)")
