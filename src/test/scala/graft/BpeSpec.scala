@@ -125,6 +125,20 @@ class BpeSpec extends SparkSpec {
     assert(p("") == Seq())
   }
 
+  test("pretokenizer is a lossless partition: tokens concatenate back to the text") {
+    // the GPT-2 alternation covers every char class (letters, digits,
+    // punct, whitespace, contractions), so any input splits with no
+    // gaps or overlaps — the law every segmentation count relies on
+    val rng = new scala.util.Random(31)
+    val alphabet = "ab E9 .'!\t\n§日𝄞é  's'll"
+    for (_ <- 1 to 200) {
+      val s = Seq.fill(rng.nextInt(40))(alphabet(rng.nextInt(alphabet.length))).mkString
+      val toks = graft.hashing.BpeUtil.pretokenize(s)
+      assert(toks.mkString == s, s"lossy partition of ${s.map(_.toInt)}")
+      assert(toks.forall(_.nonEmpty))
+    }
+  }
+
   test("byte-level apply: a GPT-2-format merges.txt fixture loads and counts hand-derived") {
     val lines = Seq("#version: 0.2", "t h", "th e", "Ġ t", "Ġt he")
     val m = Bpe.loadMergesLines(lines)
