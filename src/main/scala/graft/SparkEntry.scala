@@ -1451,6 +1451,52 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L55+L19 composition: the PUBLISHED web pipeline end-to-end from
+    // the crawl archive — WARC shards (mixed plain/gzip, charset
+    // variants) → payload_text charset decode → L54 HTML extraction →
+    // the corpus_prep chain over the EXTRACTED text: langid+quality
+    // gate, exact-dedup keep, k-gram decontamination vs the held-out
+    // split, token-budget packing. This is C4/RefinedWeb's actual
+    // shape (archive in, packed shards out) as ONE composed lazy plan.
+    // The page template is static (no doc id in the furniture) so
+    // normalized-dup collapse stays honest, and decontamination runs
+    // at k = 6 — the planted « café § » <end> tail is 5 tokens, so a
+    // 6-gram can never match on furniture alone. FULL oracle: the
+    // warc_ingest extraction chain feeding the corpus_prep CTE chain
+    // (width-6 gram slices) on the same %8 subset, bench = %40.
+    "web_prep" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative.where(col("doc_id") % 8 === 0)
+      val html = concat(
+        lit("<html><head><title>Web</title><style>p{color:red}</style>" +
+          "<script>if (1 < 2) { x(); }</script></head><body><!-- crawl -->" +
+          "<h1>Web &amp; Prep</h1><p class=\"main\">"), col("text"),
+        lit(" « café § »&nbsp;&lt;end&gt;</p></body></html>"))
+      val shardDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_webprep_" + Integer.toHexString(dir.hashCode) +
+          "_p" + ProcessHandle.current().pid()).getAbsolutePath
+      val glob = graft.sources.Warc.writeSyntheticShards(
+        docs.select(col("doc_id"), html.as("html")), shardDir)
+      val pages = graft.sources.Warc.read(s, glob)
+        .where(col("valid") && col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          TextFns.htmlToText(col("payload_text")).as("text"))
+        .localCheckpoint() // several stages re-reference: parse archives once
+      val bench = pages.where(col("doc_id") % 40 === 0)
+      val corpus = pages.where(col("doc_id") % 40 =!= 0)
+      val gated = TextFns.withLangId(corpus, col("text"), "_lang")
+        .where(TextFns.wordCount(col("text")) >= 8 && col("_lang") === "en")
+        .select(col("doc_id"), col("text"))
+      val deduped = Dedup.exactKeep(gated, col("text"), col("doc_id"))
+      val clean = Dedup.decontaminatedKeep(
+        deduped, col("doc_id"), col("text"), bench, col("text"), k = 6)
+      val weights = clean.select(col("doc_id"),
+        TextFns.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      Pack.packByBudget(weights, col("doc_id"), col("n_tokens"), budget = 2000)
+        .select(col("id").as("doc_id"), col("weight").as("n_tokens"), col("shard_id"))
+        .orderBy("doc_id")
+    },
+
     // L56: BPE token counting — training budgets are TOKENIZER tokens,
     // not regex words (Pack/Chunk budget cuts were whitespace-token
     // counts until now). Merges train deterministically on the corpus
@@ -3531,6 +3577,66 @@ object SparkEntry {
         |       FROM documents WHERE doc_id % 10 = 0),
         |bsh AS (SELECT CASE WHEN len(ws) >= 5
         |  THEN [array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws) - 3)]
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM bw),
+        |bench AS (SELECT DISTINCT unnest(s) AS gram FROM bsh),
+        |flagged AS (SELECT DISTINCT g.doc_id FROM g JOIN bench b ON g.gram = b.gram),
+        |clean AS (SELECT d.doc_id, d.text FROM ded d
+        |          WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.doc_id = d.doc_id)),
+        |t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM clean)
+        |SELECT doc_id, n_tokens,
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000 AS BIGINT) AS shard_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // The archive-to-shards composition: the warc_ingest extraction
+    // chain (static Web/Prep furniture) feeds corpus_prep's CTE chain
+    // over the EXTRACTED text — langid CASE, word-count gate, min-id
+    // exact dedup, width-6 gram decontamination vs the %40 bench
+    // split, prefix-sum packing. Any archive-framing, charset, or
+    // extraction corruption upstream breaks every downstream row.
+    "web_prep" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Web</title><style>p{color:red}</style><script>if (1 < 2) { x(); }</script></head><body><!-- crawl --><h1>Web &amp; Prep</h1><p class="main">' || text || ' « café § »&nbsp;&lt;end&gt;</p></body></html>' AS html
+        |  FROM documents WHERE doc_id % 8 = 0),
+        |x AS (SELECT doc_id, trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', ' ', 'gis'),
+        |      '<!--.*?-->', ' ', 'gs'),
+        |      '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' ', 'g'),
+        |      '&lt;', '<', 'g'),
+        |      '&gt;', '>', 'g'),
+        |      '&quot;', '"', 'g'),
+        |      '&#39;', '''', 'g'),
+        |      '&apos;', '''', 'g'),
+        |      '&amp;', '&', 'g'),
+        |    '\s+', ' ', 'g')) AS text FROM h),
+        |corp AS (SELECT doc_id, text FROM x WHERE doc_id % 40 <> 0),
+        |tk AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM corp),
+        |sc AS (SELECT doc_id, text,
+        |  list_contains(toks,'the')::INT + list_contains(toks,'a')::INT + list_contains(toks,'of')::INT + list_contains(toks,'to')::INT + list_contains(toks,'and')::INT + list_contains(toks,'in')::INT + list_contains(toks,'is')::INT + list_contains(toks,'it')::INT AS en,
+        |  list_contains(toks,'der')::INT + list_contains(toks,'die')::INT + list_contains(toks,'das')::INT + list_contains(toks,'und')::INT + list_contains(toks,'ist')::INT + list_contains(toks,'nicht')::INT + list_contains(toks,'mit')::INT + list_contains(toks,'ein')::INT AS de,
+        |  list_contains(toks,'le')::INT + list_contains(toks,'les')::INT + list_contains(toks,'et')::INT + list_contains(toks,'est')::INT + list_contains(toks,'des')::INT + list_contains(toks,'une')::INT + list_contains(toks,'dans')::INT + list_contains(toks,'que')::INT AS fr,
+        |  list_contains(toks,'el')::INT + list_contains(toks,'los')::INT + list_contains(toks,'las')::INT + list_contains(toks,'es')::INT + list_contains(toks,'una')::INT + list_contains(toks,'por')::INT + list_contains(toks,'con')::INT + list_contains(toks,'para')::INT AS es,
+        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+        |FROM tk),
+        |gated AS (SELECT doc_id, text FROM sc
+        |  WHERE (CASE WHEN cjk > 0 THEN 'zh'
+        |    WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        |    WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        |    WHEN fr >= es AND fr > 0 THEN 'fr'
+        |    WHEN es > 0 THEN 'es' ELSE 'und' END) = 'en'
+        |  AND (CASE WHEN trim(text) = '' THEN 0 ELSE CAST(len(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS INTEGER) END) >= 8),
+        |ded AS (SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS keep_id
+        |  FROM gated) WHERE doc_id = keep_id),
+        |w AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM ded),
+        |sh AS (SELECT doc_id, CASE WHEN len(ws) >= 6
+        |  THEN [array_to_string(ws[i:i+5], ' ') for i in range(1, len(ws) - 4)]
+        |  ELSE [array_to_string(ws, ' ')] END AS s FROM w),
+        |g AS (SELECT doc_id, unnest(s) AS gram FROM sh),
+        |bw AS (SELECT doc_id, string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ') AS ws FROM x WHERE doc_id % 40 = 0),
+        |bsh AS (SELECT CASE WHEN len(ws) >= 6
+        |  THEN [array_to_string(ws[i:i+5], ' ') for i in range(1, len(ws) - 4)]
         |  ELSE [array_to_string(ws, ' ')] END AS s FROM bw),
         |bench AS (SELECT DISTINCT unnest(s) AS gram FROM bsh),
         |flagged AS (SELECT DISTINCT g.doc_id FROM g JOIN bench b ON g.gram = b.gram),

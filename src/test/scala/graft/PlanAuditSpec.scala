@@ -322,6 +322,25 @@ class PlanAuditSpec extends SparkSpec {
         && !pq.contains("SortMergeJoin"), s"composed query degraded:\n$pq")
   }
 
+  test("web_prep: the archive-to-shards composition stays broadcast-only, no cartesian") {
+    // the WARC front-end runs as an RDD scan into a localCheckpoint
+    // (one archive parse feeding every stage); everything downstream —
+    // langid/quality gate, dedup keep, decontam gram probe, packing —
+    // must keep the corpus_prep join discipline. ONE exception is
+    // pinned rather than hidden: the decontam drop-list anti-join may
+    // plan as a KEYED sort-merge here because the RDD-backed input has
+    // no size stats — and at crawl scale the flagged list is unbounded,
+    // so the conservative shape is the correct one (corpus_prep's
+    // parquet-backed twin broadcasts it from stats).
+    val plan = q("web_prep")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"keep/probe joins must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in web_prep:\n$plan")
+    val smj = plan.linesIterator.filter(_.contains("SortMergeJoin")).toList
+    assert(smj.forall(_.contains("LeftAnti")),
+      s"only the drop-list anti-join may sort-merge:\n$plan")
+  }
+
   test("nb_classify: model broadcasts, token stream never sort-merges or crosses") {
     val plan = q("nb_classify")
     assert(plan.contains("BroadcastHashJoin"),
