@@ -207,10 +207,16 @@ class WarcSpec extends SparkSpec {
 
   test("ST7 streaming twin: readStreamWarc over arriving archives equals the batch read") {
     val dir = tmpDir()
+    // one Latin-1 record so the charset decode is exercised THROUGH the
+    // streaming path too (payload_text must match the batch read)
+    val latin = Warc.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> "https://example.com/doc/4",
+      "Content-Type" -> "text/plain; charset=ISO-8859-1"), "café §".getBytes("ISO-8859-1"))
     write(dir, "a.warc", rec(1, "alpha"), rec(2, "beta"))
-    write(dir, "b.warc.gz", Warc.gzipMember(rec(3, "gamma")))
+    write(dir, "b.warc.gz", Warc.gzipMember(rec(3, "gamma")), Warc.gzipMember(latin))
     val q = graft.streaming.GStream.readStreamWarc(spark, dir + "/*", maxFilesPerTrigger = Some(1))
-      .select("record_ix", "valid", "target_uri", "payload")
+      .select("record_ix", "valid", "target_uri", "payload", "payload_text")
       .writeStream.format("memory").queryName("warc_stream")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", tmpDir() + "/ckpt")
@@ -218,11 +224,13 @@ class WarcSpec extends SparkSpec {
     q.awaitTermination(120000)
     def norm(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getInt(0), r.getBoolean(1), r.getString(2),
-        new String(r.getAs[Array[Byte]](3), "UTF-8"))).sortBy(x => (x._3, x._1)).toSeq
+        new String(r.getAs[Array[Byte]](3), "UTF-8"), r.getString(4)))
+        .sortBy(x => (x._3, x._1)).toSeq
     val got = norm(spark.table("warc_stream"))
     val want = norm(Warc.read(spark, dir + "/*")
-      .select("record_ix", "valid", "target_uri", "payload"))
-    assert(got == want && got.length == 3, s"got $got")
+      .select("record_ix", "valid", "target_uri", "payload", "payload_text"))
+    assert(got == want && got.length == 4, s"got $got")
+    assert(got.exists(_._5 == "café §"), s"streamed Latin-1 decode: $got")
   }
 
   test("shard write -> read -> extract composition equals direct extraction") {
