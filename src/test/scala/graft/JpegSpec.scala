@@ -268,6 +268,29 @@ class JpegSpec extends SparkSpec {
     assert(maxErr <= 1, s"progressive decode disagrees with ImageIO by $maxErr")
   }
 
+  test("mutation fuzz: single-byte corruption anywhere never throws, across all codecs") {
+    // the 100 TB contract in distilled form: every decode path holds
+    // the Bail discipline under arbitrary bit damage — seeded, so a
+    // counterexample reproduces
+    val px = flatBlocks(21L, 64, 64)
+    val fixtures = Seq(
+      "base-gray" -> Jpeg.encodeGray(px, 64, 64, restartInterval = 3),
+      "base-420" -> Jpeg.encodeGray420(px, 64, 64, restartInterval = 3),
+      "prog-gray" -> Jpeg.encodeGrayProgressive(px, 64, 64),
+      "prog-sa" -> Jpeg.encodeGrayProgressive(px, 64, 64, useSA = true, restartInterval = 5),
+      "prog-420" -> Jpeg.encodeGray420Progressive(px, 64, 64))
+    val rng = new scala.util.Random(77)
+    for ((name, bytes) <- fixtures; trial <- 1 to 120) {
+      val b = bytes.clone()
+      val i = rng.nextInt(b.length)
+      b(i) = (b(i) ^ (1 << rng.nextInt(8))).toByte
+      try Jpeg.decodeYGray(b) // any Option is acceptable; a throw is a bug
+      catch { case e: Throwable =>
+        fail(s"$name trial $trial flipped byte $i: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("truncated progressive streams degrade to None, never a throw") {
     val good = Jpeg.encodeGrayProgressive(flatBlocks(3L, 64, 64), 64, 64, useSA = true)
     assert(Jpeg.decodeYGray(good).isDefined)

@@ -233,6 +233,28 @@ class WarcSpec extends SparkSpec {
     assert(got.exists(_._5 == "café §"), s"streamed Latin-1 decode: $got")
   }
 
+  test("mutation fuzz: single-byte corruption never throws; valid rows stay sane") {
+    // seeded single-bit flips over plain and gzip archives: the record
+    // walk must always terminate with a bounded row list (degrade, never
+    // die, never spin) — the 100 TB contract for the crawl entry point
+    val plainArchive = (1L to 6L).map(i => rec(i, s"payload body $i " * 4))
+      .reduce(_ ++ _)
+    val gzArchive = (1L to 6L).map(i => Warc.gzipMember(rec(i, s"payload body $i " * 4)))
+      .reduce(_ ++ _)
+    val rng = new scala.util.Random(99)
+    for ((name, bytes) <- Seq("plain" -> plainArchive, "gz" -> gzArchive); trial <- 1 to 150) {
+      val b = bytes.clone()
+      val i = rng.nextInt(b.length)
+      b(i) = (b(i) ^ (1 << rng.nextInt(8))).toByte
+      try {
+        val rows = Warc.parseBytes(s"$name-$trial", b).toList
+        assert(rows.length <= 200, s"$name trial $trial: runaway row list")
+      } catch { case e: Throwable =>
+        fail(s"$name trial $trial flipped byte $i: ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+  }
+
   test("shard write -> read -> extract composition equals direct extraction") {
     // doc 8 lands the ISO-8859-1 writer variant AND has Latin-1
     // non-ASCII text, so its shard bytes are byte-distinct from UTF-8 —
