@@ -1436,9 +1436,7 @@ object SparkEntry {
         lit(" --><h1>Doc &amp; "), did,
         lit("</h1><p class=\"main\">"), col("text"),
         lit(" « café § »&nbsp;&lt;end&gt;</p></body></html>"))
-      val shardDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_warc_gate_" + Integer.toHexString(dir.hashCode) +
-          "_p" + ProcessHandle.current().pid()).getAbsolutePath
+      val shardDir = tempShardDir("graft_warc_gate_", dir)
       val glob = graft.sources.Warc.writeSyntheticShards(
         docs.select(col("doc_id"), html.as("html")), shardDir)
       graft.sources.Warc.read(s, glob)
@@ -1471,9 +1469,7 @@ object SparkEntry {
           "<script>if (1 < 2) { x(); }</script></head><body><!-- crawl -->" +
           "<h1>Web &amp; Prep</h1><p class=\"main\">"), col("text"),
         lit(" « café § »&nbsp;&lt;end&gt;</p></body></html>"))
-      val shardDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        "graft_webprep_" + Integer.toHexString(dir.hashCode) +
-          "_p" + ProcessHandle.current().pid()).getAbsolutePath
+      val shardDir = tempShardDir("graft_webprep_", dir)
       val glob = graft.sources.Warc.writeSyntheticShards(
         docs.select(col("doc_id"), html.as("html")), shardDir)
       val pages = graft.sources.Warc.read(s, glob)
@@ -1748,6 +1744,27 @@ object SparkEntry {
     *     the narrow (id, weight) projection, materialized once —
     *     packByBudget drives three actions over its input.
     *   - pack: the two-phase distributed prefix-sum shard assignment. */
+
+  /** PID-scoped temp shard dir for the synthetic-archive gates:
+    * concurrent Bench/Verify JVMs can't race each other's shards (the
+    * r17 ADVICE race), and a shutdown hook deletes the tree so repeated
+    * JVM runs don't accumulate archives in the tmpdir. */
+  private val shardDirCleanups = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def tempShardDir(prefix: String, dir: String): String = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      prefix + Integer.toHexString(dir.hashCode) + "_p" + ProcessHandle.current().pid())
+    val path = d.getAbsolutePath
+    if (shardDirCleanups.add(path))
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def del(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles).foreach(_.foreach(del))
+          f.delete(): Unit
+        }
+        del(d)
+      }))
+    path
+  }
+
   def corpusPrepPhases(
       s: SparkSession, dir: String, near: Boolean): Seq[(String, () => DataFrame)] = {
     val docs = documents(s, dir).toNative

@@ -186,7 +186,7 @@ object Bm25 {
     import org.apache.spark.sql.graftbridge.Bridge
     val qt = queries.select(col("qid").cast("long").as("qid"),
         lower(trim(col("term"))).as("token"))
-      .where(col("token").isNotNull && col("token") =!= "")
+      .where(col("qid").isNotNull && col("token").isNotNull && col("token") =!= "")
       .distinct()
       .limit(maxQueryTerms + 1)
       .collect()

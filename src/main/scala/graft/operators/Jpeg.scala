@@ -336,6 +336,16 @@ object Jpeg {
               mcusH = ceilDiv(h, 8 * vMax)
               blocksW = comps.map(cp => mcusW * cp.h)
               blocksH = comps.map(cp => mcusH * cp.v)
+              // cap TOTAL coefficient memory before allocating: a
+              // few-hundred-byte crafted header must not demand
+              // hundreds of MB (an OutOfMemoryError is not a Bail —
+              // it would kill the executor). 64M ints (256 MB) admits
+              // the real worst case (3-component 4:4:4 at the 4096^2
+              // dims cap = 50M) and rejects padded multi-component
+              // abuse beyond it.
+              val totalCoefs = (0 until comps.length)
+                .map(i => blocksW(i).toLong * blocksH(i) * 64).sum
+              if (totalCoefs > 64000000L) bail()
               coefs = Array.tabulate(comps.length)(i =>
                 new Array[Int](blocksW(i) * blocksH(i) * 64))
             }

@@ -56,7 +56,16 @@ object Pca {
     // collect() returns partials in partition INDEX order — the pinned
     // combine order that makes the pass bit-deterministic for a fixed
     // layout (treeAggregate merges in task-arrival order and is not).
-    val partials = rows.mapPartitions { vs =>
+    // Bound the driver's resident partials: one (n, Σv, Σvvᵀ) per
+    // collected partition is (d²+d+1)·8 bytes — at the d=1024 contract
+    // cap that is ~8.4 MB, so a many-partition input must coalesce
+    // first (no shuffle; consecutive parents merge in order, so the
+    // pinned fold stays deterministic for a fixed layout) to keep the
+    // collected set under ~256 MB.
+    val partialBytes = (d.toLong * d + d + 1) * 8
+    val maxParts = math.max(1, ((256L << 20) / partialBytes).toInt)
+    val bounded = if (rows.getNumPartitions > maxParts) rows.coalesce(maxParts) else rows
+    val partials = bounded.mapPartitions { vs =>
       val sum = new Array[Double](d)
       val gram = new Array[Double](d * d)
       var cnt = 0L

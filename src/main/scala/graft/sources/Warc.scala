@@ -70,12 +70,13 @@ object Warc {
     * into a DataFrame of [[WarcRow]]s — one task per archive file. */
   def read(spark: SparkSession, path: String,
       maxPayloadBytes: Int = 16 * 1024 * 1024,
-      minPartitions: Int = 0): DataFrame = {
+      minPartitions: Int = 0,
+      decodePayloadText: Boolean = true): DataFrame = {
     val minParts = if (minPartitions > 0) minPartitions
       else spark.sparkContext.defaultParallelism
     val rows = spark.sparkContext.binaryFiles(path, minParts)
       .flatMap { case (file, pds) =>
-        val it = new RecordIterator(file, pds.open(), maxPayloadBytes)
+        val it = new RecordIterator(file, pds.open(), maxPayloadBytes, decodePayloadText)
         // close on task end, not just iterator EOF: a consumer that
         // stops early (limit/take) must not leak the open file stream
         Option(org.apache.spark.TaskContext.get())
@@ -92,7 +93,8 @@ object Warc {
   private final class ParseError(msg: String) extends RuntimeException(msg, null, false, false)
 
   /** Lazy one-record-at-a-time iterator over one archive stream. */
-  private final class RecordIterator(file: String, raw: java.io.InputStream, maxPayload: Int)
+  private final class RecordIterator(file: String, raw: java.io.InputStream,
+      maxPayload: Int, decodePayload: Boolean = true)
       extends Iterator[WarcRow] {
 
     private val gz = {
@@ -206,15 +208,22 @@ object Warc {
       if (!line.startsWith("WARC/")) throw new ParseError(s"expected WARC/ version, got '${line.take(40)}'")
       val headers = scala.collection.mutable.LinkedHashMap.empty[String, String]
       var lastKey: String = null
+      var headerLines = 0
       var h = readLine()
       while (h != null && h.nonEmpty) {
-        if (headers.size >= MaxHeaders) throw new ParseError("too many headers")
+        // bound LINES, not just distinct keys — obs-fold continuations
+        // must not grow a header block unboundedly (degrade-never-die
+        // includes never-OOM)
+        headerLines += 1
+        if (headerLines > MaxHeaders) throw new ParseError("too many header lines")
         val c0 = h.charAt(0)
         if (c0 == ' ' || c0 == '\t') {
           // obs-fold continuation (ISO 28500 permits folded values):
-          // append to the previous header's value
+          // append to the previous header's value, capped
           if (lastKey == null) throw new ParseError("continuation line before any header")
-          headers.put(lastKey, headers(lastKey) + " " + h.trim)
+          val folded = headers(lastKey) + " " + h.trim
+          if (folded.length > MaxLineBytes) throw new ParseError("folded header too long")
+          headers.put(lastKey, folded)
         } else {
           val i = h.indexOf(':')
           if (i <= 0) throw new ParseError(s"malformed header '${h.take(40)}'")
@@ -245,7 +254,7 @@ object Warc {
         truncated = len > keep,
         headers = headers.toMap,
         payload = payload,
-        payload_text = decodeText(ctype, payload)))
+        payload_text = if (decodePayload) decodeText(ctype, payload) else null))
     }
 
     /** Scan forward for "\nWARC/" — the next version line — then
@@ -296,6 +305,10 @@ object Warc {
     private var pendingMagic = false
     private var pendingCm = -1
     private var pendingFlg = -1
+    // bytes a failed magic check consumed — a stray byte before an
+    // INTACT member otherwise eats that member's 0x1F and the rescan
+    // would skip it; resync re-feeds these through its matcher
+    private var carry: List[Int] = Nil
     // inflater input bookkeeping: the slice handed to setInput is
     // cbuf[lastSetStart, lastSetEnd); reclaim() rewinds cpos over the
     // unconsumed suffix exactly once; fillGen guards rescans against a
@@ -330,8 +343,10 @@ object Warc {
         val b0 = rawByte()
         if (b0 < 0) return false
         val b1 = needByte()
-        if (b0 != 0x1F || b1 != 0x8B)
+        if (b0 != 0x1F || b1 != 0x8B) {
+          carry = List(b0, b1) // b1 may be a real member's first magic byte
           throw new ZipException(f"bad gzip magic $b0%02x $b1%02x")
+        }
         cm = needByte()
         flg = needByte()
       }
@@ -407,7 +422,8 @@ object Warc {
       if (rescanFrom >= 0) cpos = rescanFrom
       inf.reset(); crc.reset()
       inMember = false
-      var pend: List[Int] = Nil
+      var pend: List[Int] = carry // re-feed a failed magic check's lookahead
+      carry = Nil
       def nextByte(): Int = pend match {
         case h :: t => pend = t; h
         case Nil => rawByte()
@@ -469,9 +485,87 @@ object Warc {
   /** Decode a textual payload: Content-Type charset param, else HTML
     * meta-charset sniff over the head bytes, else UTF-8; malformed
     * sequences decode with replacement (degrade, never throw).
-    * Non-textual or absent Content-Type → null. */
+    * Non-textual or absent Content-Type → null.
+    *
+    * REAL crawl response records carry the WARC Content-Type
+    * `application/http; msgtype=response` with the page's own type
+    * inside the stored HTTP envelope — for those, the envelope's
+    * headers are parsed (terminator CRLFCRLF or LFLF), the HTTP
+    * Content-Type drives the textual check + charset chain, a
+    * `Transfer-Encoding: chunked` body is de-chunked (malformed chunk
+    * framing degrades to the raw body), and only the BODY decodes. */
   def decodeText(contentType: String, payload: Array[Byte]): String = {
-    if (!isTextual(contentType)) return null
+    if (contentType == null) return null
+    val semi = contentType.indexOf(';')
+    val mt = (if (semi >= 0) contentType.substring(0, semi) else contentType)
+      .trim.toLowerCase(java.util.Locale.ROOT)
+    if (mt == "application/http") {
+      // HTTP envelope: find the header terminator (CRLFCRLF scans as
+      // "\n\r\n" since the leading CR ends the previous line; bare
+      // LFLF tolerated) within the head window
+      val lim = math.min(payload.length, 64 * 1024)
+      var bodyStart = -1
+      var i = 0
+      while (bodyStart < 0 && i < lim) {
+        if (payload(i) == '\n') {
+          if (i + 2 < payload.length && payload(i + 1) == '\r' && payload(i + 2) == '\n')
+            bodyStart = i + 3
+          else if (i + 1 < payload.length && payload(i + 1) == '\n')
+            bodyStart = i + 2
+        }
+        i += 1
+      }
+      if (bodyStart < 0) return null // no body — headers-only or truncated
+      val head = new String(payload, 0, bodyStart,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val hm = HttpHeader.matcher(head)
+      var httpCt: String = null
+      var chunked = false
+      while (hm.find()) {
+        val name = hm.group(1).toLowerCase(java.util.Locale.ROOT)
+        if (name == "content-type" && httpCt == null) httpCt = hm.group(2).trim
+        else if (name == "transfer-encoding" &&
+          hm.group(2).toLowerCase(java.util.Locale.ROOT).contains("chunked")) chunked = true
+      }
+      if (!isTextual(httpCt)) return null
+      var body = java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
+      if (chunked) body = dechunk(body).getOrElse(body) // degrade to raw framing
+      decodeBody(httpCt, body)
+    } else if (isTextual(contentType)) decodeBody(contentType, payload)
+    else null
+  }
+
+  private val HttpHeader =
+    java.util.regex.Pattern.compile("(?m)^([A-Za-z][A-Za-z0-9-]*):[ \\t]*([^\\r\\n]*)")
+
+  /** De-chunk an RFC 9112 chunked body; None on malformed framing. */
+  private def dechunk(body: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var p = 0
+    while (true) {
+      // chunk-size line (hex, optional extensions after ';')
+      var e = p
+      while (e < body.length && body(e) != '\n') e += 1
+      if (e >= body.length) return None
+      val line = new String(body, p, e - p, java.nio.charset.StandardCharsets.ISO_8859_1).trim
+      val hexEnd = line.indexOf(';')
+      val hex = (if (hexEnd >= 0) line.substring(0, hexEnd) else line).trim
+      val n = try java.lang.Long.parseLong(hex, 16) catch { case _: Exception => return None }
+      if (n < 0 || n > Int.MaxValue) return None
+      p = e + 1
+      if (n == 0) return Some(out.toByteArray) // trailer ignored
+      if (p + n > body.length) return None
+      out.write(body, p, n.toInt)
+      p += n.toInt
+      // chunk data is followed by CRLF (tolerate bare LF)
+      if (p < body.length && body(p) == '\r') p += 1
+      if (p >= body.length || body(p) != '\n') return None
+      p += 1
+    }
+    None // unreachable
+  }
+
+  private def decodeBody(contentType: String, payload: Array[Byte]): String = {
     if (payload.length == 0) return ""
     var cs: java.nio.charset.Charset = null
     val m = CharsetParam.matcher(contentType)
@@ -510,8 +604,10 @@ object Warc {
     * byte arrays; same lazy record walk and degrade contract as
     * [[read]]. */
   def parseBytes(file: String, bytes: Array[Byte],
-      maxPayloadBytes: Int = 16 * 1024 * 1024): Iterator[WarcRow] =
-    new RecordIterator(file, new java.io.ByteArrayInputStream(bytes), maxPayloadBytes)
+      maxPayloadBytes: Int = 16 * 1024 * 1024,
+      decodePayloadText: Boolean = true): Iterator[WarcRow] =
+    new RecordIterator(file, new java.io.ByteArrayInputStream(bytes),
+      maxPayloadBytes, decodePayloadText)
 
   // ------------------------------------------------------------------
   // Fixture builders (gates/specs — the Media.syntheticContainer precedent)
@@ -541,8 +637,10 @@ object Warc {
   }
 
   /** Deterministic per-doc charset variant for [[writeSyntheticShards]]
-    * (Fibonacci mixing so any id stride hits all variants): 0 = UTF-8
-    * with an explicit charset param, 1 = ISO-8859-1 with a charset
+    * (Fibonacci mixing so any id stride hits all variants): 0 = the
+    * REAL CommonCrawl response shape — WARC Content-Type
+    * `application/http; msgtype=response` with the page type + charset
+    * inside the stored HTTP envelope; 1 = ISO-8859-1 with a charset
     * param (when the page encodes), 2 = bare Content-Type (the UTF-8
     * fallback path), 3 = UTF-8 param. */
   private def charsetVariant(id: Long): Int =
@@ -586,6 +684,12 @@ object Warc {
               val id = r.getLong(0)
               val html = r.getString(1)
               val (ctype, body) = charsetVariant(id) match {
+                case 0 =>
+                  // the real crawl layout: raw HTTP response stored whole
+                  ("application/http; msgtype=response",
+                    ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=UTF-8\r\n" +
+                      "X-Crawl: graft\r\n\r\n").getBytes("ISO-8859-1") ++
+                      html.getBytes("UTF-8"))
                 case 1 if latin1Enc.canEncode(html) =>
                   ("text/html; charset=ISO-8859-1",
                     html.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))

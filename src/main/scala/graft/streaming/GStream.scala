@@ -247,7 +247,8 @@ object GStream {
     * is ~1 GB — a handful per trigger keeps executor memory flat). */
   def readStreamWarc(spark: SparkSession, path: String,
       maxPayloadBytes: Int = 16 * 1024 * 1024,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+      maxFilesPerTrigger: Option[Int] = None,
+      decodePayloadText: Boolean = true): DataFrame = {
     import org.apache.spark.sql.Encoders
     import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType, TimestampType}
     // binaryFile's schema is FIXED by the source; the streaming API
@@ -263,7 +264,7 @@ object GStream {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .flatMap { case (file, bytes) =>
-        graft.sources.Warc.parseBytes(file, bytes, maxPayloadBytes)
+        graft.sources.Warc.parseBytes(file, bytes, maxPayloadBytes, decodePayloadText)
       }(Encoders.product[graft.sources.Warc.WarcRow])
       .toDF()
   }

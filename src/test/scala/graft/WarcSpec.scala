@@ -233,6 +233,73 @@ class WarcSpec extends SparkSpec {
     assert(got.exists(_._5 == "café §"), s"streamed Latin-1 decode: $got")
   }
 
+  test("HTTP envelope (application/http): body decodes per the HTTP Content-Type") {
+    val dir = tmpDir()
+    def env(id: Long, httpHeaders: String, body: Array[Byte]) = Warc.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> s"https://example.com/doc/$id",
+      "Content-Type" -> "application/http; msgtype=response"),
+      (s"HTTP/1.1 200 OK\r\n$httpHeaders\r\n").getBytes("ISO-8859-1") ++ body)
+    // chunked body: 2 chunks spelling "café §" in ISO-8859-1
+    val lat = "café §".getBytes("ISO-8859-1")
+    val chunked =
+      (s"${lat.take(4).length.toHexString}\r\n").getBytes("ISO-8859-1") ++ lat.take(4) ++
+        "\r\n".getBytes ++ (s"${lat.drop(4).length.toHexString}\r\n").getBytes("ISO-8859-1") ++
+        lat.drop(4) ++ "\r\n0\r\n\r\n".getBytes("ISO-8859-1")
+    write(dir, "a.warc",
+      env(1, "Content-Type: text/html; charset=ISO-8859-1\r\n", "<p>café §</p>".getBytes("ISO-8859-1")),
+      env(2, "Content-Type: image/png\r\n", Array[Byte](1, 2, 3)),
+      env(3, "Content-Type: text/plain; charset=ISO-8859-1\r\nTransfer-Encoding: chunked\r\n", chunked),
+      // headers-only (no terminator): degrade to null, record still valid
+      Warc.record(Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "https://example.com/doc/4",
+        "Content-Type" -> "application/http; msgtype=response"),
+        "HTTP/1.1 304 Not Modified\r\nETag: x".getBytes("ISO-8859-1")))
+    val got = Warc.read(spark, dir + "/*")
+      .select("target_uri", "payload_text", "valid").collect()
+      .map(r => r.getString(0).split("/doc/")(1).toLong -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(got(1L) == ("<p>café §</p>", true))
+    assert(got(2L) == (null, true))
+    assert(got(3L) == ("café §", true), got(3L).toString)
+    assert(got(4L) == (null, true))
+  }
+
+  test("gzip resync: a stray byte between INTACT members costs one tombstone, nothing else") {
+    // the failed-magic lookahead must re-feed the rescan: the stray
+    // byte's successor IS the next member's first magic byte
+    val dir = tmpDir()
+    val bytes = Warc.gzipMember(rec(1, "one")) ++ Array[Byte](0x55) ++
+      Warc.gzipMember(rec(2, "two")) ++ Warc.gzipMember(rec(3, "three"))
+    write(dir, "a.warc.gz", bytes)
+    val rows = Warc.read(spark, dir + "/*").orderBy("record_ix").collect()
+    val uris = rows.filter(_.getAs[Boolean]("valid"))
+      .map(_.getAs[String]("target_uri")).toSet
+    assert(uris == Set(1L, 2L, 3L).map(i => s"https://example.com/doc/$i"),
+      s"intact members must all survive: ${rows.mkString("; ")}")
+    assert(rows.count(!_.getAs[Boolean]("valid")) == 1)
+  }
+
+  test("unbounded obs-fold continuations tombstone instead of growing without limit") {
+    val dir = tmpDir()
+    val folded = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      (" x\r\n" * 500) + "Content-Length: 2\r\n\r\nhi\r\n\r\n").getBytes("UTF-8")
+    write(dir, "a.warc", folded, rec(2, "after"))
+    val rows = Warc.read(spark, dir + "/*").orderBy("record_ix").collect()
+    assert(rows.length == 2, rows.mkString("; "))
+    assert(!rows(0).getAs[Boolean]("valid"))
+    assert(rows(0).getAs[String]("error").contains("header lines"), rows(0).getAs[String]("error"))
+    assert(rows(1).getAs[Boolean]("valid"))
+  }
+
+  test("decodePayloadText=false skips the decode for byte-only consumers") {
+    val dir = tmpDir()
+    write(dir, "a.warc", rec(1, "hello"))
+    val r = Warc.read(spark, dir + "/*", decodePayloadText = false)
+      .select("payload_text", "payload").head()
+    assert(r.getString(0) == null)
+    assert(new String(r.getAs[Array[Byte]](1), "UTF-8") == "hello")
+  }
+
   test("mutation fuzz: single-byte corruption never throws; valid rows stay sane") {
     // seeded single-bit flips over plain and gzip archives: the record
     // walk must always terminate with a bounded row list (degrade, never
