@@ -1477,7 +1477,13 @@ object SparkEntry {
         .select(
           regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
           TextFns.htmlToText(col("payload_text")).as("text"))
-        .localCheckpoint() // several stages re-reference: parse archives once
+        // several stages re-reference the parsed pages: parse archives
+        // ONCE. localCheckpoint is the GATE idiom only — it pins the
+        // materialization to executor lifetime; the 100 TB production
+        // flow persists the extracted pages to durable storage
+        // (write.parquet + re-read) instead, so stage retries and
+        // executor loss don't re-parse the crawl
+        .localCheckpoint()
       val bench = pages.where(col("doc_id") % 40 === 0)
       val corpus = pages.where(col("doc_id") % 40 =!= 0)
       val gated = TextFns.withLangId(corpus, col("text"), "_lang")

@@ -331,6 +331,10 @@ object Jpeg {
             if (pSs == 0) { if (pSe != 0) bail() } // DC scan
             else if (ns != 1 || pSe < pSs || pSe > 63) bail() // AC: one comp
             if (ah > 13 || al > 13) bail()
+            // G.1.1.1.2: a refinement scan (Ah != 0) refines by exactly
+            // one bit — Ah must equal Al + 1; anything else is outside
+            // the successive-approximation subset → documented None path
+            if (ah != 0 && ah != al + 1) bail()
             if (coefs == null) {
               mcusW = ceilDiv(w, 8 * hMax)
               mcusH = ceilDiv(h, 8 * vMax)

@@ -873,7 +873,13 @@ object Media {
     * encode→decode reproduces the grays bit-for-bit — the verdict-
     * prescribed "patterns quantization preserves" (and, for the
     * progressive variants, the exactness survives the spectral/
-    * approximation scan splits). */
+    * approximation scan splits).
+    *
+    * Fixture-format v2 (r18): odd ids moved from a k mod 4 to a k mod
+    * 6 residue cycle to admit the progressive variants, so bytes for
+    * pre-existing ids changed (e.g. k=4 was BMP, is now progressive
+    * JPEG). All in-repo oracles/specs were updated; anything EXTERNAL
+    * that pinned v1 fixture bytes must re-derive. */
   def syntheticPixelImage(id: Long): Array[Byte] = {
     val k = java.lang.Math.floorDiv(id, 2L)
     val base = syntheticPixelPattern(k)

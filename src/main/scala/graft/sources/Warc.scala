@@ -305,6 +305,7 @@ object Warc {
     private var pendingMagic = false
     private var pendingCm = -1
     private var pendingFlg = -1
+    private var pendingPostFlg = 0 // fixed header bytes resync already consumed/validated
     // bytes a failed magic check consumed — a stray byte before an
     // INTACT member otherwise eats that member's 0x1F and the rescan
     // would skip it; resync re-feeds these through its matcher
@@ -318,6 +319,12 @@ object Warc {
     private var lastSetGen = -1L
     private var fillGen = 0L
     private var unreclaimed = false
+    // bytes that logically precede cbuf[cpos..): resync's rejected-
+    // candidate lookahead that outlived the scan (stacked rejections
+    // can leave a suffix when a real header is accepted mid-queue) —
+    // rawByte drains these first so no byte is ever dropped
+    private var prefeed: List[Int] = Nil
+    private var prefeedArr: Array[Byte] = null // prefeed slice handed to the inflater
     private val one = new Array[Byte](1)
 
     private def fillRaw(): Boolean = {
@@ -325,15 +332,24 @@ object Warc {
       val k = raw.read(cbuf)
       if (k <= 0) false else { cpos = 0; clen = k; fillGen += 1; true }
     }
-    private def rawByte(): Int =
-      if (!fillRaw()) -1 else { val b = cbuf(cpos) & 0xFF; cpos += 1; b }
+    private def rawByte(): Int = prefeed match {
+      case h :: t => prefeed = t; h
+      case Nil =>
+        if (!fillRaw()) -1 else { val b = cbuf(cpos) & 0xFF; cpos += 1; b }
+    }
     private def needByte(): Int = {
       val b = rawByte()
       if (b < 0) throw new ZipException("truncated gzip member")
       b
     }
-    private def reclaim(): Unit =
-      if (unreclaimed) { cpos = lastSetEnd - inf.getRemaining; unreclaimed = false }
+    private def reclaim(): Unit = {
+      if (prefeedArr != null) {
+        val rem = inf.getRemaining
+        if (rem > 0) // unconsumed suffix of the prefeed slice goes back first
+          prefeed = prefeedArr.takeRight(rem).map(_ & 0xFF).toList ::: prefeed
+        prefeedArr = null
+      } else if (unreclaimed) { cpos = lastSetEnd - inf.getRemaining; unreclaimed = false }
+    }
 
     /** False at clean EOF before any magic byte. */
     private def readHeader(): Boolean = {
@@ -351,7 +367,7 @@ object Warc {
         flg = needByte()
       }
       if (cm != 8) throw new ZipException(s"unsupported gzip method $cm")
-      var i = 0
+      var i = pendingPostFlg; pendingPostFlg = 0 // resync may have eaten MTIME/XFL/OS
       while (i < 6) { needByte(); i += 1 } // MTIME(4) XFL OS
       if ((flg & 4) != 0) { // FEXTRA
         val xl = needByte() | (needByte() << 8)
@@ -396,53 +412,88 @@ object Warc {
         if (n > 0) { crc.update(b, off, n); return n }
         if (inf.finished()) { readTrailer(); inMember = false } // next member or EOF
         else if (inf.needsInput()) {
-          if (!fillRaw()) throw new ZipException("truncated gzip member")
-          inf.setInput(cbuf, cpos, clen - cpos)
-          lastSetStart = cpos; lastSetEnd = clen; lastSetGen = fillGen
-          cpos = clen; unreclaimed = true
+          if (prefeed.nonEmpty) { // resync-leftover bytes precede cbuf
+            val arr = prefeed.map(_.toByte).toArray
+            prefeed = Nil
+            inf.setInput(arr, 0, arr.length)
+            prefeedArr = arr
+            unreclaimed = false; lastSetGen = -1L
+          } else {
+            if (!fillRaw()) throw new ZipException("truncated gzip member")
+            inf.setInput(cbuf, cpos, clen - cpos)
+            lastSetStart = cpos; lastSetEnd = clen; lastSetGen = fillGen
+            cpos = clen; unreclaimed = true
+            prefeedArr = null // any prior prefeed slice is fully consumed
+          }
         } else throw new ZipException("gzip needs preset dictionary")
       }
       -1
     }
 
     /** After a member error: scan the raw bytes for the next member
-      * magic (0x1F 0x8B + CM 8 + sane FLG — the 2-byte validation
-      * rejects most false positives inside deflate data) and position
-      * so the next [[read]] resumes at that header. The scan restarts
-      * from the BEGINNING of the last slice handed to the inflater (the
-      * error was detected somewhere inside it, and the next member's
-      * header bytes may already have been consumed as bogus deflate
-      * input) — valid because the slice starts strictly after the
-      * corrupt member's own header, so no already-emitted record can
-      * replay. A rejected candidate's lookahead re-feeds the matcher
-      * (overlapping 1F 8B sequences stay detectable). */
+      * magic and position so the next [[read]] resumes at that header.
+      * A candidate is accepted only if the WHOLE fixed header passes:
+      * 0x1F 0x8B, CM 8, sane FLG, XFL one of the values real encoders
+      * write (0/2/4) and a known OS byte (≤13 or 255) — ~23 bits of
+      * validation, so 0x1F 0x8B false positives inside deflate data
+      * are rejected HERE instead of each escaping, failing on the next
+      * read, and burning one of the MaxDegradesPerFile tombstones (a
+      * large corrupt region must not exhaust the budget and drop a
+      * recoverable tail). The scan restarts from the BEGINNING of the
+      * last slice handed to the inflater (the error was detected
+      * somewhere inside it, and the next member's header bytes may
+      * already have been consumed as bogus deflate input) — valid
+      * because the slice starts strictly after the corrupt member's
+      * own header, so no already-emitted record can replay. A rejected
+      * candidate's lookahead re-feeds the matcher (overlapping 1F 8B
+      * sequences stay detectable). */
     def resyncToNextMember(): Boolean = {
+      if (prefeedArr != null) {
+        // the error hit while inflating the prefeed slice: rescan it
+        // whole (the cbuf analogue of rescanFrom = lastSetStart)
+        prefeed = prefeedArr.map(_ & 0xFF).toList ::: prefeed
+        prefeedArr = null
+      }
       val rescanFrom = if (unreclaimed && lastSetGen == fillGen) lastSetStart else -1
       reclaim()
       if (rescanFrom >= 0) cpos = rescanFrom
       inf.reset(); crc.reset()
       inMember = false
-      var pend: List[Int] = carry // re-feed a failed magic check's lookahead
+      prefeed = carry ::: prefeed // re-feed a failed magic check's lookahead
       carry = Nil
-      def nextByte(): Int = pend match {
-        case h :: t => pend = t; h
-        case Nil => rawByte()
-      }
       var prev = -1
-      var c = nextByte()
+      var c = rawByte()
       while (c >= 0) {
         if (prev == 0x1F && c == 0x8B) {
-          val cm = nextByte()
-          val flg = if (cm == 8) nextByte() else -1
-          if (cm == 8 && flg >= 0 && (flg & 0xE0) == 0) {
+          val cm = rawByte()
+          val flg = if (cm == 8) rawByte() else -1
+          var consumed: List[Int] = Nil // post-FLG bytes, reverse read order
+          var ok = cm == 8 && flg >= 0 && (flg & 0xE0) == 0
+          if (ok) {
+            var xfl = -1; var os = -1
+            var i = 0
+            while (ok && i < 6) { // MTIME(4) XFL OS
+              val b = rawByte()
+              if (b < 0) ok = false
+              else {
+                consumed = b :: consumed
+                if (i == 4) xfl = b else if (i == 5) os = b
+              }
+              i += 1
+            }
+            if (ok) ok = (xfl == 0 || xfl == 2 || xfl == 4) && (os <= 13 || os == 255)
+          }
+          if (ok) {
             pendingMagic = true; pendingCm = cm; pendingFlg = flg
-            return true
+            pendingPostFlg = 6
+            return true // leftover prefeed (if any) stays queued for rawByte
           }
           // not a header: re-feed the lookahead through the matcher
-          pend = (if (flg >= 0) List(cm, flg) else if (cm >= 0) List(cm) else Nil) ::: pend
+          prefeed = ((if (flg >= 0) List(cm, flg) else if (cm >= 0) List(cm) else Nil) :::
+            consumed.reverse) ::: prefeed
         }
         prev = c
-        c = nextByte()
+        c = rawByte()
       }
       eof = true
       false
@@ -490,10 +541,16 @@ object Warc {
     * REAL crawl response records carry the WARC Content-Type
     * `application/http; msgtype=response` with the page's own type
     * inside the stored HTTP envelope — for those, the envelope's
-    * headers are parsed (terminator CRLFCRLF or LFLF), the HTTP
+    * headers are parsed (terminator CRLFCRLF or LFLF, searched within
+    * a 64 KiB head window — a header block past that degrades to
+    * `payload_text = null`, same cap family as MaxLineBytes), the HTTP
     * Content-Type drives the textual check + charset chain, a
     * `Transfer-Encoding: chunked` body is de-chunked (malformed chunk
-    * framing degrades to the raw body), and only the BODY decodes. */
+    * framing degrades to the raw body), a `Content-Encoding` of
+    * gzip/x-gzip/deflate is inflated (capped at
+    * [[MaxInflatedBodyBytes]]; failure or any other coding — br, zstd,
+    * compress — degrades to null, never mojibake), and only the BODY
+    * decodes. */
   def decodeText(contentType: String, payload: Array[Byte]): String = {
     if (contentType == null) return null
     val semi = contentType.indexOf(';')
@@ -520,16 +577,25 @@ object Warc {
         java.nio.charset.StandardCharsets.ISO_8859_1)
       val hm = HttpHeader.matcher(head)
       var httpCt: String = null
+      var httpCe: String = null
       var chunked = false
       while (hm.find()) {
         val name = hm.group(1).toLowerCase(java.util.Locale.ROOT)
         if (name == "content-type" && httpCt == null) httpCt = hm.group(2).trim
+        else if (name == "content-encoding" && httpCe == null)
+          httpCe = hm.group(2).trim.toLowerCase(java.util.Locale.ROOT)
         else if (name == "transfer-encoding" &&
           hm.group(2).toLowerCase(java.util.Locale.ROOT).contains("chunked")) chunked = true
       }
       if (!isTextual(httpCt)) return null
       var body = java.util.Arrays.copyOfRange(payload, bodyStart, payload.length)
       if (chunked) body = dechunk(body).getOrElse(body) // degrade to raw framing
+      // Transfer-Encoding is applied last by the sender, so de-chunk
+      // first, content-decode second
+      if (httpCe != null) body = contentDecode(httpCe, body) match {
+        case Some(b) => b
+        case None => return null // undecodable coding: null, not mojibake
+      }
       decodeBody(httpCt, body)
     } else if (isTextual(contentType)) decodeBody(contentType, payload)
     else null
@@ -563,6 +629,64 @@ object Warc {
       p += 1
     }
     None // unreachable
+  }
+
+  /** Inflated-body cap — a crafted tiny gzip body must not balloon an
+    * executor (matches the default `maxPayloadBytes`). */
+  private val MaxInflatedBodyBytes = 16 * 1024 * 1024
+
+  /** Apply an HTTP `Content-Encoding` value: `identity` tokens drop
+    * out; a single remaining gzip/x-gzip or deflate coding inflates
+    * (deflate tries zlib-wrapped per RFC 9110, then raw — real servers
+    * ship both); anything else (br, zstd, compress, stacked codings)
+    * or an inflate failure/overflow → None (degrade). */
+  private def contentDecode(coding: String, body: Array[Byte]): Option[Array[Byte]] = {
+    val tokens = coding.split(',').map(_.trim).filter(t => t.nonEmpty && t != "identity")
+    if (tokens.isEmpty) return Some(body)
+    if (tokens.length > 1) return None
+    tokens(0) match {
+      case "gzip" | "x-gzip" =>
+        try {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(body), 1 << 14)
+          try boundedDrain(in) finally in.close()
+        } catch { case _: Exception => None }
+      case "deflate" =>
+        inflateWith(body, raw = false).orElse(inflateWith(body, raw = true))
+      case _ => None
+    }
+  }
+
+  private def boundedDrain(in: java.io.InputStream): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(1 << 14)
+    val buf = new Array[Byte](1 << 14)
+    var k = in.read(buf)
+    while (k >= 0) {
+      if (out.size.toLong + k > MaxInflatedBodyBytes) return None
+      out.write(buf, 0, k)
+      k = in.read(buf)
+    }
+    Some(out.toByteArray)
+  }
+
+  private def inflateWith(body: Array[Byte], raw: Boolean): Option[Array[Byte]] = {
+    val inf = new java.util.zip.Inflater(raw)
+    try {
+      inf.setInput(body)
+      val out = new java.io.ByteArrayOutputStream(1 << 14)
+      val buf = new Array[Byte](1 << 14)
+      var done = false
+      while (!done) {
+        val k = inf.inflate(buf)
+        if (k > 0) {
+          if (out.size.toLong + k > MaxInflatedBodyBytes) return None
+          out.write(buf, 0, k)
+        } else if (inf.finished()) done = true
+        else return None // needs input/dict with nothing left: truncated
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+    finally inf.end()
   }
 
   private def decodeBody(contentType: String, payload: Array[Byte]): String = {

@@ -181,6 +181,31 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("refinement scan with Ah != Al+1 is out of subset: None, not wrong pixels") {
+    // G.1.1.1.2: successive approximation refines one bit per scan, so
+    // a refinement scan must carry Ah == Al + 1; a crafted script that
+    // violates it takes the documented None path instead of decoding
+    // to bounded-but-wrong pixels
+    val sa = Jpeg.encodeGrayProgressive(flatBlocks(3L, 64, 64), 64, 64, useSA = true)
+    assert(Jpeg.decodeYGray(sa).isDefined)
+    val bad = sa.clone()
+    var patched = false
+    var i = 0
+    while (i < bad.length - 1 && !patched) {
+      // entropy data byte-stuffs FF as FF 00, so FF DA is always a real SOS
+      if ((bad(i) & 0xFF) == 0xFF && (bad(i + 1) & 0xFF) == 0xDA) {
+        val ns = bad(i + 4) & 0xFF
+        val ahalIx = i + 7 + 2 * ns
+        val ah = (bad(ahalIx) & 0xFF) >> 4
+        val al = bad(ahalIx) & 0x0F
+        if (ah != 0) { bad(ahalIx) = (((al + 2) << 4) | al).toByte; patched = true }
+      }
+      i += 1
+    }
+    assert(patched, "SA fixture must contain a refinement scan")
+    assert(Jpeg.decodeYGray(bad).isEmpty, "Ah != Al+1 must degrade to None")
+  }
+
   test("progressive non-flat content matches the baseline decode exactly") {
     // same fdct, same all-ones quantization, same idct — the spectral
     // split must be arithmetic-transparent, so progressive == baseline

@@ -264,6 +264,68 @@ class WarcSpec extends SparkSpec {
     assert(got(4L) == (null, true))
   }
 
+  test("HTTP envelope Content-Encoding: gzip/deflate inflate; unknown codings degrade to null") {
+    val dir = tmpDir()
+    def env(id: Long, httpHeaders: String, body: Array[Byte]) = Warc.record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Target-URI" -> s"https://example.com/doc/$id",
+      "Content-Type" -> "application/http; msgtype=response"),
+      (s"HTTP/1.1 200 OK\r\n$httpHeaders\r\n").getBytes("ISO-8859-1") ++ body)
+    def deflate(raw: Boolean, bytes: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, raw)
+      d.setInput(bytes); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](256)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val text = "café § body".getBytes("ISO-8859-1")
+    val ct = "Content-Type: text/plain; charset=ISO-8859-1\r\n"
+    // chunked + gzip: Transfer-Encoding applies last, so the stored
+    // body is chunked(gzip(text)) and the reader de-chunks THEN inflates
+    val gz = Warc.gzipMember(text)
+    val chunkedGz = (s"${gz.length.toHexString}\r\n").getBytes("ISO-8859-1") ++ gz ++
+      "\r\n0\r\n\r\n".getBytes("ISO-8859-1")
+    write(dir, "a.warc",
+      env(1, ct + "Content-Encoding: gzip\r\n", Warc.gzipMember(text)),
+      env(2, ct + "Content-Encoding: deflate\r\n", deflate(raw = false, text)), // zlib-wrapped
+      env(3, ct + "Content-Encoding: deflate\r\n", deflate(raw = true, text)), // raw (real servers ship both)
+      env(4, "Content-Type: text/html\r\nContent-Encoding: br\r\n", Array[Byte](1, 2, 3)),
+      env(5, "Content-Type: text/plain\r\nContent-Encoding: identity\r\n", "plain".getBytes("UTF-8")),
+      env(6, "Content-Type: text/plain\r\nContent-Encoding: gzip\r\n", "not gzip".getBytes("UTF-8")),
+      env(7, ct + "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n", chunkedGz))
+    val got = Warc.read(spark, dir + "/*")
+      .select("target_uri", "payload_text", "valid").collect()
+      .map(r => r.getString(0).split("/doc/")(1).toLong -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(got(1L) == ("café § body", true), got(1L).toString)
+    assert(got(2L) == ("café § body", true), got(2L).toString)
+    assert(got(3L) == ("café § body", true), got(3L).toString)
+    assert(got(4L) == (null, true)) // brotli: null, not mojibake
+    assert(got(5L) == ("plain", true))
+    assert(got(6L) == (null, true)) // corrupt gzip body: degrade
+    assert(got(7L) == ("café § body", true), got(7L).toString)
+  }
+
+  test("gzip rescan: false-positive magics inside a corrupt region don't burn the degrade budget") {
+    val dir = tmpDir()
+    // 150 fake member headers (magic + CM 8 + FLG 0 pass the old 2-byte
+    // check; XFL 0x99 fails the fixed-header validation) — more fakes
+    // than MaxDegradesPerFile, so if each escaped the rescan as its own
+    // tombstone the budget would exhaust and drop the recoverable tail
+    val junk = Array.fill(150)(Array[Byte](0x1F, 0x8B.toByte, 0x08, 0x00,
+      0x00, 0x00, 0x00, 0x00, 0x99.toByte, 0x66)).flatten
+    val bytes = Warc.gzipMember(rec(1, "one")) ++ junk ++
+      Warc.gzipMember(rec(2, "two")) ++ Warc.gzipMember(rec(3, "three"))
+    write(dir, "a.warc.gz", bytes)
+    val rows = Warc.read(spark, dir + "/*").collect()
+    val uris = rows.filter(_.getAs[Boolean]("valid"))
+      .map(_.getAs[String]("target_uri")).toSet
+    assert(uris == Set(1L, 2L, 3L).map(i => s"https://example.com/doc/$i"),
+      s"tail members must survive the corrupt region: ${rows.mkString("; ")}")
+    assert(rows.count(!_.getAs[Boolean]("valid")) == 1,
+      s"the whole region costs ONE tombstone: ${rows.mkString("; ")}")
+  }
+
   test("gzip resync: a stray byte between INTACT members costs one tombstone, nothing else") {
     // the failed-magic lookahead must re-feed the rescan: the stray
     // byte's successor IS the next member's first magic byte
