@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, lit, max, pmod, regexp_extract, round, sum, when}
 import graft.functions.{TextFns, UrlFns}
-import graft.operators.{Ann, Bm25, Bpe, Chunk, Dedup, Dsir, Joins, LogReg, Media, NaiveBayes, NgramLM, Pack, Profile, RankFusion, Sampling, Sketch, TfIdf, Timeline}
+import graft.operators.{Ann, Bm25, Bpe, Chunk, Dedup, Dsir, Joins, LogReg, Media, NaiveBayes, NgramLM, NgramLR, Pack, Profile, RankFusion, Sampling, Sketch, TfIdf, Timeline}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -1388,6 +1388,26 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L53b: hashed-n-gram quality classifier — the DCLM/fastText
+    // corpus-filter shape over the DSIR bucket kernel: binary
+    // presence bag + binned length cues, L1-sparse diagonal-Newton
+    // train (NgramLRSpec pins it strictly ABOVE the 8-feature model
+    // on held-out Gopher labels), scoring one codegen'd BIGINT
+    // presence-dot per row. md5 hashing so the oracle re-derives the
+    // ENTIRE apply: hashing, distinct-bucket presence sum, length
+    // bin, fixed z chain, micro sigmoid (_aux/ngram_lr_model carries
+    // the identically re-trained weights).
+    "quality_lr_ngram" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      val labeled = docs.withColumn("_label",
+        TextFns.gopherFlags(col("text"), minWords = 25, minStopwords = 1)
+          .getField("keep"))
+      val m = NgramLR.train(labeled, col("text"), col("_label"), md5Hash = true)
+      NgramLR.score(docs, col("doc_id"), col("text"), m, md5Hash = true)
+        .select(col("id").as("doc_id"), col("n_grams"), col("score_micro"), col("keep"))
+        .orderBy("doc_id")
+    },
+
     // L54: HTML→text extraction — the pre-gate step every web corpus
     // pays; documents carry plain text, so the gate synthesizes a
     // full page around each doc (title/style/script/comment/entities
@@ -1534,6 +1554,29 @@ object SparkEntry {
       val t2 = bpeBytesText
       val merges = Bpe.fitMergesBytes(docs.select(t2.as("_t2")), col("_t2"), numMerges = 40)
       docs.select(col("doc_id"), Bpe.countBytes(t2, merges).as("n_bpe_bytes"))
+        .orderBy("doc_id")
+    },
+
+    // L56c: tiktoken-format vocabulary (cl100k/o200k file shape — what
+    // 2026 budget counting actually loads): ranks key the MERGED byte
+    // string (tiktoken's own byte_pair_merge, whole-pretoken fast
+    // path), special tokens match whole before pretokenization (one
+    // piece each; adjacent specials and the empty fragment between
+    // them exercised by the %4==1 suffix). The vocab derives from the
+    // same deterministic byte-merge re-train as bpe_tokens_bytes
+    // (single bytes at ranks 0-255 + merge i at 256+i, the GPT-2
+    // lineage layout) with the GPT-2 pretokenizer so the proven
+    // lookahead-free oracle emulation carries over. PARTIAL oracle:
+    // _aux/tiktoken_vocab exports (rank, tok) and DuckDB re-derives
+    // the ENTIRE apply — split on the special, per-fragment
+    // pretokenizer emulation, merged-string rank steps, whole-word
+    // short-circuit, +1 per special.
+    "bpe_tokens_tiktoken" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      val merges = Bpe.fitMergesBytes(docs.select(bpeBytesText.as("_t2")),
+        col("_t2"), numMerges = 40)
+      val vocab = Bpe.tiktokenFromMerges(merges, specials = Seq("<|endoftext|>"))
+      docs.select(col("doc_id"), Bpe.countTiktoken(tiktokenText, vocab).as("n_tik"))
         .orderBy("doc_id")
     },
 
@@ -1862,6 +1905,18 @@ object SparkEntry {
           .getField("keep"))
       LogReg.toFrame(LogReg.train(labeled, col("text"), col("_label")), s)
     },
+    // quality_lr_ngram upstream: the micro-quantized model table
+    // (identical deterministic re-train — same reads, same layout,
+    // pinned partition-index combine order, fixed proximal updates).
+    "ngram_lr_model" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      val labeled = docs.withColumn("_label",
+        TextFns.gopherFlags(col("text"), minWords = 25, minStopwords = 1)
+          .getField("keep"))
+      NgramLR.toFrame(NgramLR.train(labeled, col("text"), col("_label"),
+        md5Hash = true), s)
+    },
+
     // bpe_tokens upstream: the trained merges (identical deterministic
     // re-train — same word counts, same most-frequent/lexicographic
     // selection; order of the collected word rows cannot matter, the
@@ -1875,6 +1930,16 @@ object SparkEntry {
       Bpe.toFrame(Bpe.fitMergesBytes(
         documents(s, dir).toNative.select(bpeBytesText.as("_t2")),
         col("_t2"), numMerges = 40), s)
+    },
+    // bpe_tokens_tiktoken upstream: the derived (rank, tok) vocab from
+    // the identical re-train (single bytes 0-255 + merges at 256+i).
+    "tiktoken_vocab" -> { (s, dir) =>
+      import s.implicits._
+      val merges = Bpe.fitMergesBytes(
+        documents(s, dir).toNative.select(bpeBytesText.as("_t2")),
+        col("_t2"), numMerges = 40)
+      Bpe.tiktokenFromMerges(merges).tokensByRank.zipWithIndex
+        .map { case (t, r) => (r, t) }.toDF("rank", "tok")
     },
     // dedup_embedding upstream: sign-LSH candidate pairs (pre-verify).
     "emb_cand" -> { (s, dir) =>
@@ -2013,8 +2078,10 @@ object SparkEntry {
     "dsir_weights"    -> "dsir_occ",
     "pca_project"     -> "pca_model",
     "quality_lr"      -> "lr_model",
+    "quality_lr_ngram" -> "ngram_lr_model",
     "bpe_tokens"      -> "bpe_merges",
     "bpe_tokens_bytes" -> "bpe_bytes_merges",
+    "bpe_tokens_tiktoken" -> "tiktoken_vocab",
     "dedup_embedding" -> "emb_cand",
     "dedup_semantic"  -> "sem_cand",
     "sample_diverse"  -> "div_assign",
@@ -2047,6 +2114,90 @@ object SparkEntry {
         .when(m === 1, lit("  'since naïve café  !!"))
         .when(m === 2, lit("\tTab 12 ±3 日本語!!"))
         .otherwise(lit(" we'll 𝄞 x  y z's  ")))
+  }
+
+  /** The bpe_tokens_tiktoken augmented text: the byte-gate suffixes
+    * with `<|endoftext|>` specials planted mid-text (%4==0) and
+    * ADJACENT (%4==1 — the empty fragment between them must
+    * pretokenize to nothing), mirrored in [[tiktokenOracleSql]]. */
+  private def tiktokenText: org.apache.spark.sql.Column = {
+    val m = pmod(col("doc_id"), lit(4))
+    concat(col("text"),
+      when(m === 0, lit(" it's No  42<|endoftext|>End…  "))
+        .when(m === 1, lit("  'since naïve café<|endoftext|><|endoftext|> !!"))
+        .when(m === 2, lit("\tTab 12 ±3 日本語!!"))
+        .otherwise(lit(" we'll 𝄞 x  y z's  ")))
+  }
+
+  /** The bpe_tokens_tiktoken partial oracle: split on the special
+    * token FIRST (each fragment then pretokenizes independently — the
+    * kernel's opaque `Matcher.region` bounds behave identically), run
+    * the [[bpeBytesOracleSql]] pretokenizer emulation per fragment,
+    * then per distinct word: expand to mapped bytes and apply 24
+    * unrolled MERGED-STRING rank steps (`mg.tok = toks[i] ||
+    * toks[i+1]`, lowest rank then leftmost — tiktoken's
+    * byte_pair_merge, not the pair-rank walk) with the whole-word
+    * vocab short-circuit; finally add one piece per special. */
+  private def tiktokenOracleSql: String = {
+    def step(i: Int): String =
+      s""",
+         |s$i AS (SELECT word, CASE WHEN best_i IS NULL THEN toks
+         |  ELSE toks[1:best_i-1] || [toks[best_i] || toks[best_i+1]] || toks[best_i+2:] END AS toks
+         |  FROM (SELECT word, toks,
+         |    (SELECT i FROM unnest(range(1, len(toks))) AS t(i)
+         |      JOIN mg ON mg.tok = toks[i] || toks[i+1]
+         |      ORDER BY mg.rank, i LIMIT 1) AS best_i FROM s${i - 1}))""".stripMargin
+    val ctr = "('''s','''t','''re','''ve','''m','''ll','''d')"
+    s"""WITH mg AS (SELECT rank, tok FROM '{AUX}/tiktoken_vocab/*.parquet'),
+       |h AS (SELECT doc_id, text || CASE CAST(doc_id % 4 AS INTEGER)
+       |  WHEN 0 THEN ' it''s No  42<|endoftext|>End…  '
+       |  WHEN 1 THEN '  ''since naïve café<|endoftext|><|endoftext|> !!'
+       |  WHEN 2 THEN chr(9) || 'Tab 12 ±3 日本語!!'
+       |  ELSE ' we''ll 𝄞 x  y z''s  ' END AS t2 FROM documents),
+       |hs AS (SELECT doc_id, string_split(t2, '<|endoftext|>') AS frags FROM h),
+       |sp AS (SELECT doc_id, CAST(len(frags) - 1 AS BIGINT) AS nsp FROM hs),
+       |hf AS (SELECT doc_id, fx.i AS fi, frags[fx.i] AS frag FROM hs, unnest(range(1, len(frags) + 1)) AS fx(i)),
+       |pa AS (SELECT doc_id, fi, regexp_extract_all(frag, '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+', 0) AS toks FROM hf),
+       |tt AS (SELECT doc_id, fi, i.i AS pos, toks[i.i] AS tok FROM pa, unnest(range(1, len(toks) + 1)) AS i(i)),
+       |t1 AS (SELECT doc_id, fi, pos, tok, regexp_matches(tok, '^\\s+$$') AS is_ws,
+       |  substr(tok, length(tok), 1) AS last_ch FROM tt),
+       |t2c AS (SELECT doc_id, fi, pos, tok, is_ws, last_ch,
+       |  lead(tok) OVER w AS nxt,
+       |  coalesce(lag(is_ws) OVER w, false) AS prv_ws,
+       |  lag(last_ch) OVER w AS prv_last
+       |  FROM t1 WINDOW w AS (PARTITION BY doc_id, fi ORDER BY pos)),
+       |t3 AS (SELECT doc_id, fi, pos, tok, is_ws, last_ch, nxt, prv_ws, prv_last,
+       |  (tok IN $ctr AND prv_ws AND prv_last = ' ') AS ac FROM t2c),
+       |t4 AS (SELECT doc_id, fi, pos, tok, is_ws, last_ch, nxt, prv_ws, prv_last, ac,
+       |  coalesce(lag(ac) OVER (PARTITION BY doc_id, fi ORDER BY pos), false) AS prv_ac FROM t3),
+       |te AS (SELECT doc_id, CASE
+       |  WHEN is_ws AND nxt IS NOT NULL THEN
+       |    [substr(tok, 1, length(tok) - 1),
+       |     CASE WHEN last_ch = ' ' THEN (CASE WHEN nxt IN $ctr THEN ' ''' ELSE NULL END) ELSE last_ch END]
+       |  WHEN prv_ac AND regexp_matches(tok, '^\\p{L}+$$') THEN [CAST(NULL AS VARCHAR)]
+       |  WHEN ac THEN [substr(tok, 2) || (CASE WHEN coalesce(regexp_matches(nxt, '^\\p{L}+$$'), false) THEN nxt ELSE '' END)]
+       |  WHEN prv_ws AND prv_last = ' ' THEN [' ' || tok]
+       |  ELSE [tok] END AS emitted FROM t4),
+       |words AS (SELECT doc_id, unnest(list_filter(emitted, x -> x IS NOT NULL AND x <> '')) AS word FROM te),
+       |ch AS (SELECT word, regexp_extract_all(word, '.', 0, 's') AS chars FROM (SELECT DISTINCT word FROM words)),
+       |cb AS (SELECT word, flatten(list_transform(chars, c ->
+       |  CASE WHEN unicode(c) < 128 THEN [unicode(c)]
+       |       WHEN unicode(c) < 2048 THEN [192 + unicode(c) // 64, 128 + unicode(c) % 64]
+       |       WHEN unicode(c) < 65536 THEN [224 + unicode(c) // 4096, 128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64]
+       |       ELSE [240 + unicode(c) // 262144, 128 + (unicode(c) // 4096) % 64, 128 + (unicode(c) // 64) % 64, 128 + unicode(c) % 64] END)) AS bts FROM ch),
+       |s0 AS (SELECT word, list_transform(bts, b ->
+       |  CASE WHEN (b BETWEEN 33 AND 126) OR (b BETWEEN 161 AND 172) OR (b BETWEEN 174 AND 255) THEN chr(b)
+       |       WHEN b <= 32 THEN chr(256 + b)
+       |       WHEN b <= 160 THEN chr(256 + 33 + b - 127)
+       |       ELSE chr(323) END) AS toks FROM cb),
+       |w0 AS (SELECT word, (array_to_string(toks, '') IN (SELECT tok FROM mg)) AS whole FROM s0)${(1 to BpeUnrollSteps).map(step).mkString},
+       |wl AS (SELECT s.word, CAST(CASE WHEN w.whole THEN 1 ELSE len(s.toks) END AS BIGINT) AS n
+       |  FROM s$BpeUnrollSteps s JOIN w0 w USING (word)),
+       |agg AS (SELECT w.doc_id, CAST(sum(wl.n) AS BIGINT) AS nw FROM words w JOIN wl USING (word) GROUP BY 1)
+       |SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL
+       |  ELSE coalesce(a.nw, 0) + coalesce(s.nsp, 0) END AS n_tik
+       |FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN sp s USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** The bpe_tokens_bytes partial oracle: re-derive the ENTIRE
@@ -3142,6 +3293,7 @@ object SparkEntry {
     // Byte-level BPE (partial, over _aux/bpe_bytes_merges): lookahead
     // pretokenizer emulated, bytes re-derived — see [[bpeBytesOracleSql]].
     "bpe_tokens_bytes" -> bpeBytesOracleSql,
+    "bpe_tokens_tiktoken" -> tiktokenOracleSql,
 
     // Quality LR (partial, over _aux/lr_model): exact integer-ratio
     // features, the identical left-associative w·x chain, and the
@@ -3166,6 +3318,35 @@ object SparkEntry {
         |    ((((((((SELECT w FROM wt WHERE i = 0) * 1.0 + (SELECT w FROM wt WHERE i = 1) * x1) + (SELECT w FROM wt WHERE i = 2) * x2) + (SELECT w FROM wt WHERE i = 3) * x3) + (SELECT w FROM wt WHERE i = 4) * x4) + (SELECT w FROM wt WHERE i = 5) * x5) + (SELECT w FROM wt WHERE i = 6) * x6) + ((SELECT w FROM wt WHERE i = 7) * x7) + (SELECT w FROM wt WHERE i = 8) * x8) AS z FROM x),
         |s AS (SELECT doc_id, CAST(round(1000000.0 * (1.0 / (1.0 + exp(-z)))) AS BIGINT) AS score_micro FROM z)
         |SELECT doc_id, score_micro, coalesce(score_micro >= 500000, false) AS keep FROM s ORDER BY doc_id""".stripMargin,
+
+    // The ENTIRE n-gram classifier apply re-derived: identical md5
+    // bucket draw (the dsir_weights_md5 chain at B = 4096), PRESENCE
+    // sum over distinct buckets, the length-bin lookup (i = B+2+bin),
+    // the fixed z chain on integer-valued doubles, micro sigmoid.
+    "quality_lr_ngram" ->
+      """WITH m AS (SELECT i, w_micro FROM '{AUX}/ngram_lr_model/*.parquet'),
+        |w AS (SELECT doc_id, text, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS ws FROM documents),
+        |g AS (SELECT doc_id, unnest(list_concat(ws, CASE WHEN len(ws) >= 2 THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] ELSE []::VARCHAR[] END)) AS gram FROM w),
+        |occ AS (SELECT doc_id, CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % 4096 AS b FROM g),
+        |n AS (SELECT doc_id, count(*) AS ng FROM occ GROUP BY doc_id),
+        |s AS (SELECT doc_id, sum(m.w_micro) AS smic
+        |  FROM (SELECT DISTINCT doc_id, b FROM occ) db JOIN m ON m.i = db.b GROUP BY doc_id),
+        |z AS (SELECT d.doc_id,
+        |    CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(n.ng, 0) END AS n_grams,
+        |    (SELECT w_micro FROM m WHERE i = 4096) AS bmic,
+        |    (SELECT w_micro FROM m WHERE i = 4097) AS lmic,
+        |    (SELECT w_micro FROM m WHERE i = 4098 + least(coalesce(n.ng, 0) // 8, 63)) AS binmic,
+        |    coalesce(s.smic, 0) AS smic
+        |  FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN s USING (doc_id)),
+        |sc AS (SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |    CASE WHEN n_grams IS NULL THEN NULL
+        |      ELSE CAST(round(1000000.0 * (1.0 / (1.0 + exp(-((CAST(bmic AS DOUBLE)
+        |        + CAST(lmic AS DOUBLE) * (CAST(n_grams AS DOUBLE) / 100.0)
+        |        + CAST(binmic + smic AS DOUBLE)) / 1000000.0))))) AS BIGINT) END AS score_micro
+        |  FROM z)
+        |SELECT doc_id, n_grams, score_micro,
+        |  coalesce(score_micro >= 500000, false) AS keep
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "asof_join" ->
       """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'click'),

@@ -115,10 +115,37 @@ object BpeUtil {
     * [[ByteToChar]] char ("hi " → "hiĠ"). */
   def toByteWord(word: String): String = {
     val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    bytesToMapped(bytes)
+  }
+
+  /** Raw bytes lifted to the mapped space (tiktoken vocab loading —
+    * .tiktoken tokens are base64 BYTE strings, not text). */
+  def bytesToMapped(bytes: Array[Byte]): String = {
     val sb = new java.lang.StringBuilder(bytes.length)
     var i = 0
     while (i < bytes.length) { sb.append(ByteToChar(bytes(i) & 0xFF)); i += 1 }
     sb.toString
+  }
+
+  /** Inverse of [[bytesToMapped]] (fixture writers — serialize a
+    * mapped-space token back to its bytes for base64 export; not a hot
+    * path). Throws on a char outside the mapped alphabet. */
+  def mappedToBytes(mapped: String): Array[Byte] = {
+    val out = new Array[Byte](mapped.length)
+    var i = 0
+    while (i < mapped.length) {
+      val b = CharToByte.get(mapped.charAt(i))
+      require(b != null, s"char U+${mapped.charAt(i).toInt.toHexString} not in the byte map")
+      out(i) = b.byteValue
+      i += 1
+    }
+    out
+  }
+  private lazy val CharToByte: java.util.HashMap[Character, Integer] = {
+    val m = new java.util.HashMap[Character, Integer](512)
+    var b = 0
+    while (b < 256) { m.put(Character.valueOf(ByteToChar(b)), Integer.valueOf(b)); b += 1 }
+    m
   }
 
   /** The GPT-2 pretokenizer (Radford et al. 2019; the tiktoken/HF
@@ -175,6 +202,158 @@ object BpeUtil {
       i += 1
     }
     total
+  }
+
+  // ------------------------------------------------------------------
+  // tiktoken-format vocabularies (cl100k/o200k: `base64(bytes) rank`
+  // lines + special tokens). Segmentation is tiktoken's own published
+  // byte_pair_merge: ranks key the MERGED byte string (not the pair),
+  // and encode short-circuits when the whole pretoken is itself a
+  // vocab token. Held in the mapped space so the walk shares the
+  // ByteToChar machinery and the same frozen-table/per-thread-memo
+  // codegen discipline as [[Table]].
+  // ------------------------------------------------------------------
+
+  /** Frozen tiktoken rank table + per-thread memo.
+    *
+    * @param tokensByRank vocab tokens in ascending rank order, mapped
+    *                     space (rank VALUES don't matter to greedy
+    *                     minimization, only their order — the loader
+    *                     sorts, so sparse rank files work)
+    * @param specials     special tokens (raw text, e.g.
+    *                     `<|endoftext|>`), matched whole BEFORE
+    *                     pretokenization, one piece each
+    * @param pattern      the vocab's pretokenizer regex */
+  final class TiktokenTable(tokensByRank: Array[String],
+      specials: Array[String], pattern: String) extends Serializable {
+    private val rank = new java.util.HashMap[String, Integer](tokensByRank.length)
+    locally {
+      var i = 0
+      while (i < tokensByRank.length) {
+        rank.putIfAbsent(tokensByRank(i), Integer.valueOf(i))
+        i += 1
+      }
+    }
+
+    @transient private lazy val pat = java.util.regex.Pattern.compile(pattern)
+    // longest-first alternation so overlapping specials match greedily
+    @transient private lazy val specialPat: java.util.regex.Pattern =
+      if (specials.isEmpty) null
+      else java.util.regex.Pattern.compile(
+        specials.sortBy(s => -s.length).map(java.util.regex.Pattern.quote).mkString("|"))
+
+    @transient private lazy val memo =
+      new ThreadLocal[java.util.HashMap[String, Array[String]]] {
+        override def initialValue() = new java.util.HashMap[String, Array[String]]()
+      }
+
+    def segmentCached(word: String): Array[String] = {
+      val m = memo.get()
+      var p = m.get(word)
+      if (p == null) {
+        p = segment(word)
+        if (m.size >= 65536) m.clear()
+        m.put(word, p)
+      }
+      p
+    }
+
+    /** tiktoken byte_pair_merge over a mapped-space word: seed one
+      * piece per char (= per byte); repeatedly merge the adjacent pair
+      * whose CONCATENATION has the lowest vocab rank (leftmost on
+      * equal — only reachable by identical concatenations); whole-word
+      * vocab hits short-circuit to one piece (tiktoken's encode does
+      * exactly this before falling to the merge walk). */
+    def segment(bw: String): Array[String] = {
+      if (bw.isEmpty) return Array.empty
+      if (rank.containsKey(bw)) return Array(bw)
+      var syms = {
+        // every mapped byte-char is one BMP char: split per char
+        val out = new Array[String](bw.length)
+        var i = 0
+        while (i < bw.length) { out(i) = String.valueOf(bw.charAt(i)); i += 1 }
+        out
+      }
+      var merging = syms.length > 1
+      while (merging) {
+        var bestRank = Int.MaxValue
+        var bestI = -1
+        var i = 0
+        while (i < syms.length - 1) {
+          val r = rank.get(syms(i) + syms(i + 1))
+          if (r != null && r.intValue < bestRank) { bestRank = r.intValue; bestI = i }
+          i += 1
+        }
+        if (bestI < 0) merging = false
+        else {
+          val out = new Array[String](syms.length - 1)
+          System.arraycopy(syms, 0, out, 0, bestI)
+          out(bestI) = syms(bestI) + syms(bestI + 1)
+          System.arraycopy(syms, bestI + 2, out, bestI + 1, syms.length - bestI - 2)
+          syms = out
+          merging = syms.length > 1
+        }
+      }
+      syms
+    }
+
+    /** Piece count of one raw-text span: pretokenize with the vocab's
+      * pattern bounded to [a, b) (opaque region bounds — a lookahead at
+      * the span end sees end-of-input, which is exactly tiktoken's
+      * split-on-specials-then-encode-each-chunk semantics). */
+    private def countSpan(s: String, a: Int, b: Int): Long = {
+      if (a >= b) return 0L
+      val m = pat.matcher(s)
+      m.region(a, b)
+      var total = 0L
+      while (m.find()) total += segmentCached(toByteWord(m.group())).length
+      total
+    }
+
+    /** Σ piece count over raw text: special tokens match whole (one
+      * piece each) before pretokenization, remaining spans encode
+      * independently. */
+    def countText(text: UTF8String): Long = {
+      val s = text.toString
+      var total = 0L
+      var from = 0
+      if (specialPat != null) {
+        val m = specialPat.matcher(s)
+        while (m.find()) {
+          total += countSpan(s, from, m.start)
+          total += 1L
+          from = m.end
+        }
+      }
+      total + countSpan(s, from, s.length)
+    }
+
+    /** All pieces in document order: mapped-space pieces for ordinary
+      * text, the special token's RAW text for specials (inspection). */
+    def segmentsText(text: UTF8String): ArrayData = {
+      val s = text.toString
+      val out = new scala.collection.mutable.ArrayBuffer[Any](16)
+      def span(a: Int, b: Int): Unit = if (a < b) {
+        val m = pat.matcher(s)
+        m.region(a, b)
+        while (m.find()) {
+          val pieces = segmentCached(toByteWord(m.group()))
+          var j = 0
+          while (j < pieces.length) { out += UTF8String.fromString(pieces(j)); j += 1 }
+        }
+      }
+      var from = 0
+      if (specialPat != null) {
+        val m = specialPat.matcher(s)
+        while (m.find()) {
+          span(from, m.start)
+          out += UTF8String.fromString(s.substring(m.start, m.end))
+          from = m.end
+        }
+      }
+      span(from, s.length)
+      new GenericArrayData(out.toArray)
+    }
   }
 
   /** All pieces in document order (null elements skip). */

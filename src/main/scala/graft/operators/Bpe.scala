@@ -198,6 +198,88 @@ object Bpe {
         (l.substring(0, i), l.substring(i + 1))
       }.toVector
 
+  // ------------------------------------------------------------------
+  // tiktoken-format vocabularies (cl100k_base / o200k_base ship as
+  // base64 `token rank` .tiktoken files + special tokens — what 2026
+  // budget counting actually loads, not GPT-2 merges.txt)
+  // ------------------------------------------------------------------
+
+  /** A loaded tiktoken vocabulary: tokens in ascending rank order
+    * (mapped byte space), special tokens (raw text), and the vocab's
+    * pretokenizer pattern. Build with [[loadTiktoken]] (published
+    * files) or [[tiktokenFromMerges]] (fixtures/specs). */
+  final case class TiktokenVocab(tokensByRank: Seq[String],
+      specials: Seq[String], pattern: String)
+
+  /** cl100k_base's published pretokenizer (tiktoken ships it beside
+    * the vocab), with the module's one documented variance: `\s` is
+    * Java's ASCII class, not Python's Unicode one — the same variance
+    * [[graft.hashing.BpeUtil.Gpt2Pretokenizer]] pins, kept so Java and
+    * RE2 oracle engines agree. Pass your vocab's own pattern to
+    * [[loadTiktoken]] for other tokenizers (o200k etc.). */
+  val Cl100kPattern: String =
+    "'(?i:[sdmt]|ll|ve|re)|[^\\r\\n\\p{L}\\p{N}]?+\\p{L}+|\\p{N}{1,3}" +
+      "| ?[^\\s\\p{L}\\p{N}]++[\\r\\n]*|\\s*[\\r\\n]|\\s+(?!\\S)|\\s+"
+
+  /** Parse .tiktoken lines (`base64(token_bytes) rank`, one per line;
+    * blank lines skip — cl100k/o200k load verbatim). Tokens sort by
+    * rank (values may be sparse; only their ORDER drives the greedy
+    * merge), then lift to the mapped byte space. `specials` are
+    * matched whole before pretokenization and count one piece each. */
+  def loadTiktoken(lines: Seq[String],
+      specials: Seq[String] = Seq("<|endoftext|>"),
+      pattern: String = Cl100kPattern): TiktokenVocab = {
+    val dec = java.util.Base64.getDecoder
+    val toks = lines.iterator.filter(_.trim.nonEmpty).map { l =>
+      val i = l.lastIndexOf(' ')
+      require(i > 0, s"malformed .tiktoken line '${l.take(40)}'")
+      val rank = try l.substring(i + 1).trim.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(s"bad rank in '${l.take(40)}'")
+      }
+      (graft.hashing.BpeUtil.bytesToMapped(dec.decode(l.substring(0, i))), rank)
+    }.toVector
+    TiktokenVocab(toks.sortBy(_._2).map(_._1), specials, pattern)
+  }
+
+  /** A tiktoken-shaped vocab from byte-level merges (fixtures, and the
+    * bpe_tokens_tiktoken gate's deterministic re-train): ranks 0–255
+    * are the single bytes in byte order — every real file carries them
+    * — and merge i contributes token left+right at rank 256+i, the
+    * GPT-2-lineage vocab layout. */
+  def tiktokenFromMerges(merges: Seq[(String, String)],
+      specials: Seq[String] = Nil,
+      pattern: String = graft.hashing.BpeUtil.Gpt2Pretokenizer.pattern()): TiktokenVocab = {
+    val bytes = (0 until 256).map(b =>
+      String.valueOf(graft.hashing.BpeUtil.ByteToChar(b)))
+    TiktokenVocab(bytes ++ merges.map { case (l, r) => l + r }, specials, pattern)
+  }
+
+  /** Serialize a vocab to .tiktoken lines (round-trip fixture writer:
+    * base64 of each token's BYTES + its dense rank). */
+  def tiktokenLines(vocab: TiktokenVocab): Seq[String] = {
+    val enc = java.util.Base64.getEncoder
+    vocab.tokensByRank.zipWithIndex.map { case (t, r) =>
+      enc.encodeToString(graft.hashing.BpeUtil.mappedToBytes(t)) + " " + r
+    }
+  }
+
+  /** Count tiktoken pieces per document: specials match whole (one
+    * piece each) before pretokenization; each pretoken byte-pair-
+    * merges under the vocab's MERGED-token ranks (tiktoken's published
+    * algorithm, not the pair-rank merges.txt walk). Same 100 TB shape
+    * as [[countBytes]]: codegen'd narrow projection, frozen table as a
+    * reference object, per-thread memo. NULL text → NULL. */
+  def countTiktoken(text: Column, vocab: TiktokenVocab): Column =
+    Bridge.column(org.apache.spark.sql.graftexpr.BpeCountTiktokenExpr(
+      Bridge.expr(text), vocab.tokensByRank, vocab.specials, vocab.pattern))
+
+  /** The tiktoken pieces in document order (mapped space, specials as
+    * raw text; prefer [[countTiktoken]] on hot paths). */
+  def segmentsTiktoken(text: Column, vocab: TiktokenVocab): Column =
+    Bridge.column(org.apache.spark.sql.graftexpr.BpeSegmentsTiktokenExpr(
+      Bridge.expr(text), vocab.tokensByRank, vocab.specials, vocab.pattern))
+
   /** Merges as a frame `(rank, left, right)` — the persisted/aux-export
     * shape (the lr_model pattern). */
   def toFrame(merges: Seq[(String, String)],

@@ -59,10 +59,19 @@ object Dsir {
     bucketsOfToks(NgramLM.tokens(text), buckets, md5Hash)
   }
 
-  private def bucketsOfToks(toks: Column, buckets: Int, md5Hash: Boolean): Column =
+  /** Bucket stream of a MATERIALIZED token array (callers stage the
+    * tokenization so the bigram zip never re-tokenizes — the
+    * [[hashedBuckets]] doc). Public: [[NgramLR]] reuses this exact
+    * kernel as its feature extractor, so the two selection methods
+    * (importance ratios and the trained classifier) share one feature
+    * space. */
+  def bucketsOfTokens(toks: Column, buckets: Int, md5Hash: Boolean): Column =
     transform(concat(toks, NgramLM.bigrams(toks)), g =>
       if (md5Hash) conv(substring(md5(g.cast("binary")), 1, 8), 16, 10).cast("long") % buckets
       else pmod(xxhash64(g), lit(buckets.toLong)))
+
+  private def bucketsOfToks(toks: Column, buckets: Int, md5Hash: Boolean): Column =
+    bucketsOfTokens(toks, buckets, md5Hash)
 
   /** `(keep-names…, _graft_bs)` with the tokenization STAGED in its
     * own projection so the bigram zip never re-tokenizes. */

@@ -491,6 +491,110 @@ final case class BpeSegmentsBytesExpr(child: Expression, mergesFlat: Seq[String]
     copy(child = newChild)
 }
 
+/** tiktoken-vocabulary BPE piece count over RAW text (cl100k/o200k
+  * shape: special tokens matched whole before pretokenization, then
+  * per-pretoken merged-rank byte_pair_merge —
+  * [[graft.hashing.BpeUtil.TiktokenTable]]). Same codegen/memo
+  * discipline as [[BpeCountBytesExpr]]: frozen table as a reference
+  * object, pure narrow projection. `tokensByRank` is in the MAPPED
+  * byte space in ascending rank order. */
+final case class BpeCountTiktokenExpr(child: Expression, tokensByRank: Seq[String],
+    specials: Seq[String], pattern: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count_tiktoken"
+
+  @transient private lazy val table = new graft.hashing.BpeUtil.TiktokenTable(
+    tokensByRank.toArray, specials.toArray, pattern)
+
+  override protected def nullSafeEval(input: Any): Any =
+    table.countText(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("tiktokenTable", table,
+      "graft.hashing.BpeUtil.TiktokenTable")
+    defineCodeGen(ctx, ev, c => s"$tRef.countText($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeCountTiktokenExpr =
+    copy(child = newChild)
+}
+
+/** The tiktoken pieces in document order (mapped space; specials as
+  * their raw text — see [[BpeCountTiktokenExpr]]; prefer the count on
+  * hot paths). */
+final case class BpeSegmentsTiktokenExpr(child: Expression, tokensByRank: Seq[String],
+    specials: Seq[String], pattern: String)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_segments_tiktoken"
+
+  @transient private lazy val table = new graft.hashing.BpeUtil.TiktokenTable(
+    tokensByRank.toArray, specials.toArray, pattern)
+
+  override protected def nullSafeEval(input: Any): Any =
+    table.segmentsText(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("tiktokenTable", table,
+      "graft.hashing.BpeUtil.TiktokenTable")
+    defineCodeGen(ctx, ev, c => s"$tRef.segmentsText($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeSegmentsTiktokenExpr =
+    copy(child = newChild)
+}
+
+/** Σ `table(b)` over a bucket-id array — the hashed-bag dot product of
+  * [[graft.operators.NgramLR]] scoring, with the micro-quantized
+  * weight table shipped ONCE per task as a codegen reference object
+  * (the BpeCountExpr discipline). The sum is BIGINT over integer
+  * micro-weights, so it is EXACT and order-free — the cross-engine
+  * contract the micro quantization exists for. Out-of-range ids
+  * contribute 0 (cannot occur for `pmod`/`%`-bucketed input; kept so a
+  * crafted array can't throw). Pure narrow projection. */
+final case class BucketDotExpr(child: Expression, wMicro: Seq[Long])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bucket_dot"
+
+  @transient private lazy val table: Array[Long] = wMicro.toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    BucketDotExpr.dot(input.asInstanceOf[ArrayData], table)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bucketWeights", table, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graftexpr.BucketDotExpr.dot($c, $tRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BucketDotExpr =
+    copy(child = newChild)
+}
+
+object BucketDotExpr {
+  def dot(buckets: ArrayData, table: Array[Long]): Long = {
+    val n = buckets.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (!buckets.isNullAt(i)) {
+        val b = buckets.getLong(i)
+        if (b >= 0 && b < table.length) s += table(b.toInt)
+      }
+      i += 1
+    }
+    s
+  }
+}
+
 /** One-pass document statistics — [[graft.hashing.TextStatsUtil.stats]]
   * as a codegen'd expression: the integer counts behind the Gopher
   * rule gate and the LR quality features (token/word counts, lowered

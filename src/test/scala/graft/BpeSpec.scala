@@ -192,6 +192,109 @@ class BpeSpec extends SparkSpec {
     assert(plan.contains("bpe_count_bytes"), plan)
   }
 
+  // ------------------------------------------------------------------
+  // tiktoken-format vocabularies (cl100k/o200k shape)
+  // ------------------------------------------------------------------
+
+  private def b64(s: Array[Byte]): String = java.util.Base64.getEncoder.encodeToString(s)
+  private def b64s(s: String): String = b64(s.getBytes("UTF-8"))
+
+  test("tiktoken: frozen fixture loads (base64+rank) and counts a hand-derived segmentation") {
+    // the cl100k file format verbatim: `base64(token_bytes) rank` lines,
+    // sparse out-of-order ranks (only rank ORDER drives the merge),
+    // a multi-byte token ("é" = C3 A9), and the default special
+    val lines = Seq(
+      b64s("it") + " 40",
+      b64s("i") + " 0",
+      b64s("t") + " 1",
+      b64s("'") + " 2",
+      b64s("s") + " 3",
+      b64s("'s") + " 57",
+      b64s("1") + " 4", b64s("2") + " 5", b64s("3") + " 6",
+      b64s("123") + " 90",
+      b64s(" ") + " 7",
+      b64(Array(0xC3.toByte)) + " 8", b64(Array(0xA9.toByte)) + " 9",
+      b64s("é") + " 33",
+      "", // blank lines skip
+      b64s("abc") + " 100") // whole-word hit with NO reachable merge path
+    val vocab = Bpe.loadTiktoken(lines)
+    assert(vocab.pattern == Bpe.Cl100kPattern)
+    // "it's 123<|endoftext|> éé" hand-derivation (cl100k pattern):
+    //   span 1 "it's 123": [it]['s][ ][123]          = 4 pieces
+    //     (" 123" splits " " + "123": \p{N}{1,3} never attaches a space)
+    //   special                                       = 1
+    //   span 2 " éé": " éé" -> bytes Ġ Ã© Ã© -> (Ã,©)=é rank 33 twice,
+    //     ĠÃ/Ġé/éé not in vocab -> [Ġ][é][é]          = 3
+    val df = Seq((1L, "it's 123<|endoftext|> éé")).toDF("id", "text")
+    assert(df.select(Bpe.countTiktoken(col("text"), vocab)).as[Long].head() == 8L)
+    val segs = df.select(Bpe.segmentsTiktoken(col("text"), vocab)).as[Seq[String]].head()
+    assert(segs == Seq("it", "'s", "Ġ", "123", "<|endoftext|>", "Ġ", "Ã©", "Ã©"), segs)
+    // whole-pretoken vocab hit short-circuits (tiktoken's encode does):
+    // "abc" is rank 100 but neither "ab" nor "bc" exists, so only the
+    // fast path can produce the single piece
+    assert(Seq((1L, "abc")).toDF("id", "text")
+      .select(Bpe.countTiktoken(col("text"), vocab)).as[Long].head() == 1L)
+    // malformed lines reject
+    intercept[IllegalArgumentException] { Bpe.loadTiktoken(Seq("notbase64rank")) }
+    intercept[IllegalArgumentException] { Bpe.loadTiktoken(Seq(b64s("x") + " notanint")) }
+  }
+
+  test("tiktoken: merged-string ranks, not pair ranks — the lower-ranked CONCAT merges first") {
+    // vocab has "bc" below "ab"; pair-rank merges.txt semantics would
+    // need the (left,right) pair — here the merge walk keys the merged
+    // byte string, so "abc" -> a + bc (and stops: "abc" not in vocab)
+    val lines = Seq(b64s("a") + " 0", b64s("b") + " 1", b64s("c") + " 2",
+      b64s("bc") + " 3", b64s("ab") + " 4")
+    val vocab = Bpe.loadTiktoken(lines, specials = Nil)
+    val segs = Seq((1L, "abc")).toDF("id", "text")
+      .select(Bpe.segmentsTiktoken(col("text"), vocab)).as[Seq[String]].head()
+    assert(segs == Seq("a", "bc"), segs)
+  }
+
+  test("tiktoken: cl100k pattern semantics — digit triples, case-insensitive contractions") {
+    val vocab = Bpe.loadTiktoken((0 until 256).map(b => b64(Array(b.toByte)) + s" $b"))
+    def segs(t: String): Seq[String] = Seq((1L, t)).toDF("id", "text")
+      .select(Bpe.segmentsTiktoken(col("text"), vocab)).as[Seq[String]].head()
+    // digits group in runs of ≤3 with no leading space attached
+    assert(segs("12345") == Seq("1", "2", "3", "4", "5"))
+    assert(Seq((1L, "12345")).toDF("id", "text")
+      .select(Bpe.countTiktoken(col("text"), vocab)).as[Long].head() == 5L)
+    // contraction branch is case-insensitive in cl100k (not in gpt2)
+    assert(segs("IT'S").take(3) == Seq("I", "T", "'"), segs("IT'S"))
+    assert(segs("IT'S").length == 4) // IT + 'S -> I,T + ',S as single bytes
+    // specials count one piece each, adjacent specials included
+    val v2 = Bpe.loadTiktoken((0 until 256).map(b => b64(Array(b.toByte)) + s" $b"),
+      specials = Seq("<|endoftext|>", "<|fim_prefix|>"))
+    assert(Seq((1L, "<|endoftext|><|fim_prefix|>x")).toDF("id", "text")
+      .select(Bpe.countTiktoken(col("text"), v2)).as[Long].head() == 3L)
+  }
+
+  test("tiktoken: lines round trip and NULL/empty semantics") {
+    val m = Seq(("t", "h"), ("th", "e"))
+    val vocab = Bpe.tiktokenFromMerges(m, specials = Seq("<|endoftext|>"))
+    val back = Bpe.loadTiktoken(Bpe.tiktokenLines(vocab),
+      specials = vocab.specials, pattern = vocab.pattern)
+    assert(back == vocab) // base64 survives all 256 single bytes + merges
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "the"))
+      .toDF("id", "text")
+    val got = edge.select(col("id"), Bpe.countTiktoken(col("text"), vocab).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).isEmpty)
+    assert(got(2L).contains(0L))
+    assert(got(3L).contains(1L)) // t h e -> th e -> the
+  }
+
+  test("plan: tiktoken count is a pure narrow projection too") {
+    val vocab = Bpe.tiktokenFromMerges(Seq(("a", "b")))
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = df.select(col("doc_id"),
+        Bpe.countTiktoken(col("text"), vocab).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("bpe_count_tiktoken"), plan)
+  }
+
   test("composition: Pack.selectByBudget cuts by BPE tokens, not whitespace words") {
     // two docs with the SAME word count but different BPE counts: the
     // budget admits the cheap one and rejects the expensive one
