@@ -1203,6 +1203,24 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L17c: the materializing shard WRITER — packByBudget assigns, this
+    // writes the training layout (one file per shard, doc order within,
+    // 0-based position stamped) and reads the tree back, so the gate
+    // checks the WHOLE loop: place → partitioned write → read. FULL
+    // oracle on (shard_id, position, doc_id, n_tokens): the pack_shards
+    // cumsum chain + row_number per shard.
+    "pack_write" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      val packed = Pack.packByBudget(docs, col("doc_id"),
+        TextFns.tokenCountWs(col("text")), budget = 5000)
+      val out = tempShardDir("graft_packwrite_", dir)
+      Pack.writeShards(packed, out, shardCol = "shard_id", orderCol = "id")
+      s.read.parquet(out)
+        .select(col("shard_id").cast("long").as("shard_id"), col("position"),
+          col("id").as("doc_id"), col("weight").as("n_tokens"))
+        .orderBy("shard_id", "position")
+    },
+
     // L17b: quality-ordered budget SELECTION (keep the best docs whose
     // cumulative tokens fit the budget — the data-mixture cut that
     // precedes sharding). score = n_chars (a deterministic stand-in
@@ -3721,6 +3739,18 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000 AS BIGINT) AS shard_id
         |FROM t ORDER BY doc_id""".stripMargin,
+
+    // The written training layout read back: the same greedy cumsum at
+    // budget 5000, position = row_number within shard by doc order.
+    "pack_write" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |p AS (SELECT doc_id, n_tokens,
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 5000 AS BIGINT) AS shard_id
+        |FROM t)
+        |SELECT shard_id,
+        |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY doc_id) - 1 AS BIGINT) AS position,
+        |  doc_id, n_tokens
+        |FROM p ORDER BY shard_id, position""".stripMargin,
 
     // The quality cut as DuckDB's global window cumsum (doc_id is a
     // unique tie-break, so the default RANGE frame equals ROWS).

@@ -110,6 +110,57 @@ object Pack {
     assignment.groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("weight")).as("total_weight"))
 
+  /** The placement stage of [[writeShards]], exposed so the spec can
+    * plan-gate it: ONE hash exchange on the shard id co-locates each
+    * shard wholly in one task (several shards may share a task), the
+    * in-partition sort fixes (shard, order) row order, and the 0-based
+    * `position` window REUSES that partitioning and ordering — the
+    * whole placement is exactly one exchange and one sort, no global
+    * window (PackSpec pins the plan). `orderCol` must be unique within
+    * a shard (the module-wide unique-id convention) or positions are
+    * nondeterministic between equals. */
+  private[graft] def placeShards(
+      df: DataFrame, shardCol: String, orderCol: String): DataFrame = {
+    require(df.columns.contains(shardCol), s"missing shard column '$shardCol'")
+    require(df.columns.contains(orderCol), s"missing order column '$orderCol'")
+    df.repartition(col(shardCol))
+      .sortWithinPartitions(col(shardCol), col(orderCol))
+      .withColumn("position",
+        (row_number().over(
+          Window.partitionBy(col(shardCol)).orderBy(col(orderCol))) - 1).cast("long"))
+  }
+
+  /** Materialize a pack assignment as the TRAINING LAYOUT — the
+    * data-loader contract every pipeline ends with: one FILE per
+    * shard, rows in ascending `orderCol` (doc order) within the file,
+    * and a 0-based `position` column stamped per row. On-disk layout
+    * is the standard partitioned tree `path/<shardCol>=<id>/part-…`,
+    * so `spark.read` restores the shard id and any loader can address
+    * one shard as one file.
+    *
+    * One-file-per-shard follows from contiguity, not luck: after the
+    * [[placeShards]] exchange a shard's rows are contiguous in exactly
+    * one task, the sort satisfies the dynamic-partition writer's
+    * required ordering (no extra sort is inserted), and the writer
+    * opens one file per partition value per task. Do NOT set
+    * `maxRecordsPerFile` on the session for this write — it would
+    * split shard files. At 100 TB the shard BUDGET (not this writer)
+    * controls the file-count/file-size trade: budget ≈ tokens-per-
+    * training-file, exactly how published pipelines size shards.
+    *
+    * `format`: "parquet" (default) or "json" (line-delimited JSONL —
+    * the other layout data loaders consume). Overwrites `path`.
+    * Compose with [[packByBudget]] (`orderCol = "id"`) or
+    * [[Sampling.interleaveByWeight]] (`orderCol = "mix_order"`). */
+  def writeShards(df: DataFrame, path: String,
+      shardCol: String = "shard_id", orderCol: String = "id",
+      format: String = "parquet"): Unit = {
+    require(format == "parquet" || format == "json",
+      s"format must be 'parquet' or 'json', got '$format'")
+    placeShards(df, shardCol, orderCol)
+      .write.mode("overwrite").partitionBy(shardCol).format(format).save(path)
+  }
+
   /** Quality-ordered token-budget SELECTION — the curation step before
     * [[packByBudget]]'s sharding: keep the best-scoring documents whose
     * cumulative weight stays within `budget` ("train on the top N

@@ -295,6 +295,62 @@ class PackSpec extends SparkSpec {
     assert(stats == Map(0L -> ((3L, 120L)), 1L -> ((1L, 40L))))
   }
 
+  test("writeShards: one file per shard, intra-file doc order, 0-based positions") {
+    val rows = (0L until 200L).map(i => (i, 7L + (i * 13) % 50))
+    val df = rows.toDF("id", "weight").repartition(7)
+    val packed = Pack.packByBudget(df, col("id"), col("weight"), budget = 300)
+    val dir = java.nio.file.Files.createTempDirectory("packw").toString + "/tree"
+    Pack.writeShards(packed, dir)
+    // one DATA file per shard directory — the loader contract
+    val shardDirs = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(shardDirs.nonEmpty)
+    val expectShards = packed.select("shard_id").distinct().count()
+    assert(shardDirs.length == expectShards, s"${shardDirs.length} dirs vs $expectShards shards")
+    shardDirs.foreach { d =>
+      val data = d.listFiles.filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      assert(data.length == 1, s"${d.getName} has ${data.map(_.getName).mkString(",")}")
+    }
+    // intra-FILE order: read one shard's single file alone — a single
+    // split preserves parquet row order — ids ascend and positions are
+    // 0..n-1 in that order
+    val one = shardDirs.maxBy(d =>
+      d.listFiles.filter(_.getName.startsWith("part-")).map(_.length).sum)
+    val f = one.listFiles.filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc")).head
+    val inFile = spark.read.parquet(f.getAbsolutePath)
+      .select("id", "position").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(inFile.length > 1, "pick a shard with multiple docs")
+    assert(inFile.map(_._1).toSeq == inFile.map(_._1).sorted.toSeq, "file rows must be in doc order")
+    assert(inFile.map(_._2).toSeq == inFile.indices.map(_.toLong), "positions must be 0..n-1 in file order")
+    // whole-tree read-back: (shard, position, id) matches the
+    // assignment + per-shard rank reference
+    val back = spark.read.parquet(dir)
+      .select(col("shard_id").cast("long"), col("position"), col("id"), col("weight"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ref = packed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      .groupBy(_._3).toSeq.flatMap { case (_, g) =>
+        g.sortBy(_._1).zipWithIndex.map { case ((id, w, sh), pos) => (sh, pos.toLong, id, w) }
+      }.toSet
+    assert(back == ref)
+  }
+
+  test("writeShards: placement plan is ONE exchange, no global window; json layout works") {
+    val df = (0L until 50L).map(i => (i, 5L)).toDF("id", "weight")
+    val packed = Pack.packByBudget(df, col("id"), col("weight"), budget = 25)
+    val plan = Pack.placeShards(packed.localCheckpoint(), "shard_id", "id")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1, plan) // the one shard exchange
+    assert(!plan.contains("Window [")
+      || !plan.contains("SinglePartition"), plan) // never a global window
+    val dir = java.nio.file.Files.createTempDirectory("packj").toString + "/tree"
+    Pack.writeShards(packed, dir, format = "json")
+    val back = spark.read.json(dir)
+    assert(back.count() == 50)
+    assert(back.columns.toSet == Set("id", "weight", "position", "shard_id"))
+    intercept[IllegalArgumentException] { Pack.writeShards(packed, dir, format = "orc") }
+    intercept[IllegalArgumentException] { Pack.writeShards(packed, dir, shardCol = "nope") }
+  }
+
   test("shard ids are monotone in id order") {
     val rnd = new scala.util.Random(3)
     val rows = (1L to 300L).map(id => id -> (rnd.nextInt(500) + 1).toLong)
