@@ -581,11 +581,14 @@ object Media {
 
   /** REAL pixel decoder for the three formats a dependency-free JVM
     * can decode from the public specs alone: PNG (zlib `Inflater` +
-    * the five §9 scanline filters — bit depth 8, color types 0/2/6,
-    * non-interlaced), BMP (uncompressed 24-bit BI_RGB, bottom-up or
-    * top-down), and baseline-sequential JPEG (ITU T.81 via [[Jpeg]] —
-    * the dominant crawl format; its Y channel IS the luma, so no color
-    * math; progressive/arithmetic/12-bit out of subset → None). RGB
+    * the five §9 scanline filters — bit depth 8, color types 0/2/3/6
+    * with PLTE lookup for palette images, sequential AND Adam7
+    * interlaced per §8.2 — palette icons/logos/screenshots are a real
+    * share of web images, the r18 capability gap #3), BMP (uncompressed
+    * 24-bit BI_RGB, bottom-up or top-down), and baseline-sequential
+    * JPEG (ITU T.81 via [[Jpeg]] — the dominant crawl format; its Y
+    * channel IS the luma, so no color math;
+    * progressive/arithmetic/12-bit out of subset → None). RGB
     * collapses to gray through the integer-weight BT.601
     * luma `(299·R + 587·G + 114·B) / 1000.0` — exact for R=G=B, no
     * float-coefficient drift — then a deterministic box average
@@ -593,7 +596,8 @@ object Media {
     * source dims are exact multiples of 32 the average is exact, so a
     * block-replicated upscale hashes IDENTICALLY to its base image —
     * the law the multimodal_phash_real gate plants across formats and
-    * scales). Everything else — palette/16-bit/interlaced PNG,
+    * scales). Everything else — sub-8/16-bit depth PNG, a palette
+    * image without a usable PLTE or with an index past it,
     * compressed or non-24-bit BMP, truncated streams, dims outside
     * (0, 4096] — degrades to None (drops out of hashing), the
     * [[HeaderDecoder]] corrupt-tolerance discipline: a bad blob in
@@ -652,15 +656,23 @@ object Media {
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
 
+    /** Adam7 pass grid (PNG §8.2): (x0, y0, dx, dy) per pass. */
+    private val Adam7: Array[(Int, Int, Int, Int)] = Array(
+      (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
     private def pngGray(c: Array[Byte]): Option[(Array[Double], Int, Int)] = try {
       if (!(c(12) == 'I' && c(13) == 'H' && c(14) == 'D' && c(15) == 'R')) return None
       val w = be32(c, 16); val h = be32(c, 20)
       val depth = c(24) & 0xFF; val ctype = c(25) & 0xFF; val interlace = c(28) & 0xFF
       if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return None
-      if (depth != 8 || interlace != 0) return None
-      val ch = ctype match { case 0 => 1; case 2 => 3; case 6 => 4; case _ => return None }
-      // walk the chunk stream, concatenating IDAT payloads
+      if (depth != 8 || interlace > 1) return None
+      // ctype 3 = palette: one index channel, PLTE lookup below (tRNS
+      // alpha is ignored like the RGBA alpha channel — luma only)
+      val ch = ctype match { case 0 => 1; case 2 => 3; case 3 => 1; case 6 => 4; case _ => return None }
+      // walk the chunk stream: concatenate IDAT payloads, capture PLTE
       val idat = new java.io.ByteArrayOutputStream()
+      var plte: Array[Byte] = null
       var off = 8
       var sawEnd = false
       while (!sawEnd) {
@@ -669,14 +681,29 @@ object Media {
         if (len < 0 || off + 12 + len > c.length) return None
         if (c(off + 4) == 'I' && c(off + 5) == 'D' && c(off + 6) == 'A' && c(off + 7) == 'T')
           idat.write(c, off + 8, len)
+        else if (c(off + 4) == 'P' && c(off + 5) == 'L' && c(off + 6) == 'T' && c(off + 7) == 'E')
+          plte = java.util.Arrays.copyOfRange(c, off + 8, off + 8 + len)
         if (c(off + 4) == 'I' && c(off + 5) == 'E' && c(off + 6) == 'N' && c(off + 7) == 'D')
           sawEnd = true
         off += 12 + len
       }
       if (idat.size == 0) return None
+      if (ctype == 3 && (plte == null || plte.length == 0 || plte.length % 3 != 0))
+        return None // palette image without a usable PLTE
+      // pass layout: 7 independently-filtered sub-images when
+      // interlaced (each with its own filter bytes and zeroed `prev`),
+      // else one full-size pass — the same defilter walk serves both
+      val passes = if (interlace == 1) Adam7 else Array((0, 0, 1, 1))
+      val passDims = passes.map { case (x0, y0, dx, dy) =>
+        (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+          if (h > y0) (h - y0 + dy - 1) / dy else 0)
+      }
+      val rawLen = passDims.map { case (wP, hP) =>
+        if (wP > 0 && hP > 0) hP.toLong * (1L + wP.toLong * ch) else 0L
+      }.sum
+      if (rawLen <= 0 || rawLen > (4096L * 4096L * 4 + 4096 * 8)) return None
+      val raw = new Array[Byte](rawLen.toInt)
       val inf = new java.util.zip.Inflater()
-      val stride = w * ch
-      val raw = new Array[Byte]((stride + 1) * h)
       try {
         inf.setInput(idat.toByteArray)
         var got = 0
@@ -688,39 +715,56 @@ object Media {
         if (got < raw.length) return None
       } finally inf.end()
       // defilter scanlines (PNG §9: None/Sub/Up/Average/Paeth) and
-      // collapse to luma in one pass
+      // collapse to luma in one pass, scattering interlaced pixels to
+      // their (x0 + i·dx, y0 + row·dy) home
       val px = new Array[Double](w * h)
-      val prev = new Array[Int](stride)
-      val cur = new Array[Int](stride)
-      var y = 0
-      while (y < h) {
-        val base = y * (stride + 1)
-        val ft = raw(base) & 0xFF
-        if (ft > 4) return None
-        var i = 0
-        while (i < stride) {
-          val x = raw(base + 1 + i) & 0xFF
-          val a = if (i >= ch) cur(i - ch) else 0
-          val b = prev(i)
-          val d = if (i >= ch) prev(i - ch) else 0
-          cur(i) = (ft match {
-            case 0 => x
-            case 1 => x + a
-            case 2 => x + b
-            case 3 => x + ((a + b) >> 1)
-            case _ => x + paeth(a, b, d)
-          }) & 0xFF
-          i += 1
+      var base = 0
+      var p = 0
+      while (p < passes.length) {
+        val (x0, y0, dx, dy) = passes(p)
+        val (wP, hP) = passDims(p)
+        if (wP > 0 && hP > 0) {
+          val stride = wP * ch
+          val prev = new Array[Int](stride)
+          val cur = new Array[Int](stride)
+          var row = 0
+          while (row < hP) {
+            val ft = raw(base) & 0xFF
+            if (ft > 4) return None
+            var i = 0
+            while (i < stride) {
+              val x = raw(base + 1 + i) & 0xFF
+              val a = if (i >= ch) cur(i - ch) else 0
+              val b = prev(i)
+              val d = if (i >= ch) prev(i - ch) else 0
+              cur(i) = (ft match {
+                case 0 => x
+                case 1 => x + a
+                case 2 => x + b
+                case 3 => x + ((a + b) >> 1)
+                case _ => x + paeth(a, b, d)
+              }) & 0xFF
+              i += 1
+            }
+            var xx = 0
+            while (xx < wP) {
+              val g =
+                if (ctype == 3) {
+                  val idx = cur(xx)
+                  if (3 * idx + 2 >= plte.length) return None // index past PLTE
+                  luma(plte(3 * idx) & 0xFF, plte(3 * idx + 1) & 0xFF,
+                    plte(3 * idx + 2) & 0xFF)
+                } else if (ch == 1) cur(xx).toDouble
+                else luma(cur(xx * ch), cur(xx * ch + 1), cur(xx * ch + 2))
+              px((y0 + row * dy) * w + (x0 + xx * dx)) = g
+              xx += 1
+            }
+            System.arraycopy(cur, 0, prev, 0, stride)
+            base += 1 + stride
+            row += 1
+          }
         }
-        var xx = 0
-        while (xx < w) {
-          px(y * w + xx) =
-            if (ch == 1) cur(xx).toDouble
-            else luma(cur(xx * ch), cur(xx * ch + 1), cur(xx * ch + 2))
-          xx += 1
-        }
-        System.arraycopy(cur, 0, prev, 0, stride)
-        y += 1
+        p += 1
       }
       Some((px, w, h))
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -778,30 +822,53 @@ object Media {
   }
 
   /** PNG writer for the synthetic gates/specs: filter-0 scanlines,
-    * one deflated IDAT, valid CRCs. `colorType` 0 (gray), 2 (RGB) or
-    * 6 (RGBA); RGB(A) channels all carry the gray value. */
-  def pngBytes(grays: Array[Int], w: Int, h: Int, colorType: Int): Array[Byte] = {
+    * one deflated IDAT, valid CRCs. `colorType` 0 (gray), 2 (RGB),
+    * 3 (palette — a 256-entry identity-gray PLTE, pixel = index, so
+    * luma reproduces the gray exactly) or 6 (RGBA); RGB(A) channels
+    * all carry the gray value. `adam7 = true` writes the interlaced
+    * layout (§8.2: 7 independently-filtered sub-images). */
+  def pngBytes(grays: Array[Int], w: Int, h: Int, colorType: Int,
+      adam7: Boolean = false): Array[Byte] = {
     require(grays.length == w * h, s"pixel count ${grays.length} != $w x $h")
     val ch = colorType match {
-      case 0 => 1
+      case 0 | 3 => 1
       case 2 => 3
       case 6 => 4
       case other => throw new IllegalArgumentException(s"unsupported colorType $other")
     }
-    val raw = new Array[Byte]((w * ch + 1) * h)
-    var y = 0
-    while (y < h) {
-      val base = y * (w * ch + 1)
+    def emitRow(raw: Array[Byte], base: Int, y: Int, x0: Int, dx: Int, wP: Int): Unit = {
       raw(base) = 0 // filter: None
-      var x = 0
-      while (x < w) {
-        val g = grays(y * w + x).toByte
+      var i = 0
+      while (i < wP) {
+        val g = grays(y * w + x0 + i * dx).toByte
         var j = 0
-        while (j < math.min(ch, 3)) { raw(base + 1 + x * ch + j) = g; j += 1 }
-        if (ch == 4) raw(base + 1 + x * ch + 3) = 0xFF.toByte
-        x += 1
+        while (j < math.min(ch, 3)) { raw(base + 1 + i * ch + j) = g; j += 1 }
+        if (ch == 4) raw(base + 1 + i * ch + 3) = 0xFF.toByte
+        i += 1
       }
-      y += 1
+    }
+    val passes =
+      if (adam7) Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+      else Seq((0, 0, 1, 1))
+    val dims = passes.map { case (x0, y0, dx, dy) =>
+      (if (w > x0) (w - x0 + dx - 1) / dx else 0,
+        if (h > y0) (h - y0 + dy - 1) / dy else 0)
+    }
+    val rawLen = dims.map { case (wP, hP) =>
+      if (wP > 0 && hP > 0) hP * (1 + wP * ch) else 0
+    }.sum
+    val raw = new Array[Byte](rawLen)
+    var base = 0
+    passes.zip(dims).foreach { case ((x0, y0, dx, dy), (wP, hP)) =>
+      if (wP > 0 && hP > 0) {
+        var row = 0
+        while (row < hP) {
+          emitRow(raw, base, y0 + row * dy, x0, dx, wP)
+          base += 1 + wP * ch
+          row += 1
+        }
+      }
     }
     val deflated = {
       val d = new java.util.zip.Deflater()
@@ -822,9 +889,13 @@ object Media {
     }
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      .put(0.toByte).put(0.toByte).put(if (adam7) 1.toByte else 0.toByte).array()
+    val plte =
+      if (colorType == 3) chunk("PLTE", Array.tabulate(768)(i => (i / 3).toByte))
+      else Array.emptyByteArray
     Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte) ++
-      chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++ chunk("IEND", Array.emptyByteArray)
+      chunk("IHDR", ihdr) ++ plte ++ chunk("IDAT", deflated) ++
+      chunk("IEND", Array.emptyByteArray)
   }
 
   /** 24-bit uncompressed bottom-up BMP with R=G=B=gray. */
@@ -878,8 +949,12 @@ object Media {
     * Fixture-format v2 (r18): odd ids moved from a k mod 4 to a k mod
     * 6 residue cycle to admit the progressive variants, so bytes for
     * pre-existing ids changed (e.g. k=4 was BMP, is now progressive
-    * JPEG). All in-repo oracles/specs were updated; anything EXTERNAL
-    * that pinned v1 fixture bytes must re-derive. */
+    * JPEG). v3 (r19): EVEN ids' colorType cycle widened from k mod 3
+    * to k mod 4 (gray/RGB/RGBA/PALETTE) and k mod 5 < 2 renderings
+    * are Adam7-INTERLACED — palette and interlaced decode join the
+    * cross-codec law, and bytes for pre-existing even ids changed
+    * again. All in-repo oracles/specs are updated; anything EXTERNAL
+    * that pinned v1/v2 fixture bytes must re-derive. */
   def syntheticPixelImage(id: Long): Array[Byte] = {
     val k = java.lang.Math.floorDiv(id, 2L)
     val base = syntheticPixelPattern(k)
@@ -892,7 +967,9 @@ object Media {
     val ctypes = Array(0, 2, 6)
     if (java.lang.Math.floorMod(id, 2L) == 0L) {
       val (px, w, h) = scaled(1 + km2)
-      pngBytes(px, w, h, ctypes(java.lang.Math.floorMod(k, 3L).toInt))
+      val ctypes4 = Array(0, 2, 6, 3)
+      pngBytes(px, w, h, ctypes4(java.lang.Math.floorMod(k, 4L).toInt),
+        adam7 = java.lang.Math.floorMod(k, 5L) < 2L)
     } else java.lang.Math.floorMod(k, 6L).toInt match {
       case 0 =>
         val (px, w, h) = scaled(2)

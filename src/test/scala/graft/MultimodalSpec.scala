@@ -320,14 +320,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Media.RealPixelDecoder.decodeGray32(good.dropRight(30)).isEmpty)
     // header-only PNG (the multimodal_real synthetic container: no IDAT)
     assert(Media.RealPixelDecoder.decodeGray32(Media.syntheticContainer(0L)).isEmpty)
-    // interlaced flag / 16-bit depth / palette type are out of scope
-    // (IHDR data sits at absolute offsets 16..28; CRC is not checked)
+    // a sequential stream MISLABELED interlaced inflates short of the
+    // Adam7 pass layout's byte count → None (IHDR data sits at
+    // absolute offsets 16..28; CRC is not checked)
     val interlaced = good.clone(); interlaced(28) = 1
     assert(Media.RealPixelDecoder.decodeGray32(interlaced).isEmpty)
+    // 16-bit depth stays out of subset
     val deep = good.clone(); deep(24) = 16.toByte
     assert(Media.RealPixelDecoder.decodeGray32(deep).isEmpty)
+    // a stream mislabeled palette has NO PLTE chunk → None
     val pal = good.clone(); pal(25) = 3.toByte
     assert(Media.RealPixelDecoder.decodeGray32(pal).isEmpty)
+    // a palette image whose indexes run past a SHORT PLTE → None:
+    // rewrite the 256-entry PLTE of a real palette PNG down to 16
+    // entries (index bytes up to 220 remain in the IDAT)
+    val realPal = Media.pngBytes(Media.syntheticPixelPattern(7L), 32, 32, 3)
+    assert(Media.RealPixelDecoder.decodeGray32(realPal).isDefined)
+    val shortPal = {
+      val plteOff = 8 + 25 // after IHDR chunk
+      val head = java.util.Arrays.copyOfRange(realPal, 0, plteOff)
+      val tail = java.util.Arrays.copyOfRange(realPal, plteOff + 12 + 768, realPal.length)
+      val data = Array.tabulate(48)(i => (i / 3).toByte)
+      val b = java.nio.ByteBuffer.allocate(12 + data.length)
+      b.putInt(data.length).put("PLTE".getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update("PLTE".getBytes("US-ASCII")); crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      head ++ b.array() ++ tail
+    }
+    assert(Media.RealPixelDecoder.decodeGray32(shortPal).isEmpty)
     // BMP: 8-bit and compressed reject; 24-bit BI_RGB decodes
     val bmp = Media.bmpBytes(Media.syntheticPixelPattern(7L), 32, 32)
     assert(Media.RealPixelDecoder.decodeGray32(bmp).isDefined)
@@ -337,16 +358,57 @@ class MultimodalSpec extends SparkSpec {
     assert(Media.RealPixelDecoder.decodeGray32(rle).isEmpty)
   }
 
+  test("palette + Adam7: every pass boundary and color type decodes to the sequential grays") {
+    // dims chosen so every Adam7 pass hits its empty/partial/full
+    // boundary (w or h of 1 and 2 empty passes 2/4/6 or 3/5/7; odd
+    // dims exercise the ceil in every pass's sub-dims)
+    for ((w, h) <- Seq((1, 1), (2, 2), (3, 3), (5, 7), (8, 8), (9, 9), (16, 5), (32, 32));
+        ct <- Seq(0, 2, 6, 3)) {
+      val grays = Array.tabulate(w * h)(i => (i * 37 + 11) % 256)
+      val seq = Media.RealPixelDecoder.decodeGray32(Media.pngBytes(grays, w, h, ct))
+      val il = Media.RealPixelDecoder.decodeGray32(Media.pngBytes(grays, w, h, ct, adam7 = true))
+      assert(seq.isDefined && il.isDefined, s"($w x $h, ct=$ct) must decode both ways")
+      assert(seq.get.sameElements(il.get), s"($w x $h, ct=$ct) interlaced grays must match sequential")
+    }
+    // palette decodes to the same grays as the gray color type
+    val g = Array.tabulate(32 * 32)(i => (i * 7) % 256)
+    val gray = Media.RealPixelDecoder.decodeGray32(Media.pngBytes(g, 32, 32, 0)).get
+    val pal = Media.RealPixelDecoder.decodeGray32(Media.pngBytes(g, 32, 32, 3)).get
+    assert(gray.sameElements(pal))
+    // cross-codec: the JDK's independent ImageIO codec reads our
+    // palette and interlaced bytes back to the same grays
+    for (bytes <- Seq(Media.pngBytes(g, 32, 32, 3),
+        Media.pngBytes(g, 32, 32, 0, adam7 = true))) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null)
+      val viaImageIO = Array.tabulate(32 * 32) { i =>
+        // raw raster sample — no color management; the identity-gray
+        // palette makes index == gray, so band 0 IS the gray either way
+        img.getRaster.getSample(i % 32, i / 32, 0).toDouble
+      }
+      val ours = Media.RealPixelDecoder.decodeGray32(bytes).get
+      assert(viaImageIO.sameElements(ours), "ImageIO and our decoder must agree")
+    }
+  }
+
   test("syntheticPixelImage: every (format, scale) path of a pair hashes identically") {
-    // cover all residue classes: k mod 12 spans the colorType/scale/bmp
-    // branches on both the even and odd member
-    for (k <- 0L to 23L) {
-      val a = Media.RealPixelDecoder.decodeGray32(Media.syntheticPixelImage(2 * k))
+    // cover all residue classes: k mod 60 spans colorType(4) ×
+    // interlace(5) × scale(2) on the even member and the mod-6 cycle
+    // on the odd member
+    val sawCt = scala.collection.mutable.Set.empty[Int]
+    var sawInterlaced = false
+    for (k <- 0L to 59L) {
+      val even = Media.syntheticPixelImage(2 * k)
+      sawCt += (even(25) & 0xFF)
+      if ((even(28) & 0xFF) == 1) sawInterlaced = true
+      val a = Media.RealPixelDecoder.decodeGray32(even)
       val b = Media.RealPixelDecoder.decodeGray32(Media.syntheticPixelImage(2 * k + 1))
       assert(a.isDefined && b.isDefined, s"k=$k must decode on both sides")
       assert(Media.phash64(a.get) == Media.phash64(b.get), s"k=$k pair must collide")
       assert(a.get.sameElements(b.get), s"k=$k grays must be identical")
     }
+    assert(sawCt == Set(0, 2, 6, 3), s"all four color types must be exercised: $sawCt")
+    assert(sawInterlaced, "Adam7 renderings must be exercised")
   }
 
   test("phashPairs: byte-identical payloads pair at hamming 0; undecodable drop") {
