@@ -2134,6 +2134,46 @@ object SparkEntry {
         .otherwise(lit(" we'll 𝄞 x  y z's  ")))
   }
 
+  /** The text_langid oracle, GENERATED from the exact tables the
+    * kernel decision uses ([[TextFns.stopwordFamilies]] /
+    * [[TextFns.scriptLabels]] / [[graft.hashing.LangSigUtil.ScriptRanges]])
+    * so the 19-family + 9-script surface can never drift from its SQL
+    * mirror: per-family distinct-hit sums (list_contains per probe
+    * word), per-script char counts (RE2 strip over the same BMP
+    * ranges), script chain first, then the family argmax with
+    * earlier-family tie priority. */
+  private def textLangidOracleSql: String = {
+    val fams = TextFns.stopwordFamilies
+    val famCols = fams.zipWithIndex.map { case ((_, words), i) =>
+      words.map(w => s"list_contains(toks,'$w')::INT").mkString(" + ") + s" AS f$i"
+    }.mkString(",\n  ")
+    val scriptCols = graft.hashing.LangSigUtil.ScriptRanges.map {
+      case (name, lo, hi) =>
+        f"length(regexp_replace(text, '[^\\x{$lo%04x}-\\x{$hi%04x}]', '', 'g')) AS s_$name%s"
+    }.mkString(",\n  ")
+    val scriptCase = TextFns.scriptLabels.map { case (label, slot) =>
+      val cnt = if (slot < 0) "cjk"
+        else "s_" + graft.hashing.LangSigUtil.ScriptRanges(slot)._1
+      s"WHEN $cnt > 0 THEN '$label'"
+    }.mkString("\n  ")
+    val famCase = fams.indices.map { i =>
+      val geq = (i + 1 until fams.length).map(j => s"f$i >= f$j").mkString(" AND ")
+      val cond = if (geq.isEmpty) s"f$i > 0" else s"f$i > 0 AND $geq"
+      s"WHEN $cond THEN '${fams(i)._1}'"
+    }.mkString("\n  ")
+    s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
+s AS (SELECT doc_id,
+  $famCols,
+  length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+  $scriptCols
+FROM t)
+SELECT doc_id, CASE
+  $scriptCase
+  $famCase
+  ELSE 'und' END AS lang_pred
+FROM s ORDER BY doc_id"""
+  }
+
   /** The bpe_tokens_tiktoken augmented text: the byte-gate suffixes
     * with `<|endoftext|>` specials planted mid-text (%4==0) and
     * ADJACENT (%4==1 — the empty fragment between them must
@@ -2563,21 +2603,7 @@ object SparkEntry {
     "ann_pq"     -> annRerankSql("ann_pq_cand"),
     "ann_ivfpq"  -> annRerankSql("ann_ivfpq_cand"),
 
-    "text_langid" ->
-      """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
-        |s AS (SELECT doc_id,
-        |  list_contains(toks,'the')::INT + list_contains(toks,'a')::INT + list_contains(toks,'of')::INT + list_contains(toks,'to')::INT + list_contains(toks,'and')::INT + list_contains(toks,'in')::INT + list_contains(toks,'is')::INT + list_contains(toks,'it')::INT AS en,
-        |  list_contains(toks,'der')::INT + list_contains(toks,'die')::INT + list_contains(toks,'das')::INT + list_contains(toks,'und')::INT + list_contains(toks,'ist')::INT + list_contains(toks,'nicht')::INT + list_contains(toks,'mit')::INT + list_contains(toks,'ein')::INT AS de,
-        |  list_contains(toks,'le')::INT + list_contains(toks,'les')::INT + list_contains(toks,'et')::INT + list_contains(toks,'est')::INT + list_contains(toks,'des')::INT + list_contains(toks,'une')::INT + list_contains(toks,'dans')::INT + list_contains(toks,'que')::INT AS fr,
-        |  list_contains(toks,'el')::INT + list_contains(toks,'los')::INT + list_contains(toks,'las')::INT + list_contains(toks,'es')::INT + list_contains(toks,'una')::INT + list_contains(toks,'por')::INT + list_contains(toks,'con')::INT + list_contains(toks,'para')::INT AS es,
-        |  length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
-        |FROM t)
-        |SELECT doc_id, CASE WHEN cjk > 0 THEN 'zh'
-        |  WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
-        |  WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
-        |  WHEN fr >= es AND fr > 0 THEN 'fr'
-        |  WHEN es > 0 THEN 'es' ELSE 'und' END AS lang_pred
-        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_langid" -> textLangidOracleSql,
 
     // The seven Gopher rules re-derived: identical tokenization, char
     // sums, symbol counts, per-line trims — every compare on the same

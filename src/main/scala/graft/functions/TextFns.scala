@@ -81,6 +81,45 @@ object TextFns {
   val stopwordsFr = Seq("le", "les", "et", "est", "des", "une", "dans", "que")
   val stopwordsEs = Seq("el", "los", "las", "es", "una", "por", "con", "para")
 
+  /** The FULL Latin-script stopword-family table (r19 — published
+    * pipelines bucket 100+ languages before per-language mixture cuts;
+    * CCNet/fastText lid): ordered by decision priority, 8 ASCII
+    * probe words each. ASCII-only is the kernel contract
+    * ([[graft.hashing.LangSigUtil]] — non-ASCII segments never match),
+    * so each family uses its diacritic-free function words; languages
+    * whose text the probe misses fall to 'und' rather than mislabel.
+    * Non-Latin scripts are decided by SCRIPT-RANGE counts instead (the
+    * kernel's `scripts` array — ja/ko/zh/th/ar/hi/he/el/ru), where
+    * stopword probes don't apply. */
+  val stopwordFamilies: Seq[(String, Seq[String])] = Seq(
+    "en" -> stopwordsEn,
+    "de" -> stopwordsDe,
+    "fr" -> stopwordsFr,
+    "es" -> stopwordsEs,
+    "it" -> Seq("il", "la", "che", "di", "non", "per", "con", "sono"),
+    "pt" -> Seq("de", "que", "em", "um", "uma", "para", "com", "os"),
+    "nl" -> Seq("het", "een", "van", "ik", "niet", "aan", "met", "zijn"),
+    "sv" -> Seq("och", "att", "det", "som", "av", "till", "med", "har"),
+    "da" -> Seq("og", "til", "er", "som", "af", "ikke", "den", "han"),
+    "no" -> Seq("og", "det", "til", "er", "som", "av", "ikke", "jeg"),
+    "fi" -> Seq("ja", "on", "ei", "oli", "joka", "niin", "kun", "mutta"),
+    "pl" -> Seq("nie", "jest", "to", "na", "do", "jak", "ale", "czy"),
+    "cs" -> Seq("je", "se", "na", "to", "jako", "ale", "pro", "tak"),
+    "ro" -> Seq("este", "nu", "cu", "pentru", "din", "care", "mai", "dar"),
+    "hu" -> Seq("az", "nem", "hogy", "egy", "van", "meg", "el", "ha"),
+    "tr" -> Seq("ve", "bir", "bu", "da", "ne", "gibi", "daha", "ama"),
+    "id" -> Seq("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini"),
+    "sw" -> Seq("na", "ya", "wa", "kwa", "ni", "za", "katika", "hii"),
+    "tl" -> Seq("ang", "ng", "sa", "mga", "ay", "ito", "hindi", "ako"))
+
+  /** Script-decided labels, in decision priority order, paired with
+    * their [[graft.hashing.LangSigUtil.ScriptRanges]] slot (kana
+    * before hangul/CJK: Japanese text carries kanji, so any kana at
+    * all decides ja; -1 = the CJK field). */
+  val scriptLabels: Seq[(String, Int)] = Seq(
+    "ja" -> 4, "ko" -> 3, "zh" -> -1, "th" -> 5,
+    "ar" -> 1, "hi" -> 2, "he" -> 7, "el" -> 6, "ru" -> 0)
+
   def langHits(tokens: Column, words: Seq[String]): Column =
     words.map(w => array_contains(tokens, w).cast("int")).reduce(_ + _)
 
@@ -120,28 +159,48 @@ object TextFns {
     * multi-referenced non-cheap expressions materialized; CASE branch
     * values are excluded from subexpression elimination, so the inline
     * form re-evaluates each score up to 4× and the split up to 32×). */
-  /** All four per-language distinct-hit counts + the CJK count in ONE
-    * kernel pass ([[org.apache.spark.sql.graftexpr.LangHitsExpr]],
-    * r17): `struct(hits array<int> (en, de, fr, es), cjk int)`. The
-    * Column formulation ran 32 `array_contains` scans of the token
-    * array per document. */
+  /** ALL per-family distinct-hit counts + the CJK count + the
+    * per-script char counts in ONE kernel pass
+    * ([[org.apache.spark.sql.graftexpr.LangHitsExpr]]):
+    * `struct(hits array<int> ([[stopwordFamilies]] order), cjk int,
+    * scripts array<int> ([[graft.hashing.LangSigUtil.ScriptRanges]]
+    * order))`. The Column formulation would run one `array_contains`
+    * scan per (family, word) — 152 scans of the token array per
+    * document; the kernel is one char scan regardless of family
+    * count, which is what lets the table grow from 4 to 19 families
+    * + 9 scripts for free. */
   def langSig(c: Column): Column =
     Bridge.column(org.apache.spark.sql.graftexpr.LangHitsExpr(
-      Bridge.expr(c), Seq(stopwordsEn, stopwordsDe, stopwordsFr, stopwordsEs)))
+      Bridge.expr(c), stopwordFamilies.map(_._2)))
 
+  /** Staged wide language-ID (~28 labels): script-range counts decide
+    * the non-Latin labels first ([[scriptLabels]] priority — any
+    * script char decides, the synthetic-fixture convention documented
+    * since r16's cjk>0→zh), then the stopword-family argmax in
+    * [[stopwordFamilies]] order (earlier family wins ties), else
+    * 'und'. One kernel pass per row; the text_langid gate's oracle is
+    * GENERATED from these same tables so the two can never drift. */
   def withLangId(df: org.apache.spark.sql.DataFrame, text: Column, out: String): org.apache.spark.sql.DataFrame = {
     val sig = col("_lid_sig")
     val hits = sig.getField("hits")
-    val (en, de, fr, es) = (hits.getItem(0), hits.getItem(1), hits.getItem(2), hits.getItem(3))
     val cjk = sig.getField("cjk")
+    val scripts = sig.getField("scripts")
+    val scriptChain = scriptLabels.foldLeft(None: Option[Column]) {
+      case (acc, (label, slot)) =>
+        val cnt = if (slot < 0) cjk else scripts.getItem(slot)
+        Some(acc match {
+          case None => when(cnt > 0, label)
+          case Some(c) => c.when(cnt > 0, label)
+        })
+    }.get
+    val full = stopwordFamilies.indices.foldLeft(scriptChain) { (acc, i) =>
+      val cond = (i + 1 until stopwordFamilies.length)
+        .map(j => hits.getItem(i) >= hits.getItem(j))
+        .foldLeft(hits.getItem(i) > 0)(_ && _)
+      acc.when(cond, stopwordFamilies(i)._1)
+    }
     df.withColumn("_lid_sig", langSig(text))
-      .withColumn(out,
-        when(cjk > 0, "zh")
-          .when(en >= de && en >= fr && en >= es && en > 0, "en")
-          .when(de >= fr && de >= es && de > 0, "de")
-          .when(fr >= es && fr > 0, "fr")
-          .when(es > 0, "es")
-          .otherwise("und"))
+      .withColumn(out, full.otherwise("und"))
       .drop("_lid_sig")
   }
 

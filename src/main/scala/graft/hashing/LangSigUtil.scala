@@ -50,12 +50,31 @@ object LangSigUtil {
     def lookup(s: String): Array[Int] = probes.get(s)
   }
 
-  /** (hits per list as array<int>, cjk count) for one text. */
+  /** Script-range slots of the `scripts` array, in kernel index order
+    * (all BMP ranges, so the char count IS the codepoint count; each
+    * has an exact RE2/Java `[^\x{lo}-\x{hi}]` strip mirror):
+    * 0 Cyrillic 0400–04FF, 1 Arabic 0600–06FF, 2 Devanagari 0900–097F,
+    * 3 Hangul AC00–D7A3, 4 Kana 3040–30FF, 5 Thai 0E00–0E7F,
+    * 6 Greek 0370–03FF, 7 Hebrew 0590–05FF. (CJK 4E00–9FFF keeps its
+    * own field for compatibility.) */
+  val ScriptRanges: Array[(String, Int, Int)] = Array(
+    ("cyrillic", 0x0400, 0x04FF),
+    ("arabic", 0x0600, 0x06FF),
+    ("devanagari", 0x0900, 0x097F),
+    ("hangul", 0xAC00, 0xD7A3),
+    ("kana", 0x3040, 0x30FF),
+    ("thai", 0x0E00, 0x0E7F),
+    ("greek", 0x0370, 0x03FF),
+    ("hebrew", 0x0590, 0x05FF))
+
+  /** (hits per list as array<int>, cjk count, per-script char counts)
+    * for one text — one char scan. */
   def sig(u: UTF8String, t: Table): InternalRow = {
     val s = u.toString
     val n = s.length
     val masks = new Array[Long](t.nLists)
     var cjk = 0
+    val scripts = new Array[Int](ScriptRanges.length)
     var segStart = 0
     val buf = new java.lang.StringBuilder(t.maxLen)
     def endSeg(endEx: Int): Unit = {
@@ -86,6 +105,16 @@ object LangSigUtil {
     while (i < n) {
       val ch = s.charAt(i)
       if (ch >= '\u4e00' && ch <= '\u9fff') cjk += 1
+      else if (ch >= 0x0370 && ch <= 0xD7A3) { // cheap pre-gate: all ranges live here
+        var r = 0
+        var hit = false
+        while (!hit && r < ScriptRanges.length) {
+          if (ch >= ScriptRanges(r)._2 && ch <= ScriptRanges(r)._3) {
+            scripts(r) += 1; hit = true
+          }
+          r += 1
+        }
+      }
       if (ch == ' ') { endSeg(i); segStart = i + 1 }
       i += 1
     }
@@ -93,6 +122,10 @@ object LangSigUtil {
     val counts = new Array[Any](t.nLists)
     var l = 0
     while (l < t.nLists) { counts(l) = java.lang.Long.bitCount(masks(l)); l += 1 }
-    new GenericInternalRow(Array[Any](new GenericArrayData(counts), cjk))
+    val scriptCounts = new Array[Any](scripts.length)
+    var r = 0
+    while (r < scripts.length) { scriptCounts(r) = scripts(r); r += 1 }
+    new GenericInternalRow(Array[Any](
+      new GenericArrayData(counts), cjk, new GenericArrayData(scriptCounts)))
   }
 }

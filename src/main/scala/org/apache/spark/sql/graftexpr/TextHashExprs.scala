@@ -644,7 +644,9 @@ final case class LangHitsExpr(child: Expression, lists: Seq[Seq[String]])
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
     StructField("hits", ArrayType(IntegerType, containsNull = false), nullable = false),
-    StructField("cjk", IntegerType, nullable = false)))
+    StructField("cjk", IntegerType, nullable = false),
+    // per-script char counts in LangSigUtil.ScriptRanges order
+    StructField("scripts", ArrayType(IntegerType, containsNull = false), nullable = false)))
   override def prettyName: String = "lang_hits"
 
   @transient private lazy val table =

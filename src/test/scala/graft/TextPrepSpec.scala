@@ -17,6 +17,59 @@ class TextPrepSpec extends SparkSpec {
 
   // ------------------------------------------------------- repetition
 
+  test("wide langid: one fixture per script label, per stopword family, and the priorities") {
+    import spark.implicits._
+    val fixtures: Seq[(String, String)] = Seq(
+      // script-decided labels (one fixture per range)
+      "ja" -> "東京の天気は ひらがな カタカナ です",   // kana present with kanji -> ja, not zh
+      "ko" -> "서울의 날씨가 좋다",
+      "zh" -> "今天天气很好 没有假名",                 // kanji only -> zh
+      "th" -> "อากาศดีมากวันนี้",
+      "ar" -> "الطقس جميل اليوم",
+      "hi" -> "आज मौसम अच्छा है",
+      "he" -> "מזג האוויר יפה היום",
+      "el" -> "ο καιρός είναι καλός σήμερα",
+      "ru" -> "погода сегодня хорошая",
+      // Latin stopword families
+      "en" -> "the weather is nice and it is warm",
+      "de" -> "der himmel ist blau und die sonne scheint nicht",
+      "fr" -> "le temps est beau dans les montagnes",
+      "es" -> "el clima es bueno por las montañas para todos",
+      "it" -> "il tempo che fa non è per niente brutto sono felice",
+      "pt" -> "de manhã que bom um dia para quem gosta com os amigos",
+      "nl" -> "ik ga met een fiets van het huis niet ver",
+      "sv" -> "det är fint väder och jag vill att gå ut som har tid till det med",
+      "da" -> "og vejret er godt til den tur som han ikke tager af",
+      "no" -> "og det er fint vær til jeg som av og til går ikke ut",
+      "fi" -> "ja sää on hyvä kun aurinko paistaa mutta ei sada niin oli kiva joka päivä",
+      "pl" -> "nie wiem jak to jest ale do zobaczenia czy na pewno",
+      "cs" -> "je to na tak dobré jako pro nás ale se uvidí",
+      "ro" -> "este o zi buna cu soare din care mai rasare dar nu ploua pentru noi",
+      "hu" -> "az idő nem rossz hogy egy kicsit van meg el lehet menni ha akarunk",
+      "tr" -> "ve hava bir güzel bu gün ne iyi gibi daha ama olmaz",
+      "id" -> "yang penting dan cuaca di sini itu bagus dengan matahari untuk kita tidak hujan ini",
+      "sw" -> "na hali ya hewa ni nzuri wa leo kwa sababu za jua katika mji hii",
+      "tl" -> "ang panahon ay maganda sa araw na ito ng mga tao ito ang gusto hindi umuulan ako")
+    val df = fixtures.zipWithIndex.map { case ((want, text), i) => (i.toLong, want, text) }
+      .toDF("id", "want", "text")
+    val got = TextFns.withLangId(df, col("text"), "lang_pred")
+      .select("want", "lang_pred").collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)}, got ${r.getString(1)}"))
+    // priority laws + fallback
+    val edge = Seq(
+      (1L, "ja", "漢字 と ひらがな"),          // kana beats cjk
+      (2L, "und", "zzz qqq xxx www"),          // no signal at all
+      (3L, "und", ""),                          // empty
+      (4L, "und", null.asInstanceOf[String]),   // NULL text
+      (5L, "en", "the der le el"))              // 1-hit tie -> earliest family
+      .toDF("id", "want", "text")
+    val egot = TextFns.withLangId(edge, col("text"), "lang_pred")
+      .select("want", "lang_pred").collect()
+    egot.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)}, got ${r.getString(1)}"))
+  }
+
   test("repetition fractions are 0 for an all-unique document") {
     import spark.implicits._
     val out = docs(Doc(1L, "one two three four five\nsix seven eight"))
