@@ -1681,6 +1681,26 @@ object SparkEntry {
         .orderBy("probe_id", "rank")
     },
 
+    // L7c (persisted codes catalog): the compute-once / search-many PQ
+    // flow — codes written ONCE (data first, params commit marker
+    // last), searched from the catalog without re-encoding the corpus;
+    // only the top-`rerank` fetch raw vectors. rerank=40 so the
+    // candidate set is its OWN (not a byte-copy of ann_pq's). PARTIAL
+    // oracle like ann_pq (_aux/ann_pqp_cand re-derives the identical
+    // candidates from the identical deterministic train + encode —
+    // AnnSpec's law pins catalog ≡ in-memory); rerank driver-checked.
+    "ann_pq_persisted" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      val cb = Ann.trainPq(e, col("embedding"), dim = 64, m = 8, codes = 16)
+      val cat = tempShardDir("graft_pqcat_", dir)
+      Ann.writePqCodes(cb, e, col("vec_id"), col("embedding"), cat)
+      Ann.searchPqCodes(s, cat, e, col("vec_id"), col("embedding"),
+          probes, k = 10, rerank = 40)
+        .orderBy("probe_id", "rank")
+    },
+
     // L18 (exact twin): cross-corpus key overlap, exactly — the honest
     // tool Sketch.overlapEstimate approximates. One distinct-key
     // shuffle + one global agg; gates the semantics the sketch's
@@ -2006,6 +2026,17 @@ object SparkEntry {
         Ann.trainPq(e, col("embedding"), dim = 64, m = 8, codes = 16),
         e, col("vec_id"), col("embedding"), probes, rerank = 50)
     },
+    // ann_pq_persisted upstream: the same deterministic train + encode
+    // produces the identical candidate set the catalog search reranks
+    // (AnnSpec pins catalog-read codes ≡ freshly-encoded codes).
+    "ann_pqp_cand" -> { (s, dir) =>
+      val e = embeddings(s, dir).toNative
+      val probes = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("probe_vec"))
+      Ann.pqCandidates(
+        Ann.trainPq(e, col("embedding"), dim = 64, m = 8, codes = 16),
+        e, col("vec_id"), col("embedding"), probes, rerank = 40)
+    },
     // ann_ivfpq upstream: the composed path's ADC candidates from the
     // identically-trained coarse + product quantizers.
     "ann_ivfpq_cand" -> { (s, dir) =>
@@ -2106,6 +2137,7 @@ object SparkEntry {
     "ann_lsh"         -> "ann_lsh_cand",
     "ann_ivf"         -> "ann_ivf_cand",
     "ann_pq"          -> "ann_pq_cand",
+    "ann_pq_persisted" -> "ann_pqp_cand",
     "ann_ivfpq"       -> "ann_ivfpq_cand",
   )
 
@@ -2601,6 +2633,7 @@ FROM s ORDER BY doc_id"""
     "ann_lsh"    -> annRerankSql("ann_lsh_cand"),
     "ann_ivf"    -> annRerankSql("ann_ivf_cand"),
     "ann_pq"     -> annRerankSql("ann_pq_cand"),
+    "ann_pq_persisted" -> annRerankSql("ann_pqp_cand"),
     "ann_ivfpq"  -> annRerankSql("ann_ivfpq_cand"),
 
     "text_langid" -> textLangidOracleSql,

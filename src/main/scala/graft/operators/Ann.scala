@@ -450,17 +450,29 @@ object Ann {
       probes: DataFrame, rerank: Int): DataFrame = {
     if (cb.isEmpty)
       return probes.select(col("probe_id"), lit(0L).as("neighbor_id")).where(lit(false))
-    def enc(v: Column): Column =
-      Bridge.column(PqEncodeExpr(Bridge.expr(v), cb.flat, cb.m, cb.subDim, cb.k))
+    // at 100 TB the encoded table is written ONCE (m small ints per
+    // row) and re-scanned per probe batch ([[writePqCodes]] is that
+    // write); the raw vectors never ride the scoring scan
+    val encoded = df.select(id.as("neighbor_id"), pqEncode(cb, vec).as("_codes"))
+      .where(size(col("_codes")) > 0)
+    pqScoreEncoded(cb, encoded, probes, rerank)
+  }
+
+  /** PQ-encode a vector column under `cb` (the codes-catalog row
+    * payload; empty array for degenerate vectors). */
+  def pqEncode(cb: PqCodebooks, vec: Column): Column =
+    Bridge.column(PqEncodeExpr(Bridge.expr(vec), cb.flat, cb.m, cb.subDim, cb.k))
+
+  /** ADC scoring + per-probe top-`rerank` over an ALREADY-ENCODED
+    * frame `(neighbor_id, _codes)` — the shared tail of
+    * [[pqCandidates]] (encode-on-the-fly) and [[searchPqCodes]]
+    * (codes read from the persisted catalog). */
+  private def pqScoreEncoded(
+      cb: PqCodebooks, encoded: DataFrame, probes: DataFrame, rerank: Int): DataFrame = {
     def lut(v: Column): Column =
       Bridge.column(PqLutExpr(Bridge.expr(v), cb.flat, cb.m, cb.subDim, cb.k))
     def adc(codes: Column, l: Column): Column =
       Bridge.column(PqAdcExpr(Bridge.expr(codes), Bridge.expr(l), cb.k))
-    // at 100 TB the encoded table is written ONCE (m small ints per
-    // row) and re-scanned per probe batch; the raw vectors never ride
-    // the scoring scan
-    val encoded = df.select(id.as("neighbor_id"), enc(vec).as("_codes"))
-      .where(size(col("_codes")) > 0)
     val probeLuts = probes
       .select(col("probe_id"), lut(col("probe_vec")).as("_lut"))
       .where(size(col("_lut")) > 0)
@@ -468,6 +480,94 @@ object Ann {
       .where(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"), adc(col("_codes"), col("_lut")).as("sim"))
     topKPerProbe(scored, rerank).select("probe_id", "neighbor_id")
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted PQ codes catalog (compute-once / search-many — the
+  // pattern the MinHash index and theta catalog already follow)
+  // ------------------------------------------------------------------
+
+  /** Persist the PQ-ENCODED corpus as a searchable catalog:
+    * `path/codes/` holds `(id, codes)` parquet (m small ints per row —
+    * the 100 TB scan layout), `path/params/` holds the codebook tensor
+    * and is the COMMIT MARKER, written LAST (the
+    * [[Dedup.writeMinHashIndex]] discipline): a crash between the two
+    * writes leaves a params-less tree that reads as corrupt, never as
+    * valid-but-wrong. `mode = "append"` adds a batch and FAIL-FASTS
+    * unless the stored codebook is IDENTICAL to `cb` — codes are
+    * meaningless under any other codebook — and refuses params-less
+    * data (repair is an explicit overwrite). Overwrite drops the old
+    * marker FIRST for the same reason. Degenerate vectors (NULL /
+    * all-NaN / zero-norm) encode to empty and are dropped, matching
+    * the on-the-fly path. */
+  def writePqCodes(
+      cb: PqCodebooks, df: DataFrame, id: Column, vec: Column,
+      path: String, mode: String = "overwrite"): Unit = {
+    require(mode == "overwrite" || mode == "append", s"unsupported catalog write mode: $mode")
+    val spark = df.sparkSession
+    val existing = readPqCodesParams(spark, path)
+    if (mode == "append") existing match {
+      case Some(p) =>
+        require(p == cb,
+          s"PQ codes catalog at $path was built with (m, subDim, k)=(${p.m}, ${p.subDim}, " +
+            s"${p.k}) and a different codebook; refusing to append codes from another quantizer")
+      case None =>
+        require(!pqCodesDataExists(spark, path),
+          s"PQ codes catalog at $path has codes/ but no params/ — a failed write left it " +
+            "inconsistent; re-create it with mode=\"overwrite\" or restore params/ before appending")
+    }
+    if (mode == "overwrite" && existing.isDefined) {
+      val p = new org.apache.hadoop.fs.Path(s"$path/params")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    df.select(id.as("id"), pqEncode(cb, vec).as("codes"))
+      .where(size(col("codes")) > 0)
+      .write.mode(mode).parquet(s"$path/codes")
+    if (mode == "overwrite" || existing.isEmpty) {
+      import spark.implicits._
+      Seq((cb.m, cb.subDim, cb.k, cb.flat))
+        .toDF("m", "sub_dim", "k", "flat")
+        .write.mode("overwrite").parquet(s"$path/params")
+    }
+  }
+
+  /** The codebook committed at `path`, None if no catalog exists. */
+  def readPqCodesParams(
+      spark: org.apache.spark.sql.SparkSession, path: String): Option[PqCodebooks] =
+    try {
+      val r = spark.read.parquet(s"$path/params").head()
+      Some(PqCodebooks(r.getAs[Int]("m"), r.getAs[Int]("sub_dim"),
+        r.getAs[Int]("k"), r.getSeq[Double](3)))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  private def pqCodesDataExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/codes")
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** PQ search over a PERSISTED codes catalog: ADC candidates come
+    * from `path/codes` — the corpus is NOT re-encoded per search
+    * session (the r18 gap: [[topKPqWith]] takes the raw-vector frame
+    * and pays the encode pass every time) — and only the top-`rerank`
+    * fetch their true vectors from `raw` (cold storage) for the exact
+    * cosine top-`k`. Law (AnnSpec): identical results to
+    * [[topKPqWith]] with the committed codebook over the same corpus.
+    * Throws if no catalog is committed at `path`. */
+  def searchPqCodes(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      raw: DataFrame, id: Column, vec: Column,
+      probes: DataFrame, k: Int, rerank: Int = 50): DataFrame = {
+    val cb = readPqCodesParams(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no PQ codes catalog committed at $path"))
+    if (cb.isEmpty) {
+      return probes.select(col("probe_id"), lit(0L).as("neighbor_id"),
+        lit(0.0).as("sim"), lit(0).as("rank")).where(lit(false))
+    }
+    val encoded = spark.read.parquet(s"$path/codes")
+      .select(col("id").as("neighbor_id"), col("codes").as("_codes"))
+    exactRerank(pqScoreEncoded(cb, encoded, probes, rerank), raw, id, vec, probes, k)
   }
 
   /** L7 — LSH-bucketed ANN: candidates are rows sharing a hyperplane

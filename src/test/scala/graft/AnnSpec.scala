@@ -328,6 +328,49 @@ class AnnSpec extends SparkSpec {
     assert(HyperplaneBucketsExpr(c, cs, 1, 2) == HyperplaneBucketsExpr(c, Seq(1.0, 0.0, 0.0, 1.0), 1, 2))
   }
 
+  test("PQ codes catalog: search over written codes equals topKPqWith; append and fail-fasts") {
+    val (e, probes) = frames
+    val cb = Ann.trainPq(e, col("embedding"), dim = dim, m = 4, codes = 8)
+    val dir = java.nio.file.Files.createTempDirectory("pqcat").toString + "/cat"
+    Ann.writePqCodes(cb, e, col("vec_id"), col("embedding"), dir)
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val direct = asSet(Ann.topKPqWith(cb, e, col("vec_id"), col("embedding"),
+      probes, k = 4, rerank = 20))
+    val fromCatalog = asSet(Ann.searchPqCodes(spark, dir, e, col("vec_id"),
+      col("embedding"), probes, k = 4, rerank = 20))
+    assert(fromCatalog == direct, "persisted-codes search must equal the in-memory path")
+    // incremental build: two appends over an overwrite == one full write
+    val dir2 = java.nio.file.Files.createTempDirectory("pqcat2").toString + "/cat"
+    Ann.writePqCodes(cb, e.where(col("vec_id") % 2 === 0), col("vec_id"), col("embedding"), dir2)
+    Ann.writePqCodes(cb, e.where(col("vec_id") % 2 =!= 0), col("vec_id"), col("embedding"),
+      dir2, mode = "append")
+    val appended = asSet(Ann.searchPqCodes(spark, dir2, e, col("vec_id"),
+      col("embedding"), probes, k = 4, rerank = 20))
+    assert(appended == direct, "append-built catalog must search identically")
+    // fail-fast: appending codes from a DIFFERENT codebook is refused
+    val otherCb = Ann.trainPq(e, col("embedding"), dim = dim, m = 4, codes = 8, seed = 99L)
+    assert(otherCb != cb)
+    intercept[IllegalArgumentException] {
+      Ann.writePqCodes(otherCb, e, col("vec_id"), col("embedding"), dir2, mode = "append")
+    }
+    // fail-fast: params-less data (a crash between the two writes) is
+    // corrupt, not empty — append refuses; overwrite repairs
+    val pdir = new java.io.File(dir2, "params")
+    pdir.listFiles.foreach(f => { f.delete(); () }); pdir.delete()
+    assert(Ann.readPqCodesParams(spark, dir2).isEmpty)
+    intercept[IllegalArgumentException] {
+      Ann.writePqCodes(cb, e, col("vec_id"), col("embedding"), dir2, mode = "append")
+    }
+    Ann.writePqCodes(cb, e, col("vec_id"), col("embedding"), dir2) // overwrite repairs
+    assert(asSet(Ann.searchPqCodes(spark, dir2, e, col("vec_id"),
+      col("embedding"), probes, k = 4, rerank = 20)) == direct)
+    // no catalog at all → throw, not silently-empty
+    intercept[IllegalArgumentException] {
+      Ann.searchPqCodes(spark, dir2 + "_nope", e, col("vec_id"), col("embedding"), probes, k = 4)
+    }
+  }
+
   test("rerankFor recovers PQ recall on a near-duplicate corpus (sf10 jitter twin)") {
     import spark.implicits._
     // Small-scale twin of the jittered sf10 stress finding: one probe
