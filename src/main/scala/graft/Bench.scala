@@ -259,6 +259,66 @@ object Bench {
         Thread.sleep(2L * backoffS * 1000L)
         baseOrders :+ runPass(seed + nPasses + 1)
       }
+    // Auto-probe (r19 — kills the sf10 "weather tax"): every round the
+    // single-pass sf10 sweep produced 5-10 up-movers that demanded
+    // manual fresh-probe reclassification (r18: source_overlap read
+    // 65.6 s in the sweep, 7.6 s probed). With SPARK_GRAFT_BENCH_REF
+    // pointing at the prior round's sidecar (query_mins) or summary
+    // (queries), any query whose min exceeds
+    // $SPARK_GRAFT_BENCH_MOVER_FACTOR (default 3.0) × its reference
+    // re-times ONCE after a backoff, in the same run — min-of-N only
+    // improves, so a weather-inflated sample can't survive as the
+    // official number, and the probe is recorded in the sidecar
+    // ("auto_probed") instead of a manual reclassification section.
+    // Queries without a reference row (new gates) are skipped.
+    val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF")
+    val moverFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_MOVER_FACTOR", "3.0").toDouble
+    val refMins: Map[String, Double] = refPath match {
+      case None => Map.empty
+      case Some(p) =>
+        try {
+          val txt = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(p)), "UTF-8")
+          // both reference shapes are FLAT {"name":sec,...} objects
+          val key = if (txt.contains("\"query_mins\":{")) "\"query_mins\":{" else "\"queries\":{"
+          val start = txt.indexOf(key)
+          val body =
+            if (start < 0) ""
+            else txt.substring(start + key.length, txt.indexOf('}', start))
+          val Re = "\"([A-Za-z0-9_]+)\":([0-9][0-9.Ee+-]*)".r
+          Re.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] reference sidecar unreadable ($p): ${e.getMessage}")
+            Map.empty
+        }
+    }
+    val autoProbed = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    if (refMins.nonEmpty) {
+      val movers = qs.filter { case (name, _) =>
+        !failed(name) && samples.get(name).exists(_.nonEmpty) &&
+          refMins.get(name).exists(r => r > 0 && samples(name).min > moverFactor * r)
+      }
+      if (movers.nonEmpty) {
+        System.err.println(s"[bench] auto-probe: ${movers.size} mover(s) > " +
+          s"${moverFactor}x reference — re-timing after ${backoffS}s: " +
+          movers.map(_._1).mkString(", "))
+        Thread.sleep(backoffS * 1000L)
+        movers.foreach { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try {
+            run(fn)
+            val dt = (System.nanoTime() - t0) / 1e9
+            samples(name) = samples(name) :+ dt
+            autoProbed(name) = dt
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] auto-probe $name FAILED: ${e.getMessage}")
+          }
+          release()
+        }
+      }
+    }
     val loadAfter = load
     def f(v: Double): String = "%.4f".formatLocal(java.util.Locale.ROOT, v)
     // Failed queries are OMITTED from the queries map and carried only in
@@ -356,6 +416,8 @@ object Bench {
         vs.mkString("{", ",", "}")
       }
 
+    val probedJson = autoProbed.map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .mkString("{", ",", "}")
     // Telemetry sidecar: everything a human needs to judge whether a
     // bad number is contention or code — never on the parsed line.
     val pjson = qs.map { case (name, _) =>
@@ -372,7 +434,7 @@ object Bench {
     // not happen again by construction.
     val contendedAny = contended || anyPassHot
     val sidecar =
-      s"""{"seed":$seed,"input_prewarm":$inputPrewarm,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"ambient_cores_per_pass":$ambJson,"pass_quiet":$quietJson,"quiet_retry_pass":$retriedQuiet,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contendedAny,"contended_prewarmup":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"incremental_phases":$incrPhases,"corpus_phases":$corpusPhases,"variants":$variantJson,"query_mins":$qjson,"pass_orders":$ojson,"passes":$pjson}"""
+      s"""{"seed":$seed,"input_prewarm":$inputPrewarm,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"ambient_cores_per_pass":$ambJson,"pass_quiet":$quietJson,"quiet_retry_pass":$retriedQuiet,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contendedAny,"contended_prewarmup":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"auto_probe_ref":${refPath.map("\"" + _ + "\"").getOrElse("null")},"auto_probe_factor":${f(moverFactor)},"auto_probed":$probedJson,"incremental_phases":$incrPhases,"corpus_phases":$corpusPhases,"variants":$variantJson,"query_mins":$qjson,"pass_orders":$ojson,"passes":$pjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecarPath), sidecar)
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     System.err.println(s"[bench] telemetry sidecar: $sidecarPath (seed=$seed)")
@@ -396,6 +458,7 @@ object Bench {
     only.foreach(o => flags ++= s""","filtered":${o.size}""")
     if (contendedAny) flags ++= s""","contended":true,"load_avg_before":${f(loadBefore)}"""
     if (retriedQuiet) flags ++= ""","quiet_retry_pass":true"""
+    if (autoProbed.nonEmpty) flags ++= s""","auto_probed":${autoProbed.size}"""
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val summaryPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SUMMARY", "bench_summary.json")
     val fullLine =
