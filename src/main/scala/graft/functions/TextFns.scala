@@ -193,12 +193,16 @@ object TextFns {
           case Some(c) => c.when(cnt > 0, label)
         })
     }.get
-    val full = stopwordFamilies.indices.foldLeft(scriptChain) { (acc, i) =>
-      val cond = (i + 1 until stopwordFamilies.length)
-        .map(j => hits.getItem(i) >= hits.getItem(j))
-        .foldLeft(hits.getItem(i) > 0)(_ && _)
-      acc.when(cond, stopwordFamilies(i)._1)
-    }
+    // family argmax via array_max + array_position (FIRST index on
+    // ties = the earlier-family priority) — the n² pairwise CASE form
+    // at 19 families blew past codegen limits and ran interpreted
+    // (measured 5× on text_langid); these are two single passes over
+    // the 19-element array, mirrored by list_max/list_position in the
+    // generated oracle
+    val famCodes = array(stopwordFamilies.map(f => lit(f._1)): _*)
+    val best = array_max(hits)
+    val full = scriptChain.when(best > 0,
+      element_at(famCodes, array_position(hits, best).cast("int")))
     df.withColumn("_lid_sig", langSig(text))
       .withColumn(out, full.otherwise("und"))
       .drop("_lid_sig")
