@@ -1210,9 +1210,14 @@ object SparkEntry {
     // oracle on (shard_id, position, doc_id, n_tokens): the pack_shards
     // cumsum chain + row_number per shard.
     "pack_write" -> { (s, dir) =>
-      val docs = documents(s, dir).toNative
+      // BOUNDED slice: one-file-per-shard at a FIXED token budget means
+      // the file count — and the write cost — grows linearly in sf
+      // (the sf1 sweep paid 10.8 s for ~600 tiny files); production
+      // sizes the budget to the corpus (tokens-per-training-file), a
+      // fixed-SQL gate can't, so it bounds the input instead
+      val docs = documents(s, dir).toNative.where(col("doc_id") < 4000)
       val packed = Pack.packByBudget(docs, col("doc_id"),
-        TextFns.tokenCountWs(col("text")), budget = 5000)
+        TextFns.tokenCountWs(col("text")), budget = 2000)
       val out = tempShardDir("graft_packwrite_", dir)
       Pack.writeShards(packed, out, shardCol = "shard_id", orderCol = "id")
       s.read.parquet(out)
@@ -1414,18 +1419,23 @@ object SparkEntry {
     // presence-dot per row. md5 hashing so the oracle re-derives the
     // ENTIRE apply: hashing, distinct-bucket presence sum, length
     // bin, fixed z chain, micro sigmoid (_aux/ngram_lr_model carries
-    // the identically re-trained weights).
+    // the identically re-trained weights). The md5 gram chain IS the
+    // gate's dominant cost at stress sf — the dsir_weights_md5
+    // precedent: the deliberately-kept cross-engine oracle twin;
+    // production scores on the xxhash64 kernel (md5Hash = false).
     "quality_lr_ngram" -> { (s, dir) =>
       val docs = documents(s, dir).toNative
       val labeled = docs.withColumn("_label",
         TextFns.gopherFlags(col("text"), minWords = 25, minStopwords = 1)
           .getField("keep"))
       // BOUNDED training sample (the published contract — quality
-      // classifiers train on a labeled sample, score the corpus) +
+      // classifiers train on a FIXED-size labeled sample and score the
+      // corpus; an unbounded slice made the sf1 sweep pay 17 s) +
       // fewer passes than the spec's agreement study: the gate checks
       // train determinism + the scoring contract, and 40 proximal
-      // passes over the %4 slice keep its cost flat in sf
-      val m = NgramLR.train(labeled.where(pmod(col("doc_id"), lit(4)) === 1),
+      // passes over ≤5k docs keep its cost FLAT in sf
+      val m = NgramLR.train(
+        labeled.where(pmod(col("doc_id"), lit(4)) === 1 && col("doc_id") < 20000),
         col("text"), col("_label"), iters = 40, md5Hash = true)
       NgramLR.score(docs, col("doc_id"), col("text"), m, md5Hash = true)
         .select(col("id").as("doc_id"), col("n_grams"), col("score_micro"), col("keep"))
@@ -1957,7 +1967,8 @@ object SparkEntry {
       val labeled = docs.withColumn("_label",
         TextFns.gopherFlags(col("text"), minWords = 25, minStopwords = 1)
           .getField("keep"))
-      NgramLR.toFrame(NgramLR.train(labeled.where(pmod(col("doc_id"), lit(4)) === 1),
+      NgramLR.toFrame(NgramLR.train(
+        labeled.where(pmod(col("doc_id"), lit(4)) === 1 && col("doc_id") < 20000),
         col("text"), col("_label"), iters = 40, md5Hash = true), s)
     },
 
@@ -3803,12 +3814,12 @@ FROM fl ORDER BY doc_id"""
         |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000 AS BIGINT) AS shard_id
         |FROM t ORDER BY doc_id""".stripMargin,
 
-    // The written training layout read back: the same greedy cumsum at
-    // budget 5000, position = row_number within shard by doc order.
+    // The written training layout read back: the same greedy cumsum on
+    // the bounded slice, position = row_number within shard by doc order.
     "pack_write" ->
-      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents WHERE doc_id < 4000),
         |p AS (SELECT doc_id, n_tokens,
-        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 5000 AS BIGINT) AS shard_id
+        |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 2000 AS BIGINT) AS shard_id
         |FROM t)
         |SELECT shard_id,
         |  CAST(row_number() OVER (PARTITION BY shard_id ORDER BY doc_id) - 1 AS BIGINT) AS position,
