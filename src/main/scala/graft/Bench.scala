@@ -272,7 +272,17 @@ object Bench {
     // ("auto_probed") instead of a manual reclassification section.
     // Queries without a reference row (new gates) are skipped.
     val refPath = sys.env.get("SPARK_GRAFT_BENCH_REF")
-    val moverFactor = sys.env.getOrElse("SPARK_GRAFT_BENCH_MOVER_FACTOR", "3.0").toDouble
+    // Factor 2.0 since r20 (was 3.0): the 3.0 bar let two 2-3x sf10
+    // movers (dedup_embedding 2.82x, nb_classify 2.31x) through
+    // unprobed in r19. Malformed env values fall back with a warning
+    // instead of aborting the whole sweep (ADVICE r19).
+    val moverFactor = sys.env.get("SPARK_GRAFT_BENCH_MOVER_FACTOR")
+      .flatMap { s =>
+        val v = s.toDoubleOption
+        if (v.isEmpty) System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_BENCH_MOVER_FACTOR '$s' is not a number; using 2.0")
+        v
+      }.getOrElse(2.0)
     val refMins: Map[String, Double] = refPath match {
       case None => Map.empty
       case Some(p) =>
@@ -285,8 +295,19 @@ object Bench {
           val body =
             if (start < 0) ""
             else txt.substring(start + key.length, txt.indexOf('}', start))
-          val Re = "\"([A-Za-z0-9_]+)\":([0-9][0-9.Ee+-]*)".r
-          Re.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+          // Enforce the flat-object invariant the substring scan relies
+          // on (ADVICE r19): a nested '{' inside the scanned body means
+          // the first-'}' termination truncated the map — better to
+          // disable auto-probe loudly than mis-target it silently.
+          if (body.contains('{')) {
+            System.err.println(s"[bench] reference map in $p is not flat — auto-probe disabled")
+            Map.empty
+          } else {
+            val Re = "\"([A-Za-z0-9_]+)\":([0-9][0-9.Ee+-]*)".r
+            val m = Re.findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
+            System.err.println(s"[bench] loaded ${m.size} reference rows from $p")
+            m
+          }
         } catch {
           case e: Throwable =>
             System.err.println(s"[bench] reference sidecar unreadable ($p): ${e.getMessage}")

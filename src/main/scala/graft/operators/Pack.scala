@@ -142,9 +142,11 @@ object Pack {
     * [[placeShards]] exchange a shard's rows are contiguous in exactly
     * one task, the sort satisfies the dynamic-partition writer's
     * required ordering (no extra sort is inserted), and the writer
-    * opens one file per partition value per task. Do NOT set
-    * `maxRecordsPerFile` on the session for this write — it would
-    * split shard files. At 100 TB the shard BUDGET (not this writer)
+    * opens one file per partition value per task. A session-level
+    * `spark.sql.files.maxRecordsPerFile` would split shard files and
+    * break the contract, so this call OVERRIDES it to 0 for the write
+    * and restores the prior value after (ADVICE r19 — enforced, not a
+    * docstring). At 100 TB the shard BUDGET (not this writer)
     * controls the file-count/file-size trade: budget ≈ tokens-per-
     * training-file, exactly how published pipelines size shards.
     *
@@ -157,8 +159,16 @@ object Pack {
       format: String = "parquet"): Unit = {
     require(format == "parquet" || format == "json",
       s"format must be 'parquet' or 'json', got '$format'")
-    placeShards(df, shardCol, orderCol)
+    val conf = df.sparkSession.conf
+    val key = "spark.sql.files.maxRecordsPerFile"
+    val prior = conf.getOption(key)
+    conf.set(key, 0L) // one-file-per-shard contract (see doc above)
+    try placeShards(df, shardCol, orderCol)
       .write.mode("overwrite").partitionBy(shardCol).format(format).save(path)
+    finally prior match {
+      case Some(v) => conf.set(key, v)
+      case None    => conf.unset(key)
+    }
   }
 
   /** Quality-ordered token-budget SELECTION — the curation step before

@@ -433,13 +433,17 @@ object Warc {
     /** After a member error: scan the raw bytes for the next member
       * magic and position so the next [[read]] resumes at that header.
       * A candidate is accepted only if the WHOLE fixed header passes:
-      * 0x1F 0x8B, CM 8, sane FLG, XFL one of the values real encoders
-      * write (0/2/4) and a known OS byte (≤13 or 255) — ~23 bits of
-      * validation, so 0x1F 0x8B false positives inside deflate data
-      * are rejected HERE instead of each escaping, failing on the next
-      * read, and burning one of the MaxDegradesPerFile tombstones (a
-      * large corrupt region must not exhaust the budget and drop a
-      * recoverable tail). The scan restarts from the BEGINNING of the
+      * 0x1F 0x8B, CM 8, sane FLG, and a known OS byte (≤13 or 255) —
+      * ~15 bits of validation, so 0x1F 0x8B false positives inside
+      * deflate data are rejected HERE instead of each escaping, failing
+      * on the next read, and burning one of the MaxDegradesPerFile
+      * tombstones (a large corrupt region must not exhaust the budget
+      * and drop a recoverable tail). XFL is deliberately NOT checked:
+      * RFC 1952 §2.3.1 does not restrict it (the 2/4 values are only
+      * what deflate encoders conventionally write), so an XFL gate
+      * would skip legitimate members written by other encoders during
+      * recovery — dropped records, not just a slower resync (ADVICE
+      * r19). The scan restarts from the BEGINNING of the
       * last slice handed to the inflater (the error was detected
       * somewhere inside it, and the next member's header bytes may
       * already have been consumed as bogus deflate input) — valid
@@ -470,18 +474,20 @@ object Warc {
           var consumed: List[Int] = Nil // post-FLG bytes, reverse read order
           var ok = cm == 8 && flg >= 0 && (flg & 0xE0) == 0
           if (ok) {
-            var xfl = -1; var os = -1
+            var os = -1
             var i = 0
             while (ok && i < 6) { // MTIME(4) XFL OS
               val b = rawByte()
               if (b < 0) ok = false
               else {
                 consumed = b :: consumed
-                if (i == 4) xfl = b else if (i == 5) os = b
+                if (i == 5) os = b
               }
               i += 1
             }
-            if (ok) ok = (xfl == 0 || xfl == 2 || xfl == 4) && (os <= 13 || os == 255)
+            // any XFL accepted (RFC 1952 does not restrict it); the OS
+            // whitelist alone keeps random-byte false positives ~1/2^15
+            if (ok) ok = os <= 13 || os == 255
           }
           if (ok) {
             pendingMagic = true; pendingCm = cm; pendingFlg = flg

@@ -664,3 +664,91 @@ final case class LangHitsExpr(child: Expression, lists: Seq[Seq[String]])
   override protected def withNewChildInternal(newChild: Expression): LangHitsExpr =
     copy(child = newChild)
 }
+
+/** Per-class exact micro scores for a multinomial linear classifier
+  * over (presence buckets + integer count features) — the L8b trained
+  * language-ID apply ([[graft.operators.LangLR]]): for each class c,
+  * `z_c = bias_c + Σ_{b ∈ buckets} bag_c[b] + Σ_j counts[j]·cw_c[j]`,
+  * every term an integer micro unit, so the whole score vector is
+  * BIGINT-exact and order-free — the argmax needs NO floating point,
+  * which is what lets a SQL oracle re-derive the entire apply.
+  * `buckets` should be DISTINCT ids (presence semantics — the caller
+  * wraps `array_distinct`); out-of-range ids are ignored like
+  * [[BucketDotExpr]]. Returns `array<long>` of K class scores; null if
+  * either input is null. One row pass regardless of K (the K separate
+  * BucketDotExpr formulation would re-scan the bucket array per
+  * class AND overflow the codegen splitter at K ≈ 28). */
+final case class MultiDotExpr(left: Expression, right: Expression,
+    bagMicro: Seq[Seq[Long]], cntMicro: Seq[Seq[Long]], biasMicro: Seq[Long])
+    extends BinaryExpression with ExpectsInputTypes {
+
+  require(bagMicro.length == biasMicro.length && cntMicro.length == biasMicro.length,
+    s"per-class tables disagree: bag ${bagMicro.length}, cnt ${cntMicro.length}, bias ${biasMicro.length}")
+  require(biasMicro.nonEmpty, "need at least one class")
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(IntegerType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "multi_dot"
+
+  @transient private lazy val bag: Array[Array[Long]] = bagMicro.map(_.toArray).toArray
+  @transient private lazy val cnt: Array[Array[Long]] = cntMicro.map(_.toArray).toArray
+  @transient private lazy val bias: Array[Long] = biasMicro.toArray
+
+  override protected def nullSafeEval(b: Any, c: Any): Any =
+    MultiDotExpr.dot(b.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], bag, cnt, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bagRef = ctx.addReferenceObj("mdBag", bag, "long[][]")
+    val cntRef = ctx.addReferenceObj("mdCnt", cnt, "long[][]")
+    val biasRef = ctx.addReferenceObj("mdBias", bias, "long[]")
+    defineCodeGen(ctx, ev, (b, c) =>
+      s"org.apache.spark.sql.graftexpr.MultiDotExpr.dot($b, $c, $bagRef, $cntRef, $biasRef)")
+  }
+
+  override protected def withNewChildInternal(
+      newLeft: Expression, newRight: Expression): MultiDotExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+object MultiDotExpr {
+  def dot(buckets: ArrayData, counts: ArrayData,
+      bag: Array[Array[Long]], cnt: Array[Array[Long]], bias: Array[Long]): ArrayData = {
+    val k = bias.length
+    val z = new Array[Long](k)
+    System.arraycopy(bias, 0, z, 0, k)
+    val nb = buckets.numElements()
+    var i = 0
+    while (i < nb) {
+      if (!buckets.isNullAt(i)) {
+        val b = buckets.getLong(i)
+        if (b >= 0) {
+          var c = 0
+          while (c < k) {
+            val t = bag(c)
+            if (b < t.length) z(c) += t(b.toInt)
+            c += 1
+          }
+        }
+      }
+      i += 1
+    }
+    val nc = counts.numElements()
+    i = 0
+    while (i < nc) {
+      if (!counts.isNullAt(i)) {
+        val v = counts.getInt(i)
+        if (v != 0) {
+          var c = 0
+          while (c < k) {
+            val t = cnt(c)
+            if (i < t.length) z(c) += t(i) * v
+            c += 1
+          }
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(z)
+  }
+}

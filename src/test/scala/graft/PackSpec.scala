@@ -334,6 +334,28 @@ class PackSpec extends SparkSpec {
     assert(back == ref)
   }
 
+  test("writeShards: session maxRecordsPerFile cannot split shard files (overridden for the write)") {
+    // ADVICE r19: a session-level maxRecordsPerFile used to silently
+    // break the one-file-per-shard loader contract; writeShards now
+    // overrides it to 0 for the write and restores it after.
+    val key = "spark.sql.files.maxRecordsPerFile"
+    val df = (0L until 120L).map(i => (i, 10L)).toDF("id", "weight")
+    val packed = Pack.packByBudget(df, col("id"), col("weight"), budget = 400)
+    val dir = java.nio.file.Files.createTempDirectory("packm").toString + "/tree"
+    spark.conf.set(key, 5L) // would split every 40-doc shard into 8 files
+    try {
+      Pack.writeShards(packed, dir)
+      assert(spark.conf.get(key) == "5", "prior session value must be restored")
+    } finally spark.conf.unset(key)
+    val shardDirs = new java.io.File(dir).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("shard_id="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val data = d.listFiles.filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      assert(data.length == 1, s"${d.getName} split into ${data.length} files")
+    }
+  }
+
   test("writeShards: placement plan is ONE exchange, no global window; json layout works") {
     val df = (0L until 50L).map(i => (i, 5L)).toDF("id", "weight")
     val packed = Pack.packByBudget(df, col("id"), col("weight"), budget = 25)

@@ -309,7 +309,8 @@ class WarcSpec extends SparkSpec {
   test("gzip rescan: false-positive magics inside a corrupt region don't burn the degrade budget") {
     val dir = tmpDir()
     // 150 fake member headers (magic + CM 8 + FLG 0 pass the old 2-byte
-    // check; XFL 0x99 fails the fixed-header validation) — more fakes
+    // check; OS 0x66 fails the fixed-header validation — XFL is
+    // deliberately unchecked per RFC 1952) — more fakes
     // than MaxDegradesPerFile, so if each escaped the rescan as its own
     // tombstone the budget would exhaust and drop the recoverable tail
     val junk = Array.fill(150)(Array[Byte](0x1F, 0x8B.toByte, 0x08, 0x00,
