@@ -418,6 +418,26 @@ object Bench {
         "null"
       }
 
+    // web_prep stage attribution (sidecar-only, r20): the sf10 sweep's
+    // biggest single number (108 s at r19) had no breakdown; the
+    // corpus_phases pattern applied to the archive flow — each stage
+    // thunk materializes its own boundary, so a future regression
+    // localizes to ingest/gate/dedup/pack.
+    val webPhases: String =
+      if (only.isDefined) "null"
+      else try {
+        val parts = SparkEntry.webPrepPhases(spark, sfDir).map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          fn().queryExecution.toRdd.count()
+          s"\"" + name + "\":" + f((System.nanoTime() - t0) / 1e9)
+        }
+        release()
+        parts.mkString("{", ",", "}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] web_prep phase split failed: ${e.getMessage}")
+        "null"
+      }
+
     // Sidecar-only A/B variants (e.g. collapseExact=false twins of the
     // dedup queries) — one timed run each, never on the official line.
     // Skipped for filtered probe runs: they exist to make the OFFICIAL
@@ -455,7 +475,7 @@ object Bench {
     // not happen again by construction.
     val contendedAny = contended || anyPassHot
     val sidecar =
-      s"""{"seed":$seed,"input_prewarm":$inputPrewarm,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"ambient_cores_per_pass":$ambJson,"pass_quiet":$quietJson,"quiet_retry_pass":$retriedQuiet,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contendedAny,"contended_prewarmup":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"auto_probe_ref":${refPath.map("\"" + _ + "\"").getOrElse("null")},"auto_probe_factor":${f(moverFactor)},"auto_probed":$probedJson,"incremental_phases":$incrPhases,"corpus_phases":$corpusPhases,"variants":$variantJson,"query_mins":$qjson,"pass_orders":$ojson,"passes":$pjson}"""
+      s"""{"seed":$seed,"input_prewarm":$inputPrewarm,"load_avg_first":${f(loadFirst)},"load_avg_before":${f(loadBefore)},"load_avg_after":${f(loadAfter)},"load_avg_per_pass":$loadsJson,"ambient_cores_per_pass":$ambJson,"pass_quiet":$quietJson,"quiet_retry_pass":$retriedQuiet,"load_max":${f(loadMax)},"backed_off":$backedOff,"contended":$contendedAny,"contended_prewarmup":$contended,"cpus_jvm":${Runtime.getRuntime.availableProcessors},"auto_probe_ref":${refPath.map("\"" + _ + "\"").getOrElse("null")},"auto_probe_factor":${f(moverFactor)},"auto_probed":$probedJson,"incremental_phases":$incrPhases,"corpus_phases":$corpusPhases,"web_prep_phases":$webPhases,"variants":$variantJson,"query_mins":$qjson,"pass_orders":$ojson,"passes":$pjson}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(sidecarPath), sidecar)
     catch { case e: Throwable => System.err.println(s"[bench] sidecar write failed: ${e.getMessage}") }
     System.err.println(s"[bench] telemetry sidecar: $sidecarPath (seed=$seed)")

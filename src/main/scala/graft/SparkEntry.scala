@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, concat, concat_ws, count, lit, max, pmod, regexp_extract, round, sum, when}
 import graft.functions.{TextFns, UrlFns}
-import graft.operators.{Ann, Bm25, Bpe, Chunk, Dedup, Dsir, Joins, LogReg, Media, NaiveBayes, NgramLM, NgramLR, Pack, Profile, RankFusion, Sampling, Sketch, TfIdf, Timeline}
+import graft.operators.{Ann, Audio, Bm25, Bpe, Chunk, Dedup, Dsir, Joins, LangLR, LogReg, Media, NaiveBayes, NgramLM, NgramLR, Pack, Profile, RankFusion, Sampling, Sketch, TfIdf, Timeline}
 import graft.tables._
 
 /** Intermediate target schemas for multi-join pipelines — the colnade
@@ -377,6 +377,28 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // L8b: TRAINED multiclass language ID — the fastText-lid shape
+    // (CCNet §3.1 gates on lid.176): multinomial softmax over the
+    // DSIR hashed unigram+bigram presence bag + the L8 script-count
+    // features, trained on deterministic per-language fixtures
+    // generated from the exact L8 tables (withLangId stays the cheap
+    // one-scan pre-gate). Scoring is ONE exact K-class BIGINT dot per
+    // row (MultiDotExpr) + first-max argmax — NO float anywhere in
+    // the apply. PARTIAL oracle over _aux/langlr_model (the
+    // identically re-trained weight tensor): DuckDB re-derives the
+    // md5 bucket hashing, per-class presence sums, the RE2
+    // script-count mirrors, the integer z, and the argmax with the
+    // documented tie order (z DESC, class index ASC). md5 kernel so
+    // the oracle can re-derive; production default is xxhash64.
+    "text_langid_trained" -> { (s, dir) =>
+      val m = LangLR.train(LangLR.fixtures(s), col("text"), col("label"),
+        buckets = LangLrBuckets, md5Hash = true)
+      LangLR.score(documents(s, dir).toNative, col("doc_id"), col("text"), m,
+          md5Hash = true)
+        .select(col("id").as("doc_id"), col("lang"), col("z_micro"))
+        .orderBy("doc_id")
+    },
+
     // L39: the Gopher rule gate (Rae 2021 A1.1) — seven published
     // document rules as one narrow struct expression; word-count floor
     // lowered to 25 for the synthetic corpus (docs are ~30 words) so
@@ -465,6 +487,23 @@ object SparkEntry {
       val docs = documents(s, dir).toNative
       NgramLM.scoreBigram(docs, col("doc_id"), col("text"),
           NgramLM.fitBigram(docs, col("text")))
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("logprob_micro"), col("avg_logprob"))
+        .orderBy("doc_id")
+    },
+
+    // L29 (Kneser-Ney): published-fidelity perplexity — CCNet's filter
+    // is KenLM's interpolated KN (Wenzek 2020 §3.3; Heafield 2011),
+    // whose bigram form this is: absolute discount D = n1/(n1+2n2),
+    // context fan-out interpolation, add-one continuation floor. Same
+    // ONE corpus scan as lm_bigram (the KN stats are aggregates over
+    // the model-sized count table). FULL oracle: DuckDB re-fits
+    // counts, context/continuation stats, D, and re-scores the
+    // identical fixed IEEE chain.
+    "lm_kn" -> { (s, dir) =>
+      val docs = documents(s, dir).toNative
+      NgramLM.scoreKnBigram(docs, col("doc_id"), col("text"),
+          NgramLM.fitKnBigram(docs, col("text")))
         .select(col("id").as("doc_id"), col("n_bigrams"),
           col("logprob_micro"), col("avg_logprob"))
         .orderBy("doc_id")
@@ -1823,6 +1862,31 @@ object SparkEntry {
       Media.decodeAvMeta(payloads, col("media_id"), col("content"))
         .orderBy("media_id")
     },
+
+    // L48b: audio CONTENT fingerprint — the AV near-dup leg (r19
+    // verdict gap #3): real WAV/FLAC-verbatim PCM decode (CRC-8/16
+    // validated) → 16×4 Goertzel band-activity bits → the shared
+    // 64-bit pigeonhole banding. Consecutive ids render the SAME tone
+    // pattern through DIFFERENT containers (WAV mono / FLAC / WAV
+    // stereo / FLAC), so every pair reaching hamming 0 certifies the
+    // container decode, mixdown, and spectral kernel agree across
+    // codecs. FULL oracle: the expected pair set is exactly the
+    // consecutive-id pairs — plain SQL, no byte parsed (the
+    // multimodal_phash_real discipline). BOUNDED input (< 20000): clip
+    // synthesis + 64 Goertzel passes per clip is linear in sf — the
+    // 7b7484c flat-stress-cost rule; the oracle mirrors the cap.
+    "multimodal_audio_fp" -> { (s, dir) =>
+      import org.apache.spark.sql.Encoders
+      val payloads = documents(s, dir).toNative.select(col("doc_id"))
+        .where(col("doc_id") < 20000)
+        .as[Long](Encoders.scalaLong)
+        .mapPartitions(it => it.map(id =>
+          Media.MediaRow(id, Audio.syntheticAudioClip(id))))(Encoders.product[Media.MediaRow])
+        .toDF()
+      Audio.fpPairs(payloads, col("media_id"), col("content"), maxHamming = 3)
+        .select(col("id_a").as("media_id_a"), col("id_b").as("media_id_b"), col("hamming"))
+        .orderBy("media_id_a", "media_id_b")
+    },
   )
 
   /** corpus_prep(_near) split into named stages, each thunk returning
@@ -1901,6 +1965,55 @@ object SparkEntry {
       "pack" -> (() => packed))
   }
 
+  /** The web_prep flow split into named stages — (ingest_extract,
+    * gate, dedup_decontam_weights, pack) — so the sf10 sidecar can
+    * localize a regression to a stage (r19 verdict #6: 108 s with no
+    * breakdown). The corpusPrepPhases convention: each thunk
+    * materializes its own boundary (localCheckpoint), so stage times
+    * sum to ~the official flow time; the gate itself stays the ONE
+    * composed lazy plan. */
+  def webPrepPhases(s: SparkSession, dir: String): Seq[(String, () => DataFrame)] = {
+    val docs = documents(s, dir).toNative.where(col("doc_id") % 8 === 0)
+    val html = concat(
+      lit("<html><head><title>Web</title><style>p{color:red}</style>" +
+        "<script>if (1 < 2) { x(); }</script></head><body><!-- crawl -->" +
+        "<h1>Web &amp; Prep</h1><p class=\"main\">"), col("text"),
+      lit(" « café § »&nbsp;&lt;end&gt;</p></body></html>"))
+    lazy val pages = {
+      val shardDir = tempShardDir("graft_webprep_ph_", dir)
+      val glob = graft.sources.Warc.writeSyntheticShards(
+        docs.select(col("doc_id"), html.as("html")), shardDir)
+      graft.sources.Warc.read(s, glob)
+        .where(col("valid") && col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          TextFns.htmlToText(col("payload_text")).as("text"))
+        .localCheckpoint()
+    }
+    lazy val bench = pages.where(col("doc_id") % 40 === 0)
+    lazy val gated = TextFns.withLangId(pages.where(col("doc_id") % 40 =!= 0),
+        col("text"), "_lang")
+      .where(TextFns.wordCount(col("text")) >= 8 && col("_lang") === "en")
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint()
+    lazy val weights = {
+      val deduped = Dedup.exactKeep(gated, col("text"), col("doc_id"))
+      val clean = Dedup.decontaminatedKeep(
+        deduped, col("doc_id"), col("text"), bench, col("text"), k = 6)
+      clean.select(col("doc_id"),
+          TextFns.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint()
+    }
+    lazy val packed = Pack.packByBudget(weights, col("doc_id"), col("n_tokens"), budget = 2000)
+      .select(col("id").as("doc_id"), col("weight").as("n_tokens"), col("shard_id"))
+      .orderBy("doc_id")
+    Seq(
+      "ingest_extract" -> (() => pages),
+      "gate" -> (() => gated),
+      "dedup_decontam_weights" -> (() => weights),
+      "pack" -> (() => packed))
+  }
+
   /** The dedup_incremental flow split into its named phases — (cut,
     * index write, query) — so Bench's sidecar can attribute time to
     * each (the official per-query number still gates the full flow).
@@ -1970,6 +2083,14 @@ object SparkEntry {
       NgramLR.toFrame(NgramLR.train(
         labeled.where(pmod(col("doc_id"), lit(4)) === 1 && col("doc_id") < 20000),
         col("text"), col("_label"), iters = 40, md5Hash = true), s)
+    },
+
+    // text_langid_trained upstream: the micro-quantized weight tensor
+    // (identical deterministic re-train — same fixture seed, pinned
+    // 8-slice layout, partition-index combine order).
+    "langlr_model" -> { (s, dir) =>
+      LangLR.toFrame(LangLR.train(LangLR.fixtures(s), col("text"), col("label"),
+        buckets = LangLrBuckets, md5Hash = true), s)
     },
 
     // bpe_tokens upstream: the trained merges (identical deterministic
@@ -2145,6 +2266,7 @@ object SparkEntry {
     "pca_project"     -> "pca_model",
     "quality_lr"      -> "lr_model",
     "quality_lr_ngram" -> "ngram_lr_model",
+    "text_langid_trained" -> "langlr_model",
     "bpe_tokens"      -> "bpe_merges",
     "bpe_tokens_bytes" -> "bpe_bytes_merges",
     "bpe_tokens_tiktoken" -> "tiktoken_vocab",
@@ -2219,6 +2341,48 @@ SELECT doc_id, CASE
   WHEN list_max(fv) > 0 THEN ($codeList)[list_position(fv, list_max(fv))]
   ELSE 'und' END AS lang_pred
 FROM fl ORDER BY doc_id"""
+  }
+
+  /** Bucket count of the text_langid_trained gate's model — shared by
+    * the gate, the langlr_model aux export, and the generated oracle
+    * so the three can never disagree. */
+  private val LangLrBuckets = 2048
+
+  /** The text_langid_trained oracle, GENERATED from the same tables
+    * and layout constants the apply uses: the md5 bucket draw at
+    * B = [[LangLrBuckets]] (the dsir_weights_md5 chain), per-class
+    * PRESENCE sums over distinct buckets, the RE2 script-count
+    * mirrors ([[graft.hashing.LangSigUtil.ScriptRanges]] order then
+    * CJK — the exported tensor stores their weights at i = B+1+j),
+    * the all-integer per-class z, and the argmax with the documented
+    * tie order (z DESC, class index ASC — Spark's `array_position`
+    * first-max). NULL text mirrors to ('und', NULL). */
+  private def langLrTrainedOracleSql: String = {
+    val b = LangLrBuckets
+    val scriptCells = (graft.hashing.LangSigUtil.ScriptRanges.map {
+      case (_, lo, hi) =>
+        f"length(regexp_replace(text, '[^\\x{$lo%04x}-\\x{$hi%04x}]', '', 'g'))"
+    } :+ "length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g'))")
+      .mkString("[", ", ", "]")
+    s"""WITH m AS (SELECT c, label, i, w_micro FROM '{AUX}/langlr_model/*.parquet'),
+cls AS (SELECT DISTINCT c, label FROM m),
+w AS (SELECT doc_id, list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), t -> t <> '') AS ws FROM documents WHERE text IS NOT NULL),
+g AS (SELECT doc_id, unnest(list_concat(ws, CASE WHEN len(ws) >= 2 THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] ELSE []::VARCHAR[] END)) AS gram FROM w),
+occ AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT) % $b AS b FROM g),
+bag AS (SELECT occ.doc_id, m.c, CAST(sum(m.w_micro) AS BIGINT) AS s FROM occ JOIN m ON m.i = occ.b GROUP BY 1, 2),
+sc AS (SELECT doc_id, $scriptCells AS cnts FROM documents WHERE text IS NOT NULL),
+scd AS (SELECT s.doc_id, m.c, CAST(sum(m.w_micro * s.cnts[m.i - $b]) AS BIGINT) AS sd
+  FROM sc s JOIN m ON m.i >= ${b + 1} AND m.i <= ${b + 1 + graft.hashing.LangSigUtil.ScriptRanges.length} GROUP BY 1, 2),
+bias AS (SELECT c, w_micro AS bz FROM m WHERE i = $b),
+zz AS (SELECT scd.doc_id, cls.c, cls.label,
+    CAST(bias.bz + coalesce(bag.s, 0) + scd.sd AS BIGINT) AS z
+  FROM scd JOIN cls ON cls.c = scd.c
+  JOIN bias ON bias.c = cls.c
+  LEFT JOIN bag ON bag.doc_id = scd.doc_id AND bag.c = cls.c),
+r AS (SELECT doc_id, label, z, row_number() OVER (PARTITION BY doc_id ORDER BY z DESC, c ASC) AS rn FROM zz)
+SELECT d.doc_id, coalesce(r.label, 'und') AS lang, r.z AS z_micro
+FROM documents d LEFT JOIN (SELECT * FROM r WHERE rn = 1) r USING (doc_id)
+ORDER BY d.doc_id"""
   }
 
   /** The bpe_tokens_tiktoken augmented text: the byte-gate suffixes
@@ -2615,6 +2779,19 @@ FROM fl ORDER BY doc_id"""
         |WHERE a.doc_id % 2 = 0
         |ORDER BY 1, 2""".stripMargin,
 
+    // L48b audio fingerprint: same discipline — k = id/2 pins the tone
+    // pattern, containers differ within a pair, so the expected output
+    // is exactly the consecutive-id pairs at hamming 0 (cross-pattern
+    // collisions at hamming <= 3 need >= 13 of 16 frame band-sets
+    // equal — probability ~12^-13 per pair). The < 20000 cap mirrors
+    // the gate's bounded input.
+    "multimodal_audio_fp" ->
+      """SELECT a.doc_id AS media_id_a, b.doc_id AS media_id_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 2 = 0 AND a.doc_id < 20000 AND b.doc_id < 20000
+        |ORDER BY 1, 2""".stripMargin,
+
     // L50 PCA: projections re-derived from the exported basis with the
     // identical center-then-index-order-fold arithmetic.
     "pca_project" ->
@@ -2652,6 +2829,7 @@ FROM fl ORDER BY doc_id"""
     "ann_ivfpq"  -> annRerankSql("ann_ivfpq_cand"),
 
     "text_langid" -> textLangidOracleSql,
+    "text_langid_trained" -> langLrTrainedOracleSql,
 
     // The seven Gopher rules re-derived: identical tokenization, char
     // sums, symbol counts, per-line trims — every compare on the same
@@ -3737,6 +3915,40 @@ FROM fl ORDER BY doc_id"""
         |  CAST(round(ln(CAST(b.cnt + 1 AS DOUBLE) / CAST(u.cnt + v.v AS DOUBLE)) * 1000000.0) AS BIGINT) AS q
         |  FROM bg g JOIN bc b USING (bigram)
         |  JOIN uc u ON u.token = string_split(g.bigram, ' ')[1], v),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(q) AS BIGINT) AS logprob_micro FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, coalesce(a.logprob_micro, 0) AS logprob_micro,
+        |  CASE WHEN a.n_bigrams > 0 THEN CAST(a.logprob_micro AS DOUBLE) / (1000000.0 * a.n_bigrams) END AS avg_logprob
+        |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Interpolated Kneser-Ney re-fit and re-scored in SQL (FULL
+    // oracle): bigram/context/continuation counts, the discount
+    // D = n1/(n1+2n2) (0.5 fallback), the add-one continuation floor
+    // (n_prec+1)/(T+V), and the FIXED per-pair chain
+    // (max(cab−D,0) + (D·n_follow)·pc) / c_ctx — every operand an
+    // integer-derived double, so both engines quantize the identical
+    // IEEE value (ln-wobble bound as the other L29 gates).
+    "lm_kn" ->
+      """WITH tk AS (SELECT doc_id, list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), t -> t <> '') AS ws FROM documents),
+        |bg AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))] ELSE []::VARCHAR[] END) AS bigram FROM tk),
+        |v AS (SELECT count(DISTINCT token) AS v FROM (SELECT unnest(ws) AS token FROM tk)),
+        |bc AS (SELECT bigram, count(*) AS cnt FROM bg GROUP BY 1),
+        |ctx AS (SELECT string_split(bigram, ' ')[1] AS w1, CAST(sum(cnt) AS BIGINT) AS c_ctx, count(*) AS n_follow FROM bc GROUP BY 1),
+        |cont AS (SELECT string_split(bigram, ' ')[2] AS w2, count(*) AS n_prec FROM bc GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS t,
+        |    CAST(coalesce(sum(CASE WHEN cnt = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+        |    CAST(coalesce(sum(CASE WHEN cnt = 2 THEN 1 END), 0) AS BIGINT) AS n2 FROM bc),
+        |dd AS (SELECT CASE WHEN n1 + 2 * n2 = 0 THEN 0.5 ELSE CAST(n1 AS DOUBLE) / CAST(n1 + 2 * n2 AS DOUBLE) END AS d,
+        |    CAST(t AS DOUBLE) AS t FROM st),
+        |sc AS (SELECT g.doc_id,
+        |    CAST(round(ln(CASE WHEN ctx.c_ctx IS NULL
+        |      THEN CAST(coalesce(cont.n_prec, 0) + 1 AS DOUBLE) / (dd.t + v.v)
+        |      ELSE (greatest(CAST(coalesce(bc.cnt, 0) AS DOUBLE) - dd.d, 0.0)
+        |            + (dd.d * CAST(ctx.n_follow AS DOUBLE)) * (CAST(coalesce(cont.n_prec, 0) + 1 AS DOUBLE) / (dd.t + v.v)))
+        |           / CAST(ctx.c_ctx AS DOUBLE) END) * 1000000.0) AS BIGINT) AS q
+        |  FROM bg g
+        |  LEFT JOIN bc ON bc.bigram = g.bigram
+        |  LEFT JOIN ctx ON ctx.w1 = string_split(g.bigram, ' ')[1]
+        |  LEFT JOIN cont ON cont.w2 = string_split(g.bigram, ' ')[2], dd, v),
         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(q) AS BIGINT) AS logprob_micro FROM sc GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, coalesce(a.logprob_micro, 0) AS logprob_micro,
         |  CASE WHEN a.n_bigrams > 0 THEN CAST(a.logprob_micro AS DOUBLE) / (1000000.0 * a.n_bigrams) END AS avg_logprob

@@ -503,27 +503,19 @@ object Ann {
   def writePqCodes(
       cb: PqCodebooks, df: DataFrame, id: Column, vec: Column,
       path: String, mode: String = "overwrite"): Unit = {
-    require(mode == "overwrite" || mode == "append", s"unsupported catalog write mode: $mode")
     val spark = df.sparkSession
-    val existing = readPqCodesParams(spark, path)
-    if (mode == "append") existing match {
-      case Some(p) =>
-        require(p == cb,
-          s"PQ codes catalog at $path was built with (m, subDim, k)=(${p.m}, ${p.subDim}, " +
-            s"${p.k}) and a different codebook; refusing to append codes from another quantizer")
-      case None =>
-        require(!pqCodesDataExists(spark, path),
-          s"PQ codes catalog at $path has codes/ but no params/ — a failed write left it " +
-            "inconsistent; re-create it with mode=\"overwrite\" or restore params/ before appending")
-    }
-    if (mode == "overwrite" && existing.isDefined) {
-      val p = new org.apache.hadoop.fs.Path(s"$path/params")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
-    df.select(id.as("id"), pqEncode(cb, vec).as("codes"))
-      .where(size(col("codes")) > 0)
-      .write.mode(mode).parquet(s"$path/codes")
-    if (mode == "overwrite" || existing.isEmpty) {
+    // commit protocol shared via graft.Catalog (marker-last, append
+    // fail-fasts, stale-marker drop on re-creation)
+    graft.Catalog.write(spark, path, mode,
+      readPqCodesParams(spark, path), Seq("codes"), "PQ codes catalog") { p =>
+      require(p == cb,
+        s"PQ codes catalog at $path was built with (m, subDim, k)=(${p.m}, ${p.subDim}, " +
+          s"${p.k}) and a different codebook; refusing to append codes from another quantizer")
+    } {
+      df.select(id.as("id"), pqEncode(cb, vec).as("codes"))
+        .where(size(col("codes")) > 0)
+        .write.mode(mode).parquet(s"$path/codes")
+    } {
       import spark.implicits._
       Seq((cb.m, cb.subDim, cb.k, cb.flat))
         .toDF("m", "sub_dim", "k", "flat")
@@ -534,18 +526,9 @@ object Ann {
   /** The codebook committed at `path`, None if no catalog exists. */
   def readPqCodesParams(
       spark: org.apache.spark.sql.SparkSession, path: String): Option[PqCodebooks] =
-    try {
-      val r = spark.read.parquet(s"$path/params").head()
-      Some(PqCodebooks(r.getAs[Int]("m"), r.getAs[Int]("sub_dim"),
-        r.getAs[Int]("k"), r.getSeq[Double](3)))
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
-
-  private def pqCodesDataExists(
-      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/codes")
-    try p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    catch { case scala.util.control.NonFatal(_) => false }
-  }
+    graft.Catalog.readParams(spark, path)(r =>
+      PqCodebooks(r.getAs[Int]("m"), r.getAs[Int]("sub_dim"),
+        r.getAs[Int]("k"), r.getSeq[Double](r.fieldIndex("flat"))))
 
   /** PQ search over a PERSISTED codes catalog: ADC candidates come
     * from `path/codes` — the corpus is NOT re-encoded per search

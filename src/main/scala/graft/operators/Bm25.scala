@@ -255,11 +255,10 @@ object Bm25 {
   /** Persist a fitted model (the [[TfIdf.save]] shape): df table +
     * one-row params. The loaded `docFreq` stays a LAZY scan. */
   def save(model: Bm25Model, path: String): Unit = {
-    model.docFreq.write.mode("overwrite").parquet(s"$path/df")
     val spark = model.docFreq.sparkSession
     import spark.implicits._
-    Seq((model.nDocs, model.avgDlMicro)).toDF("n_docs", "avgdl_micro")
-      .repartition(1).write.mode("overwrite").parquet(s"$path/params")
+    graft.Catalog.saveTables(path, Seq("df" -> model.docFreq),
+      Seq((model.nDocs, model.avgDlMicro)).toDF("n_docs", "avgdl_micro"))
   }
 
   /** Load a model saved by [[save]] (params read BY NAME). */

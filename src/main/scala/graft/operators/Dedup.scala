@@ -437,52 +437,29 @@ object Dedup {
       df: DataFrame, id: Column, text: Column, path: String,
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
       mode: String = "overwrite"): Unit = {
-    require(mode == "overwrite" || mode == "append", s"unsupported index write mode: $mode")
     val spark = df.sparkSession
-    val existing = readIndexParams(spark, path)
-    if (mode == "append") existing match {
-      case Some(p) =>
-        require(p == ((shingleK, numHashes, bands)),
-          s"MinHash index at $path has params (shingleK, numHashes, bands)=$p; " +
-            s"refusing to append with (${shingleK}, ${numHashes}, ${bands})")
-      case None =>
-        // Data without params/ is a half-written index (a crash between
-        // the data writes and the params write), NOT an empty one:
-        // appending over it — or bootstrapping an "empty" index over it
-        // — would silently orphan the accumulated dedup state. Repair
-        // is an explicit overwrite (or restoring params/), never
-        // implicit.
-        require(!indexDataExists(spark, path),
-          s"MinHash index at $path has buckets/ or shingles/ but no params/ — a failed " +
-            "write left it inconsistent; re-create it with mode=\"overwrite\" (discarding " +
-            "the accumulated state) or restore params/ before appending")
-    }
-    // Re-creation drops the old commit marker FIRST: stale params over
-    // half-overwritten data would validate reads against the wrong hash
-    // configuration; params-less data is detected as corrupt instead.
-    if (mode == "overwrite" && existing.isDefined) {
-      val p = new org.apache.hadoop.fs.Path(s"$path/params")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
-    // ONE normalization+shingling pass over the batch text (the dominant
-    // cost): cache the shingle sets for the two writes, then RELEASE the
-    // blocks — a lingering cache would tax every later job in a
-    // long-lived session with GC/storage pressure.
-    val sets = df.select(id.as("id"), array_distinct(TextFns.shingles(text, shingleK)).as("shingles"))
-      .persist()
-    try {
-      sets.write.mode(mode).parquet(s"$path/shingles")
-      sets.select(col("id"), posexplode(TextFns.minhashBands(col("shingles"), numHashes, bands)))
-        .toDF("id", "band", "bucket")
-        .write.mode(mode).parquet(s"$path/buckets")
-    } finally sets.unpersist(blocking = false)
-    // params/ is written ONCE per index (re)creation, and acts as the
-    // commit marker (data first, params last). An append must never
-    // rewrite it: mode("overwrite") deletes the directory before
-    // writing, and a driver crash inside that window would leave the
-    // whole accumulated index looking param-less — i.e. wiped — to the
-    // next reader.
-    if (mode == "overwrite" || existing.isEmpty) {
+    // the commit protocol (marker-last, append fail-fasts, stale-marker
+    // drop on re-creation) lives in graft.Catalog — shared with the
+    // sketch catalog, the PQ codes catalog, and the model saves
+    graft.Catalog.write(spark, path, mode,
+      readIndexParams(spark, path), Seq("buckets", "shingles"), "MinHash index") { p =>
+      require(p == ((shingleK, numHashes, bands)),
+        s"MinHash index at $path has params (shingleK, numHashes, bands)=$p; " +
+          s"refusing to append with (${shingleK}, ${numHashes}, ${bands})")
+    } {
+      // ONE normalization+shingling pass over the batch text (the
+      // dominant cost): cache the shingle sets for the two writes, then
+      // RELEASE the blocks — a lingering cache would tax every later job
+      // in a long-lived session with GC/storage pressure.
+      val sets = df.select(id.as("id"), array_distinct(TextFns.shingles(text, shingleK)).as("shingles"))
+        .persist()
+      try {
+        sets.write.mode(mode).parquet(s"$path/shingles")
+        sets.select(col("id"), posexplode(TextFns.minhashBands(col("shingles"), numHashes, bands)))
+          .toDF("id", "band", "bucket")
+          .write.mode(mode).parquet(s"$path/buckets")
+      } finally sets.unpersist(blocking = false)
+    } {
       import spark.implicits._
       Seq((shingleK, numHashes, bands)).toDF("shingle_k", "num_hashes", "bands")
         .write.mode("overwrite").parquet(s"$path/params")
@@ -491,21 +468,14 @@ object Dedup {
 
   /** Hash params of the index at `path`, None if no index exists there. */
   def readIndexParams(spark: org.apache.spark.sql.SparkSession, path: String): Option[(Int, Int, Int)] =
-    try {
-      val r = spark.read.parquet(s"$path/params").head()
-      Some((r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"), r.getAs[Int]("bands")))
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    graft.Catalog.readParams(spark, path)(r =>
+      (r.getAs[Int]("shingle_k"), r.getAs[Int]("num_hashes"), r.getAs[Int]("bands")))
 
   /** Whether index data directories exist at `path`. Data present while
     * [[readIndexParams]] returns None means a half-written (crashed)
     * index — callers must refuse to treat it as empty. */
-  def indexDataExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq("buckets", "shingles").exists { d =>
-      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
-      p.getFileSystem(conf).exists(p)
-    }
-  }
+  def indexDataExists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    graft.Catalog.dataExists(spark, path, Seq("buckets", "shingles"))
 
   /** Whether the index data directories at `path` are VERIFIABLY empty:
     * each of `buckets/` and `shingles/` is absent, or reads as zero

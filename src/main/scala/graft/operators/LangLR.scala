@@ -107,7 +107,7 @@ object LangLR {
       seed: Long = 20260816L): DataFrame = {
     require(perClass > 0 && perClass <= 10000, s"perClass out of range: $perClass")
     val rnd = new scala.util.Random(seed)
-    val rows = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val texts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     def filler(): String = Fillers(rnd.nextInt(Fillers.size))
     for ((label, slot) <- TextFns.scriptLabels; _ <- 0 until perClass) {
       val (lo, hi) =
@@ -121,13 +121,20 @@ object LangLR {
       val ws = (0 until 4 + rnd.nextInt(5)).map(_ => word(lo, hi)) ++
         (if (label == "ja") Seq(word(0x4E00, 0x9FFF)) else Nil) ++
         Seq.fill(1 + rnd.nextInt(3))(filler())
-      rows += ((rnd.shuffle(ws).mkString(" "), label))
+      texts += ((rnd.shuffle(ws).mkString(" "), label))
     }
     for ((label, words) <- TextFns.stopwordFamilies; _ <- 0 until perClass) {
       val body = rnd.shuffle(words ++ Seq.fill(3 + rnd.nextInt(5))(filler()))
-      rows += ((body.mkString(" "), label))
+      texts += ((body.mkString(" "), label))
     }
-    spark.createDataFrame(rows.toSeq).toDF("text", "label")
+    val rows = texts.zipWithIndex.map { case ((t, l), i) => (i.toLong, t, l) }
+    // explicit 8 parallelize slices: a FIXED partition layout + row
+    // order, so training over fixtures is bit-deterministic (the
+    // LogReg per-layout contract) — a LocalRelation would split by
+    // defaultParallelism and an RDD coalesce groups by cache
+    // locality, both run-dependent
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 8))
+      .toDF("id", "text", "label")
   }
 
   /** The staged `(distinct buckets, counts, …)` feature projection
@@ -169,8 +176,10 @@ object LangLR {
     val classIx: Map[String, Int] = Classes.zipWithIndex.toMap
     val feats = featProjection(df, Seq("_y" -> label.cast("string")), text, buckets, md5Hash)
       .where(col("_graft_bs").isNotNull && col("_y").isNotNull)
-    // persist PRIMITIVE sparse rows; ≤8 partitions so the per-iter
-    // partial collect stays a few MB (each partial is 2·K·d doubles)
+    // persist PRIMITIVE sparse rows in the INPUT's partition layout
+    // (the per-layout determinism contract — [[fixtures]] pins 8
+    // slices, keeping each iter's partial collect at 8 × 2·K·d
+    // doubles ≈ a few MB)
     val rows = feats.rdd.flatMap { r =>
       classIx.get(r.getString(0)).map { y =>
         val bs = r.getSeq[Long](1)
@@ -183,7 +192,7 @@ object LangLR {
         val csSeq = r.getSeq[Int](2)
         (ids, csSeq.toArray, y)
       }
-    }.coalesce(8).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-class layout: [0] bias, [1, 1+NumCounts) counts, [1+NumCounts..) buckets
     val off = 1 + NumCounts
     val d = off + buckets

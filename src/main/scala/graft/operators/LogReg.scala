@@ -294,7 +294,7 @@ object LogReg {
 
   /** Persist a fitted model. */
   def save(model: LrModel, path: String, spark: org.apache.spark.sql.SparkSession): Unit =
-    toFrame(model, spark).repartition(1).write.mode("overwrite").parquet(path)
+    graft.Catalog.saveTable(path, toFrame(model, spark))
 
   /** Load a model saved by [[save]] (columns read by name). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): LrModel = {

@@ -111,11 +111,10 @@ object NgramLM {
     * Loaded counts stay a LAZY scan — a ≫10⁷-type vocab is exactly as
     * usable as a fresh fit (pair with `broadcastModel=false`). */
   def saveUnigram(model: UnigramModel, path: String): Unit = {
-    model.counts.write.mode("overwrite").parquet(s"$path/counts")
     val spark = model.counts.sparkSession
     import spark.implicits._
-    Seq((model.totalTokens, model.vocabSize)).toDF("n", "v").repartition(1)
-      .write.mode("overwrite").parquet(s"$path/params")
+    graft.Catalog.saveTables(path, Seq("counts" -> model.counts),
+      Seq((model.totalTokens, model.vocabSize)).toDF("n", "v"))
   }
 
   /** Load a model saved by [[saveUnigram]]. Params are read BY NAME
@@ -128,12 +127,11 @@ object NgramLM {
 
   /** Persist a fitted bigram LM — see [[saveUnigram]]. */
   def saveBigram(model: BigramModel, path: String): Unit = {
-    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
-    model.unigrams.write.mode("overwrite").parquet(s"$path/unigrams")
     val spark = model.bigrams.sparkSession
     import spark.implicits._
-    Seq(model.vocabSize).toDF("v").repartition(1)
-      .write.mode("overwrite").parquet(s"$path/params")
+    graft.Catalog.saveTables(path,
+      Seq("bigrams" -> model.bigrams, "unigrams" -> model.unigrams),
+      Seq(model.vocabSize).toDF("v"))
   }
 
   /** Load a model saved by [[saveBigram]] (params read by name — see
@@ -196,6 +194,98 @@ object NgramLM {
     * oracle computes the identical IEEE value. */
   private def microLogProb(num: Column, den: Column): Column =
     round(log(num.cast("double") / den) * 1000000.0, 0).cast("long")
+
+  /** Fitted interpolated Kneser-Ney bigram LM (SURVEY §2.5 L29, the
+    * KN option): `bigrams` = (bigram, cnt); `ctx` = per context w1
+    * `(token, c_ctx = Σ c(w1 ·), n_follow = |{w2 : c(w1 w2) > 0}|)`;
+    * `cont` = per continuation w2 `(token, n_prec = |{w1 :
+    * c(w1 w2) > 0}|)`; `vocabSize` the Laplace V; `bigramTypes` =
+    * T = Σ n_prec; `n1`/`n2` the bigram-type counts at count 1/2
+    * (the standard discount estimate's inputs). */
+  final case class KnBigramModel(
+      bigrams: DataFrame, ctx: DataFrame, cont: DataFrame,
+      vocabSize: Long, bigramTypes: Long, n1: Long, n2: Long) {
+    /** The Ney/Chen–Goodman discount `D = n1 / (n1 + 2·n2)` — a ratio
+      * of exact integers, so both engines derive the identical IEEE
+      * double; 0.5 when the corpus has no 1- or 2-count bigram types
+      * (degenerate, documented). */
+    def discount: Double =
+      if (n1 + 2 * n2 == 0) 0.5 else n1.toDouble / (n1 + 2 * n2).toDouble
+  }
+
+  /** Fit the interpolated-KN bigram LM: the SAME one corpus scan as
+    * [[fitBigram]] (the tagged u/b count aggregate), then the KN
+    * statistics — context totals/fan-out, continuation fan-in, the
+    * type-count scalars — as aggregates over the persisted MODEL-SIZED
+    * count table (≤ |bigram types| rows; the corpus is never
+    * rescanned). This is the published-fidelity upgrade over the add-k
+    * model: CCNet's perplexity filter is KenLM's interpolated KN
+    * (Wenzek et al. 2020 §3.3; Heafield 2011), whose bigram form this
+    * is. */
+  def fitKnBigram(df: DataFrame, text: Column): KnBigramModel = {
+    val bm = fitBigram(df, text)
+    val ctx = bm.bigrams
+      .groupBy(substring_index(col("bigram"), " ", 1).as("token"))
+      .agg(sum("cnt").as("c_ctx"), count(lit(1)).as("n_follow"))
+    val cont = bm.bigrams
+      .groupBy(substring_index(col("bigram"), " ", -1).as("token"))
+      .agg(count(lit(1)).as("n_prec"))
+    val stats = bm.bigrams.agg(
+      count(lit(1)).as("t"),
+      coalesce(sum(when(col("cnt") === 1, 1L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("cnt") === 2, 1L)), lit(0L)).as("n2")).head()
+    KnBigramModel(bm.bigrams, ctx, cont, bm.vocabSize,
+      stats.getLong(0), stats.getLong(1), stats.getLong(2))
+  }
+
+  /** Score documents under interpolated Kneser-Ney: per consecutive
+    * pair (w1, w2),
+    * `p = (max(c(w1 w2) − D, 0) + (D·n_follow(w1))·pc(w2)) / c_ctx(w1)`
+    * when the context was seen, else the continuation probability
+    * alone, with `pc(w2) = (n_prec(w2) + 1) / (T + V)` — the
+    * continuation distribution carries the module's add-one floor so
+    * an unseen CONTINUATION keeps positive mass (pure KN leaves it
+    * zero; the Laplace-on-continuation variant keeps every input an
+    * exact integer, the module's cross-engine convention). Per-pair
+    * log-probs quantize to micro-nats BEFORE the doc sum (order-free
+    * BIGINT). The float chain is FIXED — pc first, then
+    * `(max(cab − D, 0) + (D·n_follow)·pc) / c_ctx`, every operand an
+    * integer-derived double — so the SQL oracle computes the
+    * identical IEEE values. <2-token docs score (0, 0, NULL).
+    * Returns `(id, n_bigrams, logprob_micro, avg_logprob)`.
+    *
+    * Plan shape: identical to [[scoreBigram]] plus one more
+    * model-sized broadcast join (continuation fan-in) — the exploded
+    * pair stream still never shuffles before the per-doc agg. */
+  def scoreKnBigram(
+      df: DataFrame, id: Column, text: Column, model: KnBigramModel,
+      broadcastModel: Boolean = true): DataFrame = {
+    def side(m: DataFrame) = if (broadcastModel) broadcast(m) else m
+    val d = lit(model.discount)
+    val denTV = lit(model.bigramTypes.toDouble + model.vocabSize.toDouble)
+    val exploded = df
+      .select(id.as("id"), tokens(text).as("_toks"))
+      .select(col("id"), explode_outer(bigrams(col("_toks"))).as("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val pc = (coalesce(col("n_prec"), lit(0L)) + 1).cast("double") / denTV
+    val pKnown = (greatest(coalesce(col("_bcnt"), lit(0L)).cast("double") - d, lit(0.0))
+      + (d * col("n_follow").cast("double")) * pc) / col("c_ctx").cast("double")
+    val p = when(col("c_ctx").isNull, pc).otherwise(pKnown)
+    exploded
+      .join(side(model.bigrams.withColumnRenamed("cnt", "_bcnt")), Seq("bigram"), "left")
+      .join(side(model.ctx.withColumnRenamed("token", "w1")), Seq("w1"), "left")
+      .join(side(model.cont.withColumnRenamed("token", "w2")), Seq("w2"), "left")
+      .groupBy("id")
+      .agg(
+        count(col("bigram")).as("n_bigrams"),
+        coalesce(sum(when(col("bigram").isNotNull,
+          round(log(p) * 1000000.0, 0).cast("long"))), lit(0L))
+          .as("logprob_micro"))
+      .withColumn("avg_logprob",
+        when(col("n_bigrams") > 0,
+          col("logprob_micro").cast("double") / (lit(1000000.0) * col("n_bigrams"))))
+  }
 
   /** Score documents under a unigram model: per-doc token count,
     * exact micro-nat log-prob sum, and mean log-prob (nats/token).

@@ -258,7 +258,7 @@ object NgramLR {
     val rows = model.w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq ++
       Seq((b, model.bias), (b + 1, model.wLen)) ++
       model.lenW.zipWithIndex.map { case (v, i) => (b + 2 + i, v) }
-    rows.toDF("i", "w").repartition(1).write.mode("overwrite").parquet(path)
+    graft.Catalog.saveTable(path, rows.toDF("i", "w"))
   }
 
   /** Load a model saved by [[save]]. */

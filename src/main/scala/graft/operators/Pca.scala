@@ -158,7 +158,7 @@ object Pca {
 
   /** Persist a fitted basis (the [[NgramLM.saveUnigram]] shape). */
   def save(model: PcaModel, path: String, spark: org.apache.spark.sql.SparkSession): Unit =
-    toFrame(model, spark).repartition(1).write.mode("overwrite").parquet(path)
+    graft.Catalog.saveTable(path, toFrame(model, spark))
 
   /** Load a basis saved by [[save]] (columns read by name). */
   def load(spark: org.apache.spark.sql.SparkSession, path: String): PcaModel = {

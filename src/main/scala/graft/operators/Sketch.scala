@@ -187,30 +187,20 @@ object Sketch {
   def writeSketches(
       df: DataFrame, groups: Seq[String], key: Column, path: String,
       lgNomEntries: Int = 12, mode: String = "overwrite"): Unit = {
-    require(mode == "overwrite" || mode == "append", s"unsupported sketch write mode: $mode")
     val spark = df.sparkSession
-    val existing = readSketchParams(spark, path)
-    if (mode == "append") existing match {
-      case Some((lg, gs)) =>
+    // commit protocol shared via graft.Catalog (marker-last, append
+    // fail-fasts, stale-marker drop on re-creation)
+    graft.Catalog.write(spark, path, mode,
+      readSketchParams(spark, path), Seq("sketches"), "sketch catalog") {
+      case (lg, gs) =>
         require(lg == lgNomEntries && gs == groups,
           s"sketch catalog at $path has (lgNomEntries, groups)=($lg, $gs); " +
             s"refusing to append with ($lgNomEntries, $groups) — mixed-param theta " +
             "unions estimate wrong, never loudly")
-      case None =>
-        val p = new org.apache.hadoop.fs.Path(s"$path/sketches")
-        require(!p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
-          s"sketch catalog at $path has sketches/ but no params/ — a failed write " +
-            "left it inconsistent; re-create with mode=\"overwrite\"")
-    }
-    if (mode == "overwrite" && existing.isDefined) {
-      // drop the commit marker FIRST (stale params over half-overwritten
-      // data would validate reads against the wrong configuration)
-      val p = new org.apache.hadoop.fs.Path(s"$path/params")
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    }
-    distinctSketches(df, groups, key, lgNomEntries)
-      .write.mode(mode).parquet(s"$path/sketches")
-    if (mode == "overwrite" || existing.isEmpty) {
+    } {
+      distinctSketches(df, groups, key, lgNomEntries)
+        .write.mode(mode).parquet(s"$path/sketches")
+    } {
       import spark.implicits._
       Seq((lgNomEntries, groups)).toDF("lg_nom_entries", "groups")
         .repartition(1).write.mode("overwrite").parquet(s"$path/params")
@@ -221,10 +211,8 @@ object Sketch {
     * `path`. Read by name (column-order-proof). */
   def readSketchParams(
       spark: org.apache.spark.sql.SparkSession, path: String): Option[(Int, Seq[String])] =
-    try {
-      val r = spark.read.parquet(s"$path/params").select("lg_nom_entries", "groups").head()
-      Some((r.getInt(0), r.getSeq[String](1)))
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    graft.Catalog.readParams(spark, path)(r =>
+      (r.getAs[Int]("lg_nom_entries"), r.getSeq[String](r.fieldIndex("groups"))))
 
   /** Lazy scan of a catalog written by [[writeSketches]] — feed it to
     * [[rollupDistinct]] / [[sketchOverlapMatrix]]; appended batches'

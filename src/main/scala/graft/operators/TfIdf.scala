@@ -88,11 +88,10 @@ object TfIdf {
     * The loaded `docFreq` stays a LAZY parquet scan (never collected),
     * so a giant vocab is exactly as usable as a fresh fit. */
   def save(model: DfModel, path: String): Unit = {
-    model.docFreq.write.mode("overwrite").parquet(s"$path/df")
     val spark = model.docFreq.sparkSession
     import spark.implicits._
-    Seq(model.nDocs).toDF("n_docs").repartition(1)
-      .write.mode("overwrite").parquet(s"$path/params")
+    graft.Catalog.saveTables(path, Seq("df" -> model.docFreq),
+      Seq(model.nDocs).toDF("n_docs"))
   }
 
   /** Load a model saved by [[save]]. Params read BY NAME so a

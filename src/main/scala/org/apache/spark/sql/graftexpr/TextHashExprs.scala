@@ -706,7 +706,7 @@ final case class MultiDotExpr(left: Expression, right: Expression,
       s"org.apache.spark.sql.graftexpr.MultiDotExpr.dot($b, $c, $bagRef, $cntRef, $biasRef)")
   }
 
-  override protected def withNewChildInternal(
+  override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MultiDotExpr =
     copy(left = newLeft, right = newRight)
 }

@@ -133,4 +133,52 @@ class NgramLMSpec extends SparkSpec {
     assert(NgramLM.scoreBigram(df, col("id"), col("t"), bb).collect().map(_.toSeq).toSet ==
       NgramLM.scoreBigram(df, col("id"), col("t"), bm).collect().map(_.toSeq).toSet)
   }
+
+  test("fitKnBigram: discount, context/continuation stats match hand counts") {
+    val df = Seq("a b", "a b", "a c", "b c").toDF("t")
+    val m = NgramLM.fitKnBigram(df, col("t"))
+    // bigram counts: "a b":2, "a c":1, "b c":1 -> T=3, n1=2, n2=1
+    assert(m.vocabSize == 3L && m.bigramTypes == 3L && m.n1 == 2L && m.n2 == 1L)
+    assert(m.discount == 0.5) // 2 / (2 + 2*1)
+    val ctx = m.ctx.collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ctx == Map("a" -> ((3L, 2L)), "b" -> ((1L, 1L))))
+    val cont = m.cont.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cont == Map("b" -> 1L, "c" -> 2L))
+    // no-singleton corpus hits the documented D=0.5 fallback… and a
+    // corpus whose types are all count>=3 hits n1+2n2 == 0
+    val m2 = NgramLM.fitKnBigram(Seq("x y", "x y", "x y").toDF("t"), col("t"))
+    assert(m2.n1 == 0L && m2.n2 == 0L && m2.discount == 0.5)
+  }
+
+  test("scoreKnBigram matches hand-computed interpolated-KN probs incl. both backoffs") {
+    val fit = Seq("a b", "a b", "a c", "b c").toDF("t")
+    val m = NgramLM.fitKnBigram(fit, col("t"))
+    val d = 0.5
+    def pc(nPrec: Long): Double = (nPrec + 1).toDouble / 6.0 // T+V = 6
+    def pKn(cab: Long, cCtx: Long, nFollow: Long, nPrec: Long): Double =
+      (math.max(cab.toDouble - d, 0.0) + (d * nFollow.toDouble) * pc(nPrec)) / cCtx.toDouble
+    val docs = Seq(
+      (1L, "a b"),  // seen pair
+      (2L, "a z"),  // unseen continuation under known context
+      (3L, "z a"),  // unseen context -> continuation prob alone
+      (4L, "b c"),  // seen singleton pair
+      (5L, "solo"), // no bigrams
+      (6L, "a b c") // two pairs summed exactly
+    ).toDF("id", "t")
+    val got = NgramLM.scoreKnBigram(docs, col("id"), col("t"), m)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(got(1L) == ((1L, micro(pKn(2, 3, 2, 1)), Some(micro(pKn(2, 3, 2, 1)) / 1e6))))
+    assert(got(2L)._1 == 1L && got(2L)._2 == micro(pKn(0, 3, 2, 0)))
+    // 'a' never occurs as a continuation in the fit corpus -> n_prec=0
+    assert(got(3L)._1 == 1L && got(3L)._2 == micro(pc(0)))
+    assert(got(4L)._2 == micro(pKn(1, 1, 1, 2)))
+    assert(got(5L) == ((0L, 0L, None)))
+    assert(got(6L) == ((2L,
+      micro(pKn(2, 3, 2, 1)) + micro(pKn(1, 1, 1, 2)),
+      Some((micro(pKn(2, 3, 2, 1)) + micro(pKn(1, 1, 1, 2))).toDouble / 2e6))))
+    // shuffle join path identical to broadcast
+    val sh = NgramLM.scoreKnBigram(docs, col("id"), col("t"), m, broadcastModel = false)
+      .collect().map(_.toSeq).toSet
+    assert(sh == NgramLM.scoreKnBigram(docs, col("id"), col("t"), m).collect().map(_.toSeq).toSet)
+  }
 }
