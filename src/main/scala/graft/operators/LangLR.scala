@@ -87,6 +87,11 @@ object LangLR {
   val Classes: Seq[String] =
     TextFns.scriptLabels.map(_._1) ++ TextFns.stopwordFamilies.map(_._1)
 
+  /** Row cap for the driver-local iteration path ([[TrainLoop]]):
+    * 200k sparse rows ≈ tens of MB — bounded driver work; larger
+    * inputs run the distributed per-iteration loop unchanged. */
+  private[operators] val LocalTrainMaxRows = 200000L
+
   /** Filler tokens shared across every class (noise the L1 prox must
     * zero): ASCII, colliding with no stopword family probe. */
   private val Fillers = Vector(
@@ -197,58 +202,70 @@ object LangLR {
     val off = 1 + NumCounts
     val d = off + buckets
     val w = new Array[Double](k * d)
+    // ONE per-partition fold shared by the driver-local and distributed
+    // paths (the LogReg pattern) — defined once so they cannot drift.
+    val fold = (wb: Array[Double], rs: Iterator[(Array[Int], Array[Int], Int)]) => {
+      val g = new Array[Double](k * d)
+      val h = new Array[Double](k * d)
+      val z = new Array[Double](k)
+      var c = 0L
+      rs.foreach { case (ids, cs, y) =>
+        // z_c = w_c·x, max-shifted softmax (fixed-order chain)
+        var cc = 0
+        var zMax = Double.NegativeInfinity
+        while (cc < k) {
+          val base = cc * d
+          var zc = wb(base)
+          var j = 0
+          while (j < NumCounts) { zc += wb(base + 1 + j) * cs(j); j += 1 }
+          var i = 0
+          while (i < ids.length) { zc += wb(base + off + ids(i)); i += 1 }
+          z(cc) = zc
+          if (zc > zMax) zMax = zc
+          cc += 1
+        }
+        var sum = 0.0
+        cc = 0
+        while (cc < k) { z(cc) = math.exp(z(cc) - zMax); sum += z(cc); cc += 1 }
+        cc = 0
+        while (cc < k) {
+          val base = cc * d
+          val p = z(cc) / sum
+          val r0 = p - (if (cc == y) 1.0 else 0.0)
+          val wgt = p * (1.0 - p)
+          g(base) += r0; h(base) += wgt
+          var j = 0
+          while (j < NumCounts) {
+            val x = cs(j).toDouble
+            if (x != 0.0) { g(base + 1 + j) += r0 * x; h(base + 1 + j) += wgt * x * x }
+            j += 1
+          }
+          var i = 0
+          while (i < ids.length) {
+            g(base + off + ids(i)) += r0
+            h(base + off + ids(i)) += wgt
+            i += 1
+          }
+          cc += 1
+        }
+        c += 1L
+      }
+      (g, h, c)
+    }
     try {
+      // Fixture-bounded training sets iterate DRIVER-LOCALLY
+      // ([[TrainLoop]]): one collect instead of `iters` jobs,
+      // bit-identical weights (same partition boundaries, row order,
+      // and combine order); over-cap inputs fall back to the
+      // distributed loop unchanged.
+      val localParts = TrainLoop.localPartitions(rows, LocalTrainMaxRows)
       var it = 0
       while (it < iters) {
         val wb = w.clone()
-        val partials = rows.mapPartitions { rs =>
-          val g = new Array[Double](k * d)
-          val h = new Array[Double](k * d)
-          val z = new Array[Double](k)
-          var c = 0L
-          rs.foreach { case (ids, cs, y) =>
-            // z_c = w_c·x, max-shifted softmax (fixed-order chain)
-            var cc = 0
-            var zMax = Double.NegativeInfinity
-            while (cc < k) {
-              val base = cc * d
-              var zc = wb(base)
-              var j = 0
-              while (j < NumCounts) { zc += wb(base + 1 + j) * cs(j); j += 1 }
-              var i = 0
-              while (i < ids.length) { zc += wb(base + off + ids(i)); i += 1 }
-              z(cc) = zc
-              if (zc > zMax) zMax = zc
-              cc += 1
-            }
-            var sum = 0.0
-            cc = 0
-            while (cc < k) { z(cc) = math.exp(z(cc) - zMax); sum += z(cc); cc += 1 }
-            cc = 0
-            while (cc < k) {
-              val base = cc * d
-              val p = z(cc) / sum
-              val r0 = p - (if (cc == y) 1.0 else 0.0)
-              val wgt = p * (1.0 - p)
-              g(base) += r0; h(base) += wgt
-              var j = 0
-              while (j < NumCounts) {
-                val x = cs(j).toDouble
-                if (x != 0.0) { g(base + 1 + j) += r0 * x; h(base + 1 + j) += wgt * x * x }
-                j += 1
-              }
-              var i = 0
-              while (i < ids.length) {
-                g(base + off + ids(i)) += r0
-                h(base + off + ids(i)) += wgt
-                i += 1
-              }
-              cc += 1
-            }
-            c += 1L
-          }
-          Iterator.single((g, h, c))
-        }.collect()
+        val partials = localParts match {
+          case Some(ps) => ps.map(p => fold(wb, p.iterator))
+          case None => rows.mapPartitions(rs => Iterator.single(fold(wb, rs))).collect()
+        }
         val grad = new Array[Double](k * d)
         val hess = new Array[Double](k * d)
         var cnt = 0L

@@ -53,6 +53,11 @@ object LogReg {
   /** Number of non-bias features in the contract. */
   val NumFeatures = 8
 
+  /** Row cap for the driver-local iteration path ([[TrainLoop]]): 1M
+    * rows of 8 features ≈ 150 MB — bounded driver work; anything
+    * larger runs the distributed per-iteration loop unchanged. */
+  private[operators] val LocalTrainMaxRows = 1000000L
+
   /** The fixed feature contract over a text column — the size cues
     * (x1–x3) plus the Gopher-aligned ratios the rule gate
     * ([[TextFns.gopherFlags]], Rae et al. 2021 A1.1) actually tests,
@@ -149,40 +154,54 @@ object LogReg {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = new Array[Double](d)
     val nf = NumFeatures
+    // ONE per-partition fold shared by both execution paths below —
+    // the arithmetic (accumulation order included) is defined once, so
+    // the paths cannot drift.
+    val fold = (wb: Array[Double], rs: Iterator[(Array[Double], Double)]) => {
+      val g = new Array[Double](d)
+      val h = new Array[Double](d * d)
+      var c = 0L
+      val xb = new Array[Double](d)
+      rs.foreach { case (x, y) =>
+        xb(0) = 1.0
+        var i = 0
+        while (i < nf) { xb(i + 1) = x(i); i += 1 }
+        var z = 0.0
+        i = 0
+        while (i < d) { z += wb(i) * xb(i); i += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val r = p - y
+        val wgt = p * (1.0 - p)
+        i = 0
+        while (i < d) {
+          g(i) += r * xb(i)
+          var j = i
+          while (j < d) { h(i * d + j) += wgt * xb(i) * xb(j); j += 1 }
+          i += 1
+        }
+        c += 1L
+      }
+      (g, h, c)
+    }
     // try/finally: the zero-usable-rows require below must not strand
     // the persisted RDD in the block manager
     try {
+      // Sample-sized training sets iterate DRIVER-LOCALLY over the
+      // collected partitions (one job instead of `iters` jobs; see
+      // [[TrainLoop]] — partition boundaries and row order preserved,
+      // so the weights are bit-identical to the distributed loop,
+      // which remains the over-cap fallback).
+      val localParts = TrainLoop.localPartitions(rows, LocalTrainMaxRows)
       var it = 0
       while (it < iters) {
         val wb = w.clone()
-        // collect() returns partials in partition INDEX order — the
-        // pinned combine order that makes the pass deterministic.
-        val partials = rows.mapPartitions { rs =>
-          val g = new Array[Double](d)
-          val h = new Array[Double](d * d)
-          var c = 0L
-          val xb = new Array[Double](d)
-          rs.foreach { case (x, y) =>
-            xb(0) = 1.0
-            var i = 0
-            while (i < nf) { xb(i + 1) = x(i); i += 1 }
-            var z = 0.0
-            i = 0
-            while (i < d) { z += wb(i) * xb(i); i += 1 }
-            val p = 1.0 / (1.0 + math.exp(-z))
-            val r = p - y
-            val wgt = p * (1.0 - p)
-            i = 0
-            while (i < d) {
-              g(i) += r * xb(i)
-              var j = i
-              while (j < d) { h(i * d + j) += wgt * xb(i) * xb(j); j += 1 }
-              i += 1
-            }
-            c += 1L
-          }
-          Iterator.single((g, h, c))
-        }.collect()
+        // partials combine in partition INDEX order — the pinned
+        // combine order that makes the pass deterministic (collect()
+        // returns them in that order; the local path iterates it).
+        val partials = localParts match {
+          case Some(ps) => ps.map(p => fold(wb, p.iterator))
+          case None => rows.mapPartitions(rs => Iterator.single(fold(wb, rs))).collect()
+        }
         val grad = new Array[Double](d)
         val hess = new Array[Double](d * d)
         var cnt = 0L

@@ -95,6 +95,11 @@ object NgramLR {
   /** The bin index of a gram count (engine-mirrorable integer ops). */
   def lenBin(n: Int): Int = math.min(n / 8, LenBins - 1)
 
+  /** Row cap for the driver-local iteration path ([[TrainLoop]]):
+    * 200k sparse rows of ~60 gram ids ≈ 60 MB — bounded driver work;
+    * larger inputs run the distributed per-iteration loop unchanged. */
+  private[operators] val LocalTrainMaxRows = 200000L
+
   /** Train by full-batch DIAGONAL-Newton descent: each pass ONE scan
     * of the persisted sparse rows; per partition a dense gradient AND
     * diagonal-Hessian pair accumulates over (bias, slope, bins,
@@ -136,38 +141,49 @@ object NgramLR {
     val off = 2 + LenBins
     val d = off + buckets
     val w = new Array[Double](d)
+    // ONE per-partition fold shared by the driver-local and distributed
+    // paths (the LogReg pattern) — defined once so they cannot drift.
+    val fold = (wb: Array[Double], rs: Iterator[(Array[Int], Int, Double)]) => {
+      val g = new Array[Double](d)
+      val h = new Array[Double](d)
+      var c = 0L
+      rs.foreach { case (ids, n, y) =>
+        val xl = n.toDouble / 100.0
+        val lb = 2 + lenBin(n)
+        var z = wb(0) + wb(1) * xl + wb(lb)
+        var i = 0
+        while (i < ids.length) { z += wb(ids(i) + off); i += 1 }
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val r = p - y
+        val wgt = p * (1.0 - p)
+        g(0) += r; h(0) += wgt
+        g(1) += r * xl; h(1) += wgt * xl * xl
+        g(lb) += r; h(lb) += wgt
+        i = 0
+        while (i < ids.length) {
+          g(ids(i) + off) += r
+          h(ids(i) + off) += wgt
+          i += 1
+        }
+        c += 1L
+      }
+      (g, h, c)
+    }
     try {
+      // Sample-sized training sets iterate DRIVER-LOCALLY ([[TrainLoop]]):
+      // one collect instead of `iters` jobs, bit-identical weights
+      // (same partition boundaries, same row order, same combine order);
+      // over-cap inputs fall back to the distributed loop unchanged.
+      val localParts = TrainLoop.localPartitions(rows, LocalTrainMaxRows)
       var it = 0
       while (it < iters) {
         val wb = w.clone()
-        // collect() returns partials in partition INDEX order — the
-        // pinned combine order (the LogReg pattern)
-        val partials = rows.mapPartitions { rs =>
-          val g = new Array[Double](d)
-          val h = new Array[Double](d)
-          var c = 0L
-          rs.foreach { case (ids, n, y) =>
-            val xl = n.toDouble / 100.0
-            val lb = 2 + lenBin(n)
-            var z = wb(0) + wb(1) * xl + wb(lb)
-            var i = 0
-            while (i < ids.length) { z += wb(ids(i) + off); i += 1 }
-            val p = 1.0 / (1.0 + math.exp(-z))
-            val r = p - y
-            val wgt = p * (1.0 - p)
-            g(0) += r; h(0) += wgt
-            g(1) += r * xl; h(1) += wgt * xl * xl
-            g(lb) += r; h(lb) += wgt
-            i = 0
-            while (i < ids.length) {
-              g(ids(i) + off) += r
-              h(ids(i) + off) += wgt
-              i += 1
-            }
-            c += 1L
-          }
-          Iterator.single((g, h, c))
-        }.collect()
+        // partials combine in partition INDEX order — the pinned
+        // combine order (the LogReg pattern)
+        val partials = localParts match {
+          case Some(ps) => ps.map(p => fold(wb, p.iterator))
+          case None => rows.mapPartitions(rs => Iterator.single(fold(wb, rs))).collect()
+        }
         val grad = new Array[Double](d)
         val hess = new Array[Double](d)
         var cnt = 0L
