@@ -427,3 +427,114 @@ object TokenSetUtil {
     new GenericArrayData(buf.toArray)
   }
 }
+
+/** Fused hashed-n-gram bucket kernel for the DSIR feature space
+  * ([[graft.operators.Dsir.bucketsOfTokens]] — unigrams + consecutive
+  * bigrams of the normalized tokens, each mapped into `buckets`
+  * buckets). Replaces the `transform(concat(toks, bigrams(toks)), g =>
+  * hash(g) % buckets)` HOF chain: that form materializes every bigram
+  * as a UTF8String concat, and the md5 branch additionally renders a
+  * 32-char hex string, substrings it and re-parses it with `conv` —
+  * four string allocations per gram. Here the grams never materialize:
+  * per token one cached byte array, per bigram a digest/buffer update
+  * over (left, ' ', right), and the bucket id is read straight off the
+  * hash bytes. BIT-IDENTICAL to the HOF chain by construction — the
+  * md5 path hashes the same UTF-8 bytes and takes the same first-8-hex
+  * -chars value (= the digest's first 4 bytes as an unsigned 32-bit
+  * int); the xx path is the same XXH64(seed 42) + pmod — asserted
+  * exhaustively in GramBucketsSpec.
+  *
+  * Null-element contract (never occurs from [[graft.operators
+  * .NgramLM.tokens]], which filters empties from a split) mirrors the
+  * HOF chain exactly: md5 of a NULL gram is NULL → NULL element; the
+  * xxhash64 expression SKIPS null inputs leaving the seed, so a null
+  * gram yields pmod(42, buckets). */
+object GramBucketUtil {
+
+  private final val XxSeed = 42L // spark.sql.functions.xxhash64's fixed seed
+
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 hex chars of the digest as an unsigned 32-bit value —
+    * exactly `conv(substring(md5(g), 1, 8), 16, 10)` — mod buckets. */
+  private def md5Bucket(d: Array[Byte], buckets: Int): Long =
+    (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % buckets
+
+  def bucketsMd5(tokens: ArrayData, buckets: Int): ArrayData = {
+    val n = tokens.numElements()
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val out = new Array[Any](n + (if (n >= 2) n - 1 else 0))
+    val md = Md5.get()
+    i = 0
+    while (i < n) {
+      if (tb(i) == null) out(i) = null
+      else {
+        md.reset()
+        md.update(tb(i))
+        out(i) = md5Bucket(md.digest(), buckets)
+      }
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      if (tb(i) == null || tb(i + 1) == null) out(n + i) = null
+      else {
+        md.reset()
+        md.update(tb(i))
+        md.update(' '.toByte)
+        md.update(tb(i + 1))
+        out(n + i) = md5Bucket(md.digest(), buckets)
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def bucketsXx(tokens: ArrayData, buckets: Int): ArrayData = {
+    val n = tokens.numElements()
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tb(i) = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i).getBytes
+      i += 1
+    }
+    val b = buckets.toLong
+    def pmod(h: Long): Long = { val r = h % b; if (r < 0) r + b else r }
+    val out = new Array[Any](n + (if (n >= 2) n - 1 else 0))
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (tb(i) == null) pmod(XxSeed) // xxhash64 skips null input
+        else pmod(XXH64.hashUnsafeBytes(
+          tb(i), org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, tb(i).length, XxSeed))
+      i += 1
+    }
+    var buf = new Array[Byte](64)
+    i = 0
+    while (i < n - 1) {
+      val a = tb(i); val c = tb(i + 1)
+      out(n + i) =
+        if (a == null || c == null) pmod(XxSeed) // null gram: hash skips it
+        else {
+          val len = a.length + 1 + c.length
+          if (buf.length < len) buf = new Array[Byte](math.max(len, buf.length * 2))
+          System.arraycopy(a, 0, buf, 0, a.length)
+          buf(a.length) = ' '.toByte
+          System.arraycopy(c, 0, buf, a.length + 1, c.length)
+          pmod(XXH64.hashUnsafeBytes(
+            buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, XxSeed))
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

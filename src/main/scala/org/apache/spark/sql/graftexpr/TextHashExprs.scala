@@ -752,3 +752,34 @@ object MultiDotExpr {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(z)
   }
 }
+
+/** Fused hashed-n-gram bucket ids — unigrams + consecutive bigrams of a
+  * token array, each hashed into `buckets` buckets in ONE pass (see
+  * [[graft.hashing.GramBucketUtil]] for why the HOF `transform(concat(
+  * toks, bigrams(toks)), ...)` chain is slower: per-gram string
+  * materialization, plus hex-render/substring/conv on the md5 branch).
+  * `md5` picks the cross-engine kernel (first 8 hex chars of md5 as an
+  * unsigned 32-bit int); default is XXH64 seed 42 + pmod — both
+  * bit-identical to the HOF chain (GramBucketsSpec). */
+final case class GramBucketsExpr(child: Expression, buckets: Int, md5: Boolean)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(buckets > 0, s"buckets must be positive, got $buckets")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  // containsNull mirrors the HOF chain's transform output (its lambda
+  // could yield NULL for a NULL gram on the md5 branch)
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "gram_buckets"
+
+  override protected def nullSafeEval(input: Any): Any =
+    if (md5) graft.hashing.GramBucketUtil.bucketsMd5(input.asInstanceOf[ArrayData], buckets)
+    else graft.hashing.GramBucketUtil.bucketsXx(input.asInstanceOf[ArrayData], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.hashing.GramBucketUtil.buckets${if (md5) "Md5" else "Xx"}($c, $buckets)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramBucketsExpr =
+    copy(child = newChild)
+}
