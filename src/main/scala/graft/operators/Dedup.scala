@@ -182,6 +182,7 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+
   // ------------------------------------------------------------------ L2
   /** LSH band buckets: `(_id, band, bucket)` — one row per (doc, band),
     * bucket = xxhash64 of that band's signature slice. Equal buckets in
@@ -210,8 +211,19 @@ object Dedup {
     val m = df.select(id.as("_mid"), TextFns.fingerprintMd5(text).as("_mfp"))
       .where(col("_mfp").isNotNull)
     val repOf = m.groupBy("_mfp").agg(min(col("_mid")).as("_rid"))
-    val member = m.join(repOf, "_mfp").select(col("_mid"), col("_rid"))
-    val reps = df.join(repOf.select(col("_rid")), id === col("_rid"), "left_semi")
+    // Persist the narrow (member, rep) map: every collapsed path
+    // references it repeatedly — expandRepPairs twice, withinGroupPairs
+    // twice, and `reps` below — and each uncached reference re-runs the
+    // FULL md5-fingerprint scan + groupBy over the corpus text (the r21
+    // plan audit counted the fingerprint subtree 8× in dedup_jaccard).
+    // Two longs per doc; same persist discipline (and InternalCaches
+    // registration) as the hot-bucket guard's bucket stream.
+    val member = InternalCaches.register(
+      m.join(repOf, "_mfp").select(col("_mid"), col("_rid")).persist())
+    // reps via the cached member (its _rid column carries every rep id;
+    // a semi-join ignores the duplication) — repOf itself is then
+    // consumed exactly once, when member first materializes.
+    val reps = df.join(member.select(col("_rid")), id === col("_rid"), "left_semi")
     Collapsed(member, reps)
   }
 
