@@ -402,16 +402,16 @@ object Bench {
     val corpusPhases: String =
       if (only.isDefined) "null"
       else try {
-        def split(near: Boolean): String = {
-          val parts = SparkEntry.corpusPrepPhases(spark, sfDir, near).map {
-            case (name, fn) =>
-              val t0 = System.nanoTime()
-              fn().queryExecution.toRdd.count()
-              s"\"" + name + "\":" + f((System.nanoTime() - t0) / 1e9)
-          }
-          release()
-          parts.mkString("{", ",", "}")
-        }
+        def split(near: Boolean): String =
+          // release() in finally — as the web_prep split below
+          try {
+            SparkEntry.corpusPrepPhases(spark, sfDir, near).map {
+              case (name, fn) =>
+                val t0 = System.nanoTime()
+                fn().queryExecution.toRdd.count()
+                s"\"" + name + "\":" + f((System.nanoTime() - t0) / 1e9)
+            }.mkString("{", ",", "}")
+          } finally release()
         s"""{"corpus_prep":${split(false)},"corpus_prep_near":${split(true)}}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] corpus_prep phase split failed: ${e.getMessage}")
@@ -426,13 +426,18 @@ object Bench {
     val webPhases: String =
       if (only.isDefined) "null"
       else try {
-        val parts = SparkEntry.webPrepPhases(spark, sfDir).map { case (name, fn) =>
-          val t0 = System.nanoTime()
-          fn().queryExecution.toRdd.count()
-          s"\"" + name + "\":" + f((System.nanoTime() - t0) / 1e9)
-        }
-        release()
-        parts.mkString("{", ",", "}")
+        // release() in finally (ADVICE r20): a stage throwing mid-split
+        // would otherwise strand the already-materialized stages'
+        // localCheckpoint blocks for the rest of the run, skewing every
+        // later sidecar timing (the corpusPhases pattern).
+        try {
+          val parts = SparkEntry.webPrepPhases(spark, sfDir).map { case (name, fn) =>
+            val t0 = System.nanoTime()
+            fn().queryExecution.toRdd.count()
+            s"\"" + name + "\":" + f((System.nanoTime() - t0) / 1e9)
+          }
+          parts.mkString("{", ",", "}")
+        } finally release()
       } catch { case e: Throwable =>
         System.err.println(s"[bench] web_prep phase split failed: ${e.getMessage}")
         "null"

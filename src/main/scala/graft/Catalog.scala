@@ -47,10 +47,15 @@ object Catalog {
     * empty one. */
   def dataExists(spark: SparkSession, path: String, dataDirs: Seq[String]): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // A probe failure PROPAGATES (ADVICE r20): both callers use this to
+    // refuse appending over a possibly half-written catalog, and a
+    // transient filesystem error swallowed as `false` would let an
+    // append slip past exactly the guard the commit protocol exists
+    // for. Read-side callers that want degrade-to-false must catch at
+    // their own boundary.
     dataDirs.exists { d =>
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
-      try p.getFileSystem(conf).exists(p)
-      catch { case scala.util.control.NonFatal(_) => false }
+      p.getFileSystem(conf).exists(p)
     }
   }
 

@@ -62,6 +62,7 @@ object StressTok {
           specials.sortBy(s => -s.length)
             .map(java.util.regex.Pattern.quote).mkString("|"))
         var words = 0L
+        var capHit = false
         val seen = new java.util.HashSet[String]()
         var t0 = System.nanoTime()
         it.foreach { row =>
@@ -74,19 +75,24 @@ object StressTok {
             while (m.find()) {
               words += 1
               if (seen.size < 2000000) seen.add(m.group()): Unit
+              else capHit = true // saturated: distinct undercounted from here on
             }
           }
           while (sm.find()) { span(from, sm.start); from = sm.end }
           span(from, s.length)
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        Iterator.single((words, seen.size.toLong, dt))
+        Iterator.single((words, seen.size.toLong, dt, capHit))
       }.collect()
     val words = stats.map(_._1).sum
     val distinct = stats.map(_._2).sum // sum of per-PARTITION distincts = per-thread view
     val tRegexMax = stats.map(_._3).max // parallel: wall ≈ max partition time
+    // no-silent-caps convention (ADVICE r20): when any partition's
+    // distinct-word set saturated, memo_best_hit_rate is an OVERcount —
+    // say so in the artifact instead of leaving it to forensics
+    val saturated = stats.count(_._4)
     def f(v: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, v)
-    println(s"""{"probe":"tiktoken","sf":"$sfDir","fit_s":${f(tFit)},"count_warm_s":${f(tWarm)},"count_s":${f(tFull)},"regex_only_max_task_s":${f(tRegexMax)},"words":$words,"distinct_words_per_partition_sum":$distinct,"memo_best_hit_rate":${f(1.0 - distinct.toDouble / math.max(1L, words))}}""")
+    println(s"""{"probe":"tiktoken","sf":"$sfDir","fit_s":${f(tFit)},"count_warm_s":${f(tWarm)},"count_s":${f(tFull)},"regex_only_max_task_s":${f(tRegexMax)},"words":$words,"distinct_words_per_partition_sum":$distinct,"distinct_cap_saturated_partitions":$saturated,"memo_best_hit_rate":${f(1.0 - distinct.toDouble / math.max(1L, words))}}""")
     spark.stop()
   }
 }

@@ -144,9 +144,10 @@ object Pack {
     * required ordering (no extra sort is inserted), and the writer
     * opens one file per partition value per task. A session-level
     * `spark.sql.files.maxRecordsPerFile` would split shard files and
-    * break the contract, so this call OVERRIDES it to 0 for the write
-    * and restores the prior value after (ADVICE r19 — enforced, not a
-    * docstring). At 100 TB the shard BUDGET (not this writer)
+    * break the contract, so this write overrides it to 0 via a
+    * PER-WRITER option (ADVICE r19/r20 — enforced and scoped to this
+    * write; no session mutation). At 100 TB the shard BUDGET (not
+    * this writer)
     * controls the file-count/file-size trade: budget ≈ tokens-per-
     * training-file, exactly how published pipelines size shards.
     *
@@ -159,16 +160,14 @@ object Pack {
       format: String = "parquet"): Unit = {
     require(format == "parquet" || format == "json",
       s"format must be 'parquet' or 'json', got '$format'")
-    val conf = df.sparkSession.conf
-    val key = "spark.sql.files.maxRecordsPerFile"
-    val prior = conf.getOption(key)
-    conf.set(key, 0L) // one-file-per-shard contract (see doc above)
-    try placeShards(df, shardCol, orderCol)
-      .write.mode("overwrite").partitionBy(shardCol).format(format).save(path)
-    finally prior match {
-      case Some(v) => conf.set(key, v)
-      case None    => conf.unset(key)
-    }
+    // one-file-per-shard contract as a PER-WRITER option (ADVICE r20):
+    // the previous session-conf set/restore window was visible to any
+    // concurrent write in the same SparkSession, and the restore could
+    // clobber a concurrent setter — the DataFrameWriter option scopes
+    // the override to exactly this write.
+    placeShards(df, shardCol, orderCol)
+      .write.mode("overwrite").option("maxRecordsPerFile", 0L)
+      .partitionBy(shardCol).format(format).save(path)
   }
 
   /** Quality-ordered token-budget SELECTION — the curation step before
