@@ -707,10 +707,16 @@ object Dedup {
       k: Int = 8, minDf: Int = 2, keepRep: Boolean = true): DataFrame = {
     require(minDf >= 2, s"minDf counts distinct docs sharing a window; need >= 2, got $minDf")
     val base = df.select(id.as("doc_id"), text.as("_text"))
-    val occ = base
+    // Persist the narrow (doc, pos, fp) occurrence stream: it feeds the
+    // flag aggregation AND the removal join's probe side, and the probe
+    // reference would otherwise re-run the whole tokenize+shingle+hash
+    // scan (the capBuckets discipline — three longs per window,
+    // InternalCaches-registered, lineage kept).
+    val occ = InternalCaches.register(base
       .select(col("doc_id"),
         posexplode(TextFns.shingles(col("_text"), k)).as(Seq("_pos", "_gram")))
       .select(col("doc_id"), col("_pos"), xxhash64(col("_gram")).as("_fp"))
+      .persist())
     val flagged = occ
       .groupBy("_fp", "doc_id").agg(count(lit(1)).as("_n"))
       .groupBy("_fp").agg(count(lit(1)).as("_nd"), min(col("doc_id")).as("_rep"))
@@ -796,12 +802,14 @@ object Dedup {
       minDf: Int = 2, keepRep: Boolean = true): DataFrame = {
     require(minDf >= 2, s"minDf counts distinct docs sharing a line; need >= 2, got $minDf")
     val base = df.select(id.as("doc_id"), text.as("_text"))
-    val occ = base
+    // persisted for the same two-consumer reason as [[removeDupSpans]]
+    val occ = InternalCaches.register(base
       .select(col("doc_id"), posexplode(split(col("_text"), "\n")).as(Seq("_pos", "_line")))
       .select(col("doc_id"), col("_pos"),
         xxhash64(TextFns.normText(col("_line"))).as("_fp"),
         (TextFns.normText(col("_line")) =!= "").as("_nb"))
       .where(col("_nb"))
+      .persist())
     val flagged = occ
       .groupBy("_fp", "doc_id").agg(count(lit(1)).as("_n"))
       .groupBy("_fp").agg(count(lit(1)).as("_nd"), min(col("doc_id")).as("_rep"))
