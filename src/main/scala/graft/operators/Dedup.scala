@@ -170,7 +170,20 @@ object Dedup {
   /** Exact set-Jaccard verification of candidate pairs: id_a resolves
     * in `setsA`, id_b in `setsB` (both `(_jid, _set)`). Integer
     * intersection/union sizes, so the double ratio is bit-identical
-    * across engines. */
+    * across engines.
+    *
+    * CALLER CONTRACT (the candidate-prune discipline): pass `cands`
+    * through [[persistedCands]] and derive each sets side from docs
+    * pruned by [[candSideDocs]] (or an equivalent id-level semi-join)
+    * — the verify is an inner equi-join on id, so rows whose id never
+    * appears among the candidates contribute nothing, yet an unpruned
+    * side tokenizes + shingles its ENTIRE input (the r21 plan audit:
+    * `word_shingles` evaluated over the full rep set on BOTH verify
+    * sides). Pruning at the sets level does NOT work: the optimizer
+    * keeps the semi-join above the shingle projection (measured
+    * neutral at sf0.1, and it re-plans the prune as a sort-merge join
+    * that shuffles the full set arrays) — the prune must sit below
+    * the projection by construction. */
   private def jaccardVerify(
       cands: DataFrame, setsA: DataFrame, setsB: DataFrame, threshold: Double): DataFrame =
     cands
@@ -181,6 +194,30 @@ object Dedup {
           size(array_union(col("_set_a"), col("_set_b"))))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+
+  /** Persist + register the narrow candidate stream `(id_a, id_b)` —
+    * two longs per pair. Consumed three times by the verify shape (two
+    * [[candSideDocs]] prune sides + the probe itself), and its lineage
+    * is the banding self-join: without the persist each reference
+    * re-runs candidate generation. Same discipline as the hot-bucket
+    * guard / collapse member map (InternalCaches-registered, lineage
+    * kept). */
+  private def persistedCands(cands: DataFrame): DataFrame =
+    InternalCaches.register(cands.persist())
+
+  /** `docs` restricted to the ids on `side` ("id_a" / "id_b") of the
+    * candidate stream — applied BELOW the shingle projection, so only
+    * candidate docs pay the tokenize+shingle CPU and only
+    * candidate-sized set streams reach the verify join. At 100 TB
+    * this is the difference between shingling the corpus three times
+    * (once to band, twice to verify) and once (+ the candidates).
+    * Join strategy is left to AQE: candidate ids are typically tiny
+    * (broadcast semi-join); a pathological candidate blowup degrades
+    * to a shuffle semi-join of (id, text) — still strictly less than
+    * shuffling the unpruned shingle-set arrays. No distinct() on the
+    * prune side: left-semi ignores key duplication. */
+  private def candSideDocs(docs: DataFrame, id: Column, cands: DataFrame, side: String): DataFrame =
+    docs.join(cands.select(col(side).as("_pid")), id === col("_pid"), "left_semi")
 
 
   // ------------------------------------------------------------------ L2
@@ -307,20 +344,24 @@ object Dedup {
       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
       maxBucket: Int = DefaultMaxBucket, collapseExact: Boolean = true): DataFrame =
     if (!collapseExact) {
-      val sets = shingleSets(df, id, text, shingleK)
-      jaccardVerify(
+      val cands = persistedCands(
         minhashCandidates(df, id, text, shingleK, numHashes, bands, maxBucket,
-          collapseExact = false),
-        sets, sets, threshold)
+          collapseExact = false))
+      jaccardVerify(cands,
+        shingleSets(candSideDocs(df, id, cands, "id_a"), id, text, shingleK),
+        shingleSets(candSideDocs(df, id, cands, "id_b"), id, text, shingleK),
+        threshold)
     } else {
       val c = collapseByText(df, id, text)
-      val repSets = shingleSets(c.reps, id, text, shingleK)
-      val repPairs = jaccardVerify(
+      val cands = persistedCands(
         bucketSelfJoin(
           capBuckets(minhashBuckets(c.reps, id, text, shingleK, numHashes, bands),
             Seq("band", "bucket"), maxBucket),
-          Seq("band", "bucket")),
-        repSets, repSets, threshold)
+          Seq("band", "bucket")))
+      val repPairs = jaccardVerify(cands,
+        shingleSets(candSideDocs(c.reps, id, cands, "id_a"), id, text, shingleK),
+        shingleSets(candSideDocs(c.reps, id, cands, "id_b"), id, text, shingleK),
+        threshold)
       val within = withinGroupPairs(c.member)
         .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
         .where(lit(1.0) >= threshold)
@@ -361,8 +402,11 @@ object Dedup {
       val (capped, report) = capWithReport(
         minhashBuckets(df, id, text, shingleK, numHashes, bands),
         Seq("band", "bucket"), maxBucket)
-      val sets = shingleSets(df, id, text, shingleK)
-      val dups = jaccardVerify(bucketSelfJoin(capped, Seq("band", "bucket")), sets, sets, threshold)
+      val cands = persistedCands(bucketSelfJoin(capped, Seq("band", "bucket")))
+      val dups = jaccardVerify(cands,
+          shingleSets(candSideDocs(df, id, cands, "id_a"), id, text, shingleK),
+          shingleSets(candSideDocs(df, id, cands, "id_b"), id, text, shingleK),
+          threshold)
         .select(col("id_b").as("_drop_id"))
       (df.join(dups, id === col("_drop_id"), "left_anti"), report)
     } else {
@@ -370,9 +414,11 @@ object Dedup {
       val (capped, report) = capWithReport(
         minhashBuckets(c.reps, id, text, shingleK, numHashes, bands),
         Seq("band", "bucket"), maxBucket)
-      val repSets = shingleSets(c.reps, id, text, shingleK)
-      val repPairs = jaccardVerify(bucketSelfJoin(capped, Seq("band", "bucket")),
-        repSets, repSets, threshold)
+      val cands = persistedCands(bucketSelfJoin(capped, Seq("band", "bucket")))
+      val repPairs = jaccardVerify(cands,
+        shingleSets(candSideDocs(c.reps, id, cands, "id_a"), id, text, shingleK),
+        shingleSets(candSideDocs(c.reps, id, cands, "id_b"), id, text, shingleK),
+        threshold)
       val dups = expandRepPairs(repPairs, c.member, Nil).select("id_b")
         .unionAll(withinGroupPairs(c.member).select("id_b"))
         .select(col("id_b").as("_drop_id"))
@@ -608,15 +654,24 @@ object Dedup {
     val newSide = tagged.where(col("_new")).drop("_new").toDF("id_b", "band", "bucket")
     val oldSide = tagged.where(!col("_new")).drop("_new").toDF("id_a", "band", "bucket")
     val newSideA = tagged.where(col("_new")).drop("_new").toDF("id_a", "band", "bucket")
-    val cands = oldSide.join(newSide, Seq("band", "bucket"))
-      .union(newSideA.join(newSide, Seq("band", "bucket")).where(col("id_a") < col("id_b")))
-      .select("id_a", "id_b")
-      .distinct()
+    val cands = persistedCands(
+      oldSide.join(newSide, Seq("band", "bucket"))
+        .union(newSideA.join(newSide, Seq("band", "bucket")).where(col("id_a") < col("id_b")))
+        .select("id_a", "id_b")
+        .distinct())
+    // Candidate-id prune on both verify sides (the [[candSideDocs]]
+    // discipline, at the sets level — the index side is a stored
+    // shingle table and the batch side is already materialized, so
+    // there is no shingle CPU to push below; the prune keeps the
+    // verify joins candidate-sized instead of index-sized).
     val aSets = spark.read.parquet(s"$indexPath/shingles")
       .join(newIds, col("id") === col("_nid"), "left_anti") // mirror the bucket-side exclusion
       .select(col("id").as("_jid"), col("shingles").as("_set"))
       .union(newSets)
-    val repDrops = jaccardVerify(cands, aSets, newSets, threshold)
+      .join(cands.select(col("id_a").as("_pid")), col("_jid") === col("_pid"), "left_semi")
+    val bSets = newSets
+      .join(cands.select(col("id_b").as("_pid")), col("_jid") === col("_pid"), "left_semi")
+    val repDrops = jaccardVerify(cands, aSets, bSets, threshold)
       .select(col("id_b").as("_drop_id"))
       .distinct()
     val drops = nonRepDrops.map(repDrops.unionAll).getOrElse(repDrops)
@@ -1049,12 +1104,15 @@ object Dedup {
         Seq("band", "bucket"), maxBucket)
         .toDF("_bid", "band", "bucket")
       val bb = if (broadcastBench) broadcast(bb0) else bb0
-      val cands = cb.join(bb, Seq("band", "bucket"))
-        .select(col("_id").as("id_a"), col("_bid").as("id_b"))
-        .distinct()
+      val cands = persistedCands(
+        cb.join(bb, Seq("band", "bucket"))
+          .select(col("_id").as("id_a"), col("_bid").as("id_b"))
+          .distinct())
       jaccardVerify(cands,
-        shingleSets(cSide, corpusId, corpusText, shingleK),
-        shingleSets(bSide, benchId, benchText, shingleK), threshold)
+        shingleSets(candSideDocs(cSide, corpusId, cands, "id_a"),
+          corpusId, corpusText, shingleK),
+        shingleSets(candSideDocs(bSide, benchId, cands, "id_b"),
+          benchId, benchText, shingleK), threshold)
     }
     if (!collapseExact) (pairsOf(corpus, bench), None)
     else {

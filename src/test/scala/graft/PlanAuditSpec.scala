@@ -737,4 +737,29 @@ class PlanAuditSpec extends SparkSpec {
         s"asof($d) must not add exchanges per window, got $unionExchanges:\n$plan")
     }
   }
+
+  test("dedup_jaccard: verify-side shingle projections are candidate-pruned (semi-join below)") {
+    // The exact-Jaccard verify must shingle only CANDIDATE docs, not
+    // the whole corpus: every logical Project that evaluates
+    // ShinglesExpr has to sit above a LeftSemi join (the candidate-id
+    // prune; the banding pass keeps its shingles inside the Generate's
+    // generator, so it does not match here). Without the prune both
+    // verify sides tokenize+shingle the full rep set — two extra
+    // full-corpus scans' worth of CPU at 100 TB (r21).
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+    import org.apache.spark.sql.graftexpr.ShinglesExpr
+    val df = SparkEntry.queries("dedup_jaccard")(spark, dir)
+    val plan = df.queryExecution.optimizedPlan
+    val shingleProjects = plan.collect {
+      case p: Project if p.projectList.exists(_.exists(_.isInstanceOf[ShinglesExpr])) => p
+    }
+    assert(shingleProjects.nonEmpty,
+      s"expected verify-side shingle projections in the optimized plan:\n$plan")
+    shingleProjects.foreach { p =>
+      val pruned = p.child.collectFirst { case j: Join if j.joinType == LeftSemi => j }.nonEmpty
+      assert(pruned, s"shingle projection is not candidate-pruned (no LeftSemi below):\n$p")
+    }
+    GraftSession.releaseCachedBlocks(spark)
+  }
 }
