@@ -89,6 +89,27 @@ object SparkEntry {
           "\n").as("text_ml"))
   }
 
+  /** Spread a synthetic-payload gate's per-id codec work across the
+    * cluster: the id stream is 8 bytes/row, so an explicit round-robin
+    * exchange costs ~nothing, while the downstream synthesis + REAL
+    * codec decode — these gates' dominant cost (sin-wave PCM render +
+    * 64 Goertzel passes per clip; PNG deflate/inflate + DCT per image)
+    * — otherwise inherits the source file's split count: documents
+    * .parquet is ONE row group at every bench SF, so ONE task did all
+    * the codec work (plans/r21/multimodal_audio_fp_before.txt: the
+    * MapPartitions sit directly on the file scan). Explicit
+    * numPartitions so AQE never coalesces the tiny shuffle back to one
+    * partition; defaultParallelism keeps it scale-adaptive (local[N] →
+    * N, a cluster → its total cores). Payloads still never shuffle —
+    * the exchange is BELOW synthesis and carries ids only. Applied
+    * ONLY where per-id codec work is heavy (audio PCM render + 64
+    * Goertzel passes; PNG/BMP pixel render + inflate + DCT): for the
+    * header-bytes-only gates the exchange's fixed cost exceeds the
+    * serial work it spreads (measured at sf0.1: multimodal_av
+    * 0.20→0.49 s, multimodal_real 0.21→0.58 s — reverted). */
+  private def spreadIds(s: SparkSession, ids: DataFrame): DataFrame =
+    ids.repartition(s.sparkContext.defaultParallelism)
+
   /** Shared media-payload twin for the L48 pHash gates: consecutive id
     * pairs (2k, 2k+1) carry the SAME syntheticContainer(k) bytes —
     * planted exact-duplicate images whose signatures must collide at
@@ -1835,7 +1856,7 @@ object SparkEntry {
     // documents, no byte parsed (the multimodal_real discipline).
     "multimodal_phash_real" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
-      val payloads = documents(s, dir).toNative.select(col("doc_id"))
+      val payloads = spreadIds(s, documents(s, dir).toNative.select(col("doc_id")))
         .as[Long](Encoders.scalaLong)
         .mapPartitions(it => it.map(id =>
           Media.MediaRow(id, Media.syntheticPixelImage(id))))(Encoders.product[Media.MediaRow])
@@ -1877,8 +1898,8 @@ object SparkEntry {
     // 7b7484c flat-stress-cost rule; the oracle mirrors the cap.
     "multimodal_audio_fp" -> { (s, dir) =>
       import org.apache.spark.sql.Encoders
-      val payloads = documents(s, dir).toNative.select(col("doc_id"))
-        .where(col("doc_id") < 20000)
+      val payloads = spreadIds(s, documents(s, dir).toNative.select(col("doc_id"))
+          .where(col("doc_id") < 20000))
         .as[Long](Encoders.scalaLong)
         .mapPartitions(it => it.map(id =>
           Media.MediaRow(id, Audio.syntheticAudioClip(id))))(Encoders.product[Media.MediaRow])
