@@ -1966,7 +1966,12 @@ object SparkEntry {
       if (near) Dedup.exactKeep(gated, col("text"), col("doc_id")).localCheckpoint()
       else Dedup.exactKeep(gated, col("text"), col("doc_id"))
     lazy val kept =
-      if (near) Dedup.minhashKeep(deduped, col("doc_id"), col("text"), 0.5)
+      // near: materialize the near-dedup keep — decontaminatedKeep
+      // references its corpus input TWICE (gram probe + anti-join), so
+      // an unmaterialized near-dedup tail re-runs its verify joins and
+      // keep anti-join per reference (r22 audit; same rationale as the
+      // `gated` boundary above).
+      if (near) Dedup.minhashKeep(deduped, col("doc_id"), col("text"), 0.5).localCheckpoint()
       else deduped
     lazy val weights = {
       val clean = Dedup.decontaminatedKeep(

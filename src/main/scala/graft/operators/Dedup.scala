@@ -211,13 +211,18 @@ object Dedup {
     * candidate-sized set streams reach the verify join. At 100 TB
     * this is the difference between shingling the corpus three times
     * (once to band, twice to verify) and once (+ the candidates).
-    * Join strategy is left to AQE: candidate ids are typically tiny
-    * (broadcast semi-join); a pathological candidate blowup degrades
-    * to a shuffle semi-join of (id, text) — still strictly less than
-    * shuffling the unpruned shingle-set arrays. No distinct() on the
-    * prune side: left-semi ignores key duplication. */
+    * The prune side carries an explicit broadcast hint (r22): left to
+    * AQE, the static plan chose SortMergeJoin LeftSemi — an
+    * Exchange+Sort of the FULL docs (id, text) by id, a shuffle the
+    * prune exists to avoid — and the r21 driver run measured it as a
+    * 17.5% dedup_minhash regression. The candidate stream is persisted
+    * and hot-bucket-capped (two longs per pair, O(candidates) — the
+    * verify probe itself already broadcast-joins it), so the hint is
+    * size-safe by the same argument as the probe joins. No distinct()
+    * on the prune side: the broadcast hash relation dedups keys and a
+    * distinct would add an exchange per side. */
   private def candSideDocs(docs: DataFrame, id: Column, cands: DataFrame, side: String): DataFrame =
-    docs.join(cands.select(col(side).as("_pid")), id === col("_pid"), "left_semi")
+    docs.join(broadcast(cands.select(col(side).as("_pid"))), id === col("_pid"), "left_semi")
 
 
   // ------------------------------------------------------------------ L2
@@ -358,9 +363,13 @@ object Dedup {
           capBuckets(minhashBuckets(c.reps, id, text, shingleK, numHashes, bands),
             Seq("band", "bucket"), maxBucket),
           Seq("band", "bucket")))
+      // Prune df, not c.reps: every candidate id IS a rep id (the
+      // bucket stream was built from reps), so df ⋉ cand-ids ≡
+      // (df ⋉ member-rids) ⋉ cand-ids — identical rows, and the verify
+      // sides skip the doc-count-sized member semi-join entirely (r22).
       val repPairs = jaccardVerify(cands,
-        shingleSets(candSideDocs(c.reps, id, cands, "id_a"), id, text, shingleK),
-        shingleSets(candSideDocs(c.reps, id, cands, "id_b"), id, text, shingleK),
+        shingleSets(candSideDocs(df, id, cands, "id_a"), id, text, shingleK),
+        shingleSets(candSideDocs(df, id, cands, "id_b"), id, text, shingleK),
         threshold)
       val within = withinGroupPairs(c.member)
         .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
@@ -415,9 +424,10 @@ object Dedup {
         minhashBuckets(c.reps, id, text, shingleK, numHashes, bands),
         Seq("band", "bucket"), maxBucket)
       val cands = persistedCands(bucketSelfJoin(capped, Seq("band", "bucket")))
+      // df, not c.reps — see jaccardPairs: candidate ids are rep ids.
       val repPairs = jaccardVerify(cands,
-        shingleSets(candSideDocs(c.reps, id, cands, "id_a"), id, text, shingleK),
-        shingleSets(candSideDocs(c.reps, id, cands, "id_b"), id, text, shingleK),
+        shingleSets(candSideDocs(df, id, cands, "id_a"), id, text, shingleK),
+        shingleSets(candSideDocs(df, id, cands, "id_b"), id, text, shingleK),
         threshold)
       val dups = expandRepPairs(repPairs, c.member, Nil).select("id_b")
         .unionAll(withinGroupPairs(c.member).select("id_b"))
@@ -663,14 +673,19 @@ object Dedup {
     // discipline, at the sets level — the index side is a stored
     // shingle table and the batch side is already materialized, so
     // there is no shingle CPU to push below; the prune keeps the
-    // verify joins candidate-sized instead of index-sized).
+    // verify joins candidate-sized instead of index-sized). Broadcast
+    // hint on the id sides for the same reason as [[candSideDocs]]:
+    // without it the stats-less prune plans as a SortMergeJoin that
+    // shuffles the stored set arrays by id.
     val aSets = spark.read.parquet(s"$indexPath/shingles")
       .join(newIds, col("id") === col("_nid"), "left_anti") // mirror the bucket-side exclusion
       .select(col("id").as("_jid"), col("shingles").as("_set"))
       .union(newSets)
-      .join(cands.select(col("id_a").as("_pid")), col("_jid") === col("_pid"), "left_semi")
+      .join(broadcast(cands.select(col("id_a").as("_pid"))),
+        col("_jid") === col("_pid"), "left_semi")
     val bSets = newSets
-      .join(cands.select(col("id_b").as("_pid")), col("_jid") === col("_pid"), "left_semi")
+      .join(broadcast(cands.select(col("id_b").as("_pid"))),
+        col("_jid") === col("_pid"), "left_semi")
     val repDrops = jaccardVerify(cands, aSets, bSets, threshold)
       .select(col("id_b").as("_drop_id"))
       .distinct()

@@ -88,16 +88,26 @@ object NaiveBayes {
       .collect() // bounded artifact: one row per class
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(docCounts.nonEmpty, "NaiveBayes.fit: no labeled rows")
-    val tokStats = counts.groupBy("label")
-      .agg(sum("cnt").as("n_tokens"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Per-label token totals AND the vocab size in ONE job over the
+    // cached count table (r22): the old shape ran a groupBy-label
+    // collect and then a distinct-count — two driver round-trips where
+    // one materializes-and-aggregates pass suffices. Same exact
+    // integers: conditional sums ≡ the per-label groupBy, the distinct
+    // count ≡ select(token).distinct().count().
+    val labelKeys = docCounts.keys.toSeq.sorted
+    val statAggs = countDistinct(col("token")).as("_graft_v") +:
+      labelKeys.zipWithIndex.map { case (l, i) =>
+        coalesce(sum(when(col("label") === l, col("cnt"))), lit(0L)).as(s"_graft_t_$i")
+      }
+    val statRow = counts.agg(statAggs.head, statAggs.tail: _*).head()
+    val tokStats = labelKeys.zipWithIndex
+      .map { case (l, i) => l -> statRow.getLong(i + 1) }.toMap
     val totalDocs = docCounts.values.sum
     val labels = docCounts.toSeq.sortBy(_._1).map { case (l, nd) =>
       NbLabel(l, nd, tokStats.getOrElse(l, 0L),
         microRound(math.log(nd.toDouble / totalDocs) * 1000000.0))
     }
-    val vocab = counts.select("token").distinct().count()
-    NbModel(counts, labels, vocab, totalDocs)
+    NbModel(counts, labels, statRow.getLong(0), totalDocs)
   }
 
   /** Integer micro-nat log-prob of `num / den` — fixed operand order

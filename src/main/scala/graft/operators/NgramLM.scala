@@ -92,8 +92,17 @@ object NgramLM {
     * the corpus itself is never cached and never scanned twice —
     * at fit-on-100 TB the scan IS the cost, so halving it matters. */
   def fitBigram(df: DataFrame, text: Column): BigramModel = {
+    val counts = taggedCounts(df, text)
+    val uni = counts.where(col("tag") === "u").select(col("gram").as("token"), col("cnt"))
+    val bi = counts.where(col("tag") === "b").select(col("gram").as("bigram"), col("cnt"))
+    BigramModel(bi, uni, uni.count())
+  }
+
+  /** The shared tagged u/b count table (cached, model-sized) both
+    * bigram fits read — one corpus scan, one aggregate. */
+  private def taggedCounts(df: DataFrame, text: Column): DataFrame = {
     val toked = df.select(tokens(text).as("_toks"))
-    val counts = graft.InternalCaches.register(toked
+    graft.InternalCaches.register(toked
       .select(explode(concat(
         transform(col("_toks"), t => struct(lit("u").as("tag"), t.as("gram"))),
         transform(bigrams(col("_toks")), g => struct(lit("b").as("tag"), g.as("gram")))
@@ -101,9 +110,6 @@ object NgramLM {
       .groupBy(col("_tg.tag").as("tag"), col("_tg.gram").as("gram"))
       .agg(count(lit(1)).as("cnt"))
       .persist())
-    val uni = counts.where(col("tag") === "u").select(col("gram").as("token"), col("cnt"))
-    val bi = counts.where(col("tag") === "b").select(col("gram").as("bigram"), col("cnt"))
-    BigramModel(bi, uni, uni.count())
   }
 
   /** Persist a fitted unigram LM (count table as parquet + one-row
@@ -223,19 +229,26 @@ object NgramLM {
     * (Wenzek et al. 2020 §3.3; Heafield 2011), whose bigram form this
     * is. */
   def fitKnBigram(df: DataFrame, text: Column): KnBigramModel = {
-    val bm = fitBigram(df, text)
-    val ctx = bm.bigrams
+    val counts = taggedCounts(df, text)
+    val bi = counts.where(col("tag") === "b").select(col("gram").as("bigram"), col("cnt"))
+    val ctx = bi
       .groupBy(substring_index(col("bigram"), " ", 1).as("token"))
       .agg(sum("cnt").as("c_ctx"), count(lit(1)).as("n_follow"))
-    val cont = bm.bigrams
+    val cont = bi
       .groupBy(substring_index(col("bigram"), " ", -1).as("token"))
       .agg(count(lit(1)).as("n_prec"))
-    val stats = bm.bigrams.agg(
-      count(lit(1)).as("t"),
-      coalesce(sum(when(col("cnt") === 1, 1L)), lit(0L)).as("n1"),
-      coalesce(sum(when(col("cnt") === 2, 1L)), lit(0L)).as("n2")).head()
-    KnBigramModel(bm.bigrams, ctx, cont, bm.vocabSize,
-      stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    // V and the three bigram-type scalars in ONE job over the cached
+    // tagged table (r22): the old shape ran uni.count() (inside
+    // fitBigram) and then this aggregate — two driver round-trips
+    // where one materializes-and-aggregates pass suffices. Same exact
+    // integers: V = |u rows| ≡ uni.count(), T/n1/n2 filter tag b.
+    val stats = counts.agg(
+      coalesce(sum(when(col("tag") === "u", 1L)), lit(0L)).as("v"),
+      coalesce(sum(when(col("tag") === "b", 1L)), lit(0L)).as("t"),
+      coalesce(sum(when(col("tag") === "b" && col("cnt") === 1, 1L)), lit(0L)).as("n1"),
+      coalesce(sum(when(col("tag") === "b" && col("cnt") === 2, 1L)), lit(0L)).as("n2")).head()
+    KnBigramModel(bi, ctx, cont,
+      stats.getLong(0), stats.getLong(1), stats.getLong(2), stats.getLong(3))
   }
 
   /** Score documents under interpolated Kneser-Ney: per consecutive
